@@ -1,0 +1,23 @@
+"""mysql_to_s3_spark — a PySpark-native rebuild of the capabilities of
+klahnakoski/MySQL-to-S3: the JX ("JSON Expressions") query language over
+nested documents, plus the snowflake-denormalizing extract pipeline.
+
+Architecture (SURVEY.md §7): everything compiles to declarative DataFrame
+plans so Catalyst/Tungsten pick the physical strategy.
+
+  - functions.compiler : JX expression JSON -> pyspark.sql.Column
+  - plans.normalize    : QueryOp normalizer (reference jx_base/query.py:208)
+  - operators.executor : QueryOp -> DataFrame plan (filter/select/groupBy/
+                         edges+domains/window/sort/limit)
+  - sources            : container registry, JDBC snowflake extractor,
+                         JSON-lines sink with scrub + etl lineage envelope
+  - streaming          : incremental batch counters, structured streaming
+  - operators.dedup / similarity / text / multimodal :
+                         beyond-reference large-scale pipeline operators
+"""
+
+from mysql_to_s3_spark.session import get_spark
+from mysql_to_s3_spark.operators.executor import run
+
+__all__ = ["get_spark", "run"]
+__version__ = "0.1.0"

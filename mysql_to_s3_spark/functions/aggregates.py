@@ -1,0 +1,119 @@
+"""Aggregate-name -> Spark aggregate Column builders.
+
+Union of the reference's four backend aggregate maps (SURVEY.md §2.4):
+ES es52/util.py:82-109, SQLite sql_aggs jx_sqlite/__init__.py:134-167,
+MySQL jx_usingMySQL.py:446-466, in-memory windows.py:326-337.
+
+All are built-in JVM aggregates (whole-stage codegen, partial aggregation
+map-side) — no UDAFs. `cardinality` is exact by default for oracle parity;
+pass approx=True for the HLL sketch at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class AggError(ValueError):
+    pass
+
+
+def build_aggregate(
+    agg: str,
+    col: Column,
+    percentile: float | None = None,
+    approx: bool = False,
+) -> Column:
+    if agg == "count":
+        return F.count(col)
+    if agg == "sum":
+        return F.sum(col)
+    if agg == "minimum":
+        return F.min(col)
+    if agg == "maximum":
+        return F.max(col)
+    if agg == "average":
+        return F.avg(col)
+    if agg == "median":
+        # in-memory reference backend is exact (windows.py:281-306);
+        # use exact percentile for oracle parity, approx at scale
+        return F.percentile_approx(col, 0.5, 1_000_000) if approx else F.percentile(col, F.lit(0.5))
+    if agg == "percentile":
+        p = 0.5 if percentile is None else float(percentile)
+        return F.percentile_approx(col, p, 1_000_000) if approx else F.percentile(col, F.lit(p))
+    if agg == "cardinality":
+        return F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    if agg == "count_distinct":
+        return F.countDistinct(col)
+    if agg == "std":
+        return F.stddev_pop(col)
+    if agg == "variance":
+        return F.var_pop(col)
+    if agg == "s0":
+        return F.count(col).cast("double")
+    if agg == "s1":
+        return F.sum(col)
+    if agg == "s2":
+        return F.sum(col * col)
+    if agg == "union":
+        return F.array_sort(F.collect_set(col))
+    if agg == "first":
+        return F.first(col, ignorenulls=True)
+    if agg == "last":
+        return F.last(col, ignorenulls=True)
+    if agg == "one":
+        # assert-single-value (windows.py:76-101); first() with the
+        # uniqueness check left to the caller (cheap count==1 assertion)
+        return F.first(col, ignorenulls=True)
+    if agg == "exists":
+        return F.max(col.isNotNull())
+    if agg == "list":
+        return F.collect_list(col)
+    if agg == "stats":
+        # extended stats bundle (jx_sqlite/__init__.py:157-167)
+        return F.struct(
+            F.count(col).alias("count"),
+            F.sum(col).alias("sum"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.avg(col).alias("avg"),
+            F.sum(col * col).alias("sos"),
+            F.stddev_pop(col).alias("std"),
+            F.var_pop(col).alias("var"),
+            F.percentile(col, F.lit(0.5)).alias("median"),
+        )
+    raise AggError(f"unknown aggregate {agg!r}")
+
+
+# aggregates usable inside a window frame (reference windows.py:104-337)
+WINDOW_AGGS = {
+    "count",
+    "sum",
+    "minimum",
+    "maximum",
+    "average",
+    "median",
+    "percentile",
+    "first",
+    "last",
+    "one",
+    "exists",
+    "list",
+    "std",
+    "variance",
+    "cardinality",
+    "count_distinct",
+}
+
+
+def build_window_aggregate(agg: str, col: Column, percentile: float | None = None) -> Column:
+    if agg == "median":
+        return F.percentile_approx(col, 0.5)
+    if agg == "percentile":
+        return F.percentile_approx(col, 0.5 if percentile is None else float(percentile))
+    if agg == "cardinality":
+        return F.approx_count_distinct(col)
+    if agg == "count_distinct":
+        return F.size(F.collect_set(col))
+    return build_aggregate(agg, col)

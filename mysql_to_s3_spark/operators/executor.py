@@ -1,0 +1,328 @@
+"""QueryOp -> DataFrame plan compiler/executor.
+
+The Spark analog of the reference's three execution backends in one place
+(jx_python/jx.py:63-118 `jx.run`, jx_sqlite/query_table.py:84 dispatch):
+every clause becomes a declarative DataFrame transformation so Catalyst
+handles pushdown/pruning/join selection; nothing is collected to the driver
+except the small domain partition lists used to densify cube output.
+
+Pipeline (matches jx.run order, jx.py:92-118):
+  from resolution (incl. nested-table dotted paths)
+    -> where filter
+    -> window columns (jx.py:101-106, applied to the filtered set)
+    -> set-op select / groupby agg / edges agg (+densify)
+    -> sort -> limit
+
+Scale notes:
+  - edges densification joins the (tiny) domain-parts DataFrame with
+    broadcast(), never a cross join against the data.
+  - multivalue edge values explode before groupBy (lists/aggs.py:73,87
+    product(*coord) semantics) — a shuffle on the exploded key only.
+  - nested-table addressing pushes the explode below the filter so
+    parquet predicate pushdown still applies to parent columns.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as pyop
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql_to_s3_spark.functions.aggregates import build_aggregate
+from mysql_to_s3_spark.functions.compiler import (
+    ARRAY,
+    NESTED,
+    Compiled,
+    Schema,
+    compile_expression,
+)
+from mysql_to_s3_spark.operators.windows import apply_window
+from mysql_to_s3_spark.plans.domains import compile_domain, range_edge_buckets
+from mysql_to_s3_spark.plans.normalize import EdgeClause, QueryOp, SelectClause
+
+
+class ExecutionError(ValueError):
+    pass
+
+
+def run(
+    query: dict | QueryOp,
+    spark: SparkSession | None = None,
+    containers: Mapping[str, DataFrame] | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Execute a JX query, returning the result DataFrame.
+
+    ``from`` resolution order: explicit DataFrame in the query, then
+    ``containers`` dict, then ``{sf_dir}/{name}.parquet``, then a Spark
+    temp view — the Spark analog of the reference's container registry
+    (jx_base/container.py:22 type2container).
+    """
+    q = query if isinstance(query, QueryOp) else QueryOp.wrap(query)
+    df = _resolve_from(q.frum, spark, containers, sf_dir)
+    schema = Schema.from_spark(df.schema)
+
+    # where
+    if q.where is not True:
+        cond = compile_expression(q.where, schema)
+        df = df.filter(F.coalesce(cond.col.cast("boolean"), F.lit(False)))
+
+    # window clauses add columns on the filtered set (jx.py:101-106)
+    for w in q.window:
+        df = apply_window(df, w, schema)
+        schema = Schema.from_spark(df.schema)
+
+    if q.edges:
+        df = _edges_op(df, q, schema)
+    elif q.groupby:
+        df = _groupby_op(df, q, schema)
+    elif any(s.aggregate != "none" for s in q.select):
+        df = _scalar_agg_op(df, q, schema)
+    else:
+        df = _set_op(df, q, schema)
+
+    # sort: nulls least (value_compare, jx.py:562-627)
+    if q.sort:
+        df = df.orderBy(*[_sort_col(s, Schema.from_spark(df.schema)) for s in q.sort])
+
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# from resolution
+
+
+def _resolve_from(frum: Any, spark, containers, sf_dir) -> DataFrame:
+    if isinstance(frum, DataFrame):
+        return frum
+    if isinstance(frum, dict):
+        # subquery
+        return run(frum, spark, containers, sf_dir)
+    if not isinstance(frum, str):
+        raise ExecutionError(f"cannot resolve from={frum!r}")
+
+    parts = frum.split(".")
+    for cut in range(len(parts), 0, -1):
+        base_name = ".".join(parts[:cut])
+        base = _load_container(base_name, spark, containers, sf_dir)
+        if base is not None:
+            nested_path = parts[cut:]
+            for step in nested_path:
+                base = _explode_nested(base, step)
+            return base
+    raise ExecutionError(f"unknown container {frum!r}")
+
+
+def _load_container(name: str, spark, containers, sf_dir) -> DataFrame | None:
+    if containers and name in containers:
+        return containers[name]
+    if sf_dir is not None and spark is not None:
+        import os
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            from mysql_to_s3_spark.sources.registry import load_table
+
+            return load_table(spark, sf_dir, name)
+    if spark is not None:
+        try:
+            return spark.table(name)
+        except Exception:
+            return None
+    return None
+
+
+def _explode_nested(df: DataFrame, array_col: str) -> DataFrame:
+    """Nested-table addressing ``from: "fact.nested1"`` (query_table.py:89-93).
+
+    One row per array element; element struct fields become top-level columns
+    (relative names), parent scalars stay addressable by their names.
+    """
+    field = next((f for f in df.schema.fields if f.name == array_col), None)
+    if field is None or not isinstance(field.dataType, T.ArrayType):
+        raise ExecutionError(f"{array_col!r} is not a nested (array) column")
+    others = [c for c in df.columns if c != array_col]
+    exploded = df.select(*others, F.explode(array_col).alias("__elem__"))
+    if isinstance(field.dataType.elementType, T.StructType):
+        child_fields = [f"__elem__.{f.name}" for f in field.dataType.elementType.fields]
+        # child fields shadow parent columns of the same name
+        child_names = {f.name for f in field.dataType.elementType.fields}
+        keep = [c for c in others if c not in child_names]
+        return exploded.select(*keep, *child_fields)
+    return exploded.select(*others, F.col("__elem__").alias(array_col))
+
+
+# ---------------------------------------------------------------------------
+# set-op (filter/select/sort/limit)  — jx.py:92-99, setop_table.py
+
+
+def _set_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
+    cols: list[Column] = []
+    for s in q.select:
+        cols.extend(_select_columns(df, s, schema))
+    return df.select(*cols)
+
+
+def _select_columns(df: DataFrame, s: SelectClause, schema: Schema) -> list[Column]:
+    v = s.value
+    if v == ".":
+        # whole document
+        if s.name == ".":
+            return [F.col(c) for c in df.columns]
+        return [F.struct(*[F.col(c) for c in df.columns]).alias(s.name)]
+    if v == "*":
+        return [F.col(c).alias(c) for c in _leaf_columns(df.schema)]
+    if isinstance(v, str) and v.endswith(".*"):
+        prefix = v[:-2]
+        field = next((f for f in df.schema.fields if f.name == prefix), None)
+        if field is not None and isinstance(field.dataType, T.StructType):
+            return [F.col(f"{prefix}.{f.name}").alias(f"{prefix}.{f.name}") for f in field.dataType.fields]
+        raise ExecutionError(f"leaves select {v!r}: {prefix!r} is not a struct")
+    c = compile_expression(v, schema)
+    out = c.col
+    if s.default is not None:
+        dflt = compile_expression(s.default, schema)
+        out = F.when(c.missing, dflt.col).otherwise(out)
+    return [out.alias(s.name)]
+
+
+def _leaf_columns(schema: T.StructType, prefix: str = "") -> list[str]:
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            out.extend(_leaf_columns(f.dataType, prefix + f.name + "."))
+        else:
+            out.append(prefix + f.name)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+
+
+def _agg_column(df: DataFrame, s: SelectClause, schema: Schema) -> Column:
+    if s.value == ".":
+        base = F.lit(1)
+        c = Compiled(base, "integer", F.lit(False))
+    else:
+        c = compile_expression(s.value, schema)
+    col = c.col
+    if s.aggregate == "count":
+        # count of non-missing (JX missing ⊇ {null, ""}): count(when(exists))
+        agg = F.count(F.when(~c.missing, F.lit(1)))
+    else:
+        agg = build_aggregate(s.aggregate, col, percentile=s.percentile)
+    if s.default is not None:
+        dflt = compile_expression(s.default, schema)
+        agg = F.coalesce(agg, dflt.col)
+    return agg.alias(s.name)
+
+
+def _scalar_agg_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
+    aggs = [_agg_column(df, s, schema) for s in q.select if s.aggregate != "none"]
+    return df.agg(*aggs)
+
+
+def _groupby_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
+    """groupby: sparse groups, null groups kept (query.py:520-582)."""
+    keys, df = _edge_keys(df, q.groupby, schema, densify=False)
+    aggs = [_agg_column(df, s, schema) for s in q.select if s.aggregate != "none"]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
+    """edges: dimensional group-by with declared domains, DENSE output —
+    every domain part appears even when empty, plus a null bucket when
+    allowNulls (lists/aggs.py:35-103). Densify = broadcast-join the tiny
+    domain-parts DataFrames onto the sparse aggregate; count-like aggregates
+    fill 0, others stay NULL (Matrix-of-accumulators semantics)."""
+    spark = df.sparkSession
+    keys, df2 = _edge_keys(df, q.edges, schema, densify=True)
+    sel_aggs = [s for s in q.select if s.aggregate != "none"]
+    aggs = [_agg_column(df2, s, schema) for s in sel_aggs]
+    sparse = df2.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    # build the dense domain frame: cross join of per-edge part lists
+    dense: DataFrame | None = None
+    for e, key in zip(q.edges, keys):
+        dom = compile_domain(e.domain if e.range is None else {**e.domain, "type": e.domain.get("type", "range")})
+        pdf = dom.parts_df(spark, key)
+        if pdf is None:
+            # default domain: parts discovered from the data (lists/aggs.py:40-46).
+            # materialize driver-side to break lineage with `sparse` (the
+            # part list is tiny: it is already aggregated + capped)
+            vals = [r[0] for r in sparse.select(F.col(key)).where(F.col(key).isNotNull()).distinct().collect()]
+            pdf = spark.createDataFrame([(v,) for v in vals], sparse.select(key).schema)
+        if e.allowNulls:
+            null_row = pdf.sparkSession.createDataFrame([(None,)], pdf.schema)
+            pdf = pdf.unionByName(null_row)
+        dense = pdf if dense is None else dense.crossJoin(pdf)
+
+    if dense is not None:
+        d = dense.alias("__dense__")
+        sp = sparse.alias("__sparse__")
+        cond = functools.reduce(
+            pyop.and_, [F.col(f"__dense__.{k}").eqNullSafe(F.col(f"__sparse__.{k}")) for k in keys]
+        )
+        result = d.join(F.broadcast(sp), on=cond, how="left")
+        result = result.select(
+            *[F.col(f"__dense__.{k}").alias(k) for k in keys],
+            *[F.col(f"__sparse__.{s.name}").alias(s.name) for s in sel_aggs],
+        )
+        # empty cells: count-family fills 0 (accumulator start state)
+        fills = {}
+        for s in sel_aggs:
+            if s.aggregate in ("count", "cardinality", "count_distinct", "s0"):
+                fills[s.name] = 0
+        if fills:
+            result = result.fillna(fills)
+        # rows outside every domain part (bucket keys NULL but allowNulls
+        # False) were joined away; drop disallowed null buckets
+        for e, key in zip(q.edges, keys):
+            if not e.allowNulls:
+                result = result.filter(F.col(key).isNotNull())
+        sparse = result
+
+    return sparse
+
+
+def _edge_keys(
+    df: DataFrame, edges: list[EdgeClause], schema: Schema, densify: bool
+) -> tuple[list[str], DataFrame]:
+    """Materialize one bucket-key column per edge; explode multivalue edges
+    (a row contributes to every matching coordinate, lists/aggs.py:73,87)."""
+    keys: list[str] = []
+    for i, e in enumerate(edges):
+        key = e.name
+        keys.append(key)
+        if e.range is not None:
+            rmin = compile_expression(e.range["min"], schema).col
+            rmax = compile_expression(e.range["max"], schema).col
+            buckets = range_edge_buckets(rmin, rmax, e.domain, e.range.get("mode", "inclusive"))
+            df = df.withColumn(key, F.explode_outer(buckets))
+            continue
+        c = compile_expression(e.value, schema)
+        dom = compile_domain(e.domain)
+        if c.jxtype in (ARRAY, NESTED):
+            df = df.withColumn(key, F.explode_outer(c.col))
+            df = df.withColumn(key, dom.bucket(F.col(key)))
+        else:
+            df = df.withColumn(key, dom.bucket(c.col))
+        if dom.part_values is not None:
+            # values outside the declared domain -> null bucket
+            if e.domain.get("type") in ("set", "simple set"):
+                pv = dom.part_values
+                df = df.withColumn(key, F.when(F.col(key).isin(pv), F.col(key)))
+    return keys, df
+
+
+def _sort_col(s: dict, schema: Schema) -> Column:
+    c = compile_expression(s["value"], schema)
+    # nulls sort least in JX total order (jx.py:562-627)
+    return c.col.asc_nulls_first() if s["sort"] >= 0 else c.col.desc_nulls_last()

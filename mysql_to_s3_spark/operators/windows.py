@@ -1,0 +1,92 @@
+"""JX window clause -> Spark Window translation (SURVEY.md §2.5).
+
+Reference semantics (jx_python/jx.py:971-1037):
+  - no aggregate, no edges  -> computed column over sorted rows
+  - no aggregate, edges     -> per-partition computed column; magic vars
+                               `rownum` (0-based row index), `rows` access
+  - aggregate + range{min,max} -> sliding row-frame aggregate
+  - `where` pre-filters rows considered by the window (jx.py:984):
+    compiled as when(cond, value) inside the aggregate so frame alignment
+    is preserved without a join-back.
+
+The SQLite backend emits the same OVER(...) SQL we emit here
+(jx_sqlite/query_table.py:416-435).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from mysql_to_s3_spark.functions.aggregates import build_window_aggregate
+from mysql_to_s3_spark.functions.compiler import Schema, compile_expression
+from mysql_to_s3_spark.plans.normalize import WindowClause
+
+
+class WindowError(ValueError):
+    pass
+
+
+def apply_window(df: DataFrame, w: WindowClause, schema: Schema) -> DataFrame:
+    # partition spec
+    part_cols: list[Column] = []
+    for e in w.edges:
+        value = e if isinstance(e, str) else e.get("value", e.get("name"))
+        part_cols.append(compile_expression(value, schema).col)
+
+    order_cols: list[Column] = []
+    for s in w.sort:
+        c = compile_expression(s["value"], schema).col
+        order_cols.append(c.asc_nulls_first() if s["sort"] >= 0 else c.desc_nulls_last())
+
+    if part_cols and order_cols:
+        spec = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    elif part_cols:
+        spec = Window.partitionBy(*part_cols).orderBy(F.lit(1))
+    elif order_cols:
+        spec = Window.partitionBy().orderBy(*order_cols)
+    else:
+        spec = Window.partitionBy().orderBy(F.lit(1))
+
+    value_expr = w.value
+
+    # magic variable: value == "rownum" -> 0-based row index (expressions.py:48-76)
+    if value_expr == "rownum" or (w.aggregate is None and value_expr is None):
+        col = F.row_number().over(spec) - 1
+        return df.withColumn(w.name, col)
+
+    # rows[rownum+n].field relative access -> lead/lag
+    if isinstance(value_expr, dict) and "rows" in value_expr:
+        field, offset = value_expr["rows"]
+        base = compile_expression(field, schema).col
+        n = int(offset)
+        col = F.lead(base, n).over(spec) if n >= 0 else F.lag(base, -n).over(spec)
+        return df.withColumn(w.name, col)
+
+    compiled = compile_expression(value_expr if value_expr is not None else ".", schema)
+    val = compiled.col
+
+    if w.where is not None:
+        cond = compile_expression(w.where, schema)
+        val = F.when(F.coalesce(cond.col.cast("boolean"), F.lit(False)), val)
+
+    if w.aggregate is None:
+        # computed column in sorted/partitioned context
+        return df.withColumn(w.name, val)
+
+    if w.range is not None:
+        lo = w.range.get("min")
+        hi = w.range.get("max")
+        lo = Window.unboundedPreceding if lo is None else int(lo)
+        hi = Window.unboundedFollowing if hi is None else int(hi)
+        # JX range is [min, max) over rownum offsets (jx.py:1022-1034):
+        # rows from rownum+min to rownum+max-1 inclusive
+        spec = spec.rowsBetween(lo, hi - 1 if isinstance(hi, int) and hi != Window.unboundedFollowing else hi)
+    elif order_cols:
+        spec = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else:
+        spec = spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    agg_col = build_window_aggregate(w.aggregate, val, w.percentile)
+    return df.withColumn(w.name, agg_col.over(spec))

@@ -1,0 +1,355 @@
+"""End-to-end JX query executor tests, hash-compared to the DuckDB oracle
+(the same comparison the driver's CORRECTNESS gate performs).
+"""
+
+from mysql_to_s3_spark.operators.executor import run
+from tests.conftest import assert_same_rows, duck_sorted
+
+
+def run_q(spark, sf_dir, q):
+    return run(q, spark=spark, sf_dir=sf_dir)
+
+
+# -- set-op: the SURVEY §7.2 minimum slice --
+
+
+def test_setop_filter_select_sort_limit(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "where": {"gt": {"l_quantity": 40}},
+        "select": ["l_orderkey", "l_quantity"],
+        "sort": ["l_orderkey", "l_quantity"],
+        "limit": 10,
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 40
+           ORDER BY l_orderkey, l_quantity LIMIT 10""",
+    )
+    assert_same_rows(got, want)
+
+
+def test_setop_computed_select(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "select": [
+            {"name": "revenue", "value": {"mul": ["l_extendedprice", {"sub": [1, "l_discount"]}]}},
+            {"name": "okey", "value": "l_orderkey"},
+        ],
+        "where": {"eq": {"l_returnflag": "R"}},
+        "sort": [{"okey_missing": 1}, "okey"][1:],
+        "limit": 5,
+    }
+    q["sort"] = [{"value": "l_orderkey", "sort": 1}, {"value": "l_linenumber", "sort": 1}]
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT l_extendedprice * (1 - l_discount) AS revenue, l_orderkey AS okey
+           FROM lineitem WHERE l_returnflag = 'R'
+           ORDER BY l_orderkey, l_linenumber LIMIT 5""",
+    )
+    assert_same_rows(got, want)
+
+
+def test_default_limit_applied(spark, sf_dir):
+    got = run_q(spark, sf_dir, {"from": "lineitem", "select": ["l_orderkey"]})
+    assert got.count() == 10  # DEFAULT_LIMIT (query.py:35)
+
+
+# -- scalar aggregation --
+
+
+def test_scalar_aggs(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "select": [
+            {"name": "n", "value": "l_quantity", "aggregate": "count"},
+            {"name": "total", "value": "l_quantity", "aggregate": "sum"},
+            {"name": "lo", "value": "l_quantity", "aggregate": "min"},
+            {"name": "hi", "value": "l_quantity", "aggregate": "max"},
+            {"name": "mean", "value": "l_quantity", "aggregate": "avg"},
+            {"name": "sd", "value": "l_quantity", "aggregate": "std"},
+            {"name": "med", "value": "l_quantity", "aggregate": "median"},
+        ],
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT count(l_quantity) AS n, sum(l_quantity) AS total,
+                  min(l_quantity) AS lo, max(l_quantity) AS hi,
+                  avg(l_quantity) AS mean, stddev_pop(l_quantity) AS sd,
+                  median(l_quantity) AS med
+           FROM lineitem""",
+    )
+    assert_same_rows(got, want, tol=1e-6)
+
+
+# -- groupby --
+
+
+def test_groupby_tpch_q1(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "groupby": ["l_returnflag", "l_linestatus"],
+        "select": [
+            {"name": "sum_qty", "value": "l_quantity", "aggregate": "sum"},
+            {"name": "sum_base_price", "value": "l_extendedprice", "aggregate": "sum"},
+            {
+                "name": "sum_disc_price",
+                "value": {"mul": ["l_extendedprice", {"sub": [1, "l_discount"]}]},
+                "aggregate": "sum",
+            },
+            {"name": "avg_disc", "value": "l_discount", "aggregate": "avg"},
+            {"name": "count_order", "value": ".", "aggregate": "count"},
+        ],
+        "where": {"lte": ["l_shipdate", {"date": "1998-09-02"}]},
+    }
+    # JX date literal is unix seconds; compare against timestamp in duckdb
+    q["where"] = {"lte": [{"unix": "l_shipdate"}, {"date": "1998-09-02"}]}
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                  sum(l_extendedprice) AS sum_base_price,
+                  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                  avg(l_discount) AS avg_disc, count(*) AS count_order
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+    )
+    assert_same_rows(got, want, tol=1e-6)
+
+
+def test_groupby_expression_key(spark, sf_dir, duck):
+    q = {
+        "from": "orders",
+        "groupby": [{"name": "bucket", "value": {"floor": ["o_totalprice", 50000]}}],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT floor(o_totalprice / 50000) * 50000 AS bucket, count(*) AS n
+           FROM orders GROUP BY 1""",
+    )
+    assert_same_rows(got, want, tol=1e-6)
+
+
+# -- edges (dense output) --
+
+
+def test_edges_set_domain_dense(spark, sf_dir, duck):
+    q = {
+        "from": "customer",
+        "edges": [
+            {
+                "name": "seg",
+                "value": "c_mktsegment",
+                "allowNulls": False,
+                "domain": {
+                    "type": "set",
+                    "partitions": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD", "NOSUCH"],
+                },
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    }
+    got = run_q(spark, sf_dir, q)
+    rows = {r["seg"]: r["n"] for r in got.collect()}
+    assert rows.get("NOSUCH") == 0  # dense: empty part present with count 0
+    want = duck.execute(
+        "SELECT c_mktsegment, count(*) FROM customer GROUP BY 1"
+    ).fetchall()
+    for seg, n in want:
+        assert rows[seg] == n
+
+
+def test_edges_default_domain(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "edges": [{"name": "l_returnflag", "value": "l_returnflag", "allowNulls": False}],
+        "select": [{"name": "total", "value": "l_quantity", "aggregate": "sum"}],
+        "limit": 1000,
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        "SELECT l_returnflag, sum(l_quantity) AS total FROM lineitem GROUP BY 1",
+    )
+    assert_same_rows(got, want, tol=1e-6)
+
+
+def test_edges_time_domain(spark, sf_dir, duck):
+    q = {
+        "from": "orders",
+        "edges": [
+            {
+                "name": "month",
+                "value": "o_orderdate",
+                "allowNulls": False,
+                "domain": {"type": "time", "min": "1995-01-01", "max": "1996-01-01", "interval": "month"},
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    }
+    got = run_q(spark, sf_dir, q)
+    assert got.count() == 12  # dense: every month present
+    want = {
+        str(r[0])[:10]: r[1]
+        for r in duck.execute(
+            """SELECT date_trunc('month', o_orderdate) AS m, count(*)
+               FROM orders
+               WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+               GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in got.collect():
+        key = r["month"].date().isoformat()
+        assert r["n"] == want.get(key, 0), (key, r["n"], want.get(key))
+
+
+def test_edges_range_domain_histogram(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "edges": [
+            {
+                "name": "qty_bucket",
+                "value": "l_quantity",
+                "allowNulls": False,
+                "domain": {"type": "range", "min": 0, "max": 50, "interval": 10},
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    }
+    got = run_q(spark, sf_dir, q)
+    assert got.count() == 5
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            """SELECT floor(l_quantity / 10) * 10, count(*) FROM lineitem
+               WHERE l_quantity >= 0 AND l_quantity < 50 GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in got.collect():
+        assert r["n"] == want.get(r["qty_bucket"], 0)
+
+
+def test_edges_two_dims_dense_cross(spark, sf_dir):
+    q = {
+        "from": "lineitem",
+        "edges": ["l_returnflag", "l_linestatus"],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        "limit": 1000,
+    }
+    got = run_q(spark, sf_dir, q)
+    flags = got.select("l_returnflag").distinct().count()
+    statuses = got.select("l_linestatus").distinct().count()
+    # dense cube: |flags| x |statuses| cells (incl. null buckets)
+    assert got.count() == flags * statuses
+
+
+# -- window clause --
+
+
+def test_window_rownum_per_partition(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "window": [
+            {
+                "name": "seq",
+                "edges": ["l_orderkey"],
+                "sort": ["l_linenumber"],
+            }
+        ],
+        "select": ["l_orderkey", "l_linenumber", "seq"],
+        "limit": 10000,
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS seq
+           FROM lineitem LIMIT 10000""",
+    )
+    assert_same_rows(got, want)
+
+
+def test_window_sliding_sum(spark, sf_dir, duck):
+    q = {
+        "from": "lineitem",
+        "window": [
+            {
+                "name": "running_qty",
+                "value": "l_quantity",
+                "aggregate": "sum",
+                "edges": ["l_orderkey"],
+                "sort": ["l_linenumber"],
+                "range": {"min": None, "max": 1},  # unbounded preceding .. current
+            }
+        ],
+        "select": ["l_orderkey", "l_linenumber", "running_qty"],
+        "limit": 10000,
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT l_orderkey, l_linenumber,
+                  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+           FROM lineitem LIMIT 10000""",
+    )
+    assert_same_rows(got, want, tol=1e-6)
+
+
+def test_window_lead_lag(spark, sf_dir, duck):
+    q = {
+        "from": "events",
+        "window": [
+            {
+                "name": "prev_value",
+                "value": {"rows": ["value", -1]},
+                "edges": ["user_id"],
+                "sort": ["ts", "event_id"],
+            }
+        ],
+        "select": ["event_id", "prev_value"],
+        "limit": 10000,
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT event_id,
+                  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+           FROM events LIMIT 10000""",
+    )
+    assert_same_rows(got, want, tol=1e-9)
+
+
+# -- nested-table addressing --
+
+
+def test_nested_table_from(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nested = orders.join(
+        items.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("items")
+        ),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left",
+    ).drop("l_orderkey")
+    q = {
+        "from": "fact.items",
+        "select": [{"name": "total", "value": "l_quantity", "aggregate": "sum"}],
+        "where": {"gt": {"o_totalprice": 100000}},
+    }
+    got = run(q, spark=spark, containers={"fact": nested})
+    lines = items.join(
+        orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey"),
+        items.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    want = lines.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(got.collect()[0]["total"] - want) < 1e-6
