@@ -63,9 +63,12 @@ def build_aggregate(
     if agg == "last":
         return F.last(col, ignorenulls=True)
     if agg == "one":
-        # assert-single-value (windows.py:76-101); first() with the
-        # uniqueness check left to the caller (cheap count==1 assertion)
-        return F.first(col, ignorenulls=True)
+        # assert-single-value (windows.py:76-101 errors on >1 distinct):
+        # fail loudly instead of returning an arbitrary first value
+        return F.when(
+            F.count_distinct(col) > 1,
+            F.raise_error(F.lit("'one' aggregate: group holds more than one distinct value")),
+        ).otherwise(F.first(col, ignorenulls=True))
     if agg == "exists":
         return F.max(col.isNotNull())
     if agg == "list":

@@ -10,7 +10,9 @@ JX null semantics, encoded at compile time (no custom Catalyst rules):
   - ``missing(x)`` is ``x IS NULL`` — OR ``x = ''`` when x is a string
     (reference MissingOp @1877; ES treats "" as missing, scrub drops "").
   - ``eq`` is null-safe: eq(null, null) = TRUE (EqOp @953, partial_eval @999).
-  - ``and``: missing terms act as TRUE (AndOp @1123); ``or``: as FALSE.
+  - ``and``/``or``: missing terms act as FALSE (AndOp compiles to a Python
+    ``and`` chain where None is falsy, jx_python/expressions.py:208-213;
+    OrOp likewise).
   - binary arithmetic: NULL if either side missing, unless a ``default``
     clause is given; division by zero -> default/NULL (BinaryOp @794, DivOp).
   - n-ary ``add``/``mul`` ignore nulls unless ``"nulls": false``; all-null ->
@@ -80,8 +82,9 @@ class Schema:
     ``nested_path`` columns do (vendor/jx_base/__init__.py:244-264).
     """
 
-    def __init__(self, types: Mapping[str, str] | None = None):
+    def __init__(self, types: Mapping[str, str] | None = None, columns: list[str] | None = None):
         self.types = dict(types or {})
+        self.columns = list(columns or [])  # top-level column order (OffsetOp)
 
     @classmethod
     def from_spark(cls, schema: T.StructType) -> "Schema":
@@ -98,7 +101,7 @@ class Schema:
                     walk(name + ".", dt.elementType)
 
         walk("", schema)
-        return cls(out)
+        return cls(out, columns=[f.name for f in schema.fields])
 
     def type_of(self, name: str) -> str:
         return self.types.get(name, UNKNOWN)
@@ -225,13 +228,29 @@ class _Compiler:
         return self.variable(term)
 
     def op_get(self, term, expr=None) -> Compiled:
-        """GetOp @347: dynamic member access v[k]."""
+        """GetOp @347: dynamic member access v[k].
+
+        Structs need getField/getItem (element_at only accepts array/map);
+        arrays get 1-based element_at on a 0-based JX offset.
+        """
         if isinstance(term, list):
             base, key = term
         else:
             (base, key), = term.items() if isinstance(term, dict) else [(term, None)]
         b = self.compile(base)
+        key_lit = None
+        if isinstance(key, dict) and "literal" in key:
+            key_lit = key["literal"]
+        elif isinstance(key, (int, float)):
+            key_lit = key
+        if b.jxtype == OBJECT:
+            if isinstance(key_lit, str):
+                return Compiled(b.col.getField(key_lit), UNKNOWN)
+            raise JXError("get on an object requires a literal string key")
         k = self.compile(key)
+        if b.jxtype in (ARRAY, NESTED):
+            # JX offsets are 0-based; element_at is 1-based
+            return Compiled(F.element_at(b.col, k.col.cast("int") + 1), UNKNOWN)
         return Compiled(F.element_at(b.col, k.col), UNKNOWN)
 
     def op_tuple(self, term, expr=None) -> Compiled:
@@ -264,10 +283,11 @@ class _Compiler:
         terms = [self.compile(t) for t in (term if isinstance(term, list) else [term])]
         if not terms:
             return Compiled(F.lit(True), BOOLEAN, F.lit(False))
-        # missing terms behave as TRUE (AndOp @1147: missing()==FALSE)
+        # missing terms behave as FALSE: the reference compiles AND to a
+        # Python `and` chain where None is falsy (jx_python/expressions.py:208)
         out = F.lit(True)
         for t in terms:
-            out = out & F.coalesce(t.col.cast("boolean"), F.lit(True))
+            out = out & F.coalesce(t.col.cast("boolean"), F.lit(False))
         return Compiled(out, BOOLEAN, F.lit(False))
 
     def op_or(self, term, expr=None) -> Compiled:
@@ -532,10 +552,26 @@ class _Compiler:
             out = F.when(t.missing, None).otherwise(t.col.cast("string"))
         return Compiled(out, STRING)
 
+    # Spark typeof() names -> JX types, for runtime is_* on UNKNOWN-typed exprs
+    _SPARK_TYPE_NAMES = {
+        BOOLEAN: ("boolean",),
+        INTEGER: ("tinyint", "smallint", "int", "bigint"),
+        NUMBER: ("float", "double") + ("tinyint", "smallint", "int", "bigint"),
+        TIME: ("date", "timestamp", "timestamp_ntz"),
+        STRING: ("string",),
+    }
+
     def _is_type(self, term, jxtypes: set[str]) -> Compiled:
         t = self.compile(term)
         if t.jxtype != UNKNOWN:
             return Compiled(F.lit(t.jxtype in jxtypes), BOOLEAN, F.lit(False))
+        # runtime check on dynamically-typed expressions via typeof()
+        names: set[str] = set()
+        for jt in jxtypes:
+            names.update(self._SPARK_TYPE_NAMES.get(jt, ()))
+        if hasattr(F, "typeof"):
+            tn = F.typeof(t.col)
+            return Compiled(tn.isin(*sorted(names)), BOOLEAN, F.lit(False))
         return Compiled(F.lit(False), BOOLEAN, F.lit(False))
 
     def op_is_boolean(self, term, expr=None) -> Compiled:
@@ -645,17 +681,24 @@ class _Compiler:
     op_instr = op_find
 
     def op_split(self, term, expr=None) -> Compiled:
-        if isinstance(term, dict):
-            (k, v), = term.items()
-            l, sep = self.variable(k), self.op_literal(v)
-        else:
-            l, sep = self._pairs(term)[0]
+        """SplitOp @2368: the separator is a LITERAL string (regex-escaped),
+        in both the list form ["field", "sep"] and dict form {"field": "sep"}.
+        """
         import re as _re
 
-        sep_lit = _re.escape(term[1]) if isinstance(term, list) and isinstance(term[1], str) else None
-        if sep_lit is not None:
-            return Compiled(F.split(l.col, sep_lit), ARRAY)
-        return Compiled(F.split(l.col, sep.col), ARRAY)
+        if isinstance(term, dict):
+            (k, sep), = term.items()
+            l = self.variable(k)
+        elif isinstance(term, list) and len(term) == 2:
+            l = self.compile(term[0])
+            sep = term[1]
+        else:
+            raise JXError(f"bad split operands {term!r}")
+        if isinstance(sep, dict) and "literal" in sep:
+            sep = sep["literal"]
+        if not isinstance(sep, str):
+            raise JXError(f"split separator must be a literal string, got {sep!r}")
+        return Compiled(F.split(l.col, _re.escape(sep)), ARRAY)
 
     def op_between(self, term, expr=None) -> Compiled:
         """BetweenOp @2410: substring between literal prefix/suffix."""
@@ -742,7 +785,14 @@ class _Compiler:
         raise JXError("rows op is only valid inside a window clause")
 
     def op_offset(self, term, expr=None) -> Compiled:
-        raise JXError("offset op must be resolved by the executor against df.columns")
+        """OffsetOp @284: positional column (tuple rows), resolved at
+        compile time against the schema's column order."""
+        i = int(term)
+        if not self.schema.columns:
+            raise JXError("offset op requires a schema with column order")
+        if not (0 <= i < len(self.schema.columns)):
+            return Compiled(F.lit(None), IS_NULL, F.lit(True))
+        return self.variable(self.schema.columns[i])
 
     # -- dates -------------------------------------------------------------------
 

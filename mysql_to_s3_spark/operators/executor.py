@@ -83,9 +83,16 @@ def run(
     elif any(s.aggregate != "none" for s in q.select):
         df = _scalar_agg_op(df, q, schema)
     else:
-        df = _set_op(df, q, schema)
+        # set-op order is filter -> sort -> select (jx.py:95-99): sort keys
+        # need not appear in the projection. Aliases of computed selects are
+        # resolved back to their expressions.
+        if q.sort:
+            df = df.orderBy(*[_setop_sort_col(s, schema, q.select) for s in q.sort])
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return _set_op(df, q, schema)
 
-    # sort: nulls least (value_compare, jx.py:562-627)
+    # aggregate paths sort the RESULT (edge/agg names), nulls least
     if q.sort:
         df = df.orderBy(*[_sort_col(s, Schema.from_spark(df.schema)) for s in q.sort])
 
@@ -224,16 +231,32 @@ def _agg_column(df: DataFrame, s: SelectClause, schema: Schema) -> Column:
     return agg.alias(s.name)
 
 
+def _check_agg_selects(q: QueryOp, key_values: set) -> None:
+    """An aggregate query must not silently drop plain selects — error
+    unless the select is just the group key (already in the output)."""
+    for s in q.select:
+        if s.aggregate == "none" and s.value not in key_values:
+            raise ExecutionError(
+                f"select {s.name!r} needs an 'aggregate' in a groupby/edges/aggregate query"
+            )
+
+
 def _scalar_agg_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
+    _check_agg_selects(q, set())
     aggs = [_agg_column(df, s, schema) for s in q.select if s.aggregate != "none"]
     return df.agg(*aggs)
 
 
 def _groupby_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     """groupby: sparse groups, null groups kept (query.py:520-582)."""
+    _check_agg_selects(q, {g.value for g in q.groupby if isinstance(g.value, str)})
     keys, df = _edge_keys(df, q.groupby, schema, densify=False)
     aggs = [_agg_column(df, s, schema) for s in q.select if s.aggregate != "none"]
-    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        *[F.col(k).alias(e.name) for k, e in zip(keys, q.groupby)],
+        *[F.col(s.name) for s in q.select if s.aggregate != "none"],
+    )
 
 
 def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
@@ -243,10 +266,15 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     domain-parts DataFrames onto the sparse aggregate; count-like aggregates
     fill 0, others stay NULL (Matrix-of-accumulators semantics)."""
     spark = df.sparkSession
+    _check_agg_selects(q, {e.value for e in q.edges if isinstance(e.value, str)})
     keys, df2 = _edge_keys(df, q.edges, schema, densify=True)
     sel_aggs = [s for s in q.select if s.aggregate != "none"]
     aggs = [_agg_column(df2, s, schema) for s in sel_aggs]
     sparse = df2.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    # sparse is consumed once per default-domain discovery and once by the
+    # densify join — cache so the scan+shuffle+agg runs exactly once
+    sparse = sparse.cache()
 
     # build the dense domain frame: cross join of per-edge part lists
     dense: DataFrame | None = None
@@ -254,10 +282,21 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
         dom = compile_domain(e.domain if e.range is None else {**e.domain, "type": e.domain.get("type", "range")})
         pdf = dom.parts_df(spark, key)
         if pdf is None:
-            # default domain: parts discovered from the data (lists/aggs.py:40-46).
-            # materialize driver-side to break lineage with `sparse` (the
-            # part list is tiny: it is already aggregated + capped)
-            vals = [r[0] for r in sparse.select(F.col(key)).where(F.col(key).isNotNull()).distinct().collect()]
+            # default domain: parts discovered from the data
+            # (lists/aggs.py:40-46), capped by the edge/query limit and
+            # sorted like SimpleSetDomain(partitions=sorted(...)); the
+            # collect is bounded so a high-cardinality edge cannot OOM
+            # the driver
+            cap = _default_domain_cap(e, q)
+            vals = [
+                r[0]
+                for r in sparse.select(F.col(key))
+                .where(F.col(key).isNotNull())
+                .distinct()
+                .orderBy(F.col(key))
+                .limit(cap)
+                .collect()
+            ]
             pdf = spark.createDataFrame([(v,) for v in vals], sparse.select(key).schema)
         if e.allowNulls:
             null_row = pdf.sparkSession.createDataFrame([(None,)], pdf.schema)
@@ -270,7 +309,12 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
         cond = functools.reduce(
             pyop.and_, [F.col(f"__dense__.{k}").eqNullSafe(F.col(f"__sparse__.{k}")) for k in keys]
         )
-        result = d.join(F.broadcast(sp), on=cond, how="left")
+        # No broadcast hint: the outer-preserved side is `dense`, and Spark's
+        # broadcast hash join cannot build the preserved side of a left-outer
+        # join, so hinting would either broadcast the data-derived `sparse`
+        # (unbounded at scale) or be ignored. AQE converts this to a broadcast
+        # join at runtime when the post-agg `sparse` is actually small.
+        result = d.join(sp, on=cond, how="left")
         result = result.select(
             *[F.col(f"__dense__.{k}").alias(k) for k in keys],
             *[F.col(f"__sparse__.{s.name}").alias(s.name) for s in sel_aggs],
@@ -289,17 +333,36 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
                 result = result.filter(F.col(key).isNotNull())
         sparse = result
 
-    return sparse
+    return sparse.select(
+        *[F.col(k).alias(e.name) for k, e in zip(keys, q.edges)],
+        *[F.col(s.name) for s in sel_aggs],
+    )
+
+
+def _default_domain_cap(e: EdgeClause, q: QueryOp) -> int:
+    """Part-count cap for runtime-discovered (default) domains — the
+    reference caps discovery by the domain/query limit (jx_base/query.py:35,
+    lists/aggs.py:40-46)."""
+    from mysql_to_s3_spark.plans.normalize import MAX_LIMIT
+
+    for cand in (e.domain.get("limit"), q.limit):
+        if cand:
+            return min(int(cand), MAX_LIMIT)
+    return MAX_LIMIT
 
 
 def _edge_keys(
     df: DataFrame, edges: list[EdgeClause], schema: Schema, densify: bool
 ) -> tuple[list[str], DataFrame]:
     """Materialize one bucket-key column per edge; explode multivalue edges
-    (a row contributes to every matching coordinate, lists/aggs.py:73,87)."""
+    (a row contributes to every matching coordinate, lists/aggs.py:73,87).
+
+    Bucket keys live under reserved internal names so an edge named after its
+    source column never clobbers the raw column that select aggregates read
+    (e.g. edges:[{value:"x", domain:range}] + select avg("x"))."""
     keys: list[str] = []
     for i, e in enumerate(edges):
-        key = e.name
+        key = f"__edge{i}__"
         keys.append(key)
         if e.range is not None:
             rmin = compile_expression(e.range["min"], schema).col
@@ -325,4 +388,18 @@ def _edge_keys(
 def _sort_col(s: dict, schema: Schema) -> Column:
     c = compile_expression(s["value"], schema)
     # nulls sort least in JX total order (jx.py:562-627)
+    return c.col.asc_nulls_first() if s["sort"] >= 0 else c.col.desc_nulls_last()
+
+
+def _setop_sort_col(s: dict, schema: Schema, selects: list[SelectClause]) -> Column:
+    """Pre-projection sort key; a name that is only a select alias (computed
+    column) resolves to that select's expression."""
+    from mysql_to_s3_spark.functions.compiler import UNKNOWN
+
+    v = s["value"]
+    if isinstance(v, str) and schema.type_of(v) == UNKNOWN:
+        match = next((sel for sel in selects if sel.name == v), None)
+        if match is not None:
+            v = match.value
+    c = compile_expression(v, schema)
     return c.col.asc_nulls_first() if s["sort"] >= 0 else c.col.desc_nulls_last()

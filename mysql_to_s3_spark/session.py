@@ -23,6 +23,11 @@ def get_spark(app_name: str = "mysql_to_s3_spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata quirk: some parquet columns are TIMESTAMP(NANOS); read
+        # as long once, rebuilt as µs timestamps in sources.registry. Set
+        # here, at session build, so per-table loads never flip a shared
+        # session's conf mid-flight.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

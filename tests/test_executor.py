@@ -325,6 +325,82 @@ def test_window_lead_lag(spark, sf_dir, duck):
     assert_same_rows(got, want, tol=1e-9)
 
 
+# -- regressions: round-1 verdict/advice fixes --
+
+
+def test_setop_sort_by_unselected_column(spark, sf_dir, duck):
+    # reference sorts BEFORE select (jx.py:95-99): sort key need not be selected
+    q = {
+        "from": "lineitem",
+        "select": ["l_orderkey"],
+        "sort": [{"value": "l_quantity", "sort": -1}, "l_orderkey"],
+        "limit": 5,
+    }
+    got = run_q(spark, sf_dir, q)
+    want = duck_sorted(
+        duck,
+        """SELECT l_orderkey FROM lineitem
+           ORDER BY l_quantity DESC, l_orderkey LIMIT 5""",
+    )
+    assert_same_rows(got, want)
+
+
+def test_edge_named_after_source_column_keeps_raw_values(spark, sf_dir, duck):
+    # edge name == source column + range domain: the aggregate must see RAW
+    # values, not bucket floors
+    q = {
+        "from": "lineitem",
+        "edges": [
+            {
+                "name": "l_quantity",
+                "value": "l_quantity",
+                "allowNulls": False,
+                "domain": {"type": "range", "min": 0, "max": 50, "interval": 25},
+            }
+        ],
+        "select": [{"name": "avg_qty", "value": "l_quantity", "aggregate": "average"}],
+    }
+    got = run_q(spark, sf_dir, q)
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            """SELECT floor(l_quantity / 25) * 25 AS b, avg(l_quantity)
+               FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 50 GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in got.collect():
+        assert abs(r["avg_qty"] - want[r["l_quantity"]]) < 1e-9
+
+
+def test_one_aggregate_raises_on_multiple_values(spark, sf_dir):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    q = {
+        "from": "lineitem",
+        "select": [{"name": "v", "value": "l_quantity", "aggregate": "one"}],
+    }
+    with pytest.raises(Exception):
+        run_q(spark, sf_dir, q).collect()
+
+
+def test_agg_query_rejects_plain_select(spark, sf_dir):
+    import pytest
+
+    from mysql_to_s3_spark.operators.executor import ExecutionError
+
+    q = {
+        "from": "lineitem",
+        "groupby": ["l_returnflag"],
+        "select": [
+            {"name": "x", "value": "l_comment"},  # no aggregate -> loud error
+            {"name": "n", "value": ".", "aggregate": "count"},
+        ],
+    }
+    with pytest.raises(ExecutionError):
+        run_q(spark, sf_dir, q)
+
+
 # -- nested-table addressing --
 
 

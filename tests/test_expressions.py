@@ -52,10 +52,24 @@ def test_ne_requires_both_exist(spark):
 # -- and/or null coercion (AndOp @1123 / OrOp @1200) --
 
 
-def test_and_missing_terms_are_true(spark):
+def test_and_missing_terms_are_false(spark):
+    # reference AndOp compiles to Python `and` where None is falsy
+    # (jx_python/expressions.py:208-213)
     df = spark.createDataFrame([(None, True)], "a boolean, b boolean")
     c = compile_expression({"and": ["a", "b"]}, Schema.from_spark(df.schema))
-    assert df.select(c.col.alias("o")).collect()[0]["o"] is True
+    assert df.select(c.col.alias("o")).collect()[0]["o"] is False
+
+
+def test_and_filter_matches_bare_predicate(spark):
+    # {"and":[{"gt":{"x":5}}]} must drop x IS NULL rows, same as bare gt
+    df = spark.createDataFrame([(None,), (9,), (3,)], "x int")
+    s = Schema.from_spark(df.schema)
+    bare = compile_expression({"gt": {"x": 5}}, s)
+    anded = compile_expression({"and": [{"gt": {"x": 5}}]}, s)
+    import pyspark.sql.functions as _F
+
+    keep = lambda c: df.filter(_F.coalesce(c.col.cast("boolean"), _F.lit(False))).count()
+    assert keep(bare) == keep(anded) == 1
 
 
 def test_or_missing_terms_are_false(spark):
@@ -211,3 +225,40 @@ def test_first_last_on_array(spark):
     s = Schema.from_spark(df.schema)
     assert df.select(compile_expression({"first": "a"}, s).col.alias("o")).collect()[0]["o"] == 1
     assert df.select(compile_expression({"last": "a"}, s).col.alias("o")).collect()[0]["o"] == 3
+
+
+# -- get: dynamic member access (GetOp @347) --
+
+
+def test_get_on_struct(spark):
+    df = spark.createDataFrame([((1, "x"),)], "o struct<a:int,b:string>")
+    s = Schema.from_spark(df.schema)
+    c = compile_expression({"get": ["o", {"literal": "b"}]}, s)
+    assert df.select(c.col.alias("out")).collect()[0]["out"] == "x"
+
+
+def test_get_on_array_zero_based(spark):
+    df = spark.createDataFrame([([10, 20, 30],)], "a array<int>")
+    s = Schema.from_spark(df.schema)
+    c = compile_expression({"get": ["a", 1]}, s)
+    assert df.select(c.col.alias("out")).collect()[0]["out"] == 20
+
+
+# -- split: separator is a literal, regex-escaped (SplitOp @2368) --
+
+
+def test_split_list_form_literal_separator(spark):
+    assert eval_expr(spark, {"split": ["a", "."]}, a="x.y.z") == ["x", "y", "z"]
+
+
+def test_split_dict_form_literal_separator(spark):
+    assert eval_expr(spark, {"split": {"a": "."}}, a="x.y.z") == ["x", "y", "z"]
+
+
+# -- offset: positional column (OffsetOp @284) --
+
+
+def test_offset_positional_column(spark):
+    df = spark.createDataFrame([(7, "hi")], "n int, s string")
+    s = Schema.from_spark(df.schema)
+    assert df.select(compile_expression({"offset": 1}, s).col.alias("o")).collect()[0]["o"] == "hi"
