@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec}, "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "groupby_tpch_q1",
+    "groupby_two_keys",
+    "agg_scalar_stats",
+    "agg_scalar_moments",
+    "edges_two_dims_dense",
+    "edges_time_month_dense",
+    "edges_range_histogram",
+    "edges_multivalue_words",
+    "window_running_sum",
+    "window_lead_lag",
+    "setop_computed_revenue",
+    "nested_table_from",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from mysql_to_s3_spark import queries as catalog
+    from mysql_to_s3_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the plans
+    catalog.build("agg_scalar_stats")(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = catalog.build(name)(spark, sf_dir)
+        df.collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

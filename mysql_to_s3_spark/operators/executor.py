@@ -276,12 +276,17 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     # densify join — cache so the scan+shuffle+agg runs exactly once
     sparse = sparse.cache()
 
-    # build the dense domain frame: cross join of per-edge part lists
-    dense: DataFrame | None = None
+    # Dense cube frame: the cross product of per-edge part lists, built
+    # DRIVER-side in one partition. Every domain is bounded (declared parts
+    # or capped discovery), so this is the same dense Matrix the reference
+    # materializes (lists/aggs.py:60) — a Spark-side crossJoin of tiny
+    # createDataFrame frames would multiply partition counts (32 x 32 ...)
+    # into hundreds of near-empty tasks of pure scheduling overhead.
+    part_lists: list[list] = []
     for e, key in zip(q.edges, keys):
         dom = compile_domain(e.domain if e.range is None else {**e.domain, "type": e.domain.get("type", "range")})
-        pdf = dom.parts_df(spark, key)
-        if pdf is None:
+        vals = dom.part_python_values()
+        if vals is None:
             # default domain: parts discovered from the data
             # (lists/aggs.py:40-46), capped by the edge/query limit and
             # sorted like SimpleSetDomain(partitions=sorted(...)); the
@@ -297,11 +302,27 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
                 .limit(cap)
                 .collect()
             ]
-            pdf = spark.createDataFrame([(v,) for v in vals], sparse.select(key).schema)
         if e.allowNulls:
-            null_row = pdf.sparkSession.createDataFrame([(None,)], pdf.schema)
-            pdf = pdf.unionByName(null_row)
-        dense = pdf if dense is None else dense.crossJoin(pdf)
+            vals = list(vals) + [None]
+        part_lists.append(list(vals))
+
+    n_cells = functools.reduce(pyop.mul, [len(p) for p in part_lists], 1)
+    if n_cells > 10_000_000:
+        raise ExecutionError(
+            f"dense cube would have {n_cells} cells; cap edge domains (format=cube is a dense output)"
+        )
+    dense: DataFrame | None = None
+    if part_lists:
+        import itertools
+
+        key_schema = T.StructType(
+            [T.StructField(k, sparse.schema[k].dataType, True) for k in keys]
+        )
+        # single partition up front: createDataFrame(list).coalesce(1) pays
+        # a ~4s locality wait merging the 32 parallelize slices; a 1-slice
+        # parallelize is free
+        cells = spark.sparkContext.parallelize(list(itertools.product(*part_lists)), 1)
+        dense = spark.createDataFrame(cells, key_schema)
 
     if dense is not None:
         d = dense.alias("__dense__")

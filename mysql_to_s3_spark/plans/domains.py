@@ -49,6 +49,16 @@ class CompiledDomain:
     part_values: list | None  # explicit partition key values (python), or None
     is_time: bool = False
 
+    def part_python_values(self) -> list | None:
+        """Partition keys as Python values typed like the bucket column
+        (time domains -> datetime, matching the timestamp bucket key);
+        None for runtime-discovered (default) domains."""
+        if self.part_values is None:
+            return None
+        if self.is_time:
+            return [dt.datetime.utcfromtimestamp(v) for v in self.part_values]
+        return list(self.part_values)
+
     def parts_df(self, spark: SparkSession, name: str) -> DataFrame | None:
         if self.part_values is None:
             return None
