@@ -9,11 +9,10 @@ plans so Catalyst/Tungsten pick the physical strategy.
   - plans.normalize    : QueryOp normalizer (reference jx_base/query.py:208)
   - operators.executor : QueryOp -> DataFrame plan (filter/select/groupBy/
                          edges+domains/window/sort/limit)
-  - sources            : container registry, JDBC snowflake extractor,
-                         JSON-lines sink with scrub + etl lineage envelope
-  - streaming          : incremental batch counters, structured streaming
   - operators.dedup / similarity / text / multimodal :
                          beyond-reference large-scale pipeline operators
+  - sources.registry   : container registry (name -> DataFrame)
+  - queries            : the oracle-matched query catalog (driver contract)
 """
 
 from mysql_to_s3_spark.session import get_spark

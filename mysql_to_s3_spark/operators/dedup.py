@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — each designed around its 100 TB shuffle story.
+
+Scale design notes (per operator):
+
+  exact        one hash shuffle on a 16-byte fingerprint; the canonical-doc
+               pick is a partial-aggregatable min — no skew beyond true
+               duplicate mass.
+  ngram        EXACT Jaccard via the shared-shingle equi-join: explode
+               distinct shingles, self-join on the shingle, count shared
+               per pair. Never an all-pairs cross join — cost is
+               sum_over_shingles(freq^2), so stop-shingle removal (drop the
+               most frequent shingles) is the skew valve at corpus scale.
+  minhash_lsh  the scale path: per-doc signature (k xxhash64 mins — one
+               projection, no shuffle), banded bucket keys, equi-join on
+               (band, bucket) for candidates, then exact-Jaccard
+               verification of candidates only. Collision probability per
+               band = j^r; with r=4,b=16 a 0.9-Jaccard pair is missed with
+               p=(1-0.9^4)^16 ~= 4e-8.
+  simhash      64-bit signature from token-hash bit votes; near-dup =
+               hamming distance <= 3, found via the 4x16-bit band pigeonhole
+               (any pair with hamming<=3 agrees on >=1 band) — equi-join on
+               (band, chunk), verify with bit_count(xor).
+  embedding    cosine >= threshold; exact double-math dot/norms in Column
+               algebra. The demo query is all-pairs (fine at oracle scale);
+               at corpus scale route through similarity.lsh_buckets first.
+
+All operators are pure Column algebra — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.text import fingerprint, words
+
+SHINGLE_K = 5  # character-shingle width
+MINHASH_N = 64  # signature length
+MINHASH_BANDS = 16  # bands of r = N/BANDS rows each
+
+
+def shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct character k-shingles of a document (order-free set)."""
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k))))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one row per distinct
+    fingerprint with the cluster size and the canonical (min-id) keeper."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
+
+
+def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (a,b) pairs via the two shingle sets."""
+    sa = sets.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    j_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = j_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - j_inter)
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.9, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via the shared-shingle equi-join
+    (never an all-pairs cross join): any pair with Jaccard > 0 shares at
+    least one shingle, so recall is exact."""
+    sets = _shingle_sets(df, id_col, text_col)
+    ex = sets.select("id", F.explode("sh").alias("shingle"))
+    a = ex.alias("x")
+    b = ex.alias("y")
+    cand = (
+        a.join(b, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sets.select(F.col("id"), F.size("sh").alias("n"))
+    j = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        cand.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> Column:
+    """MinHash signature: per seed i, min over shingles of xxhash64(s, i).
+    Pure projection — computed in the same scan as the shingle set."""
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = MINHASH_N,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash+LSH candidate generation -> exact-Jaccard verification.
+
+    The banded bucket join touches only docs whose band signature collides;
+    verification re-computes exact Jaccard so the output equals
+    ngram_jaccard_pairs up to the (negligible) LSH miss probability.
+    """
+    r = n_hashes // bands
+    sets = _shingle_sets(df, id_col, text_col).cache()
+    sig = sets.select("id", "sh", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)]).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sets, threshold)
+
+
+def simhash_bits() -> int:
+    return 63  # stay in the positive range of a signed 64-bit long
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit SimHash per document: per bit, majority vote of the distinct
+    token hashes. Explode + single hash-shuffle groupBy; the 63 bit-sums are
+    partial-aggregatable (map-side combine)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
+    ).select("id", F.xxhash64("w").alias("h"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(simhash_bits())
+        ]
+    )
+    sh = None
+    for i in range(simhash_bits()):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return bit_sums.select("id", sh.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via the band
+    pigeonhole: split the 63-bit hash into (max_hamming+1) chunks — a pair
+    within the radius must agree on >= 1 chunk — equi-join on (chunk index,
+    chunk value), then verify with bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = simhash(df, id_col, text_col).cache()
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("v"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", "cv.c", "cv.v")
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        x.join(
+            y,
+            (F.col("x.c") == F.col("y.c")) & (F.col("x.v") == F.col("y.v")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two float-array columns, accumulated in
+    double precision (matches the DuckDB double-math oracle bit-for-bit at
+    6 decimals)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+    nb = F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_dup_pairs(
+    df: DataFrame, threshold: float = 0.45, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold``.
+
+    This demo form is all-pairs (exact, fine at verification scale); the
+    100 TB path buckets by similarity.lsh_buckets and compares within
+    buckets only."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,84 @@
+"""Similarity search over an embedding column (``array<float>``):
+brute-force cosine top-k as the exactness baseline, and random-hyperplane
+LSH bucketing as the approximate 100 TB path.
+
+Scale story: ``topk_cosine`` is one scan + a k-row TakeOrdered — no
+shuffle, O(n·d) work, the right baseline for verification and small
+corpora. ``ann_topk`` hashes every vector into a sign-pattern bucket
+(one projection), then scores only the query's bucket — with B hyperplanes
+the candidate set shrinks ~2^B-fold; recall is tuned by B and by probing
+neighboring buckets (multi-probe is a union of bucket keys, still an
+equi-join). Bucketing is a plain groupBy/equi-join key, so Catalyst/AQE
+handle the physical plan; no UDFs anywhere.
+
+The hyperplanes are deterministic module constants (seeded), so the DuckDB
+oracle replicates the exact bucket assignment and ranking.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.dedup import cosine
+
+EMBED_DIM = 64
+N_HYPERPLANES = 8
+_SEED = 7
+
+
+def hyperplanes(dim: int = EMBED_DIM, n: int = N_HYPERPLANES, seed: int = _SEED) -> list[list[float]]:
+    """Deterministic random hyperplanes (shared with the SQL oracle)."""
+    rng = random.Random(seed)
+    return [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n)]
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    lit_arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Sign-pattern bucket key, e.g. '01101001' for 8 hyperplanes."""
+    planes = planes if planes is not None else hyperplanes()
+    bits = [F.when(_dot_lit(vec, p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in planes]
+    return F.concat(*bits)
+
+
+def topk_cosine(
+    df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force exact top-k by cosine: one scan, TakeOrdered(k) — the
+    correctness baseline. Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket, exact cosine
+    re-rank inside it. At corpus scale the bucket column is precomputed and
+    partitioned-by, making this a partition-pruned scan."""
+    planes = hyperplanes()
+    q_bits = "".join(
+        "1" if sum(float(a) * b for a, b in zip(query_vec, p)) > 0 else "0" for p in planes
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+        .filter(F.col("bucket") == q_bits)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )

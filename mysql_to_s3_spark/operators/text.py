@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language identification, and document
+fingerprinting over the ``documents`` table.
+
+Beyond-reference capability (BASELINE.json north star); everything here is
+pure ``pyspark.sql.functions`` Column algebra — JVM-side, whole-stage
+codegen, no Python in the hot path — so a 100 TB corpus runs these as a
+single scan with no shuffle at all (per-row transforms) or one hash shuffle
+(fingerprint dedup grouping).
+
+The heuristics are deliberately deterministic + SQL-expressible so the
+DuckDB oracle can replicate them exactly (see queries.py oracle builders,
+which generate the SQL from the same constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# token pattern: words OR single non-space punctuation — a cheap BPE-ish
+# pre-tokenizer (word-level split with punctuation isolated)
+TOKEN_RE = r"\w+|[^\w\s]"
+WORD_RE = r"\w+"
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic; order = tie-break priority
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"),
+}
+
+# quality-score weights: length band + punctuation + stopword presence
+QUALITY_WEIGHTS = {"len": 0.4, "punct": 0.3, "stop": 0.3}
+
+
+def tokens(col: Column) -> Column:
+    """All tokens (words + punctuation marks), BPE-ish pre-tokenization."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)
+
+
+def words(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(WORD_RE), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def _occurrence_fraction(ws: Column, vocab: tuple[str, ...]) -> Column:
+    """Fraction of word OCCURRENCES that are in ``vocab``."""
+    hits = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.when(F.lower(w).isin(*vocab), 1).otherwise(0)
+    )
+    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def text_stats(col: Column) -> dict[str, Column]:
+    """Per-document quality features (all O(1)-per-row, shuffle-free)."""
+    ws = words(col)
+    n_chars = F.length(col)
+    n_words = F.size(ws)
+    word_chars = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    avg_word_len = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    punct_chars = F.length(F.regexp_replace(col, r"[\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = _occurrence_fraction(ws, LANG_PROFILES["en"])
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": token_count(col).cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "avg_word_len": F.round(avg_word_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] doc-quality heuristic: in-band length, low punctuation noise,
+    presence of function words. Weights in QUALITY_WEIGHTS."""
+    s = text_stats(col)
+    len_ok = F.when((s["n_words"] >= 5) & (s["n_words"] <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - s["punct_ratio"] * 4)
+    stop_ok = F.least(F.lit(1.0), s["stopword_ratio"] * 5)
+    w = QUALITY_WEIGHTS
+    return F.round(w["len"] * len_ok + w["punct"] * punct_ok + w["stop"] * stop_ok, 6)
+
+
+def language_id(col: Column) -> Column:
+    """Stopword-profile language ID: argmax word-set overlap with each
+    language profile; 'und' when nothing matches. Tie-break = LANG_PROFILES
+    order."""
+    ws = F.array_distinct(F.transform(words(col), F.lower))
+    scores = {lang: F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in prof])))
+              for lang, prof in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    out = F.lit("und")
+    for lang in reversed(langs):
+        i = langs.index(lang)
+        cond = scores[lang] > 0
+        for other in langs[:i]:  # earlier (higher-priority) languages win ties
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[i + 1:]:
+            cond = cond & (scores[lang] >= scores[other])
+        out = F.when(cond, F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column, bits_hex: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 prefix of the normalized
+    text (lowercased, whitespace-collapsed). md5 exists in both Spark and
+    DuckDB, so the oracle can replicate byte-for-byte."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, bits_hex)

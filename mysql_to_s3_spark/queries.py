@@ -582,6 +582,260 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text / multimodal).
+# Oracle SQL is GENERATED from the same module constants the Spark operators
+# use, so both sides compute identical heuristics.
+
+
+def _sql_words(col: str) -> str:
+    return f"regexp_extract_all({col}, '\\w+')"
+
+
+def _sql_stop_hits(col: str, vocab: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in vocab)
+    return (
+        f"coalesce(list_sum(list_transform({_sql_words(col)}, "
+        f"w -> CASE WHEN list_contains([{lst}], lower(w)) THEN 1 ELSE 0 END)), 0)"
+    )
+
+
+def _text_stats_sql() -> str:
+    from mysql_to_s3_spark.operators.text import LANG_PROFILES, TOKEN_RE
+
+    stop = _sql_stop_hits("text", LANG_PROFILES["en"])
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+           len({_sql_words('text')}) AS n_words,
+           round(CASE WHEN len({_sql_words('text')}) > 0
+                 THEN coalesce(list_sum(list_transform({_sql_words('text')}, w -> length(w))), 0)::DOUBLE
+                      / len({_sql_words('text')}) ELSE 0.0 END, 6) AS avg_word_len,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len({_sql_words('text')}) > 0
+                 THEN {stop}::DOUBLE / len({_sql_words('text')}) ELSE 0.0 END, 6) AS stopword_ratio
+    FROM documents"""
+
+
+def _langid_sql() -> str:
+    from mysql_to_s3_spark.operators.text import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    scores = {
+        lang: (
+            f"len(list_intersect(list_distinct(list_transform({_sql_words('text')}, w -> lower(w))), "
+            f"[{', '.join(repr(w) for w in prof)}]))"
+        )
+        for lang, prof in LANG_PROFILES.items()
+    }
+    cases = []
+    for lang in langs:
+        i = langs.index(lang)
+        conds = [f"{scores[lang]} > 0"]
+        conds += [f"{scores[lang]} > {scores[o]}" for o in langs[:i]]
+        conds += [f"{scores[lang]} >= {scores[o]}" for o in langs[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+    SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_guess
+    FROM documents"""
+
+
+_SQL_FP = "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)"
+
+# exact char-5-shingle sets + all-pairs Jaccard (oracle side only — the
+# Spark side uses the shared-shingle equi-join / LSH, never all-pairs)
+_SQL_SHINGLES = (
+    "list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text) - 3, 2))])"
+)
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.9"""
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)))"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _sql_plane_dot(vec: str, plane: list[float]) -> str:
+    lst = ", ".join(repr(x) for x in plane)
+    return f"list_sum(list_transform(range(1, {len(plane) + 1}), i -> ({vec}[i]::DOUBLE) * ([{lst}][i])))"
+
+
+def _ann_sql() -> str:
+    from mysql_to_s3_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes()
+    bucket = "(" + " || ".join(
+        f"CASE WHEN {_sql_plane_dot('e.embedding', p)} > 0 THEN '1' ELSE '0' END" for p in planes
+    ) + ")"
+    q_bucket = "(" + " || ".join(
+        f"CASE WHEN {_sql_plane_dot('q.qe', p)} > 0 THEN '1' ELSE '0' END" for p in planes
+    ) + ")"
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qe')}, 6) AS cos
+    FROM embeddings e, q
+    WHERE {bucket} = {q_bucket}
+    ORDER BY cos DESC, e.vec_id LIMIT 10"""
+
+
+def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.text import text_stats
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = text_stats(F.col("text"))
+    return docs.select(F.col("doc_id"), *[c.alias(n) for n, c in st.items()])
+
+
+def _text_langid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.text import language_id
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id"), language_id(F.col("text")).alias("lang_guess"))
+
+
+def _text_fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.text import fingerprint
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+
+
+def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.dedup import exact_dedup
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.dedup import ngram_jaccard_pairs
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+def _dedup_simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.dedup import simhash_pairs
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _dedup_embedding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.dedup import embedding_dup_pairs
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+
+def _similarity_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.similarity import topk_cosine
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine(emb.filter(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
+
+
+def _similarity_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.similarity import ann_topk
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.multimodal import binary_features, media_table
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    return binary_features(media_table(load_table(spark, sf_dir, "documents")))
+
+
+_q("text_stats", _text_stats_spark, _text_stats_sql())
+_q("text_langid", _text_langid_spark, _langid_sql())
+_q(
+    "text_fingerprint",
+    _text_fingerprint_spark,
+    f"SELECT doc_id, {_SQL_FP} AS fp FROM documents",
+)
+_q(
+    "dedup_exact",
+    _dedup_exact_spark,
+    f"""SELECT {_SQL_FP} AS fp, min(doc_id) AS keeper, count(*) AS n_dupes
+        FROM documents GROUP BY 1""",
+)
+_q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
+# minhash verifies candidates with exact Jaccard, so it matches the exact
+# oracle up to the LSH miss probability ((1-j^4)^16 ~= 4e-8 at j=0.9)
+_q("dedup_minhash_lsh", _dedup_minhash_spark, _SQL_JACCARD_PAIRS)
+# simhash has no DuckDB-replicable hash primitive (xxhash64) -> rows-only
+_q("dedup_simhash", _dedup_simhash_spark, None)
+_q(
+    "dedup_embedding_cosine",
+    _dedup_embedding_spark,
+    f"""SELECT a.vec_id AS a, b.vec_id AS b,
+               round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.45""",
+)
+_q(
+    "similarity_topk",
+    _similarity_topk_spark,
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qe')}, 6) AS cos
+        FROM embeddings e, q WHERE e.vec_id != 0
+        ORDER BY cos DESC, e.vec_id LIMIT 10""",
+)
+_q("similarity_ann_lsh", _similarity_ann_spark, _ann_sql())
+_q(
+    "multimodal_features",
+    _multimodal_spark,
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+       FROM documents""",
+)
+
+
 def names() -> list[str]:
     return list(CATALOG)
 

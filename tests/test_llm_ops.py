@@ -1,0 +1,88 @@
+"""Unit tests for the LLM-pipeline operators not fully covered by the
+oracle-matched catalog queries (simhash is rows-only there; multimodal
+decode stubs; LSH recall sanity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators import dedup, multimodal, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")])
+    out = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert out[1] == out[2]
+
+
+def test_simhash_near_duplicates_close(spark):
+    base = "spark query engine shuffles data across the cluster for joins and aggregations"
+    near = base + " quickly"
+    far = "completely different words about cooking pasta with tomato sauce and basil herbs"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in dedup.simhash_pairs(df, max_hamming=10).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs
+
+
+def test_simhash_pairs_band_join_matches_bruteforce(spark):
+    rows = [(i, f"shared vocabulary tokens alpha beta gamma delta doc {i % 3}") for i in range(12)]
+    df = _docs(spark, rows)
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    brute = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    banded = {(r["a"], r["b"]) for r in dedup.simhash_pairs(df, max_hamming=3).collect()}
+    assert banded == brute  # pigeonhole guarantees exact recall at <= 3
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, sf_dir):
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(r["a"], r["b"]) for r in exact}
+
+
+def test_multimodal_decode_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(b"\x00\x00\x00 ftyp")
+
+
+def test_multimodal_feature_schema_and_values(spark):
+    df = _docs(spark, [(1, "abc"), (2, "hello world")])
+    out = {r["doc_id"]: r for r in multimodal.binary_features(multimodal.media_table(df)).collect()}
+    import hashlib
+
+    assert out[1]["n_bytes"] == 3
+    assert out[1]["digest"] == hashlib.md5(b"abc").hexdigest()
+    assert out[2]["n_bytes"] == 11
+
+
+def test_ann_bucket_contains_query_bucket_only(spark, sf_dir):
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    ann = similarity.ann_topk(emb, q, k=10).collect()
+    # vec 0 itself is in its own bucket with cosine 1.0 -> must rank first
+    assert ann[0]["vec_id"] == 0 and abs(ann[0]["cos"] - 1.0) < 1e-9
+    # ranking is by descending cosine
+    cs = [r["cos"] for r in ann]
+    assert cs == sorted(cs, reverse=True)
+    # every returned id really is in the query's bucket
+    bucketed = emb.select("vec_id", similarity.lsh_bucket(F.col("embedding")).alias("b"))
+    q_bucket = bucketed.filter(F.col("vec_id") == 0).first()["b"]
+    members = {r["vec_id"] for r in bucketed.filter(F.col("b") == q_bucket).collect()}
+    assert {r["vec_id"] for r in ann} <= members
