@@ -836,6 +836,61 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# snowflake extract pipeline (the reference's namesake), exercised on the
+# TPC-H tables: orders fact + customer many-to-one dim + lineitem
+# one-to-many children, then flattened back to scalars the oracle can check.
+
+
+def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.sources.snowflake import (
+        Relation,
+        SnowflakeConfig,
+        TableMeta,
+        build_plan,
+        doc_frame,
+    )
+
+    tables = {name: load_table(spark, sf_dir, name) for name in ("orders", "customer", "lineitem")}
+    meta = [
+        TableMeta("orders", tables["orders"].columns, ["o_orderkey"]),
+        TableMeta("customer", tables["customer"].columns, ["c_custkey"]),
+        TableMeta("lineitem", tables["lineitem"].columns, ["l_orderkey", "l_linenumber"]),
+    ]
+    rels = [
+        Relation("orders_cust", "orders", ["o_custkey"], "customer", ["c_custkey"]),
+        Relation("items_order", "lineitem", ["l_orderkey"], "orders", ["o_orderkey"]),
+    ]
+    cfg = SnowflakeConfig(fact_table="orders")
+    plan = build_plan(meta, rels, cfg)
+    docs = doc_frame(tables, plan, cfg, ids=list(range(100)))
+    items = F.col("orders.lineitem")
+    return docs.select(
+        F.col("__id__").cast("bigint").alias("okey"),
+        F.col("orders.o_custkey.c_name").alias("cname"),
+        F.when(items.isNull(), F.lit(0)).otherwise(F.size(items)).cast("bigint").alias("n_items"),
+        F.round(
+            F.aggregate(items, F.lit(0.0), lambda acc, it: acc + it["l_quantity"]), 6
+        ).alias("total_qty"),
+    )
+
+
+_q(
+    "snowflake_denormalize",
+    _snowflake_denorm_spark,
+    """SELECT o.o_orderkey AS okey,
+              c.c_name AS cname,
+              (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+              (SELECT round(sum(l.l_quantity), 6) FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_orderkey < 100""",
+)
+
+
 def names() -> list[str]:
     return list(CATALOG)
 

@@ -1,0 +1,189 @@
+"""Golden tests for the snowflake extract pipeline, ported from the
+reference (/root/reference/tests/test_extract.py:46-148 configs,
+:184-356 expected docs). Six cases: simple, complex, inline, lean,
+lean_inline, lean_inline_all — byte-equivalent nested JSON after scrub."""
+
+import pytest
+
+from mysql_to_s3_spark.sinks.json_sink import collect_docs
+from mysql_to_s3_spark.sources.snowflake import SnowflakeConfig, build_plan, doc_frame
+from tests.fixtures_snowflake import RELATIONS, TABLES_META, build_tables
+
+
+def base_config(**overrides):
+    cfg = dict(
+        fact_table="fact_table",
+        show_foreign_keys=True,
+        null_values=["-", "unknown", ""],
+        reference_only=["inner1", "inner2"],
+    )
+    cfg.update(overrides)
+    return SnowflakeConfig(**cfg)
+
+
+def extract(spark, cfg, ids):
+    tables = build_tables(spark)
+    plan = build_plan(TABLES_META, RELATIONS, cfg)
+    df = doc_frame(tables, plan, cfg, ids=ids)
+    return collect_docs(df, "fact_table")
+
+
+def fuzzy_eq(a, b, path=""):
+    """Structural equality, 4 == 4.0 (reference FuzzyTestCase semantics)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        assert set(a) == set(b), f"{path}: keys {sorted(a)} != {sorted(b)}"
+        for k in a:
+            fuzzy_eq(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, list) and isinstance(b, list):
+        assert len(a) == len(b), f"{path}: len {len(a)} != {len(b)}"
+        for i, (x, y) in enumerate(zip(a, b)):
+            fuzzy_eq(x, y, f"{path}[{i}]")
+    elif isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool) and not isinstance(b, bool):
+        assert abs(a - b) < 1e-9, f"{path}: {a} != {b}"
+    else:
+        assert a == b, f"{path}: {a!r} != {b!r}"
+
+
+def test_simple(spark):
+    got = extract(spark, base_config(), ids=[22])
+    fuzzy_eq(got, [{"fact_table": {"id": 22, "name": "L"}}])
+
+
+def test_complex(spark):
+    got = extract(spark, base_config(), ids=[10])
+    expected = [{"fact_table": {
+        "about": {"id": 1, "time": {"id": -1, "value": 0}, "value": "a"},
+        "id": 10,
+        "name": "A",
+        "nested1": {
+            "about": {"id": -1, "value": 0},
+            "description": "aaa",
+            "id": 100,
+            "nested2": [
+                {"about": {"id": 1, "time": {"id": -1, "value": 0}, "value": "a"},
+                 "id": 1000, "minutia": 3.1415926539, "ref": 100},
+                {"about": {"id": 2, "time": {"id": -2}, "value": "b"},
+                 "id": 1001, "minutia": 4, "ref": 100},
+                {"about": {"id": 3, "value": "c"},
+                 "id": 1002, "minutia": 5.1, "ref": 100},
+            ],
+            "ref": 10,
+        },
+    }}]
+    fuzzy_eq(got, expected)
+
+
+def test_inline(spark):
+    got = extract(spark, base_config(reference_only=["inner1.value", "inner2.value"]), ids=[10])
+    expected = [{"fact_table": {
+        "about": {"id": 1, "value": "a"},
+        "id": 10,
+        "name": "A",
+        "nested1": {
+            "about": {"id": -1, "value": 0},
+            "ref": 10,
+            "description": "aaa",
+            "nested2": [
+                {"about": {"id": 1, "value": "a"}, "ref": 100, "id": 1000, "minutia": 3.1415926539},
+                {"about": {"id": 2, "value": "b"}, "ref": 100, "id": 1001, "minutia": 4},
+                {"about": {"id": 3, "value": "c"}, "ref": 100, "id": 1002, "minutia": 5.1},
+            ],
+            "id": 100,
+        },
+    }}]
+    fuzzy_eq(got, expected)
+
+
+def test_lean(spark):
+    got = extract(spark, base_config(show_foreign_keys=False), ids=[10])
+    expected = [{"fact_table": {
+        "about": {"value": "a", "time": {"value": 0}},
+        "id": 10,
+        "name": "A",
+        "nested1": {
+            "about": {"value": 0},
+            "description": "aaa",
+            "nested2": [
+                {"about": {"value": "a", "time": {"value": 0}}, "minutia": 3.1415926539},
+                {"about": {"value": "b"}, "minutia": 4},
+                {"about": {"value": "c"}, "minutia": 5.1},
+            ],
+        },
+    }}]
+    fuzzy_eq(got, expected)
+
+
+def test_lean_inline(spark):
+    got = extract(
+        spark,
+        base_config(show_foreign_keys=False, reference_only=["inner1.value", "inner2.value"]),
+        ids=[10],
+    )
+    expected = [{"fact_table": {
+        "about": "a",
+        "id": 10,
+        "name": "A",
+        "nested1": {
+            "about": 0,
+            "description": "aaa",
+            "nested2": [
+                {"about": "a", "minutia": 3.1415926539},
+                {"about": "b", "minutia": 4},
+                {"about": "c", "minutia": 5.1},
+            ],
+        },
+    }}]
+    fuzzy_eq(got, expected)
+
+
+def test_lean_inline_all(spark):
+    ids = [10, 11, 12, 13, 15, 16, 17, 18, 19, 20, 21, 22]
+    got = extract(
+        spark,
+        base_config(show_foreign_keys=False, reference_only=["inner1.value", "inner2.value"]),
+        ids=ids,
+    )
+    expected = [
+        {"fact_table": {
+            "nested1": {
+                "about": 0,
+                "description": "aaa",
+                "nested2": [
+                    {"about": "a", "minutia": 3.1415926539},
+                    {"about": "b", "minutia": 4},
+                    {"about": "c", "minutia": 5.1},
+                ],
+            },
+            "about": "a", "id": 10, "name": "A",
+        }},
+        {"fact_table": {
+            "nested1": {"description": "bbb", "nested2": {"about": "a", "minutia": 6.2}},
+            "about": "b", "id": 11, "name": "B",
+        }},
+        {"fact_table": {
+            "nested1": {"description": "ccc", "nested2": {"about": "c", "minutia": 7.3}},
+            "about": "c", "id": 12, "name": "C",
+        }},
+        {"fact_table": {"nested1": {"about": 0, "description": "ddd"}, "id": 13, "name": "D"}},
+        {"fact_table": {
+            "nested1": [{"about": 0, "description": "eee"}, {"about": 0, "description": "fff"}],
+            "about": "a", "id": 15, "name": "E",
+        }},
+        {"fact_table": {
+            "nested1": [{"description": "ggg"}, {"description": "hhh"}],
+            "about": "b", "id": 16, "name": "F",
+        }},
+        {"fact_table": {
+            "nested1": [{"description": "iii"}, {"description": "jjj"}],
+            "about": "c", "id": 17, "name": "G",
+        }},
+        {"fact_table": {
+            "nested1": [{"description": "kkk"}, {"description": "lll"}],
+            "id": 18, "name": "H",
+        }},
+        {"fact_table": {"about": "a", "id": 19, "name": "I"}},
+        {"fact_table": {"about": "b", "id": 20, "name": "J"}},
+        {"fact_table": {"about": "c", "id": 21, "name": "K"}},
+        {"fact_table": {"id": 22, "name": "L"}},
+    ]
+    fuzzy_eq(got, expected)
