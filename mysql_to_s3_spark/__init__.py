@@ -7,11 +7,17 @@ plans so Catalyst/Tungsten pick the physical strategy.
 
   - functions.compiler : JX expression JSON -> pyspark.sql.Column
   - plans.normalize    : QueryOp normalizer (reference jx_base/query.py:208)
+  - plans.formats      : format=list|table|cube result shaping
   - operators.executor : QueryOp -> DataFrame plan (filter/select/groupBy/
                          edges+domains/window/sort/limit)
   - operators.dedup / similarity / text / multimodal :
                          beyond-reference large-scale pipeline operators
   - sources.registry   : container registry (name -> DataFrame)
+  - sources.snowflake  : FK-graph walk -> join-DAG -> nested doc frames
+  - sources.extract    : batch-incremental extract orchestrator
+  - sources.ingest     : document ingest w/ type-widening, update/delete
+  - sinks.json_sink    : scrubbed JSON-lines sink + etl lineage envelope
+  - streaming.counters : incremental batch counters (+ Spark analog)
   - queries            : the oracle-matched query catalog (driver contract)
 """
 

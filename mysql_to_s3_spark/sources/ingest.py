@@ -1,0 +1,195 @@
+"""Document ingest with the reference's type-widening lattice
+(jx_python/meta.py:232-331 _merge_type; jx_sqlite/insert_table.py:204-337
+flatten_many), plus container update/delete
+(jx_python/containers/list_usingPythonList.py:103,121).
+
+Widening order: null < boolean < integer < number < string. Objects merge
+field-wise; an array's element type widens like a scalar; scalar + array
+-> array of the widened element (jx_sqlite _nest_column analog,
+snowflake.py:148). Unlike jx_sqlite there are no physical child tables to
+migrate — the merged schema IS the nested Spark schema, so schema
+evolution is a createDataFrame + unionByName(allowMissingColumns=True).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class IngestError(ValueError):
+    pass
+
+
+_ORDER = ["null", "boolean", "integer", "number", "string"]
+
+
+def _merge_scalar(a: str, b: str) -> str:
+    return _ORDER[max(_ORDER.index(a), _ORDER.index(b))]
+
+
+def _jtype(value: Any) -> Any:
+    """JSON type descriptor: scalar name | {"object": {field: desc}} |
+    {"array": desc}."""
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "integer"
+    if isinstance(value, float):
+        return "number"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, dict):
+        return {"object": {k: _jtype(v) for k, v in value.items()}}
+    if isinstance(value, (list, tuple)):
+        elem = "null"
+        for v in value:
+            elem = merge_type(elem, _jtype(v))
+        return {"array": elem}
+    raise IngestError(f"cannot ingest value of type {type(value).__name__}: {value!r}")
+
+
+def merge_type(a: Any, b: Any) -> Any:
+    """The widening lattice (meta.py:232-331)."""
+    if a == "null":
+        return b
+    if b == "null":
+        return a
+    a_obj = isinstance(a, dict) and "object" in a
+    b_obj = isinstance(b, dict) and "object" in b
+    a_arr = isinstance(a, dict) and "array" in a
+    b_arr = isinstance(b, dict) and "array" in b
+    if a_obj and b_obj:
+        fields = dict(a["object"])
+        for k, v in b["object"].items():
+            fields[k] = merge_type(fields.get(k, "null"), v)
+        return {"object": fields}
+    if a_arr or b_arr:
+        ea = a["array"] if a_arr else a
+        eb = b["array"] if b_arr else b
+        return {"array": merge_type(ea, eb)}  # scalar+array -> array(widened)
+    if a_obj or b_obj:
+        raise IngestError(f"cannot merge object with scalar: {a!r} vs {b!r}")
+    return _merge_scalar(a, b)
+
+
+_SPARK_TYPES = {
+    "null": T.StringType(),  # all-null column: harmless default
+    "boolean": T.BooleanType(),
+    "integer": T.LongType(),
+    "number": T.DoubleType(),
+    "string": T.StringType(),
+}
+
+
+def _to_spark_type(desc: Any) -> T.DataType:
+    if isinstance(desc, str):
+        return _SPARK_TYPES[desc]
+    if "object" in desc:
+        return T.StructType(
+            [T.StructField(k, _to_spark_type(v), True) for k, v in sorted(desc["object"].items())]
+        )
+    return T.ArrayType(_to_spark_type(desc["array"]), True)
+
+
+def _coerce(value: Any, desc: Any) -> Any:
+    """Widen a value to the merged type (int->float->str etc.)."""
+    if value is None:
+        return None
+    if isinstance(desc, str):
+        if desc == "number" and isinstance(value, (int, bool)) and not isinstance(value, bool):
+            return float(value)
+        if desc == "string" and not isinstance(value, str):
+            v = value
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, float) and v.is_integer():
+                return str(int(v))
+            return str(v)
+        return value
+    if "object" in desc:
+        if not isinstance(value, dict):
+            raise IngestError(f"expected object, got {value!r}")
+        return tuple(_coerce(value.get(k), v) for k, v in sorted(desc["object"].items()))
+    # array
+    if not isinstance(value, (list, tuple)):
+        value = [value]  # scalar widened into array (nest-column analog)
+    return [_coerce(v, desc["array"]) for v in value]
+
+
+def infer_schema(docs: list[dict]) -> Any:
+    desc: Any = "null"
+    for d in docs:
+        if not isinstance(d, dict):
+            raise IngestError(f"documents must be objects, got {d!r}")
+        desc = merge_type(desc, _jtype(d))
+    if desc == "null":
+        desc = {"object": {}}
+    return desc
+
+
+def ingest_docs(spark: SparkSession, docs: list[dict], schema_desc: Any | None = None) -> DataFrame:
+    """Documents -> DataFrame with the lattice-widened schema."""
+    desc = merge_type(infer_schema(docs), schema_desc) if schema_desc else infer_schema(docs)
+    spark_schema = _to_spark_type(desc)
+    rows = [_coerce(d, desc) for d in docs]
+    return spark.createDataFrame(rows, spark_schema)
+
+
+def insert_docs(df: DataFrame, docs: list[dict]) -> DataFrame:
+    """Schema-evolving insert: new fields appear, shared fields widen
+    (insert_table.py:204 flatten_many analog)."""
+    spark = df.sparkSession
+    new = ingest_docs(spark, docs)
+    # widen both sides to the merged schema via a round-trip union
+    merged = new.unionByName(df, allowMissingColumns=True) if _compatible(df, new) else None
+    if merged is not None:
+        return df.unionByName(new, allowMissingColumns=True)
+    # incompatible scalar types: re-ingest everything with the merged desc
+    old_docs = [r.asDict(recursive=True) for r in df.collect()]
+    return ingest_docs(spark, old_docs + docs)
+
+
+def _compatible(a: DataFrame, b: DataFrame) -> bool:
+    ta = {f.name: f.dataType for f in a.schema.fields}
+    tb = {f.name: f.dataType for f in b.schema.fields}
+    return all(ta[k] == tb[k] for k in set(ta) & set(tb))
+
+
+# ---------------------------------------------------------------------------
+# container update / delete (Container.update, list_usingPythonList.py:103)
+
+
+def update_container(df: DataFrame, command: dict) -> DataFrame:
+    """{"set": {col: jx_expr}, "clear": [col...], "where": jx_expr} ->
+    new DataFrame (immutable analog of in-place update; write.mode
+    ('overwrite') persists it)."""
+    from mysql_to_s3_spark.functions.compiler import Schema, compile_expression
+
+    schema = Schema.from_spark(df.schema)
+    where = command.get("where", True)
+    cond = (
+        F.lit(True)
+        if where is True
+        else F.coalesce(compile_expression(where, schema).col.cast("boolean"), F.lit(False))
+    )
+    out = df
+    for col, expr in (command.get("set") or {}).items():
+        new_val = compile_expression(expr, schema).col
+        out = out.withColumn(col, F.when(cond, new_val).otherwise(F.col(col)))
+    for col in command.get("clear") or []:
+        out = out.withColumn(col, F.when(cond, F.lit(None)).otherwise(F.col(col)))
+    return out
+
+
+def delete_rows(df: DataFrame, where) -> DataFrame:
+    from mysql_to_s3_spark.functions.compiler import Schema, compile_expression
+
+    schema = Schema.from_spark(df.schema)
+    cond = F.coalesce(compile_expression(where, schema).col.cast("boolean"), F.lit(False))
+    return df.filter(~cond)

@@ -1,0 +1,176 @@
+"""Tests for format=table|cube shaping, document ingest with the
+type-widening lattice, and container update/delete."""
+
+import pytest
+
+from mysql_to_s3_spark.plans.formats import run_formatted
+from mysql_to_s3_spark.sources.ingest import (
+    IngestError,
+    delete_rows,
+    infer_schema,
+    ingest_docs,
+    insert_docs,
+    merge_type,
+    update_container,
+)
+
+
+# -- formats --
+
+
+def test_format_table(spark, sf_dir):
+    q = {
+        "from": "lineitem",
+        "select": ["l_orderkey", "l_quantity"],
+        "sort": ["l_orderkey", "l_linenumber"],
+        "where": {"lt": {"l_orderkey": 3}},
+        "limit": 100,
+        "format": "table",
+    }
+    out = run_formatted(q, spark=spark, sf_dir=sf_dir)
+    assert out["meta"]["format"] == "table"
+    assert out["header"] == ["l_orderkey", "l_quantity"]
+    assert all(len(row) == 2 for row in out["data"])
+
+
+def test_format_cube_rownum(spark, sf_dir):
+    q = {
+        "from": "lineitem",
+        "select": ["l_orderkey", "l_quantity"],
+        "sort": ["l_orderkey", "l_linenumber"],
+        "where": {"lt": {"l_orderkey": 3}},
+        "limit": 100,
+        "format": "cube",
+    }
+    out = run_formatted(q, spark=spark, sf_dir=sf_dir)
+    assert out["edges"][0]["name"] == "rownum"
+    n = out["edges"][0]["domain"]["max"]
+    assert len(out["data"]["l_orderkey"]) == n == len(out["data"]["l_quantity"])
+
+
+def test_format_cube_edges_dense_null_last(spark, sf_dir):
+    q = {
+        "from": "customer",
+        "edges": [
+            {
+                "name": "seg",
+                "value": "c_mktsegment",
+                "domain": {"type": "set", "partitions": ["AUTOMOBILE", "BUILDING", "NOSUCH"]},
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        "format": "cube",
+    }
+    out = run_formatted(q, spark=spark, sf_dir=sf_dir)
+    parts = [p["value"] for p in out["edges"][0]["domain"]["partitions"]]
+    assert parts[-1] is None  # allowNulls bucket last
+    assert set(parts[:-1]) == {"AUTOMOBILE", "BUILDING", "NOSUCH"}
+    data = out["data"]["n"]
+    assert len(data) == len(parts)
+    assert data[parts.index("NOSUCH")] == 0  # dense empty cell
+
+
+def test_format_cube_two_edges_matrix(spark, sf_dir):
+    q = {
+        "from": "lineitem",
+        "edges": [
+            {"name": "flag", "value": "l_returnflag", "allowNulls": False},
+            {"name": "status", "value": "l_linestatus", "allowNulls": False},
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        "limit": 1000,
+        "format": "cube",
+    }
+    out = run_formatted(q, spark=spark, sf_dir=sf_dir)
+    flags = [p["value"] for p in out["edges"][0]["domain"]["partitions"]]
+    statuses = [p["value"] for p in out["edges"][1]["domain"]["partitions"]]
+    m = out["data"]["n"]
+    assert len(m) == len(flags) and all(len(row) == len(statuses) for row in m)
+    total = sum(x for row in m for x in row if x)
+    assert total == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+
+# -- ingest: type-widening lattice --
+
+
+def test_merge_type_lattice():
+    assert merge_type("integer", "number") == "number"
+    assert merge_type("boolean", "integer") == "integer"
+    assert merge_type("number", "string") == "string"
+    assert merge_type("null", "boolean") == "boolean"
+    assert merge_type({"array": "integer"}, "number") == {"array": "number"}
+    assert merge_type(
+        {"object": {"a": "integer"}}, {"object": {"a": "number", "b": "string"}}
+    ) == {"object": {"a": "number", "b": "string"}}
+    with pytest.raises(IngestError):
+        merge_type({"object": {}}, "integer")
+
+
+def test_ingest_mixed_types_widen(spark):
+    docs = [
+        {"x": 1, "tags": "a"},
+        {"x": 2.5, "tags": ["b", "c"], "extra": True},
+    ]
+    df = ingest_docs(spark, docs)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["x"] == "double"  # integer widened to number
+    assert types["tags"] == "array<string>"  # scalar widened into array
+    rows = sorted(df.collect(), key=lambda r: r["x"])
+    assert rows[0]["tags"] == ["a"] and rows[1]["tags"] == ["b", "c"]
+    assert rows[0]["extra"] is None and rows[1]["extra"] is True
+
+
+def test_ingest_nested_object(spark):
+    docs = [{"o": {"a": 1}}, {"o": {"a": 2, "b": {"c": "x"}}}]
+    df = ingest_docs(spark, docs)
+    rows = sorted(df.collect(), key=lambda r: r["o"]["a"])
+    assert rows[1]["o"]["b"]["c"] == "x"
+    assert rows[0]["o"]["b"] is None
+
+
+def test_insert_docs_schema_evolution(spark):
+    df = ingest_docs(spark, [{"x": 1}])
+    df2 = insert_docs(df, [{"x": 2, "y": "new"}])
+    rows = sorted(df2.collect(), key=lambda r: r["x"])
+    assert rows[0]["y"] is None and rows[1]["y"] == "new"
+
+
+def test_insert_docs_incompatible_rebuild(spark):
+    df = ingest_docs(spark, [{"x": 1}])
+    df2 = insert_docs(df, [{"x": "now a string"}])
+    assert {r["x"] for r in df2.collect()} == {"1", "now a string"}
+
+
+def test_ingested_docs_queryable(spark):
+    from mysql_to_s3_spark.operators.executor import run
+
+    df = ingest_docs(spark, [{"a": 1, "b": "x"}, {"a": 5, "b": "y"}, {"a": 9, "b": "x"}])
+    out = run(
+        {"from": "docs", "groupby": ["b"], "select": [{"name": "s", "value": "a", "aggregate": "sum"}]},
+        containers={"docs": df},
+    ).collect()
+    got = {r["b"]: r["s"] for r in out}
+    assert got == {"x": 10, "y": 5}
+
+
+# -- update / delete --
+
+
+def test_update_container(spark):
+    df = ingest_docs(spark, [{"a": 1, "b": "x"}, {"a": 5, "b": "y"}])
+    out = update_container(df, {"set": {"b": {"literal": "z"}}, "where": {"gt": {"a": 3}}})
+    got = {r["a"]: r["b"] for r in out.collect()}
+    assert got == {1: "x", 5: "z"}
+
+
+def test_update_clear(spark):
+    df = ingest_docs(spark, [{"a": 1, "b": "x"}, {"a": 5, "b": "y"}])
+    out = update_container(df, {"clear": ["b"], "where": {"eq": {"a": 1}}})
+    got = {r["a"]: r["b"] for r in out.collect()}
+    assert got == {1: None, 5: "y"}
+
+
+def test_delete_rows(spark):
+    df = ingest_docs(spark, [{"a": 1}, {"a": 5}, {"a": 9}])
+    out = delete_rows(df, {"gt": {"a": 3}})
+    assert [r["a"] for r in out.collect()] == [1]
