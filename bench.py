@@ -24,6 +24,10 @@ HEADLINE = [
     "window_lead_lag",
     "setop_computed_revenue",
     "nested_table_from",
+    "snowflake_denormalize",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "similarity_topk",
 ]
 
 

@@ -7,11 +7,12 @@ Scale design notes (per operator):
   exact        one hash shuffle on a 16-byte fingerprint; the canonical-doc
                pick is a partial-aggregatable min — no skew beyond true
                duplicate mass.
-  ngram        EXACT Jaccard via the shared-shingle equi-join: explode
-               distinct shingles, self-join on the shingle, count shared
-               per pair. Never an all-pairs cross join — cost is
-               sum_over_shingles(freq^2), so stop-shingle removal (drop the
-               most frequent shingles) is the skew valve at corpus scale.
+  ngram        EXACT Jaccard via prefix filtering (SSJoin/PPJoin):
+               equi-join only each doc's rarest n-ceil(t*n)+1 shingles
+               (recall provably exact at threshold t), verify candidates
+               with exact Jaccard. Stop-shingles never enter the join —
+               the freq^2 skew bomb of the naive shared-shingle join is
+               structurally avoided. Never an all-pairs cross join.
   minhash_lsh  the scale path: per-doc signature (k xxhash64 mins — one
                projection, no shuffle), banded bucket keys, equi-join on
                (band, bucket) for candidates, then exact-Jaccard
@@ -31,7 +32,7 @@ All operators are pure Column algebra — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysql_to_s3_spark.operators.text import fingerprint, words
@@ -75,28 +76,50 @@ def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.9, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via the shared-shingle equi-join
-    (never an all-pairs cross join): any pair with Jaccard > 0 shares at
-    least one shingle, so recall is exact."""
-    sets = _shingle_sets(df, id_col, text_col)
-    ex = sets.select("id", F.explode("sh").alias("shingle"))
-    a = ex.alias("x")
-    b = ex.alias("y")
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering
+    (SSJoin/PPJoin family): candidates from an equi-join on each
+    document's PREFIX shingles only, verified with exact Jaccard on the
+    full sets.
+
+    Prefix filter: order every shingle set by one global total order
+    (ascending corpus document-frequency, shingle value as tie-break) and
+    keep the first ``n - ceil(t*n) + 1`` shingles. Two sets with
+    Jaccard >= t must overlap within their prefixes — if all common
+    shingles sat outside both prefixes, the overlap would be below the
+    t-required minimum — so recall is EXACT, unlike a frequency cutoff.
+
+    100 TB story: the join touches ~(1-t) of each set, and because the
+    order is rarest-first, corpus-wide stop-shingles (the freq^2 skew
+    bombs of the naive shared-shingle join) land at the END of every set
+    and never enter a prefix. Cost concentrates on rare shingles where
+    freq^2 is tiny. df computation and the per-doc ranking are one
+    hash-shuffle each; verification touches candidates only.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sets = _shingle_sets(df, id_col, text_col).repartition(par, "id").cache()
+    ex = sets.select("id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix_len = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    prefix = (
+        ex.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "shingle")
+    )
+    a = prefix.alias("x")
+    b = prefix.alias("y")
     cand = (
         a.join(b, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
     )
-    sizes = sets.select(F.col("id"), F.size("sh").alias("n"))
-    j = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        cand.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
-        .select("a", "b", F.round(j, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, sets, threshold)
 
 
 def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> Column:
@@ -105,6 +128,19 @@ def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> Column:
     return F.array(
         *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(n_hashes)]
     )
+
+
+def _band_bucket_columns(sh: Column, n_hashes: int, bands: int) -> list[Column]:
+    """Per-band LSH bucket keys, each minhash expression referenced exactly
+    ONCE. (Building the full signature array and element_at-ing it back
+    lets Catalyst's projection collapse re-expand the whole array per
+    reference — 64x duplicated work, measured 17x slower.)"""
+    r = n_hashes // bands
+    mh = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(n_hashes)
+    ]
+    return [F.xxhash64(*mh[b * r : (b + 1) * r]) for b in range(bands)]
 
 
 def minhash_lsh_pairs(
@@ -121,23 +157,31 @@ def minhash_lsh_pairs(
     verification re-computes exact Jaccard so the output equals
     ngram_jaccard_pairs up to the (negligible) LSH miss probability.
     """
-    r = n_hashes // bands
-    sets = _shingle_sets(df, id_col, text_col).cache()
-    sig = sets.select("id", "sh", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
-    band_rows = sig.select(
-        "id",
-        F.explode(
+    # spread the (CPU-heavy) minhash projection across cores — a small
+    # corpus arrives as one parquet split, which would serialize all
+    # n_hashes x |shingles| hash evaluations onto one task — and CACHE the
+    # computed band buckets so the candidate self-join's two sides don't
+    # re-evaluate the minhash expressions
+    par = df.sparkSession.sparkContext.defaultParallelism
+    buckets = _band_bucket_columns(F.col("sh"), n_hashes, bands)
+    sets = (
+        _shingle_sets(df, id_col, text_col)
+        .repartition(par, "id")
+        .select(
+            "id",
+            "sh",
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)]).alias("bucket"),
-                    )
-                    for b in range(bands)
+                    F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+                    for b, bucket in enumerate(buckets)
                 ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+            ).alias("__bands__"),
+        )
+        .cache()
+    )
+    band_rows = sets.select("id", F.explode("__bands__").alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     cand = (
