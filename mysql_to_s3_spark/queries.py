@@ -696,9 +696,9 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.text import text_stats
-    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     st = text_stats(F.col("text"))
     return docs.select(F.col("doc_id"), *[c.alias(n) for n, c in st.items()])
 
@@ -707,9 +707,9 @@ def _text_langid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.text import language_id
-    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(F.col("doc_id"), language_id(F.col("text")).alias("lang_guess"))
 
 
@@ -717,17 +717,17 @@ def _text_fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.text import fingerprint
-    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
 
 
 def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.operators.dedup import exact_dedup
-    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(spread(load_table(spark, sf_dir, "documents")))
 
 
 def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,9 +787,9 @@ def _similarity_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.operators.multimodal import binary_features, media_table
-    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    return binary_features(media_table(load_table(spark, sf_dir, "documents")))
+    return binary_features(media_table(spread(load_table(spark, sf_dir, "documents"))))
 
 
 _q("text_stats", _text_stats_spark, _text_stats_sql())

@@ -55,6 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure at least one partition per core for CPU-heavy per-row
+    projections (regex/hash-dense operators).
+
+    A small table arrives as ONE parquet split, which would serialize the
+    whole projection onto a single task. At real scale the input already
+    has >= cores splits and this is a no-op — no shuffle is added.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out = {}
     for t in TABLES:
