@@ -69,6 +69,29 @@ def _q(name: str, jx_or_fn, oracle: str | None) -> None:
     CATALOG[name] = (jx_or_fn if callable(jx_or_fn) else _jx(jx_or_fn), oracle)
 
 
+
+def _rounded(jx_query: dict, cols: list[str], nd: int = 6) -> Callable[[SparkSession, str], DataFrame]:
+    """Run a JX query, then round the named float aggregate columns.
+
+    Float sums/moments are accumulation-ORDER-dependent: Spark's 32-way
+    partial aggregation and DuckDB's sequential scan differ in the last
+    ulp, which breaks the driver's exact value-hash compare. Rounding to
+    6 decimals on BOTH sides makes the compare test semantics, not
+    float-reassociation noise.
+    """
+    inner = _jx(jx_query)
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        df = inner(spark, sf_dir)
+        for c in cols:
+            df = df.withColumn(c, F.round(F.col(c), nd))
+        return df
+
+    return build
+
+
 # -- set-ops (filter / select / sort / limit; jx.py:92-99) --
 
 # NOTE on limits: (l_orderkey, l_linenumber) is NOT unique in the synthetic
@@ -257,7 +280,7 @@ _q(
 
 _q(
     "agg_scalar_stats",
-    {
+    _rounded({
         "from": "lineitem",
         "select": [
             {"name": "n", "value": "l_quantity", "aggregate": "count"},
@@ -268,17 +291,17 @@ _q(
             {"name": "sd", "value": "l_quantity", "aggregate": "std"},
             {"name": "med", "value": "l_quantity", "aggregate": "median"},
         ],
-    },
+    }, ["mean", "sd", "med"]),
     """SELECT count(l_quantity) AS n, sum(l_quantity) AS total,
               min(l_quantity) AS lo, max(l_quantity) AS hi,
-              avg(l_quantity) AS mean, stddev_pop(l_quantity) AS sd,
-              median(l_quantity) AS med
+              round(avg(l_quantity), 6) AS mean, round(stddev_pop(l_quantity), 6) AS sd,
+              round(median(l_quantity), 6) AS med
        FROM lineitem""",
 )
 
 _q(
     "agg_scalar_moments",
-    {
+    _rounded({
         "from": "lineitem",
         "select": [
             {"name": "vr", "value": "l_discount", "aggregate": "variance"},
@@ -289,13 +312,13 @@ _q(
             {"name": "m2", "value": "l_discount", "aggregate": "s2"},
             {"name": "any_qty", "value": "l_quantity", "aggregate": "exists"},
         ],
-    },
-    """SELECT var_pop(l_discount) AS vr,
-              quantile_cont(l_extendedprice, 0.9) AS p90,
+    }, ["vr", "p90", "m1", "m2"]),
+    """SELECT round(var_pop(l_discount), 6) AS vr,
+              round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
               count(DISTINCT l_returnflag) AS card,
               CAST(count(l_discount) AS DOUBLE) AS m0,
-              sum(l_discount) AS m1,
-              sum(l_discount * l_discount) AS m2,
+              round(sum(l_discount), 6) AS m1,
+              round(sum(l_discount * l_discount), 6) AS m2,
               count(l_quantity) > 0 AS any_qty
        FROM lineitem""",
 )
@@ -313,7 +336,7 @@ _q(
 
 _q(
     "groupby_tpch_q1",
-    {
+    _rounded({
         "from": "lineitem",
         "groupby": ["l_returnflag", "l_linestatus"],
         "select": [
@@ -328,11 +351,11 @@ _q(
             {"name": "count_order", "value": ".", "aggregate": "count"},
         ],
         "where": {"lte": [{"unix": "l_shipdate"}, {"date": "1998-09-02"}]},
-    },
+    }, ["sum_base_price", "sum_disc_price", "avg_disc"]),
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-              sum(l_extendedprice) AS sum_base_price,
-              sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-              avg(l_discount) AS avg_disc, count(*) AS count_order
+              round(sum(l_extendedprice), 6) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+              round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
 )
@@ -350,7 +373,7 @@ _q(
 
 _q(
     "groupby_two_keys",
-    {
+    _rounded({
         "from": "orders",
         "groupby": ["o_orderstatus", "o_orderpriority"],
         "select": [
@@ -358,9 +381,9 @@ _q(
             {"name": "avg_price", "value": "o_totalprice", "aggregate": "avg"},
             {"name": "max_price", "value": "o_totalprice", "aggregate": "max"},
         ],
-    },
+    }, ["avg_price"]),
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              avg(o_totalprice) AS avg_price, max(o_totalprice) AS max_price
+              round(avg(o_totalprice), 6) AS avg_price, max(o_totalprice) AS max_price
        FROM orders GROUP BY 1, 2""",
 )
 
@@ -525,6 +548,10 @@ _q(
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
 
+# NOTE on window sorts: (l_orderkey, l_linenumber) is NOT unique, and the
+# running sum depends on tie order — the window sort must include every
+# column the frame aggregates over (here l_quantity) so tied rows are
+# interchangeable and the result multiset is engine-independent.
 _q(
     "window_running_sum",
     {
@@ -536,7 +563,7 @@ _q(
                 "value": "l_quantity",
                 "aggregate": "sum",
                 "edges": ["l_orderkey"],
-                "sort": ["l_linenumber"],
+                "sort": ["l_linenumber", "l_quantity"],
                 "range": {"min": None, "max": 1},
             }
         ],
@@ -545,9 +572,67 @@ _q(
         "limit": 10000,
     },
     """SELECT l_orderkey, l_linenumber,
-              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
        FROM lineitem WHERE l_orderkey < 2000
+       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
+)
+
+_q(
+    "window_trailing_frame",
+    {
+        "from": "lineitem",
+        "where": {"lt": {"l_orderkey": 1000}},
+        "window": [
+            {
+                "name": "trail3",
+                "value": "l_quantity",
+                "aggregate": "sum",
+                "edges": ["l_orderkey"],
+                "sort": ["l_linenumber", "l_quantity"],
+                "range": {"min": -2, "max": 1},
+            }
+        ],
+        "select": ["l_orderkey", "l_linenumber", "trail3"],
+        "sort": ["l_orderkey", "l_linenumber"],
+        "limit": 10000,
+    },
+    # JX range [min,max) over rownum offsets: -2..0 = 2 preceding..current
+    """SELECT l_orderkey, l_linenumber,
+              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail3
+       FROM lineitem WHERE l_orderkey < 1000
+       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
+)
+
+_q(
+    "window_where_prefilter",
+    {
+        "from": "lineitem",
+        "where": {"lt": {"l_orderkey": 1000}},
+        "window": [
+            {
+                "name": "a_qty",
+                "value": "l_quantity",
+                "aggregate": "sum",
+                "edges": ["l_orderkey"],
+                "sort": ["l_linenumber", "l_quantity", "l_returnflag"],
+                "where": {"eq": {"l_returnflag": "A"}},
+                "range": {"min": None, "max": 1},
+            }
+        ],
+        "select": ["l_orderkey", "l_linenumber", "a_qty"],
+        "sort": ["l_orderkey", "l_linenumber"],
+        "limit": 10000,
+    },
+    # window `where` pre-filters rows the frame aggregates (jx.py:984);
+    # sort includes l_returnflag so tie rows are frame-interchangeable
+    """SELECT l_orderkey, l_linenumber,
+              sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
+                  OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_quantity, l_returnflag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_qty
+       FROM lineitem WHERE l_orderkey < 1000
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
 
@@ -888,6 +973,492 @@ _q(
                WHERE l.l_orderkey = o.o_orderkey) AS total_qty
        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
        WHERE o.o_orderkey < 100""",
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 expression-op coverage widening: regex, casts/is_*, null semantics,
+# coalesce ""-skip, row-wise n-ary ops, from_unix, multivalue first/last,
+# basic.* prims, get (struct + array), offset, leaves select.
+
+_q(
+    "setop_regex",
+    {
+        "from": "customer",
+        "where": {"regex": {"c_name": ".*[05]"}},
+        "select": [
+            {"name": "ck", "value": "c_custkey"},
+            {"name": "ends_0", "value": {"regex": {"c_name": ".*0"}}},
+        ],
+        "sort": ["c_custkey"],
+        "limit": 10000,
+    },
+    # JX regex is a FULL match (RegExpOp @1803)
+    """SELECT c_custkey AS ck, regexp_full_match(c_name, '.*0') AS ends_0
+       FROM customer WHERE regexp_full_match(c_name, '.*[05]')
+       ORDER BY c_custkey LIMIT 10000""",
+)
+
+_q(
+    "setop_casts",
+    {
+        "from": "orders",
+        "select": [
+            {"name": "ok", "value": "o_orderkey"},
+            {"name": "int_price", "value": {"integer": "o_totalprice"}},
+            {"name": "num_key", "value": {"number": {"string": "o_orderkey"}}},
+            {"name": "str_key", "value": {"string": "o_orderkey"}},
+            {"name": "bool_lit", "value": {"boolean": {"literal": "T"}}},
+            {"name": "is_num_price", "value": {"is_number": "o_totalprice"}},
+            {"name": "is_int_key", "value": {"is_integer": "o_orderkey"}},
+            {"name": "is_int_price", "value": {"is_integer": "o_totalprice"}},
+            {"name": "is_str_status", "value": {"is_string": "o_orderstatus"}},
+        ],
+        "sort": ["o_orderkey"],
+        "limit": 500,
+    },
+    # integer() truncates toward zero (double->long cast), unlike DuckDB's
+    # rounding BIGINT cast — trunc() first
+    """SELECT o_orderkey AS ok,
+              CAST(trunc(o_totalprice) AS BIGINT) AS int_price,
+              CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) AS num_key,
+              CAST(o_orderkey AS VARCHAR) AS str_key,
+              TRUE AS bool_lit,
+              TRUE AS is_num_price,
+              TRUE AS is_int_key,
+              FALSE AS is_int_price,
+              TRUE AS is_str_status
+       FROM orders ORDER BY o_orderkey LIMIT 500""",
+)
+
+# JX null semantics over a synthesized-null column (testdata has no nulls):
+# v = when(flag='A', qty) is missing for non-A rows
+_NULLY = {"when": {"eq": {"l_returnflag": "A"}}, "then": "l_quantity"}
+_q(
+    "setop_null_semantics",
+    {
+        "from": "lineitem",
+        "where": {"lt": {"l_orderkey": 500}},
+        "select": [
+            {"name": "ok", "value": "l_orderkey"},
+            {"name": "ln", "value": "l_linenumber"},
+            {"name": "v", "value": _NULLY},
+            {"name": "v_missing", "value": {"missing": _NULLY}},
+            {"name": "v_exists", "value": {"exists": _NULLY}},
+            {"name": "ne_qd", "value": {"ne": ["l_quantity", "l_discount"]}},
+            {"name": "ne_v_qty", "value": {"ne": [_NULLY, "l_quantity"]}},
+            {"name": "n_present", "value": {"count": [_NULLY, "l_quantity"]}},
+        ],
+        "sort": ["l_orderkey", "l_linenumber"],
+        "limit": 10000,
+    },
+    # ne: true only when BOTH exist and differ (NeOp @1017) -> ne_v_qty is
+    # always false; count = row-wise non-missing count (CountOp @1584)
+    """SELECT l_orderkey AS ok, l_linenumber AS ln,
+              CASE WHEN l_returnflag = 'A' THEN l_quantity END AS v,
+              l_returnflag != 'A' AS v_missing,
+              l_returnflag = 'A' AS v_exists,
+              l_quantity != l_discount AS ne_qd,
+              FALSE AS ne_v_qty,
+              CASE WHEN l_returnflag = 'A' THEN 2 ELSE 1 END AS n_present
+       FROM lineitem WHERE l_orderkey < 500
+       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
+)
+
+_q(
+    "setop_coalesce",
+    {
+        "from": "lineitem",
+        "where": {"lt": {"l_orderkey": 500}},
+        "select": [
+            {"name": "ok", "value": "l_orderkey"},
+            {"name": "ln", "value": "l_linenumber"},
+            # first term is "" (for A rows) or missing -> always skipped:
+            # JX coalesce treats "" as missing (compiler op_coalesce)
+            {
+                "name": "pick",
+                "value": {
+                    "coalesce": [
+                        {"when": {"eq": {"l_returnflag": "A"}}, "then": {"literal": ""}},
+                        {"when": {"eq": {"l_linestatus": "F"}}, "then": {"literal": "fin"}},
+                        {"literal": "other"},
+                    ]
+                },
+            },
+            # div-by-zero -> missing -> coalesce falls through to l_tax
+            {
+                "name": "safe",
+                "value": {
+                    "coalesce": [{"div": ["l_quantity", {"sub": ["l_discount", "l_discount"]}]}, "l_tax"]
+                },
+            },
+        ],
+        "sort": ["l_orderkey", "l_linenumber"],
+        "limit": 10000,
+    },
+    """SELECT l_orderkey AS ok, l_linenumber AS ln,
+              coalesce(CASE WHEN l_linestatus = 'F' THEN 'fin' END, 'other') AS pick,
+              l_tax AS safe
+       FROM lineitem WHERE l_orderkey < 500
+       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
+)
+
+_q(
+    "setop_rowwise_nary",
+    {
+        "from": "lineitem",
+        "where": {"lt": {"l_orderkey": 500}},
+        "select": [
+            {"name": "ok", "value": "l_orderkey"},
+            {"name": "ln", "value": "l_linenumber"},
+            # row-wise greatest/least IGNORE nulls (MaxOp @1611)
+            {"name": "mx", "value": {"max": [_NULLY, "l_discount"]}},
+            {"name": "mn", "value": {"min": [_NULLY, "l_discount"]}},
+            # n-ary add with nulls=False: any missing term -> default
+            {"name": "strict_sum", "value": {"add": [_NULLY, "l_tax"], "nulls": False, "default": -1}},
+        ],
+        "sort": ["l_orderkey", "l_linenumber"],
+        "limit": 10000,
+    },
+    """SELECT l_orderkey AS ok, l_linenumber AS ln,
+              CASE WHEN l_returnflag = 'A' AND l_quantity > l_discount THEN l_quantity
+                   ELSE l_discount END AS mx,
+              CASE WHEN l_returnflag = 'A' AND l_quantity < l_discount THEN l_quantity
+                   ELSE l_discount END AS mn,
+              CASE WHEN l_returnflag = 'A' THEN l_quantity + l_tax ELSE -1 END AS strict_sum
+       FROM lineitem WHERE l_orderkey < 500
+       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
+)
+
+_q(
+    "setop_from_unix",
+    {
+        "from": "orders",
+        "select": [
+            {"name": "ok", "value": "o_orderkey"},
+            {"name": "ts_str", "value": {"string": {"from_unix": {"unix": "o_orderdate"}}}},
+            {"name": "plus_day", "value": {"string": {"from_unix": {"add": [{"unix": "o_orderdate"}, 86400]}}}},
+        ],
+        "sort": ["o_orderkey"],
+        "limit": 500,
+    },
+    """SELECT o_orderkey AS ok,
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS plus_day
+       FROM orders ORDER BY o_orderkey LIMIT 500""",
+)
+
+_q(
+    "setop_first_last_multivalue",
+    {
+        "from": "documents",
+        "select": [
+            {"name": "doc_id", "value": "doc_id"},
+            {"name": "first_word", "value": {"first": {"split": ["text", " "]}}},
+            {"name": "last_word", "value": {"last": {"split": ["text", " "]}}},
+        ],
+        "sort": ["doc_id"],
+        "limit": 1000,
+    },
+    """SELECT doc_id,
+              list_extract(string_split(text, ' '), 1) AS first_word,
+              list_extract(string_split(text, ' '), len(string_split(text, ' '))) AS last_word
+       FROM documents ORDER BY doc_id LIMIT 1000""",
+)
+
+_q(
+    "setop_basic_prims",
+    {
+        "from": "customer",
+        "select": [
+            {"name": "ck", "value": "c_custkey"},
+            {"name": "idx5", "value": {"basic.index_of": {"c_name": "5"}}},
+            {"name": "sub8", "value": {"basic.substring": ["c_name", 0, 8]}},
+            {"name": "is_bldg", "value": {"basic.eq": ["c_mktsegment", {"literal": "BUILDING"}]}},
+        ],
+        "sort": ["c_custkey"],
+        "limit": 500,
+    },
+    # basic.* are the null-blind prims (@2708-2758): index_of IS -1 on miss
+    """SELECT c_custkey AS ck,
+              strpos(c_name, '5') - 1 AS idx5,
+              substr(c_name, 1, 8) AS sub8,
+              c_mktsegment = 'BUILDING' AS is_bldg
+       FROM customer ORDER BY c_custkey LIMIT 500""",
+)
+
+_q(
+    "setop_get_dynamic",
+    {
+        "from": "customer",
+        "select": [
+            {"name": "ck", "value": "c_custkey"},
+            # get on an ARRAY (0-based JX offset)
+            {"name": "cust_num", "value": {"get": [{"split": ["c_name", "#"]}, 1]}},
+            # get on an OBJECT built by the select op
+            {
+                "name": "seg",
+                "value": {
+                    "get": [
+                        {"select": [{"name": "k", "value": "c_custkey"}, {"name": "m", "value": "c_mktsegment"}]},
+                        {"literal": "m"},
+                    ]
+                },
+            },
+        ],
+        "sort": ["c_custkey"],
+        "limit": 500,
+    },
+    """SELECT c_custkey AS ck,
+              list_extract(string_split(c_name, '#'), 2) AS cust_num,
+              c_mktsegment AS seg
+       FROM customer ORDER BY c_custkey LIMIT 500""",
+)
+
+_q(
+    "setop_offset_positional",
+    {
+        "from": "orders",
+        "select": [
+            {"name": "first_col", "value": {"offset": 0}},
+            {"name": "fourth_col", "value": {"offset": 3}},
+        ],
+        "sort": [{"value": {"offset": 0}, "sort": 1}],
+        "limit": 500,
+    },
+    # orders schema order: o_orderkey, o_custkey, o_orderstatus, o_totalprice...
+    """SELECT o_orderkey AS first_col, o_totalprice AS fourth_col
+       FROM orders ORDER BY o_orderkey LIMIT 500""",
+)
+
+
+def _leaves_select_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select "info.*" expands a struct's leaves with dotted names
+    (executor._select_columns leaves path)."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey", F.struct("o_totalprice", "o_orderstatus").alias("info")
+    )
+    q = {
+        "from": "fact",
+        "select": ["o_orderkey", "info.*"],
+        "sort": ["o_orderkey"],
+        "limit": 500,
+    }
+    return run(q, spark=spark, containers={"fact": fact})
+
+
+_q(
+    "setop_leaves_select",
+    _leaves_select_spark,
+    """SELECT o_orderkey,
+              o_totalprice AS "info.o_totalprice",
+              o_orderstatus AS "info.o_orderstatus"
+       FROM orders ORDER BY o_orderkey LIMIT 500""",
+)
+
+# -- §2.4 aggregate widening: per-group union / count_distinct / percentile --
+
+_q(
+    "agg_group_union",
+    {
+        "from": "lineitem",
+        "groupby": ["l_returnflag"],
+        "select": [
+            {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
+            {"name": "n_status", "value": "l_linestatus", "aggregate": "count_distinct"},
+        ],
+    },
+    """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+              count(DISTINCT l_linestatus) AS n_status
+       FROM lineitem GROUP BY 1""",
+)
+
+_q(
+    "agg_group_percentile",
+    _rounded({
+        "from": "lineitem",
+        "groupby": ["l_returnflag"],
+        "select": [
+            {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
+            {"name": "p90_price", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
+            {"name": "sd_disc", "value": "l_discount", "aggregate": "std"},
+        ],
+    }, ["med_qty", "p90_price", "sd_disc"]),
+    """SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+              round(stddev_pop(l_discount), 6) AS sd_disc
+       FROM lineitem GROUP BY 1""",
+)
+
+_q(
+    "groupby_null_key_kept",
+    {
+        "from": "lineitem",
+        "groupby": [{"name": "flag_a", "value": _NULLY}],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    },
+    # JX keeps the null group (groupby null coordinates are real rows)
+    """SELECT CASE WHEN l_returnflag = 'A' THEN l_quantity END AS flag_a, count(*) AS n
+       FROM lineitem GROUP BY 1""",
+)
+
+# -- §2.7: edge range {min,max} span (row contributes to EVERY overlapped
+# bucket via explode(sequence), never a cross join) --
+
+_q(
+    "edges_range_span",
+    {
+        "from": "lineitem",
+        "edges": [
+            {
+                "name": "bucket",
+                "range": {"min": "l_quantity", "max": {"add": ["l_quantity", 15]}},
+                "allowNulls": False,
+                "domain": {"type": "range", "min": 0, "max": 60, "interval": 15},
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    },
+    # replicate range_edge_buckets' inclusive-mode index arithmetic
+    """WITH b AS (SELECT unnest([0.0, 15.0, 30.0, 45.0]) AS bucket),
+            hits AS (
+              SELECT b.bucket, count(*) AS n
+              FROM lineitem l JOIN b
+                ON floor(b.bucket / 15) >= greatest(floor(l.l_quantity / 15), 0)
+               AND floor(b.bucket / 15) <= least(floor((l.l_quantity + 15) / 15 - 0.000000000001), 3)
+              WHERE l.l_quantity + 15 > 0 AND l.l_quantity < 60
+              GROUP BY 1)
+       SELECT b.bucket AS bucket, CAST(coalesce(hits.n, 0) AS BIGINT) AS n
+       FROM b LEFT JOIN hits USING (bucket)""",
+)
+
+# -- update / delete / ingest --
+
+
+def _update_delete_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.operators.executor import run
+    from mysql_to_s3_spark.sources.ingest import delete_rows, update_container
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li = update_container(
+        li,
+        {"set": {"l_quantity": {"add": ["l_quantity", 100]}}, "where": {"eq": {"l_returnflag": "A"}}},
+    )
+    li = delete_rows(li, {"gt": {"l_quantity": 140}})
+    q = {
+        "from": "updated",
+        "groupby": ["l_returnflag"],
+        "select": [
+            {"name": "total", "value": "l_quantity", "aggregate": "sum"},
+            {"name": "n", "value": ".", "aggregate": "count"},
+        ],
+    }
+    return run(q, spark=spark, containers={"updated": li})
+
+
+_q(
+    "update_delete_container",
+    _update_delete_spark,
+    """WITH u AS (SELECT l_returnflag,
+                         CASE WHEN l_returnflag = 'A' THEN l_quantity + 100
+                              ELSE l_quantity END AS q
+                  FROM lineitem)
+       SELECT l_returnflag, sum(q) AS total, count(*) AS n
+       FROM u WHERE NOT q > 140 GROUP BY 1""",
+)
+
+
+def _ingest_widening_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening lattice: int+float -> number; +string -> string;
+    scalar+array -> array(widened); field union across docs."""
+    from mysql_to_s3_spark.sources.ingest import ingest_docs
+
+    docs = [
+        {"id": 1, "a": 1, "b": True, "tags": "x"},
+        {"id": 2, "a": 2.5, "c": "hello"},
+        {"id": 3, "a": 7, "b": False, "tags": ["y", "z"]},
+    ]
+    return ingest_docs(spark, docs).select("id", "a", "b", "c", "tags")
+
+
+_q(
+    "ingest_type_widening",
+    _ingest_widening_spark,
+    # a widens integer->number; tags widens scalar->array(string)
+    """SELECT * FROM (VALUES
+         (1, 1.0, TRUE,  CAST(NULL AS VARCHAR), ['x']),
+         (2, 2.5, NULL,  'hello',               CAST(NULL AS VARCHAR[])),
+         (3, 7.0, FALSE, NULL,                  ['y', 'z'])
+       ) AS t(id, a, b, c, tags)""",
+)
+
+# -- format shaping round-trips (list2table/list2cube, convert.py:156,174):
+# shape driver-side, rebuild a DataFrame so the oracle can verify layout --
+
+
+def _format_table_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_to_s3_spark.plans.formats import run_formatted
+
+    shaped = run_formatted(
+        {
+            "from": "lineitem",
+            "groupby": ["l_returnflag", "l_linestatus"],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            "format": "table",
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    assert shaped["meta"]["format"] == "table"
+    return spark.createDataFrame(shaped["data"], shaped["header"])
+
+
+_q(
+    "format_table_roundtrip",
+    _format_table_spark,
+    """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2""",
+)
+
+
+def _format_cube_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube layout check: parts are sorted (null last) and each select is
+    a matrix indexed by part coordinates — re-emit (part, value) rows."""
+    from mysql_to_s3_spark.plans.formats import run_formatted
+
+    shaped = run_formatted(
+        {
+            "from": "customer",
+            "edges": [
+                {
+                    "name": "seg",
+                    "value": "c_mktsegment",
+                    "allowNulls": False,
+                    "domain": {"type": "set", "partitions": ["BUILDING", "AUTOMOBILE", "MACHINERY"]},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            "format": "cube",
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    parts = [p["value"] for p in shaped["edges"][0]["domain"]["partitions"]]
+    rows = [(p, shaped["data"]["n"][i]) for i, p in enumerate(parts)]
+    return spark.createDataFrame(rows, "seg string, n bigint")
+
+
+_q(
+    "format_cube_roundtrip",
+    _format_cube_spark,
+    """SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') GROUP BY 1""",
 )
 
 
