@@ -91,6 +91,7 @@ def write_json_lines(
     fact_name: str,
     etl: dict | None = None,
     gzip: bool = False,
+    mode: str = "overwrite",
 ) -> None:
     """Distributed JSON-lines write: scrub runs inside mapInPandas (Arrow
     batches, same code path as collect_docs), output streamed by the file
@@ -113,7 +114,7 @@ def write_json_lines(
             yield pd.DataFrame({"value": lines})
 
     out = df.mapInPandas(to_lines, T.StructType([T.StructField("value", T.StringType())]))
-    writer = out.write.mode("overwrite")
+    writer = out.write.mode(mode)
     if gzip:
         writer = writer.option("compression", "gzip")
     writer.text(path)

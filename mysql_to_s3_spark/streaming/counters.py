@@ -41,6 +41,11 @@ def _to_unix(value: Any) -> float:
         return value.replace(tzinfo=dt.timezone.utc).timestamp()
     if isinstance(value, dt.date):
         return dt.datetime(value.year, value.month, value.day, tzinfo=dt.timezone.utc).timestamp()
+    if isinstance(value, str):
+        # extract configs pass date strings (extract.start in config JSON)
+        from mysql_to_s3_spark.functions.dates import parse_date_literal
+
+        return float(parse_date_literal(value))
     return float(value)
 
 

@@ -1,0 +1,204 @@
+"""Structured Streaming analog of the incremental extract loop.
+
+The reference's Extract (mysql_to_s3/extract.py:40) polls a
+strictly-increasing column, assigns counter-chain batch keys
+(counter.py:20,36,59) and writes one JSON batch per key. Spark-native
+mapping:
+
+  driver poll loop      -> ``readStream`` file/JDBC micro-batches
+  DurationCounter       -> event-time window on the same duration grid
+                           (Sunday-anchored weeks via window startTime)
+  strictly-increasing   -> ``withWatermark`` lateness bound (the reference
+  assertion                hard-rejects late rows, counter.py:69-70; a
+                           zero watermark drops them)
+  BatchCounter          -> cross-micro-batch sub-batch numbering kept in
+                           ``applyInPandasWithState`` state (rows seen per
+                           duration bucket), SURVEY §2.8's stateful
+                           pandas path
+  per-batch JSON file   -> ``foreachBatch`` -> sinks.json_sink
+
+100 TB story: counts/window aggs are partial-aggregated map-side per
+micro-batch; state is keyed by duration bucket (bounded cardinality = one
+entry per elapsed duration, not per row); the JSON write fans out through
+the normal distributed sink. No driver-side row iteration anywhere —
+the driver only sees distinct batch keys (bounded like the reference's
+batch list).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql_to_s3_spark.functions.dates import parse_duration
+from mysql_to_s3_spark.sinks.json_sink import write_json_lines
+from mysql_to_s3_spark.streaming.counters import _WEEK_OFFSET, batch_key_columns
+
+
+class StreamError(ValueError):
+    pass
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (schema required by Structured Streaming)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def _fixed_seconds(duration: str) -> int:
+    dur = parse_duration(duration)
+    if dur["months"]:
+        raise StreamError(
+            "calendar-month buckets are not a fixed event-time window; "
+            "use the batch path (counters.batch_key_columns)"
+        )
+    return int(dur["seconds"])
+
+
+def duration_window(ts_col: Column, duration: str) -> Column:
+    """Event-time window on the reference's duration grid
+    (mo_times floors: plain grid; weeks anchored to Sunday 1970-01-04)."""
+    secs = _fixed_seconds(duration)
+    if secs % (7 * 86400) == 0:
+        # epoch is a Thursday; +3d lands the window grid on Sundays
+        # (equivalent to counters.floor_duration's +4d floor offset)
+        return F.window(ts_col, f"{secs} seconds", f"{secs} seconds", "259200 seconds")
+    return F.window(ts_col, f"{secs} seconds")
+
+
+def stream_batch_counts(
+    sdf: DataFrame, ts_col: str, duration: str, lateness: str = "0 seconds"
+) -> DataFrame:
+    """Incremental per-duration-bucket counts (the DurationCounter ledger),
+    watermarked: rows later than ``lateness`` are dropped, mirroring the
+    reference's strictly-increasing rejection."""
+    w = duration_window(F.col(ts_col), duration)
+    return (
+        sdf.withWatermark(ts_col, lateness)
+        .groupBy(w.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(F.col("bucket.start").alias("bucket_start"), "n", "first_ts", "last_ts")
+    )
+
+
+def _bucket_key(ts_col: Column, secs: int) -> Column:
+    """floor_duration as a Column: unix-grid floor, Sunday-anchored weeks."""
+    v = ts_col.cast("timestamp").cast("double")
+    off = _WEEK_OFFSET if secs % (7 * 86400) == 0 else 0
+    return (F.floor((v + F.lit(off)) / secs) * secs - F.lit(off)).cast("long")
+
+
+def stateful_subbatch_index(
+    sdf: DataFrame,
+    ts_col: str,
+    duration: str,
+    size: int,
+    id_col: str,
+) -> DataFrame:
+    """BatchCounter semantics across micro-batches: sub-batch index
+    continues where the previous micro-batch stopped, via per-bucket row
+    counts held in ``applyInPandasWithState`` state.
+
+    State is one integer per duration bucket — bounded by elapsed wall
+    time, not data volume."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    secs = _fixed_seconds(duration)
+    keyed = sdf.select(
+        _bucket_key(F.col(ts_col), secs).alias("__batch0__"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("__ts__"),
+        F.col(id_col).cast("long").alias("__id__"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__batch0__", T.LongType()),
+            T.StructField("__batch1__", T.LongType()),
+            T.StructField("__batch2__", T.LongType()),
+            T.StructField("__id__", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def assign(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts__", "__id__"]).reset_index(drop=True)
+            rn = pdf.index.to_numpy() + seen
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "__batch0__": key[0],
+                    "__batch1__": rn // size,
+                    "__batch2__": rn % size,
+                    "__id__": pdf["__id__"],
+                }
+            )
+        state.update((seen,))
+
+    return keyed.groupBy("__batch0__").applyInPandasWithState(
+        assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_extract(
+    sdf: DataFrame,
+    destination: str,
+    fact_name: str,
+    field: str,
+    batch_spec: Any,
+    start: Any = 0,
+    id_cols: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+):
+    """foreachBatch bridge: each micro-batch runs the SAME deterministic
+    batch-key assignment as the batch Extract (counters.batch_key_columns)
+    and lands one JSON-lines directory per batch key under
+    ``destination``. Returns the DataStreamWriter (caller starts it)."""
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        keyed = batch_key_columns(df, field, start, batch_spec, tiebreak_cols=id_cols)
+        keys = [
+            tuple(r)
+            for r in keyed.select("__batch0__", "__batch1__").distinct().orderBy(
+                "__batch0__", "__batch1__"
+            ).collect()
+        ]
+        for b0, b1 in keys:  # bounded: one entry per batch key, not per row
+            part = (
+                keyed.filter((F.col("__batch0__") == b0) & (F.col("__batch1__") == b1))
+                .drop("__batch0__", "__batch1__", "__batch2__")
+            )
+            docs = part.select(
+                F.col(field).alias("__id__"), F.struct(*part.columns).alias(fact_name)
+            )
+            # append: successive micro-batches extend a batch-key dir
+            # instead of clobbering the previous poll's files
+            write_json_lines(
+                docs, os.path.join(destination, f"{b0}.{b1}"), fact_name, mode="append"
+            )
+
+    writer = sdf.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
