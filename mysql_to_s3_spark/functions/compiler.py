@@ -53,11 +53,31 @@ _NUMERIC = {INTEGER, NUMBER, TIME}
 
 @dataclass
 class Compiled:
-    """A compiled JX expression: value column + type + missing predicate."""
+    """A compiled JX expression: value column + type + missing predicate.
+
+    ``_filter`` is the FILTER-CONTEXT form of a boolean expression: the
+    raw (nullable) Spark predicate without the missing->FALSE coalesce
+    wrapper. In ``df.filter`` a NULL predicate drops the row exactly like
+    FALSE, so the row set is identical — but the raw predicate reaches the
+    parquet reader as a pushed-down filter, while ``coalesce(p, false)``
+    never does. Use ``fcol`` in filter positions, ``col`` when the boolean
+    is PROJECTED as a value (where JX demands FALSE, not NULL).
+
+    ``_time_source`` carries the raw time column (+ its Spark type name)
+    through ``unix()`` so comparisons against date literals can be folded
+    back onto the scan column (pushdown survives).
+    """
 
     col: Column
     jxtype: str = UNKNOWN
     _missing: Column | None = None
+    _filter: Column | None = None
+    spark_type: str | None = None
+    _time_source: "tuple[Column, str | None] | None" = None
+
+    @property
+    def fcol(self) -> Column:
+        return self._filter if self._filter is not None else self.col
 
     @property
     def missing(self) -> Column:
@@ -90,10 +110,13 @@ class Schema:
     def from_spark(cls, schema: T.StructType) -> "Schema":
         out: dict[str, str] = {}
 
+        spark_types: dict[str, str] = {}
+
         def walk(prefix: str, st: T.StructType) -> None:
             for f in st.fields:
                 name = f"{prefix}{f.name}"
                 out[name] = _spark_to_jx(f.dataType)
+                spark_types[name] = f.dataType.simpleString()
                 dt = f.dataType
                 if isinstance(dt, T.StructType):
                     walk(name + ".", dt)
@@ -101,10 +124,15 @@ class Schema:
                     walk(name + ".", dt.elementType)
 
         walk("", schema)
-        return cls(out, columns=[f.name for f in schema.fields])
+        s = cls(out, columns=[f.name for f in schema.fields])
+        s.spark_types = spark_types
+        return s
 
     def type_of(self, name: str) -> str:
         return self.types.get(name, UNKNOWN)
+
+    def spark_type_of(self, name: str) -> str | None:
+        return getattr(self, "spark_types", {}).get(name)
 
 
 def _spark_to_jx(dt: T.DataType) -> str:
@@ -114,7 +142,7 @@ def _spark_to_jx(dt: T.DataType) -> str:
         return INTEGER
     if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         return NUMBER
-    if isinstance(dt, (T.TimestampType, T.DateType)):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return TIME
     if isinstance(dt, T.StringType):
         return STRING
@@ -192,7 +220,7 @@ class _Compiler:
         if name == ".":
             raise JXError("whole-row variable '.' must be handled by the executor")
         jxtype = self.schema.type_of(name)
-        return Compiled(F.col(name), jxtype)
+        return Compiled(F.col(name), jxtype, spark_type=self.schema.spark_type_of(name))
 
     def op_literal(self, term, expr=None) -> Compiled:
         if term is None:
@@ -288,7 +316,12 @@ class _Compiler:
         out = F.lit(True)
         for t in terms:
             out = out & F.coalesce(t.col.cast("boolean"), F.lit(False))
-        return Compiled(out, BOOLEAN, F.lit(False))
+        # filter context: raw AND — a NULL conjunct yields NULL, which a
+        # Filter drops exactly like FALSE, and each raw term can push down
+        filt = terms[0].fcol.cast("boolean")
+        for t in terms[1:]:
+            filt = filt & t.fcol.cast("boolean")
+        return Compiled(out, BOOLEAN, F.lit(False), _filter=filt)
 
     def op_or(self, term, expr=None) -> Compiled:
         terms = [self.compile(t) for t in (term if isinstance(term, list) else [term])]
@@ -297,7 +330,12 @@ class _Compiler:
         out = F.lit(False)
         for t in terms:
             out = out | F.coalesce(t.col.cast("boolean"), F.lit(False))
-        return Compiled(out, BOOLEAN, F.lit(False))
+        # raw OR: NULL|TRUE = TRUE (kept), NULL|FALSE = NULL (dropped) —
+        # same row set as the missing->FALSE coercion
+        filt = terms[0].fcol.cast("boolean")
+        for t in terms[1:]:
+            filt = filt | t.fcol.cast("boolean")
+        return Compiled(out, BOOLEAN, F.lit(False), _filter=filt)
 
     def op_not(self, term, expr=None) -> Compiled:
         t = self.compile(term)
@@ -316,22 +354,42 @@ class _Compiler:
         raise JXError(f"bad operand form {term!r}")
 
     def op_eq(self, term, expr=None) -> Compiled:
-        """EqOp @953: null-safe; map form = AND of field=value; rhs list = IN."""
+        """EqOp @953: null-safe; map form = AND of field=value; rhs list = IN.
+
+        Filter context keeps the RAW equality (pushdownable): with a
+        non-null literal rhs the null-safe wrapper only converts NULL to
+        FALSE, which a Filter does anyway.
+        """
         conds = []
+        raw_conds: list[Column] | None = []
         if isinstance(term, dict):
             for k, v in term.items():
                 lhs = self.variable(k)
                 if isinstance(v, list):
                     conds.append(lhs.col.isin(v))
+                    raw_conds = raw_conds if None not in v else None
+                    if raw_conds is not None:
+                        raw_conds.append(lhs.col.isin(v))
+                elif v is None:
+                    conds.append(self._null_safe_eq(lhs, self.op_literal(v)))
+                    raw_conds = None
                 else:
                     conds.append(self._null_safe_eq(lhs, self.op_literal(v)))
+                    if raw_conds is not None:
+                        raw_conds.append(lhs.col == F.lit(v))
         else:
             l, r = self._pairs(term)[0]
             conds.append(self._null_safe_eq(l, r))
+            raw_conds = None
         out = conds[0]
         for c in conds[1:]:
             out = out & c
-        return Compiled(out, BOOLEAN, F.lit(False))
+        filt = None
+        if raw_conds:
+            filt = raw_conds[0]
+            for c in raw_conds[1:]:
+                filt = filt & c
+        return Compiled(out, BOOLEAN, F.lit(False), _filter=filt)
 
     def _null_safe_eq(self, l: Compiled, r: Compiled) -> Column:
         return (l.missing & r.missing) | F.coalesce(l.col == r.col, F.lit(False))
@@ -358,6 +416,24 @@ class _Compiler:
             l, r = self.variable(k), self.op_literal(v)
         else:
             l, r = self._pairs(term)[0]
+        # fold unix(ts) CMP number back onto the time column: the seconds
+        # cast is strictly increasing, so comparing the raw column against
+        # timestamp_seconds(rhs) is equivalent — and, with a foldable rhs,
+        # reaches the parquet scan as a pushed filter
+        for a, b, flip in ((l, r, False), (r, l, True)):
+            if a._time_source is not None and b.jxtype in (NUMBER, INTEGER):
+                raw, stype = a._time_source
+                lit = F.timestamp_seconds(b.col)
+                if stype == "timestamp_ntz":
+                    lit = lit.cast("timestamp_ntz")
+                eff = op if not flip else {"gt": "lt", "gte": "lte", "lt": "gt", "lte": "gte"}[op]
+                cmp = {
+                    "gt": raw > lit,
+                    "gte": raw >= lit,
+                    "lt": raw < lit,
+                    "lte": raw <= lit,
+                }[eff]
+                return Compiled(cmp, BOOLEAN)
         cmp = {"gt": l.col > r.col, "gte": l.col >= r.col, "lt": l.col < r.col, "lte": l.col <= r.col}[op]
         return Compiled(cmp, BOOLEAN)
 
@@ -798,7 +874,15 @@ class _Compiler:
 
     def op_unix(self, term, expr=None) -> Compiled:
         t = self.compile(term)
-        return Compiled(t.col.cast("double") if t.jxtype == TIME else F.unix_timestamp(t.col).cast("double"), NUMBER)
+        if t.jxtype == TIME:
+            # NTZ needs the TIMESTAMP hop (session TZ pinned UTC); keep the
+            # raw column so date-literal comparisons fold back onto the scan
+            return Compiled(
+                t.col.cast("timestamp").cast("double"),
+                NUMBER,
+                _time_source=(t.col, t.spark_type),
+            )
+        return Compiled(F.unix_timestamp(t.col).cast("double"), NUMBER)
 
     def op_from_unix(self, term, expr=None) -> Compiled:
         t = self.compile(term)

@@ -66,10 +66,13 @@ def run(
     df = _resolve_from(q.frum, spark, containers, sf_dir)
     schema = Schema.from_spark(df.schema)
 
-    # where
+    # where: FILTER context — use the raw predicate (Compiled.fcol). A
+    # NULL predicate drops the row exactly like FALSE, and the raw form
+    # reaches the parquet scan as a pushed-down filter, which the
+    # coalesce(missing->FALSE) value form never does.
     if q.where is not True:
         cond = compile_expression(q.where, schema)
-        df = df.filter(F.coalesce(cond.col.cast("boolean"), F.lit(False)))
+        df = df.filter(cond.fcol.cast("boolean"))
 
     # window clauses add columns on the filtered set (jx.py:101-106)
     for w in q.window:
