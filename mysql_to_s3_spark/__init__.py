@@ -14,11 +14,17 @@ plans so Catalyst/Tungsten pick the physical strategy.
                          beyond-reference large-scale pipeline operators
   - sources.registry   : container registry (name -> DataFrame)
   - sources.snowflake  : FK-graph walk -> join-DAG -> nested doc frames
+  - sources.jdbc       : MySQL scan options, FK discovery, keyset paging
   - sources.extract    : batch-incremental extract orchestrator
   - sources.ingest     : document ingest w/ type-widening, update/delete
   - sinks.json_sink    : scrubbed JSON-lines sink + etl lineage envelope
   - streaming.counters : incremental batch counters (+ Spark analog)
+  - streaming.stream_extract : Structured Streaming extract (watermarked
+                         windows, stateful sub-batches, foreachBatch sink)
   - queries            : the oracle-matched query catalog (driver contract)
+
+See SCALE.md for the per-operator 100 TB design audit (partitioning,
+shuffles, pushdown, broadcast decisions — explain()-verified).
 """
 
 from mysql_to_s3_spark.session import get_spark
