@@ -82,3 +82,74 @@ def ann_topk(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: k-means coarse quantizer -> probe the nprobe
+# nearest cells only. The standard ANN scale path when recall targets make
+# pure sign-LSH buckets too coarse.
+
+
+def ivf_fit(
+    df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", seed: int = _SEED
+) -> list[list[float]]:
+    """Train the coarse quantizer (pyspark.ml KMeans — distributed Lloyd's).
+    Returns plain centroid lists so assignment/probing are Column algebra,
+    not a model dependency."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||v - c||^2: d(v,c) = |v|^2 - 2<v,c> + |c|^2; |v|^2 is common
+    to all cells, so argmin over (|c|^2 - 2<v,c>).
+
+    Each cell's score appears exactly ONCE, inside an array literal —
+    an iterative when-chain (best = when(s < best, ...).otherwise(best))
+    re-embeds the previous best tree 3× per cell and the expression grows
+    3^n_cells; task serialization alone then takes minutes. array_min +
+    array_position keeps the tree linear in n_cells."""
+    scores = F.array(
+        *[
+            F.lit(sum(x * x for x in c)) - F.lit(2.0) * _dot_lit(vec, c)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Add the inverted-file cell id. At corpus scale, write partitionBy
+    ('__cell__') so probes become partition-pruned scans."""
+    return df.withColumn("__cell__", _nearest_cell(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` cells nearest the query; exact cosine re-rank
+    inside them. Driver-side math touches only the centroid table (tiny);
+    the scan reads only probed cells."""
+
+    def d2(a: list[float], c: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: d2(query_vec, centroids[i]))[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("__cell__").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )

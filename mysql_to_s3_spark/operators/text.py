@@ -57,8 +57,8 @@ def _occurrence_fraction(ws: Column, vocab: tuple[str, ...]) -> Column:
     return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
 
 
-def text_stats(col: Column) -> dict[str, Column]:
-    """Per-document quality features (all O(1)-per-row, shuffle-free)."""
+def _raw_stats(col: Column) -> dict[str, Column]:
+    """Unrounded per-document features (one projection, shuffle-free)."""
     ws = words(col)
     n_chars = F.length(col)
     n_words = F.size(ws)
@@ -68,19 +68,35 @@ def text_stats(col: Column) -> dict[str, Column]:
     punct_ratio = F.when(n_chars > 0, punct_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
     stop_ratio = _occurrence_fraction(ws, LANG_PROFILES["en"])
     return {
-        "n_chars": n_chars.cast("bigint"),
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": avg_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def text_stats(col: Column) -> dict[str, Column]:
+    """Per-document quality features (all O(1)-per-row, shuffle-free)."""
+    s = _raw_stats(col)
+    return {
+        "n_chars": s["n_chars"].cast("bigint"),
         "n_tokens": token_count(col).cast("bigint"),
-        "n_words": n_words.cast("bigint"),
-        "avg_word_len": F.round(avg_word_len, 6),
-        "punct_ratio": F.round(punct_ratio, 6),
-        "stopword_ratio": F.round(stop_ratio, 6),
+        "n_words": s["n_words"].cast("bigint"),
+        "avg_word_len": F.round(s["avg_word_len"], 6),
+        "punct_ratio": F.round(s["punct_ratio"], 6),
+        "stopword_ratio": F.round(s["stopword_ratio"], 6),
     }
 
 
 def quality_score(col: Column) -> Column:
     """[0,1] doc-quality heuristic: in-band length, low punctuation noise,
-    presence of function words. Weights in QUALITY_WEIGHTS."""
-    s = text_stats(col)
+    presence of function words. Weights in QUALITY_WEIGHTS.
+
+    Computed from RAW ratios (rounding only the final score): pre-rounded
+    6dp inputs make the weighted sum land exactly on .5 decimal
+    boundaries, where engines' rounding implementations disagree."""
+    s = _raw_stats(col)
     len_ok = F.when((s["n_words"] >= 5) & (s["n_words"] <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - s["punct_ratio"] * 4)
     stop_ok = F.least(F.lit(1.0), s["stopword_ratio"] * 5)

@@ -877,7 +877,40 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_features(media_table(spread(load_table(spark, sf_dir, "documents"))))
 
 
+def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.text import quality_score
+    from mysql_to_s3_spark.sources.registry import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(F.col("doc_id"), quality_score(F.col("text")).alias("quality"))
+
+
+def _text_quality_sql() -> str:
+    from mysql_to_s3_spark.operators.text import LANG_PROFILES, QUALITY_WEIGHTS
+
+    w = QUALITY_WEIGHTS
+    stop = _sql_stop_hits("text", LANG_PROFILES["en"])
+    nw = f"len({_sql_words('text')})"
+    # RAW ratios (round only the final score) — mirrors quality_score
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / length(text) "
+        "ELSE 0.0 END"
+    )
+    stop_r = f"CASE WHEN {nw} > 0 THEN {stop}::DOUBLE / {nw} ELSE 0.0 END"
+    len_ok = f"CASE WHEN {nw} >= 5 AND {nw} <= 5000 THEN 1.0 ELSE 0.0 END"
+    punct_ok = f"greatest(0.0, 1.0 - {punct} * 4)"
+    stop_ok = f"least(1.0, {stop_r} * 5)"
+    return f"""
+    SELECT doc_id,
+           round({w['len']} * {len_ok} + {w['punct']} * {punct_ok} + {w['stop']} * {stop_ok}, 6) AS quality
+    FROM documents"""
+
+
 _q("text_stats", _text_stats_spark, _text_stats_sql())
+_q("text_quality", _text_quality_spark, _text_quality_sql())
 _q("text_langid", _text_langid_spark, _langid_sql())
 _q(
     "text_fingerprint",
@@ -913,6 +946,22 @@ _q(
         ORDER BY cos DESC, e.vec_id LIMIT 10""",
 )
 _q("similarity_ann_lsh", _similarity_ann_spark, _ann_sql())
+
+
+def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.similarity import ivf_fit, ivf_topk
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_fit(emb, n_cells=16)
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), _query_vec(spark, sf_dir), centroids, k=10, nprobe=4)
+
+
+# IVF is kmeans-trained — not SQL-replicable, rows-only check; recall vs
+# the exact top-k is asserted in tests/test_llm_ops.py
+_q("similarity_ivf", _similarity_ivf_spark, None)
 _q(
     "multimodal_features",
     _multimodal_spark,

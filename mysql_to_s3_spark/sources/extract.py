@@ -147,5 +147,11 @@ class Extract:
                 first = ids_df.agg(F.min(self.plan.id_columns[0])).collect()[0][0]
                 write_checkpoint(self.extract.last, batch_key, first)
             if notify:
-                notify({"destination": self.extract.destination, "key": key, "timestamp": None})
+                from mysql_to_s3_spark.sinks.notify import notify_payload
+
+                msg = notify_payload(bucket=self.extract.destination, key=key)
+                # accept a queue object (FileQueue/CallbackQueue/SQS) or a
+                # bare callable
+                add = getattr(notify, "add", notify)
+                add(msg)
         return written

@@ -86,3 +86,26 @@ def test_ann_bucket_contains_query_bucket_only(spark, sf_dir):
     q_bucket = bucketed.filter(F.col("vec_id") == 0).first()["b"]
     members = {r["vec_id"] for r in bucketed.filter(F.col("b") == q_bucket).collect()}
     assert {r["vec_id"] for r in ann} <= members
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = similarity.ivf_fit(emb, n_cells=16)
+    assert len(centroids) == 16 and len(centroids[0]) == len(q)
+
+    exact = {r["vec_id"] for r in similarity.topk_cosine(emb, q, k=10).collect()}
+    approx_rows = similarity.ivf_topk(emb, q, centroids, k=10, nprobe=4).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert len(approx_rows) == 10
+    # ranking inside the probed cells is exact cosine, descending
+    cs = [r["cos"] for r in approx_rows]
+    assert cs == sorted(cs, reverse=True)
+    # coarse-quantizer recall@10 with nprobe=4/16 cells
+    assert len(exact & approx) >= 5, (exact, approx)
+
+    # probing ALL cells recovers the exact answer
+    full = {r["vec_id"] for r in similarity.ivf_topk(emb, q, centroids, k=10, nprobe=16).collect()}
+    assert full == exact
