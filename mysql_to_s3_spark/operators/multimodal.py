@@ -66,6 +66,12 @@ def decode_audio(payload: bytes) -> Any:
     raise NotImplementedError("audio decode requires an audio library; not available here")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB (no PIL/cv2 here); a real deployment
+    decodes, resizes, re-encodes inside the same mapInPandas batch."""
+    raise NotImplementedError("image resize requires an imaging library (PIL/cv2); not available here")
+
+
 def frame_sample(payload: bytes, every_ms: int = 1000) -> Any:
     """Sample video frames. STUB (no ffmpeg/av here)."""
     raise NotImplementedError("video frame sampling requires ffmpeg/av; not available here")

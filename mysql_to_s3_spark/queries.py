@@ -1511,6 +1511,47 @@ _q(
 )
 
 
+def _counters_batch_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch counter chain (reference counter.py:20,36,59) as
+    distributed columns: ["day", 500] = day tumbling bucket x 500-row
+    sub-batch, tiebroken by event_id so the row order is total."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.streaming.counters import batch_key_columns
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = batch_key_columns(
+        events, "ts", start="2024-01-01", batch_spec=["day", 500], tiebreak_cols=["event_id"]
+    )
+    return keyed.select(
+        F.col("event_id"),
+        F.col("__batch0__").alias("batch0"),
+        F.col("__batch1__").alias("batch1"),
+        F.col("__batch2__").cast("bigint").alias("batch2"),
+    )
+
+
+_q(
+    "counters_batch_keys",
+    _counters_batch_keys_spark,
+    """
+    WITH b AS (
+      SELECT event_id, ts,
+             CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400) AS BIGINT) AS b0,
+             row_number() OVER (
+               PARTITION BY CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400) AS BIGINT)
+               ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    )
+    SELECT event_id,
+           b0 AS batch0,
+           CAST(floor(rn / 500) AS BIGINT) AS batch1,
+           CAST(rn % 500 AS BIGINT) AS batch2
+    FROM b""",
+)
+
+
 def names() -> list[str]:
     return list(CATALOG)
 
