@@ -12,12 +12,14 @@ plans so Catalyst/Tungsten pick the physical strategy.
                          edges+domains/window/sort/limit)
   - operators.dedup / similarity / text / multimodal :
                          beyond-reference large-scale pipeline operators
+  - operators.index    : hash/unique index + id-batch semi-join utilities
   - sources.registry   : container registry (name -> DataFrame)
   - sources.snowflake  : FK-graph walk -> join-DAG -> nested doc frames
   - sources.jdbc       : MySQL scan options, FK discovery, keyset paging
   - sources.extract    : batch-incremental extract orchestrator
   - sources.ingest     : document ingest w/ type-widening, update/delete
   - sinks.json_sink    : scrubbed JSON-lines sink + etl lineage envelope
+  - sinks.notify       : per-batch completion queue (SQS payload parity)
   - streaming.counters : incremental batch counters (+ Spark analog)
   - streaming.stream_extract : Structured Streaming extract (watermarked
                          windows, stateful sub-batches, foreachBatch sink)
