@@ -450,18 +450,25 @@ class _Compiler:
         return self._inequality(term, "lte")
 
     def op_in(self, term, expr=None) -> Compiled:
-        """InOp @2525: membership; list-valued lhs -> arrays_overlap."""
+        """InOp @2525: membership; list-valued lhs -> arrays_overlap.
+        InOp.missing() is declared FALSE (@2562): `None in [...]` is
+        False in the reference, never missing — coalesce the value form,
+        keep the raw predicate for filter pushdown."""
+
+        def _b(raw: Column) -> Compiled:
+            return Compiled(F.coalesce(raw, F.lit(False)), BOOLEAN, F.lit(False), _filter=raw)
+
         if isinstance(term, dict):
             (k, v), = term.items()
             l = self.variable(k)
             if l.jxtype in (ARRAY, NESTED):
                 rhs = self.op_literal(v if isinstance(v, list) else [v])
-                return Compiled(F.arrays_overlap(l.col, rhs.col), BOOLEAN)
-            return Compiled(l.col.isin(v if isinstance(v, list) else [v]), BOOLEAN)
+                return _b(F.arrays_overlap(l.col, rhs.col))
+            return _b(l.col.isin(v if isinstance(v, list) else [v]))
         l, r = self._pairs(term)[0]
         if r.jxtype in (ARRAY, NESTED):
-            return Compiled(F.array_contains(r.col, l.col), BOOLEAN)
-        return Compiled(l.col == r.col, BOOLEAN)
+            return _b(F.array_contains(r.col, l.col))
+        return _b(l.col == r.col)
 
     def op_terms(self, term, expr=None) -> Compiled:
         return self.op_in(term, expr)
@@ -606,18 +613,19 @@ class _Compiler:
 
     def op_integer(self, term, expr=None) -> Compiled:
         t = self.compile(term)
-        out = F.when(t.missing, None).otherwise(t.col.cast("double").cast("long"))
+        out = F.when(t.missing, None).otherwise(t.col.try_cast("double").try_cast("long"))
         return Compiled(out, INTEGER)
 
     def op_number(self, term, expr=None) -> Compiled:
-        """number('') -> null (JX cast rules)."""
+        """number('') -> null (JX cast rules); malformed strings -> null
+        via try_cast (ANSI cast would raise, the reference returns Null)."""
         t = self.compile(term)
         if t.jxtype == TIME:
             # dates are unix seconds at the JX boundary (mo_times convention);
             # NTZ timestamps need the TIMESTAMP hop before DOUBLE
             out = F.when(t.missing, None).otherwise(t.col.cast("timestamp").cast("double"))
         else:
-            out = F.when(t.missing, None).otherwise(t.col.cast("double"))
+            out = F.when(t.missing, None).otherwise(t.col.try_cast("double"))
         return Compiled(out, NUMBER)
 
     def op_string(self, term, expr=None) -> Compiled:
@@ -677,7 +685,10 @@ class _Compiler:
             l, r = self.variable(k), self.op_literal(v)
         else:
             l, r = self._pairs(term)[0]
-        return Compiled(l.col.startswith(r.col), BOOLEAN)
+        # PrefixOp.missing() is declared FALSE (@1981): never NULL as a
+        # value; the raw form stays in filter context for pushdown
+        raw = l.col.startswith(r.col)
+        return Compiled(F.coalesce(raw, F.lit(False)), BOOLEAN, F.lit(False), _filter=raw)
 
     def op_suffix(self, term, expr=None) -> Compiled:
         if not term:
@@ -687,7 +698,9 @@ class _Compiler:
             l, r = self.variable(k), self.op_literal(v)
         else:
             l, r = self._pairs(term)[0]
-        return Compiled(l.col.endswith(r.col), BOOLEAN)
+        # SuffixOp.missing() likewise declared FALSE (@2019)
+        raw = l.col.endswith(r.col)
+        return Compiled(F.coalesce(raw, F.lit(False)), BOOLEAN, F.lit(False), _filter=raw)
 
     op_postfix = op_suffix
 

@@ -119,6 +119,10 @@ def test_ivf_cell_expression_is_linear(spark, sf_dir):
 
 
 def test_groupby_single_shuffle(spark, sf_dir):
+    # an earlier test's cached densify aggregate can match this plan and
+    # substitute an InMemoryTableScan (whose stored plan text doubles the
+    # Exchange count) — assert on the uncached plan
+    spark.catalog.clearCache()
     df = run(
         {
             "from": "lineitem",
