@@ -366,7 +366,9 @@ class _Compiler:
             for k, v in term.items():
                 lhs = self.variable(k)
                 if isinstance(v, list):
-                    conds.append(lhs.col.isin(v))
+                    # IN form is never missing (EqOp.missing()=FALSE):
+                    # NULL lhs compares FALSE, not NULL
+                    conds.append(F.coalesce(lhs.col.isin(v), F.lit(False)))
                     raw_conds = raw_conds if None not in v else None
                     if raw_conds is not None:
                         raw_conds.append(lhs.col.isin(v))
@@ -533,7 +535,12 @@ class _Compiler:
     def op_mod(self, term, expr=None) -> Compiled:
         l, r = self._pairs(term)[0]
         dflt = self._default(expr)
-        out = F.when(l.missing | r.missing | (r.col == 0), dflt.col).otherwise(F.pmod(l.col, r.col))
+        # Python-% semantics (the reference execs Python `%`): result takes
+        # the DIVISOR's sign. pmod is always-positive (wrong for negative
+        # divisors); Spark's % is C-style (dividend sign). ((a%b)+b)%b maps
+        # C-% onto Python-%.
+        py_mod = ((l.col % r.col) + r.col) % r.col
+        out = F.when(l.missing | r.missing | (r.col == 0), dflt.col).otherwise(py_mod)
         return Compiled(out, NUMBER)
 
     def op_floor(self, term, expr=None) -> Compiled:
@@ -814,7 +821,9 @@ class _Compiler:
         (k, v), = term.items()
         l = self.variable(k)
         pat = v if v.startswith("^") else "^(?:" + v + ")$"
-        return Compiled(l.col.rlike(pat), BOOLEAN)
+        # RegExpOp.missing()=FALSE (@1820): never NULL as a value
+        raw = l.col.rlike(pat)
+        return Compiled(F.coalesce(raw, F.lit(False)), BOOLEAN, F.lit(False), _filter=raw)
 
     op_regexp = op_regex
 

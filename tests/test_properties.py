@@ -72,12 +72,55 @@ PAIRS = [
     ),
     ("number_cast", {"number": "s"}, "CASE WHEN s = '' THEN NULL ELSE try_cast(s AS DOUBLE) END"),
     ("in_list", {"in": {"a": [1, 2, 3]}}, "coalesce(a IN (1, 2, 3), FALSE)"),
+    # Python-sign mod (reference compiles to Python %): sign of the divisor
+    ("mod_python_sign", {"mod": ["a", {"literal": 3}]}, "((a % 3) + 3) % 3"),
+    ("mod_neg_divisor", {"mod": ["a", {"literal": -3}]}, "((a % -3) + -3) % -3"),
+    ("mod_zero_default", {"mod": ["a", {"literal": 0}], "default": -99}, "-99"),
+    ("floor_negative", {"floor": ["b", {"literal": 2}]}, "floor(b / 2) * 2"),
+    ("exp_power", {"exp": ["b", {"literal": 2}]}, "CASE WHEN b IS NULL THEN NULL ELSE b ** 2 END"),
+    ("eq_map_form", {"eq": {"a": 1, "b": 2.0}}, "a IS NOT DISTINCT FROM 1 AND b IS NOT DISTINCT FROM 2.0"),
+    ("eq_in_form", {"eq": {"a": [1, 2]}}, "coalesce(a IN (1, 2), FALSE)"),
+    ("range_sugar", {"range": {"a": {"gte": -1, "lt": 3}}}, "a >= -1 AND a < 3"),
+    (
+        "between_literal",
+        {"between": {"s": ["a", "c"]}},
+        # substring strictly between first 'a' and next 'c' after it; missing -> NULL
+        r"(regexp_extract(s, 'a(.*?)c', ['g1'])).g1",
+    ),
+    ("find_with_start", {"find": {"s": "a"}, "start": 1}, "CASE WHEN strpos(substr(s, 2), 'a') > 0 THEN strpos(substr(s, 2), 'a') END"),
+    ("find_default", {"find": {"s": "zz"}, "default": -1}, "CASE WHEN strpos(s, 'zz') > 0 THEN strpos(s, 'zz') - 1 ELSE -1 END"),
+    ("regex_full_match", {"regex": {"s": "a.*"}}, "coalesce(regexp_full_match(s, 'a.*'), FALSE)"),
+    (
+        "case_first_match",
+        {"case": [{"when": {"gt": {"a": 2}}, "then": {"literal": "hi"}}, {"when": {"gt": {"a": 0}}, "then": {"literal": "lo"}}, {"literal": "else"}]},
+        "CASE WHEN coalesce(a > 2, FALSE) THEN 'hi' WHEN coalesce(a > 0, FALSE) THEN 'lo' ELSE 'else' END",
+    ),
+    ("not_left", {"not_left": ["s", 1]}, "CASE WHEN s IS NULL THEN NULL ELSE substr(s, 2) END"),
+    ("not_right", {"not_right": ["s", 1]}, "CASE WHEN s IS NULL THEN NULL ELSE substr(s, 1, greatest(length(s) - 1, 0)) END"),
+    ("basic_index_of", {"basic.index_of": ["s", {"literal": "b"}]}, "strpos(s, 'b') - 1"),
+    ("basic_eq", {"basic.eq": ["s", "u"]}, "s = u"),
+    ("basic_substring", {"basic.substring": ["s", {"literal": 0}, {"literal": 2}]}, "substr(s, 1, 2)"),
+    ("string_cast", {"string": "a"}, "CAST(a AS VARCHAR)"),
+    ("boolean_cast_str", {"boolean": "s"}, "CASE WHEN s IS NULL OR s = '' THEN NULL ELSE lower(s) IN ('true', 't', '1') END"),
+    ("rowwise_min", {"min": ["a", "b"]}, "CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a WHEN a <= b THEN a ELSE b END"),
+    ("rowwise_count", {"count": ["a", "b", "s"]}, "(CASE WHEN a IS NULL THEN 0 ELSE 1 END) + (CASE WHEN b IS NULL THEN 0 ELSE 1 END) + (CASE WHEN s IS NULL OR s = '' THEN 0 ELSE 1 END)"),
+    ("suffix_", {"suffix": {"s": "b"}}, "coalesce(ends_with(s, 'b'), FALSE)"),
 ]
 
 # string-valued pairs compared under JX equivalence '' ≡ NULL: for any
 # string-producing op the reference's backends return '' or NULL
 # interchangeably on missing input (both are JX's missing class)
-MISSING_CLASS = {"coalesce_skips_empty", "left_clamped", "right_clamped", "concat_skips_missing"}
+MISSING_CLASS = {
+    "coalesce_skips_empty",
+    "left_clamped",
+    "right_clamped",
+    "concat_skips_missing",
+    "between_literal",
+    "not_left",
+    "not_right",
+    "string_cast",
+    "basic_substring",
+}
 
 SCHEMA = T.StructType(
     [
