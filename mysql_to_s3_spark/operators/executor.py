@@ -394,8 +394,19 @@ def _edge_keys(
             buckets = range_edge_buckets(rmin, rmax, e.domain, e.range.get("mode", "inclusive"))
             df = df.withColumn(key, F.explode_outer(buckets))
             continue
-        c = compile_expression(e.value, schema)
         dom = compile_domain(e.domain)
+        if dom.where_parts is not None:
+            # general set: one when-chain, first matching part wins
+            # (GeneralSetDecoder es52/decoders.py:348 ANDs each filter with
+            # NOT(previous) — first-match is the same row assignment);
+            # value form of each predicate maps missing -> FALSE
+            chain = None
+            for p, nm in zip(dom.where_parts, dom.part_values):
+                cond = compile_expression(p["where"], schema).col
+                chain = F.when(cond, F.lit(nm)) if chain is None else chain.when(cond, F.lit(nm))
+            df = df.withColumn(key, chain)
+            continue
+        c = compile_expression(e.value, schema)
         if c.jxtype in (ARRAY, NESTED):
             df = df.withColumn(key, F.explode_outer(c.col))
             df = df.withColumn(key, dom.bucket(F.col(key)))

@@ -48,6 +48,11 @@ class CompiledDomain:
     bucket: Any  # Callable[[Column], Column]
     part_values: list | None  # explicit partition key values (python), or None
     is_time: bool = False
+    # general set (es52/decoders.py:348 GeneralSetDecoder): ordered parts
+    # carrying a `where` predicate each; FIRST matching part claims the row
+    # (the decoder ANDs each filter with NOT(previous)), no match -> null
+    # bucket. The executor compiles these into one when-chain.
+    where_parts: list | None = None
 
     def part_python_values(self) -> list | None:
         """Partition keys as Python values typed like the bucket column
@@ -83,6 +88,9 @@ def compile_domain(domain: dict) -> CompiledDomain:
         return CompiledDomain(bucket=lambda c: c, part_values=None)
     if dtype in ("set", "simple set"):
         parts = domain.get("partitions", [])
+        if parts and all(isinstance(p, dict) and "where" in p for p in parts):
+            names = [p.get("name") or p.get("value") or str(i) for i, p in enumerate(parts)]
+            return CompiledDomain(bucket=lambda c: c, part_values=names, where_parts=list(parts))
         values = [p["value"] if isinstance(p, dict) else p for p in parts]
         return CompiledDomain(bucket=lambda c: c, part_values=values)
     if dtype in ("value", "unique"):

@@ -438,6 +438,38 @@ _q(
 )
 
 _q(
+    "edges_general_set_where",
+    {
+        "from": "orders",
+        "edges": [
+            {
+                "name": "tier",
+                "allowNulls": True,
+                "domain": {
+                    "type": "set",
+                    "partitions": [
+                        {"name": "big", "where": {"gte": {"o_totalprice": 200000}}},
+                        {"name": "mid", "where": {"gte": {"o_totalprice": 100000}}},
+                        {"name": "small", "where": {"gt": {"o_totalprice": 0}}},
+                    ],
+                },
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    },
+    # general set (per-part where, GeneralSetDecoder): FIRST matching part
+    # claims the row; unmatched rows land in the null bucket
+    """WITH agg AS (SELECT CASE WHEN o_totalprice >= 200000 THEN 'big'
+                                WHEN o_totalprice >= 100000 THEN 'mid'
+                                WHEN o_totalprice > 0 THEN 'small' END AS tier,
+                           count(*) AS n
+                    FROM orders GROUP BY 1),
+            parts(tier) AS (VALUES ('big'), ('mid'), ('small'), (NULL))
+       SELECT parts.tier AS tier, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       FROM parts LEFT JOIN agg ON parts.tier IS NOT DISTINCT FROM agg.tier""",
+)
+
+_q(
     "edges_default_domain",
     {
         "from": "lineitem",
