@@ -110,11 +110,16 @@ WINDOW_AGGS = {
 }
 
 
-def build_window_aggregate(agg: str, col: Column, percentile: float | None = None) -> Column:
+def build_window_aggregate(
+    agg: str, col: Column, percentile: float | None = None, approx: bool = False
+) -> Column:
     if agg == "median":
-        return F.percentile_approx(col, 0.5)
+        # exact + interpolating like the in-memory reference backend
+        # (windows.py:281-306); approx is the documented scale switch
+        return F.percentile_approx(col, 0.5) if approx else F.percentile(col, F.lit(0.5))
     if agg == "percentile":
-        return F.percentile_approx(col, 0.5 if percentile is None else float(percentile))
+        p = 0.5 if percentile is None else float(percentile)
+        return F.percentile_approx(col, p) if approx else F.percentile(col, F.lit(p))
     if agg == "cardinality":
         return F.approx_count_distinct(col)
     if agg == "count_distinct":

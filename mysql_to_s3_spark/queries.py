@@ -438,6 +438,68 @@ _q(
 )
 
 _q(
+    "window_percentile_partition",
+    _rounded(
+        {
+            "from": "lineitem",
+            "where": {"lt": {"l_orderkey": 500}},
+            "window": [
+                {
+                    "name": "p50",
+                    "value": "l_quantity",
+                    "aggregate": "median",
+                    "edges": ["l_orderkey"],
+                }
+            ],
+            "select": ["l_orderkey", "l_linenumber", "l_quantity", "p50"],
+            "sort": ["l_orderkey", "l_linenumber", "l_quantity"],
+            "limit": 10000,
+        },
+        ["p50"],
+    ),
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+              round(quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_orderkey), 6) AS p50
+       FROM lineitem WHERE l_orderkey < 500
+       ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 10000""",
+)
+
+_q(
+    "edges_time_week_dense",
+    {
+        "from": "orders",
+        "edges": [
+            {
+                "name": "wk",
+                "value": "o_orderdate",
+                "allowNulls": False,
+                "domain": {
+                    "type": "time",
+                    "min": "1995-03-01",
+                    "max": "1995-04-26",
+                    "interval": "week",
+                },
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    },
+    # fixed 7-day buckets anchored at the domain min (dense: every week
+    # appears even when empty); plain TIMESTAMP arithmetic keeps DuckDB in
+    # the TZ-less type Spark's NTZ column compares against
+    """WITH agg AS (
+         SELECT TIMESTAMP '1995-03-01'
+                  + INTERVAL 1 SECOND * (604800 * CAST(floor(date_diff('second', TIMESTAMP '1995-03-01', o_orderdate) / 604800) AS BIGINT)) AS wk,
+                count(*) AS n
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-26'
+         GROUP BY 1),
+       parts AS (
+         SELECT TIMESTAMP '1995-03-01' + INTERVAL 1 SECOND * (604800 * g.x) AS wk
+         FROM generate_series(0, 7) g(x))
+       SELECT parts.wk AS wk, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       FROM parts LEFT JOIN agg USING (wk)""",
+)
+
+_q(
     "edges_general_set_where",
     {
         "from": "orders",
