@@ -22,10 +22,15 @@ HEADLINE = [
     "edges_multivalue_words",
     "window_running_sum",
     "window_lead_lag",
+    "window_percentile_partition",
     "setop_computed_revenue",
     "nested_table_from",
     "snowflake_denormalize",
+    "counters_batch_keys",
+    "edges_general_set_where",
     "text_stats",
+    "text_langid",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
 ]
