@@ -124,6 +124,44 @@ def language_id(col: Column) -> Column:
     return out
 
 
+def kgram_rolling_hashes(col: Column, k: int = 5, base: int = 257) -> Column:
+    """Polynomial (Rabin-Karp) k-gram hash values as an array column.
+
+    h_i = Σ_j codepoint(s[i+j]) · base^(k-1-j) — the quantity the classic
+    O(n) rolling update maintains. Expressed as Column algebra (O(n·k)
+    multiply-adds, JVM whole-stage codegen, shuffle-free); values fit
+    bigint exactly for k<=6 at base 257, so an engine-portable oracle can
+    replicate them bit-for-bit (no engine-specific murmur/xxhash)."""
+    n = F.length(col)
+    npos = F.greatest(n - F.lit(k - 1), F.lit(0))
+
+    def h(i: Column) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for j in range(k):
+            acc = acc + F.ascii(F.substring(col, (i + F.lit(j)).cast("int"), F.lit(1))).cast(
+                "bigint"
+            ) * F.lit(base ** (k - 1 - j))
+        return acc
+
+    return F.when(npos >= 1, F.transform(F.sequence(F.lit(1), npos), h)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_fingerprint(col: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, MOSS):
+    the sorted distinct set of per-window minima over the k-gram rolling
+    hashes. Guarantees any shared substring of length >= k+window-1
+    contributes a shared fingerprint — the standard local-dedup sketch."""
+    hs = kgram_rolling_hashes(col, k)
+    nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(0))
+    mins = F.when(
+        nw >= 1,
+        F.transform(F.sequence(F.lit(1), nw), lambda p: F.array_min(F.slice(hs, p, window))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_sort(F.array_distinct(mins))
+
+
 def fingerprint(col: Column, bits_hex: int = 16) -> Column:
     """Deterministic document fingerprint: md5 prefix of the normalized
     text (lowercased, whitespace-collapsed). md5 exists in both Spark and

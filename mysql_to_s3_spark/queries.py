@@ -1011,6 +1011,47 @@ _q(
     _text_fingerprint_spark,
     f"SELECT doc_id, {_SQL_FP} AS fp FROM documents",
 )
+
+
+def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.text import winnow_fingerprint
+    from mysql_to_s3_spark.sources.registry import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprint(F.col("text"), k=5, window=4)
+    return docs.select(
+        F.col("doc_id"),
+        F.size(fps).alias("n_fp"),
+        F.element_at(fps, 1).alias("fp_min"),
+        F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("fp_sum"),
+    )
+
+
+_q(
+    "text_winnow_fingerprint",
+    _text_winnow_spark,
+    # winnowing (MOSS): portable polynomial k-gram rolling hash (k=5,
+    # base=257 — bigint-exact, engine-independent), window-4 minima,
+    # distinct+sorted; summarized as count/min/sum per doc
+    """WITH h AS (
+         SELECT doc_id,
+                list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                  i -> ascii(text[i]) * 4362470401 + ascii(text[i+1]) * 16974593
+                     + ascii(text[i+2]) * 66049 + ascii(text[i+3]) * 257 + ascii(text[i+4])) AS hs
+         FROM documents),
+       w AS (
+         SELECT doc_id,
+                list_sort(list_distinct(list_transform(range(1, greatest(len(hs) - 3, 0) + 1),
+                  p -> list_min(hs[p:p+3])))) AS fps
+         FROM h)
+       SELECT doc_id,
+              CAST(len(fps) AS INT) AS n_fp,
+              fps[1] AS fp_min,
+              CAST(list_sum(fps) AS BIGINT) AS fp_sum
+       FROM w""",
+)
 _q(
     "dedup_exact",
     _dedup_exact_spark,

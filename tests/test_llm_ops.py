@@ -109,3 +109,21 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     # probing ALL cells recovers the exact answer
     full = {r["vec_id"] for r in similarity.ivf_topk(emb, q, centroids, k=10, nprobe=16).collect()}
     assert full == exact
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    from mysql_to_s3_spark.operators.text import winnow_fingerprint
+
+    k, w = 5, 4
+    shared = "identical-fragment"  # len 18 >= k + w - 1
+    df = spark.createDataFrame(
+        [(1, f"xxx {shared} yyy"), (2, f"zz {shared} qq qq")], "id long, text string"
+    )
+    rows = {r["id"]: set(r["f"]) for r in
+            df.select("id", winnow_fingerprint(F.col("text"), k, w).alias("f")).collect()}
+    # winnowing guarantee: any shared substring of length >= k+w-1
+    # contributes at least one shared fingerprint
+    assert rows[1] & rows[2]
+
+    empty = spark.createDataFrame([(1, "ab")], "id long, text string")
+    assert empty.select(winnow_fingerprint(F.col("text"), k, w).alias("f")).first()["f"] == []
