@@ -298,3 +298,47 @@ def embedding_dup_pairs(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 8,
+    k: int = 5,
+    window: int = 4,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >= ``min_shared`` winnowing
+    fingerprints (MOSS-style local similarity).
+
+    Scale story: the winnow sketch is ~1/window the size of the shingle
+    set, so the explode+self-join shuffles a fraction of the ngram-Jaccard
+    volume; the join key is a single bigint hash. One shuffle on the
+    fingerprint, one partial-aggregated count per pair. ``max_df`` is the
+    skew valve: corpus-hot fingerprints (boilerplate substrings shared by
+    >max_df docs) are freq^2 join bombs carrying no discriminative signal
+    — dropping them is DETERMINISTIC, so an oracle applying the same rule
+    still matches exactly."""
+    from mysql_to_s3_spark.operators.text import winnow_fingerprint
+
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprint(F.col(text_col), k, window)).alias("fp"),
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        fps = (
+            fps.withColumn("__df__", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+            .filter(F.col("__df__") <= max_df)
+            .drop("__df__")
+        )
+    x = fps.alias("x")
+    y = fps.alias("y")
+    return (
+        x.join(y, (F.col("x.fp") == F.col("y.fp")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )

@@ -153,7 +153,18 @@ def winnow_fingerprint(col: Column, k: int = 5, window: int = 4) -> Column:
     the sorted distinct set of per-window minima over the k-gram rolling
     hashes. Guarantees any shared substring of length >= k+window-1
     contributes a shared fingerprint — the standard local-dedup sketch."""
-    hs = kgram_rolling_hashes(col, k)
+    return winnow_from_hashes(kgram_rolling_hashes(col, k), window)
+
+
+def winnow_from_hashes(hs: Column, window: int = 4) -> Column:
+    """Winnow a (preferably MATERIALIZED) hash-array column.
+
+    ``hs`` is referenced once per window position — if it is a raw k-gram
+    expression rather than a materialized column, Catalyst's projection
+    collapse re-expands the whole O(n*k) hash computation at every
+    reference (measured: catalog query went 25s -> timeout when a w-way
+    least() referenced the expression w times). Pass `F.col(...)` after a
+    withColumn when composing."""
     nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(0))
     mins = F.when(
         nw >= 1,

@@ -1016,12 +1016,15 @@ _q(
 def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.text import winnow_fingerprint
+    from mysql_to_s3_spark.operators.text import kgram_rolling_hashes, winnow_from_hashes
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    fps = winnow_fingerprint(F.col("text"), k=5, window=4)
-    return docs.select(
+    # materialize the O(n*k) hash array once; winnowing then references a
+    # column, not an expression Catalyst would re-expand per window
+    hashed = docs.select("doc_id", kgram_rolling_hashes(F.col("text"), k=5).alias("__hs__"))
+    fps = winnow_from_hashes(F.col("__hs__"), window=4)
+    return hashed.select(
         F.col("doc_id"),
         F.size(fps).alias("n_fp"),
         F.element_at(fps, 1).alias("fp_min"),

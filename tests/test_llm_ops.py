@@ -127,3 +127,23 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
 
     empty = spark.createDataFrame([(1, "ab")], "id long, text string")
     assert empty.select(winnow_fingerprint(F.col("text"), k, w).alias("f")).first()["f"] == []
+
+
+def test_winnow_pairs_finds_shared_passage(spark):
+    from mysql_to_s3_spark.operators.dedup import winnow_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {passage} omega"),
+            (2, f"prelude {passage} coda coda"),
+            (3, "entirely unrelated wording about database engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]) for r in winnow_pairs(docs, min_shared=5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # the max_df skew valve drops corpus-hot fingerprints deterministically
+    assert winnow_pairs(docs, min_shared=5, max_df=1).count() == 0
