@@ -180,3 +180,57 @@ def test_expression_pairs_match_duckdb(spark, rows):
                 gv = None if gv == "" else gv
                 wv = None if wv == "" else wv
             assert gv == wv, f"{name}: spark={gv!r} duckdb={wv!r} rows={rows}"
+
+
+agg_row = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["x", "y", "z", ""])),  # group key
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=9)),  # value
+)
+
+
+@given(st.lists(agg_row, min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_groupby_aggregates_match_duckdb(spark, rows):
+    """JX groupby on adversarial data: null groups kept, null-ignoring
+    aggregates, exists/count semantics."""
+    import duckdb
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    )
+    out = run(
+        {
+            "from": "t",
+            "groupby": ["k"],
+            "select": [
+                {"name": "n", "value": "v", "aggregate": "count"},
+                {"name": "s", "value": "v", "aggregate": "sum"},
+                {"name": "mn", "value": "v", "aggregate": "minimum"},
+                {"name": "mx", "value": "v", "aggregate": "maximum"},
+                {"name": "av", "value": "v", "aggregate": "average"},
+                {"name": "ex", "value": "v", "aggregate": "exists"},
+            ],
+        },
+        spark=spark,
+        containers={"t": df},
+    )
+    got = sorted(
+        (tuple(_norm(r[c]) for c in ["k", "n", "s", "mn", "mx", "av", "ex"]) for r in out.collect())
+    , key=str)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "v"]).astype({"v": "Int64"}))
+    want = sorted(
+        (
+            tuple(_norm(v) for v in r)
+            for r in con.execute(
+                """SELECT k, count(v) AS n, sum(v) AS s, min(v) AS mn, max(v) AS mx,
+                          avg(v) AS av, count(v) > 0 AS ex
+                   FROM t GROUP BY k"""
+            ).fetchall()
+        )
+    , key=str)
+    assert got == want, (got, want)
