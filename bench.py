@@ -45,8 +45,11 @@ def main() -> None:
     from mysql_to_s3_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers so per-query numbers measure the plans
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # plans; agg_scalar_moments touches the heavy codegen paths (exact
+    # percentile ObjectHashAggregate + count-distinct expand)
     catalog.build("agg_scalar_stats")(spark, sf_dir).collect()
+    catalog.build("agg_scalar_moments")(spark, sf_dir).collect()
 
     # min of two runs per query: measures the plan's cost, not transient
     # host contention (single-run numbers showed 1.5-6x run-to-run noise)

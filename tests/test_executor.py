@@ -429,3 +429,28 @@ def test_nested_table_from(spark, sf_dir):
     )
     want = lines.agg(F.sum("l_quantity")).collect()[0][0]
     assert abs(got.collect()[0]["total"] - want) < 1e-6
+
+
+def test_error_contract_probes(spark, sf_dir):
+    """API-contract parity probes: each malformed query fails loudly with
+    the documented exception, never a silent wrong answer."""
+    import pytest
+
+    from mysql_to_s3_spark.functions.compiler import JXError, compile_expression
+    from mysql_to_s3_spark.operators.executor import ExecutionError
+    from mysql_to_s3_spark.plans.normalize import QueryError, QueryOp
+
+    with pytest.raises(JXError):
+        compile_expression({"frobnicate": "x"})
+
+    # groupby and edges are mutually exclusive (query.py:230-231)
+    with pytest.raises(QueryError):
+        QueryOp.wrap({"from": "lineitem", "groupby": ["a"], "edges": ["b"]})
+
+    # having is parsed-then-rejected, parity with the unimplemented
+    # reference (query.py:244)
+    with pytest.raises(QueryError):
+        QueryOp.wrap({"from": "lineitem", "having": {"gt": {"n": 1}}})
+
+    with pytest.raises(ExecutionError):
+        run({"from": "no_such_table", "select": ["x"]}, spark=spark, sf_dir=sf_dir)
