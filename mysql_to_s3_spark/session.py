@@ -32,6 +32,13 @@ def get_spark(app_name: str = "mysql_to_s3_spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # local harness: testdata tables are single ~10 MB parquet files;
+        # the default 4 MB openCostInBytes floors the split size at 4 MB
+        # and caps such a scan at ~3 tasks on 32 cores. Real deployments
+        # read many-file datasets where this never binds; locally a lower
+        # open cost lets heavy per-row work (exact percentile, hashing)
+        # use the full core count.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
