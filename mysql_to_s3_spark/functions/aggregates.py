@@ -24,7 +24,10 @@ def build_aggregate(
     col: Column,
     percentile: float | None = None,
     approx: bool = False,
+    middle: float | None = None,
 ) -> Column:
+    if agg == "stats" and middle is not None:
+        return _trimmed_stats(col, middle)
     if agg == "count":
         return F.count(col)
     if agg == "sum":
@@ -87,6 +90,43 @@ def build_aggregate(
             F.percentile(col, F.lit(0.5)).alias("median"),
         )
     raise AggError(f"unknown aggregate {agg!r}")
+
+
+def _trimmed_stats(col: Column, middle: float) -> Column:
+    """Outlier-trimmed stats bundle ``Stats(middle=m)`` (reference
+    jx_python/windows.py:126-155): sort the group's samples, drop
+    ``ceil(n*(1-m)/2)`` from EACH end, aggregate the middle slice. All
+    post-aggregation Column algebra over the collected list — fine for
+    bounded groups (the reference collects the same samples per group);
+    unbounded-group trimming at scale belongs to approximate quantiles.
+    Returns an empty (count=0) bundle when the trim swallows the group."""
+    lst = F.array_sort(F.collect_list(col))
+    n = F.size(lst)
+    ig = F.ceil(n.cast("double") * (1.0 - float(middle)) / 2.0).cast("int")
+    ok = (ig * 2) < n
+    m = F.when(ok, F.slice(lst, ig + 1, n - 2 * ig)).otherwise(
+        F.array().cast("array<double>")
+    )
+    cnt = F.size(m)
+    total = F.aggregate(m, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    sos = F.aggregate(m, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    avg = F.when(cnt > 0, total / cnt)
+    var = F.when(cnt > 0, sos / cnt - (total / cnt) * (total / cnt))
+    # interpolated median straight off the sorted slice
+    r = (cnt - 1).cast("double") / 2.0
+    lo = F.element_at(m, F.floor(r).cast("int") + 1)
+    hi = F.element_at(m, F.least(F.floor(r).cast("int") + 2, cnt))
+    med = F.when(cnt > 0, lo + (hi - lo) * (r - F.floor(r)))
+    return F.struct(
+        cnt.cast("bigint").alias("count"),
+        F.when(cnt > 0, total).alias("sum"),
+        F.when(cnt > 0, F.element_at(m, 1)).alias("min"),  # when-guard: ANSI element_at throws on empty
+        F.when(cnt > 0, F.element_at(m, -1)).alias("max"),
+        avg.alias("avg"),
+        F.when(cnt > 0, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std"),
+        var.alias("var"),
+        med.alias("median"),
+    )
 
 
 # aggregates usable inside a window frame (reference windows.py:104-337)

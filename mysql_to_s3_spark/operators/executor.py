@@ -227,7 +227,7 @@ def _agg_column(df: DataFrame, s: SelectClause, schema: Schema) -> Column:
         # count of non-missing (JX missing ⊇ {null, ""}): count(when(exists))
         agg = F.count(F.when(~c.missing, F.lit(1)))
     else:
-        agg = build_aggregate(s.aggregate, col, percentile=s.percentile)
+        agg = build_aggregate(s.aggregate, col, percentile=s.percentile, middle=s.middle)
     if s.default is not None:
         dflt = compile_expression(s.default, schema)
         agg = F.coalesce(agg, dflt.col)

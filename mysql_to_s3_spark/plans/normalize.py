@@ -71,6 +71,7 @@ class SelectClause:
     aggregate: str = "none"
     default: Any = None
     percentile: float | None = None
+    middle: float | None = None  # trimmed-stats fraction (windows.py:126-155)
 
 
 @dataclass
@@ -192,6 +193,7 @@ def _normalize_select(s, has_dims: bool) -> SelectClause:
         aggregate=CANONICAL_AGGS[agg],
         default=s.get("default"),
         percentile=s.get("percentile"),
+        middle=s.get("middle"),
     )
 
 

@@ -437,6 +437,59 @@ _q(
        FROM parts LEFT JOIN agg ON parts.seg IS NOT DISTINCT FROM agg.seg""",
 )
 
+def _trimmed_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    out = run(
+        {
+            "from": "lineitem",
+            "groupby": ["l_returnflag"],
+            "select": [{"name": "st", "value": "l_quantity", "aggregate": "stats", "middle": 0.8}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("st.count").alias("cnt"),
+        F.round(F.col("st.sum"), 6).alias("total"),
+        F.col("st.min").alias("mn"),
+        F.col("st.max").alias("mx"),
+        F.round(F.col("st.avg"), 6).alias("av"),
+        F.round(F.col("st.std"), 6).alias("sd"),
+        F.round(F.col("st.median"), 6).alias("med"),
+    )
+
+
+_q(
+    "agg_trimmed_stats",
+    _trimmed_stats_spark,
+    # Stats(middle=0.8): drop ceil(n*0.1) samples from each end of the
+    # sorted group, aggregate the middle slice (windows.py:126-155)
+    """WITH s AS (
+         SELECT l_returnflag, list_sort(list(l_quantity)) AS l
+         FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+       t AS (
+         SELECT l_returnflag,
+                l[(CAST(ceil(len(l) * 0.1) AS INT) + 1):(len(l) - CAST(ceil(len(l) * 0.1) AS INT))] AS m
+         FROM s)
+       SELECT l_returnflag,
+              CAST(len(m) AS BIGINT) AS cnt,
+              round(list_sum(m), 6) AS total,
+              m[1] AS mn,
+              m[-1] AS mx,
+              round(list_avg(m), 6) AS av,
+              round(sqrt(list_sum(list_transform(m, x -> x * x)) / len(m)
+                         - list_avg(m) * list_avg(m)), 6) AS sd,
+              round(CASE WHEN (len(m) - 1) % 2 = 0
+                         THEN m[(len(m) - 1) // 2 + 1]
+                         ELSE (m[(len(m) - 1) // 2 + 1] + m[(len(m) - 1) // 2 + 2]) / 2.0
+                    END, 6) AS med
+       FROM t""",
+)
+
 _q(
     "window_percentile_partition",
     _rounded(
