@@ -1743,6 +1743,48 @@ _q(
 )
 
 
+def _counters_month_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month batch buckets (DurationCounter with a month duration
+    keeps months separate from seconds, counter.py:67-79 + mo_times)."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sources.registry import load_table
+    from mysql_to_s3_spark.streaming.counters import batch_key_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = batch_key_columns(
+        orders, "o_orderdate", start="1995-01-01", batch_spec=["month", 400], tiebreak_cols=["o_orderkey"]
+    )
+    return keyed.select(
+        F.col("o_orderkey"),
+        F.col("__batch0__").alias("batch0"),
+        F.col("__batch1__").alias("batch1"),
+        F.col("__batch2__").cast("bigint").alias("batch2"),
+    )
+
+
+_q(
+    "counters_batch_keys_month",
+    _counters_month_spark,
+    # calendar months elapsed since the month-floored start (start is a
+    # month boundary, so boundary-count == full-months-elapsed)
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(datediff('month', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS b0
+      FROM orders
+    ), r AS (
+      SELECT o_orderkey, b0,
+             row_number() OVER (PARTITION BY b0 ORDER BY o_orderdate, o_orderkey) - 1 AS rn
+      FROM b
+    )
+    SELECT o_orderkey, b0 AS batch0,
+           CAST(floor(rn / 400) AS BIGINT) AS batch1,
+           CAST(rn % 400 AS BIGINT) AS batch2
+    FROM r""",
+)
+
+
 def names() -> list[str]:
     return list(CATALOG)
 
