@@ -25,7 +25,7 @@ Scale design notes (per operator):
                (band, chunk), verify with bit_count(xor).
   embedding    cosine >= threshold; exact double-math dot/norms in Column
                algebra. The demo query is all-pairs (fine at oracle scale);
-               at corpus scale route through similarity.lsh_buckets first.
+               at corpus scale use similarity.embedding_dup_pairs_lsh instead.
 
 All operators are pure Column algebra — no Python UDFs anywhere.
 """
@@ -289,8 +289,8 @@ def embedding_dup_pairs(
     """Embedding-cosine near-dup pairs above ``threshold``.
 
     This demo form is all-pairs (exact, fine at verification scale); the
-    100 TB path buckets by similarity.lsh_buckets and compares within
-    buckets only."""
+    100 TB path is similarity.embedding_dup_pairs_lsh: multi-table LSH
+    bucketing, exact-cosine verification of candidates only."""
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (

@@ -153,3 +153,43 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table LSH bucketing — the
+    corpus-scale form of ``dedup.embedding_dup_pairs`` (which is
+    all-pairs): ``n_tables`` independent hyperplane sets each bucket every
+    vector; candidate pairs share a bucket in ANY table; exact cosine
+    verifies candidates only.
+
+    Scale: per table one projection + a self-equi-join on the bucket key
+    (2^n_planes-fold candidate shrinkage); the all-pairs O(n^2) never
+    happens. Miss probability per pair at angle θ:
+    (1 - (1 - θ/π)^n_planes)^n_tables — tune tables/planes to recall."""
+    dim = len(df.select(vec_col).first()[0])
+    cands = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim=dim, n=n_planes, seed=_SEED + 1000 + t)
+        b = df.select(F.col(id_col).alias("id"), lsh_bucket(F.col(vec_col), planes).alias("bk"))
+        pair_t = (
+            b.alias("x")
+            .join(b.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        )
+        cands = pair_t if cands is None else cands.unionByName(pair_t)
+    cands = cands.distinct()
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -147,3 +147,19 @@ def test_winnow_pairs_finds_shared_passage(spark):
 
     # the max_df skew valve drops corpus-hot fingerprints deterministically
     assert winnow_pairs(docs, min_shared=5, max_df=1).count() == 0
+
+
+def test_embedding_dup_lsh_matches_all_pairs(spark, sf_dir):
+    from mysql_to_s3_spark.operators.dedup import embedding_dup_pairs
+    from mysql_to_s3_spark.operators.similarity import embedding_dup_pairs_lsh
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["a"], r["b"]) for r in embedding_dup_pairs(emb, threshold=0.45).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              embedding_dup_pairs_lsh(emb, threshold=0.45, n_tables=6, n_planes=4).collect()}
+    # verification is exact cosine, so no false positives
+    assert approx <= exact
+    # multi-table recall on the provisioned embeddings
+    if exact:
+        assert len(approx) / len(exact) >= 0.6, (len(approx), len(exact))
