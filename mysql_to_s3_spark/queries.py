@@ -1743,6 +1743,58 @@ _q(
 )
 
 
+def _format_cube2d_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D dense cube: data['n'] is a matrix indexed by (edge0, edge1)
+    coordinates; flattened back to rows for the oracle compare."""
+    from mysql_to_s3_spark.plans.formats import run_formatted
+
+    shaped = run_formatted(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "rf",
+                    "value": "l_returnflag",
+                    "allowNulls": False,
+                    "domain": {"type": "set", "partitions": ["A", "N", "R"]},
+                },
+                {
+                    "name": "ls",
+                    "value": "l_linestatus",
+                    "allowNulls": False,
+                    "domain": {"type": "set", "partitions": ["F", "O"]},
+                },
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            "format": "cube",
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    rfs = [p["value"] for p in shaped["edges"][0]["domain"]["partitions"]]
+    lss = [p["value"] for p in shaped["edges"][1]["domain"]["partitions"]]
+    rows = [
+        (rf, ls, shaped["data"]["n"][i][j])
+        for i, rf in enumerate(rfs)
+        for j, ls in enumerate(lss)
+    ]
+    return spark.createDataFrame(rows, "rf string, ls string, n bigint")
+
+
+_q(
+    "format_cube_2d",
+    _format_cube2d_spark,
+    """WITH agg AS (SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
+                    FROM lineitem
+                    WHERE l_returnflag IN ('A','N','R') AND l_linestatus IN ('F','O')
+                    GROUP BY 1, 2),
+            dense AS (SELECT rf, ls FROM (VALUES ('A'),('N'),('R')) r(rf)
+                      CROSS JOIN (VALUES ('F'),('O')) l(ls))
+       SELECT dense.rf AS rf, dense.ls AS ls, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       FROM dense LEFT JOIN agg USING (rf, ls)""",
+)
+
+
 def _counters_month_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month batch buckets (DurationCounter with a month duration
     keeps months separate from seconds, counter.py:67-79 + mo_times)."""
