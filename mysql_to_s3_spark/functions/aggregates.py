@@ -100,7 +100,14 @@ def _trimmed_stats(col: Column, middle: float) -> Column:
     bounded groups (the reference collects the same samples per group);
     unbounded-group trimming at scale belongs to approximate quantiles.
     Returns an empty (count=0) bundle when the trim swallows the group."""
-    lst = F.array_sort(F.collect_list(col))
+    return trimmed_stats_of_list(F.collect_list(col), middle)
+
+
+def trimmed_stats_of_list(collected: Column, middle: float) -> Column:
+    """The trim+aggregate algebra over an already-collected sample list —
+    shared by the grouped aggregate (collect_list) and the window form
+    (collect_list().over(w))."""
+    lst = F.array_sort(collected)
     n = F.size(lst)
     ig = F.ceil(n.cast("double") * (1.0 - float(middle)) / 2.0).cast("int")
     ok = (ig * 2) < n

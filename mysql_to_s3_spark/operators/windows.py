@@ -88,5 +88,13 @@ def apply_window(df: DataFrame, w: WindowClause, schema: Schema) -> DataFrame:
     else:
         spec = spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
+    if w.aggregate == "stats" and w.middle is not None:
+        # trimmed stats over a frame: collect the frame's samples with the
+        # window, trim+aggregate with post-window Column algebra
+        from mysql_to_s3_spark.functions.aggregates import trimmed_stats_of_list
+
+        collected = F.collect_list(val).over(spec)
+        return df.withColumn(w.name, trimmed_stats_of_list(collected, w.middle))
+
     agg_col = build_window_aggregate(w.aggregate, val, w.percentile)
     return df.withColumn(w.name, agg_col.over(spec))

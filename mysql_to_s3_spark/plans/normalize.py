@@ -93,6 +93,7 @@ class WindowClause:
     range: dict | None = None  # {min, max} row frame
     where: Any = None
     percentile: float | None = None
+    middle: float | None = None  # trimmed-stats window (windows.py:126-155)
 
 
 @dataclass
@@ -271,4 +272,5 @@ def _normalize_window(w) -> WindowClause:
         range=w.get("range"),
         where=w.get("where"),
         percentile=w.get("percentile"),
+        middle=w.get("middle"),
     )

@@ -1743,6 +1743,68 @@ _q(
 )
 
 
+def _window_trimmed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    out = run(
+        {
+            "from": "lineitem",
+            "where": {"lt": {"l_orderkey": 300}},
+            "window": [
+                {
+                    "name": "st",
+                    "value": "l_quantity",
+                    "aggregate": "stats",
+                    "middle": 0.6,
+                    "edges": ["l_orderkey"],
+                }
+            ],
+            "select": ["l_orderkey", "l_linenumber", "l_quantity", "st"],
+            "sort": ["l_orderkey", "l_linenumber", "l_quantity"],
+            "limit": 10000,
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("st.count").alias("tcnt"),
+        F.round(F.col("st.avg"), 6).alias("tav"),
+        F.round(F.col("st.median"), 6).alias("tmed"),
+    )
+
+
+_q(
+    "window_trimmed_stats",
+    _window_trimmed_spark,
+    # per-partition trimmed stats: drop ceil(n*0.2) from each end of the
+    # sorted partition samples, aggregate the middle slice
+    """WITH g AS (
+         SELECT l_orderkey, list_sort(list(l_quantity)) AS l
+         FROM lineitem WHERE l_orderkey < 300 GROUP BY 1),
+       t AS (
+         SELECT l_orderkey,
+                CASE WHEN 2 * CAST(ceil(len(l) * 0.2) AS INT) < len(l)
+                     THEN l[(CAST(ceil(len(l) * 0.2) AS INT) + 1):(len(l) - CAST(ceil(len(l) * 0.2) AS INT))]
+                     ELSE [] END AS m
+         FROM g)
+       SELECT li.l_orderkey, li.l_linenumber, li.l_quantity,
+              CAST(len(m) AS BIGINT) AS tcnt,
+              round(list_avg(m), 6) AS tav,
+              round(CASE WHEN len(m) = 0 THEN NULL
+                         WHEN (len(m) - 1) % 2 = 0 THEN m[(len(m) - 1) // 2 + 1]
+                         ELSE (m[(len(m) - 1) // 2 + 1] + m[(len(m) - 1) // 2 + 2]) / 2.0
+                    END, 6) AS tmed
+       FROM lineitem li JOIN t USING (l_orderkey)
+       WHERE li.l_orderkey < 300
+       ORDER BY li.l_orderkey, li.l_linenumber, li.l_quantity LIMIT 10000""",
+)
+
+
 def _format_cube2d_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D dense cube: data['n'] is a matrix indexed by (edge0, edge1)
     coordinates; flattened back to rows for the oracle compare."""
