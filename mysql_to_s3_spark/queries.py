@@ -1743,6 +1743,25 @@ _q(
 )
 
 
+_q(
+    "setop_from_subquery",
+    {
+        "from": {
+            "from": "lineitem",
+            "groupby": ["l_orderkey"],
+            "select": [{"name": "qty", "value": "l_quantity", "aggregate": "sum"}],
+        },
+        "where": {"gte": {"qty": 300}},
+        "select": ["l_orderkey", "qty"],
+        "sort": ["l_orderkey"],
+        "limit": 10000,
+    },
+    """SELECT l_orderkey, qty FROM (
+         SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1)
+       WHERE qty >= 300 ORDER BY l_orderkey LIMIT 10000""",
+)
+
+
 def _window_trimmed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
