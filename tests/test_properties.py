@@ -234,3 +234,58 @@ def test_groupby_aggregates_match_duckdb(spark, rows):
         )
     , key=str)
     assert got == want, (got, want)
+
+
+@given(st.lists(agg_row, min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_edges_dense_set_domain_matches_duckdb(spark, rows):
+    """Dense set-domain edges: declared parts always present (count 0 when
+    empty), out-of-domain and NULL rows in the null bucket, sums NULL for
+    empty cells while counts are 0."""
+    import duckdb
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    )
+    out = run(
+        {
+            "from": "t",
+            "edges": [
+                {
+                    "name": "k",
+                    "value": "k",
+                    "allowNulls": True,
+                    "domain": {"type": "set", "partitions": ["x", "y"]},
+                }
+            ],
+            "select": [
+                {"name": "n", "value": "v", "aggregate": "count"},
+                {"name": "s", "value": "v", "aggregate": "sum"},
+            ],
+        },
+        spark=spark,
+        containers={"t": df},
+    )
+    got = sorted((tuple(_norm(r[c]) for c in ["k", "n", "s"]) for r in out.collect()), key=str)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "v"]).astype({"v": "Int64"}))
+    want = sorted(
+        (
+            tuple(_norm(v) for v in r)
+            for r in con.execute(
+                """WITH agg AS (
+                     SELECT CASE WHEN k IN ('x','y') THEN k END AS k,
+                            count(v) AS n, sum(v) AS s
+                     FROM t GROUP BY 1),
+                   parts(k) AS (VALUES ('x'), ('y'), (NULL))
+                   SELECT parts.k, coalesce(agg.n, 0) AS n, agg.s AS s
+                   FROM parts LEFT JOIN agg ON parts.k IS NOT DISTINCT FROM agg.k"""
+            ).fetchall()
+        ),
+        key=str,
+    )
+    assert got == want, (got, want)
