@@ -454,3 +454,38 @@ def test_error_contract_probes(spark, sf_dir):
 
     with pytest.raises(ExecutionError):
         run({"from": "no_such_table", "select": ["x"]}, spark=spark, sf_dir=sf_dir)
+
+
+def test_edge_named_after_source_column_keeps_raw_values(spark, sf_dir, duck):
+    """Round-1 ADVICE regression: an edge whose name equals its source
+    column (range domain) must NOT overwrite the raw column before select
+    aggregates compile — avg aggregates raw values, not bucket floors."""
+    out = run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "l_quantity",
+                    "value": "l_quantity",
+                    "allowNulls": False,
+                    "domain": {"type": "range", "min": 0, "max": 60, "interval": 20},
+                }
+            ],
+            "select": [{"name": "av", "value": "l_quantity", "aggregate": "average"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    got = {
+        (r["l_quantity"], round(r["av"], 6) if r["av"] is not None else None)
+        for r in out.collect()
+    }
+    want_rows = duck.execute(
+        """WITH agg AS (
+             SELECT floor(l_quantity / 20) * 20 AS b, avg(l_quantity) AS av
+             FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 60 GROUP BY 1),
+           parts(b) AS (VALUES (0.0), (20.0), (40.0))
+           SELECT parts.b, agg.av FROM parts LEFT JOIN agg USING (b)"""
+    ).fetchall()
+    want = {(b, round(av, 6) if av is not None else None) for b, av in want_rows}
+    assert got == want, (got, want)
