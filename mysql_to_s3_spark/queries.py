@@ -1615,6 +1615,43 @@ _q(
 )
 
 
+def _agg_one_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`one` aggregate (windows.py:76-101): asserts single-valuedness per
+    group — n_name is functionally dependent on n_nationkey via the join,
+    so `one` succeeds; a multi-valued group would raise."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left"
+    ).select("c_nationkey", "n_name", "c_acctbal")
+    return run(
+        {
+            "from": "t",
+            "groupby": ["c_nationkey"],
+            "select": [
+                {"name": "nation_name", "value": "n_name", "aggregate": "one"},
+                {"name": "n", "value": ".", "aggregate": "count"},
+            ],
+        },
+        spark=spark,
+        containers={"t": joined},
+    )
+
+
+_q(
+    "agg_one_single_valued",
+    _agg_one_spark,
+    """SELECT c.c_nationkey, any_value(n.n_name) AS nation_name, count(*) AS n
+       FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY 1""",
+)
+
+
 def _ingest_widening_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening lattice: int+float -> number; +string -> string;
     scalar+array -> array(widened); field union across docs."""
