@@ -27,7 +27,7 @@ import datetime as dt
 import math
 from typing import Any, Sequence
 
-from mysql_to_s3_spark.functions.dates import add_months, parse_duration
+from mysql_to_s3_spark.functions.dates import parse_duration
 
 _WEEK_OFFSET = 4 * 86400  # unix epoch was a Thursday; +4d anchors Sundays
 
