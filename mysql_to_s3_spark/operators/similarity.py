@@ -65,19 +65,37 @@ def topk_cosine(
 
 
 def ann_topk(
-    df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only the query's LSH bucket, exact cosine
-    re-rank inside it. At corpus scale the bucket column is precomputed and
-    partitioned-by, making this a partition-pruned scan."""
+    re-rank inside it. ``multiprobe`` is the recall knob: also probe every
+    bucket within that hamming distance of the query's sign pattern (a
+    vector near a hyperplane flips that bit, landing one bucket away) —
+    still a bucket-key IN-filter, so at corpus scale, with the bucket
+    column precomputed and partitioned-by, it stays a partition-pruned
+    scan of 1 + B + B(B-1)/2 + ... buckets, never a full scan."""
     planes = hyperplanes()
     q_bits = "".join(
         "1" if sum(float(a) * b for a, b in zip(query_vec, p)) > 0 else "0" for p in planes
     )
+    import itertools
+
+    probe = {q_bits}
+    for d in range(1, multiprobe + 1):
+        for flips in itertools.combinations(range(len(q_bits)), d):
+            bits = list(q_bits)
+            for i in flips:
+                bits[i] = "0" if bits[i] == "1" else "1"
+            probe.add("".join(bits))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-        .filter(F.col("bucket") == q_bits)
+        .filter(F.col("bucket").isin(sorted(probe)))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)

@@ -163,3 +163,17 @@ def test_embedding_dup_lsh_matches_all_pairs(spark, sf_dir):
     # multi-table recall on the provisioned embeddings
     if exact:
         assert len(approx) / len(exact) >= 0.6, (len(approx), len(exact))
+
+
+def test_ann_multiprobe_improves_recall(spark, sf_dir):
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.topk_cosine(emb, q, k=10).collect()}
+    r0 = {r["vec_id"] for r in similarity.ann_topk(emb, q, k=10).collect()}
+    r1 = {r["vec_id"] for r in similarity.ann_topk(emb, q, k=10, multiprobe=1).collect()}
+    r2 = {r["vec_id"] for r in similarity.ann_topk(emb, q, k=10, multiprobe=2).collect()}
+    # probing wider can only add candidates -> recall is monotone
+    assert len(r0 & exact) <= len(r1 & exact) <= len(r2 & exact)
+    assert len(r2) >= len(r0)
