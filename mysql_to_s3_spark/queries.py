@@ -86,7 +86,12 @@ def _rounded(jx_query: dict, cols: list[str], nd: int = 6) -> Callable[[SparkSes
 
         df = inner(spark, sf_dir)
         for c in cols:
-            df = df.withColumn(c, F.round(F.col(c), nd))
+            # (name, digits) overrides nd — big-magnitude sums need fewer
+            # decimals: 6dp on a ~1e9 value asks for ~16 significant
+            # digits, past double precision, so reassociation noise
+            # straddles the rounding boundary
+            name, digits = c if isinstance(c, tuple) else (c, nd)
+            df = df.withColumn(name, F.round(F.col(name), digits))
         return df
 
     return build
@@ -351,10 +356,10 @@ _q(
             {"name": "count_order", "value": ".", "aggregate": "count"},
         ],
         "where": {"lte": [{"unix": "l_shipdate"}, {"date": "1998-09-02"}]},
-    }, ["sum_base_price", "sum_disc_price", "avg_disc"]),
+    }, [("sum_base_price", 2), ("sum_disc_price", 2), "avg_disc"]),
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-              round(sum(l_extendedprice), 6) AS sum_base_price,
-              round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
               round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
