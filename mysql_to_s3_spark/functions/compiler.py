@@ -548,7 +548,9 @@ class _Compiler:
         if isinstance(term, list) and len(term) == 2:
             l, r = self.compile(term[0]), self.compile(term[1])
             dflt = self._default(expr)
-            raw = F.floor(l.col / r.col) * r.col
+            # FloorOp.data_type is NUMBER: cast the bucket back to double so
+            # integer inputs don't silently narrow the result to bigint.
+            raw = (F.floor(l.col / r.col) * r.col).cast("double")
             out = F.when(l.missing | r.missing | (r.col == 0), dflt.col).otherwise(raw)
             return Compiled(out, NUMBER)
         t = self.compile(term)

@@ -328,13 +328,32 @@ _q(
        FROM lineitem""",
 )
 
-_q(
-    "agg_union_set",
-    {
+def _union_set_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`union` aggregate, emitted as a '|'-joined string.
+
+    The aggregate itself returns a sorted array (kept for the local gate in
+    tests/), but the driver's value-hasher canonicalizes array cells
+    differently between Spark/Arrow and DuckDB/numpy, so the ONLY
+    array-typed driver row hash-mismatched in r02 despite equal values.
+    Joining to a scalar string makes the compare representation-free.
+    """
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    q = {
         "from": "lineitem",
         "select": [{"name": "flags", "value": "l_returnflag", "aggregate": "union"}],
-    },
-    """SELECT list_sort(list(DISTINCT l_returnflag)) AS flags FROM lineitem""",
+    }
+    df = run(q, spark=spark, sf_dir=sf_dir)
+    return df.select(F.concat_ws("|", F.col("flags")).alias("flags"))
+
+
+_q(
+    "agg_union_set",
+    _union_set_joined,
+    """SELECT array_to_string(list_sort(list(DISTINCT l_returnflag)), '|') AS flags
+       FROM lineitem""",
 )
 
 # -- groupby (§2.1) --
