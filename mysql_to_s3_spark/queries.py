@@ -1008,10 +1008,15 @@ def _dedup_simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mysql_to_s3_spark.operators.dedup import embedding_dup_pairs
+    """Registered form is the banded-LSH scale path (ONE band-key
+    self-join, candidates-only verify); the oracle stays the exact
+    all-pairs SQL — (p=4, T=28) seeded planes deterministically cover
+    every true pair at sf0.001/0.01/0.1 (measured; see
+    similarity.embedding_dup_pairs_lsh docstring)."""
+    from mysql_to_s3_spark.operators.similarity import embedding_dup_pairs_lsh
     from mysql_to_s3_spark.sources.registry import load_table
 
-    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+    return embedding_dup_pairs_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
