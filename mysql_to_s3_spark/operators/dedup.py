@@ -19,10 +19,11 @@ Scale design notes (per operator):
                verification of candidates only. Collision probability per
                band = j^r; with r=4,b=16 a 0.9-Jaccard pair is missed with
                p=(1-0.9^4)^16 ~= 4e-8.
-  simhash      64-bit signature from token-hash bit votes; near-dup =
-               hamming distance <= 3, found via the 4x16-bit band pigeonhole
-               (any pair with hamming<=3 agrees on >=1 band) — equi-join on
-               (band, chunk), verify with bit_count(xor).
+  simhash      60-bit signature from PORTABLE md5 token-hash bit votes
+               (DuckDB-replicable); near-dup = hamming distance <= 3, found
+               via the 4x16-bit band pigeonhole (any pair with hamming<=3
+               agrees on >=1 band) — equi-join on (band, chunk), verify
+               with bit_count(xor).
   embedding    cosine >= threshold; exact double-math dot/norms in Column
                algebra. The demo query is all-pairs (fine at oracle scale);
                at corpus scale use similarity.embedding_dup_pairs_lsh instead.
@@ -198,17 +199,27 @@ def minhash_lsh_pairs(
 
 
 def simhash_bits() -> int:
-    return 63  # stay in the positive range of a signed 64-bit long
+    # 60 bits = 15 hex digits of md5: the widest md5 prefix that fits a
+    # SIGNED bigint in every engine, so the token hash is ENGINE-PORTABLE
+    # (Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT == int(hex,16))
+    # and the DuckDB oracle replicates signatures bit-for-bit.
+    return 60
+
+
+def token_hash(w: Column) -> Column:
+    """Portable 60-bit token hash: int(md5(w)[:15], 16). md5 exists in
+    both Spark and DuckDB; see simhash_bits() for the width rationale."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """63-bit SimHash per document: per bit, majority vote of the distinct
-    token hashes. Explode + single hash-shuffle groupBy; the 63 bit-sums are
+    """60-bit SimHash per document: per bit, majority vote of the distinct
+    token hashes. Explode + single hash-shuffle groupBy; the 60 bit-sums are
     partial-aggregatable (map-side combine)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select("id", token_hash(F.col("w")).alias("h"))
     bit_sums = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -228,9 +239,11 @@ def simhash_pairs(
     df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via the band
-    pigeonhole: split the 63-bit hash into (max_hamming+1) chunks — a pair
+    pigeonhole: split the hash into (max_hamming+1) chunks — a pair
     within the radius must agree on >= 1 chunk — equi-join on (chunk index,
-    chunk value), then verify with bit_count(xor)."""
+    chunk value), then verify with bit_count(xor). Chunk width is
+    64 // n_chunks; bits past simhash_bits() are constant 0, which only
+    relaxes the filter, so pigeonhole recall is unaffected."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sh = simhash(df, id_col, text_col).cache()
