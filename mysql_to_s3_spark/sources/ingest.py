@@ -146,19 +146,83 @@ def insert_docs(df: DataFrame, docs: list[dict]) -> DataFrame:
     (insert_table.py:204 flatten_many analog)."""
     spark = df.sparkSession
     new = ingest_docs(spark, docs)
-    # widen both sides to the merged schema via a round-trip union
-    merged = new.unionByName(df, allowMissingColumns=True) if _compatible(df, new) else None
-    if merged is not None:
+    if _compatible(df, new):
         return df.unionByName(new, allowMissingColumns=True)
-    # incompatible scalar types: re-ingest everything with the merged desc
-    old_docs = [r.asDict(recursive=True) for r in df.collect()]
-    return ingest_docs(spark, old_docs + docs)
+    # incompatible scalar types: DISTRIBUTED re-cast — merge the two spark
+    # schemas through the widening lattice, cast BOTH sides column-wise to
+    # the merged schema, then union. Never collects the container (the old
+    # re-ingest fallback pulled every row to the driver: OOM at scale).
+    desc = merge_type(_desc_from_spark(df.schema), _desc_from_spark(new.schema))
+    return _cast_to(df, desc).unionByName(_cast_to(new, desc))
 
 
 def _compatible(a: DataFrame, b: DataFrame) -> bool:
     ta = {f.name: f.dataType for f in a.schema.fields}
     tb = {f.name: f.dataType for f in b.schema.fields}
     return all(ta[k] == tb[k] for k in set(ta) & set(tb))
+
+
+def _desc_from_spark(dtype: T.DataType) -> Any:
+    """Spark type -> widening-lattice descriptor (inverse of
+    _to_spark_type; only lattice types occur in ingested containers)."""
+    if isinstance(dtype, T.NullType):
+        return "null"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "number"
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, T.StructType):
+        return {"object": {f.name: _desc_from_spark(f.dataType) for f in dtype.fields}}
+    if isinstance(dtype, T.ArrayType):
+        return {"array": _desc_from_spark(dtype.elementType)}
+    raise IngestError(f"cannot widen non-lattice type {dtype.simpleString()}")
+
+
+def _cast_col(col: F.Column, src: T.DataType, desc: Any) -> F.Column:
+    """Column-algebra analog of _coerce: widen ``col`` (type ``src``) to
+    the merged descriptor, matching the driver-side coercions exactly
+    (integral doubles render '7' not '7.0'; booleans 'true'/'false')."""
+    target = _to_spark_type(desc)
+    if isinstance(desc, str):
+        if desc == "string" and isinstance(src, (T.FloatType, T.DoubleType)):
+            as_long = col.cast("long")
+            return F.when(
+                col.isNotNull() & (col == as_long.cast(src)), as_long.cast("string")
+            ).otherwise(col.cast("string"))
+        return col.cast(target)
+    if "object" in desc:
+        if not isinstance(src, T.StructType):
+            raise IngestError(f"expected struct, got {src.simpleString()}")
+        have = {f.name: f.dataType for f in src.fields}
+        fields = [
+            _cast_col(col.getField(k), have[k], v).alias(k)
+            if k in have
+            else F.lit(None).cast(_to_spark_type(v)).alias(k)
+            for k, v in sorted(desc["object"].items())
+        ]
+        return F.when(col.isNotNull(), F.struct(*fields))
+    # array target: scalar source nests into a 1-element array (NULL stays
+    # NULL, not [NULL]) — the jx_sqlite _nest_column analog
+    elem = desc["array"]
+    if isinstance(src, T.ArrayType):
+        return F.transform(col, lambda v: _cast_col(v, src.elementType, elem))
+    return F.when(col.isNotNull(), F.array(_cast_col(col, src, elem)))
+
+
+def _cast_to(df: DataFrame, desc: Any) -> DataFrame:
+    have = {f.name: f.dataType for f in df.schema.fields}
+    return df.select(
+        *[
+            _cast_col(F.col(k), have[k], v).alias(k)
+            if k in have
+            else F.lit(None).cast(_to_spark_type(v)).alias(k)
+            for k, v in sorted(desc["object"].items())
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------

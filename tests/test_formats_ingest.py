@@ -141,6 +141,42 @@ def test_insert_docs_incompatible_rebuild(spark):
     assert {r["x"] for r in df2.collect()} == {"1", "now a string"}
 
 
+def test_insert_docs_widening_is_distributed():
+    """The incompatible-widening path must never pull the container to the
+    driver (OOM at scale): the module may not call DataFrame.collect."""
+    import inspect
+
+    from mysql_to_s3_spark.sources import ingest
+
+    assert ".collect()" not in inspect.getsource(ingest)
+
+
+def test_insert_docs_widen_matches_driver_coercions(spark):
+    """Distributed _cast_col must render exactly what driver-side _coerce
+    renders: integral doubles as '7', booleans as 'true'/'false'."""
+    df = ingest_docs(spark, [{"x": 7.0, "b": True}])
+    df2 = insert_docs(df, [{"x": "s", "b": "maybe"}])
+    got = {(r["x"], r["b"]) for r in df2.collect()}
+    assert got == {("7", "true"), ("s", "maybe")}
+
+
+def test_insert_docs_widen_scalar_to_array(spark):
+    df = ingest_docs(spark, [{"t": "solo"}, {"t": None}])
+    df2 = insert_docs(df, [{"t": ["a", "b"]}])
+    got = sorted((r["t"] for r in df2.collect()), key=lambda v: (v is None, v))
+    assert got == [["a", "b"], ["solo"], None]  # NULL stays NULL, not [NULL]
+
+
+def test_insert_docs_widen_nested_object_field(spark):
+    df = ingest_docs(spark, [{"o": {"a": 1, "keep": "k"}}])
+    df2 = insert_docs(df, [{"o": {"a": 2.5}}])
+    rows = sorted(df2.collect(), key=lambda r: r["o"]["a"])
+    assert rows[0]["o"]["a"] == 1.0 and rows[0]["o"]["keep"] == "k"
+    assert rows[1]["o"]["a"] == 2.5 and rows[1]["o"]["keep"] is None
+    types = {f.name: f.dataType.simpleString() for f in df2.schema.fields}
+    assert types["o"] == "struct<a:double,keep:string>"
+
+
 def test_ingested_docs_queryable(spark):
     from mysql_to_s3_spark.operators.executor import run
 
