@@ -171,4 +171,9 @@ def build_window_aggregate(
         return F.approx_count_distinct(col)
     if agg == "count_distinct":
         return F.size(F.collect_set(col))
+    if agg == "one":
+        # not expressible as ONE window function (.over() target): the
+        # grouped form uses count_distinct, which is not window-legal.
+        # apply_window composes the window-safe collect_set form instead.
+        raise AggError("'one' over a window is composed by apply_window, not built here")
     return build_aggregate(agg, col)

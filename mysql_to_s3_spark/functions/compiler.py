@@ -372,7 +372,10 @@ class _Compiler:
                     raw_conds = raw_conds if None not in v else None
                     if raw_conds is not None:
                         raw_conds.append(lhs.col.isin(v))
-                elif v is None:
+                elif v is None or v == "":
+                    # JX treats "" as missing: eq-"" must match NULL rows
+                    # too, so the raw pushdown predicate (which drops
+                    # NULLs) is unusable — keep only the null-safe form
                     conds.append(self._null_safe_eq(lhs, self.op_literal(v)))
                     raw_conds = None
                 else:

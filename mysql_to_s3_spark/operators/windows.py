@@ -96,5 +96,16 @@ def apply_window(df: DataFrame, w: WindowClause, schema: Schema) -> DataFrame:
         collected = F.collect_list(val).over(spec)
         return df.withColumn(w.name, trimmed_stats_of_list(collected, w.middle))
 
+    if w.aggregate == "one":
+        # assert-single-value over the frame: collect_set is window-legal
+        # (count_distinct is not), and post-window algebra checks it. A
+        # single-valued frame makes element_at deterministic.
+        distinct = F.collect_set(val).over(spec)
+        col = F.when(
+            F.size(distinct) > 1,
+            F.raise_error(F.lit("'one' aggregate: group holds more than one distinct value")),
+        ).otherwise(F.element_at(F.when(F.size(distinct) == 1, distinct), 1))
+        return df.withColumn(w.name, col)
+
     agg_col = build_window_aggregate(w.aggregate, val, w.percentile)
     return df.withColumn(w.name, agg_col.over(spec))

@@ -56,13 +56,28 @@ def format_cube(df: DataFrame, edges: list | None = None, select_names: list[str
     edge_names = [e.name for e in edges]
     selects = select_names or [c for c in df.columns if c not in edge_names]
 
-    # partition values per edge, sorted, null bucket last (lists/aggs.py:44,54)
+    # partition values per edge: DECLARED domain order when the domain
+    # carries explicit partitions (set / general-set / time / range —
+    # reference cubes list named parts in declaration order, not
+    # alphabetized), else sorted observed values with the null bucket
+    # last (lists/aggs.py:44,54). Observed values outside the declared
+    # list (the allowNulls bucket) append after, None last.
     def part_key(v):
         return (v is None, v)
 
     parts: list[list] = []
-    for name in edge_names:
-        vals = sorted({r.get(name) for r in rows}, key=part_key)
+    for i, name in enumerate(edge_names):
+        observed = {r.get(name) for r in rows}
+        declared = None
+        if edges is not None and i < len(edges):
+            from mysql_to_s3_spark.plans.domains import compile_domain
+
+            declared = compile_domain(edges[i].domain).part_python_values()
+        if declared is not None:
+            extra = sorted(observed - set(declared), key=part_key)
+            vals = list(declared) + extra
+        else:
+            vals = sorted(observed, key=part_key)
         parts.append(vals)
     index = [{v: i for i, v in enumerate(p)} for p in parts]
 

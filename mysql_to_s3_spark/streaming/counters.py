@@ -158,13 +158,25 @@ def build_counter_chain(start, batch_spec) -> Any:
 # Spark-column analog (the scale path)
 
 
-def batch_key_columns(df, value_col: str, start, batch_spec, tiebreak_cols: Sequence[str] = ()):
+def batch_key_columns(
+    df,
+    value_col: str,
+    start,
+    batch_spec,
+    tiebreak_cols: Sequence[str] = (),
+    offsets: dict[int, int] | None = None,
+):
     """Add __batch0__/__batch1__/__batch2__ columns equal to the counter
     chain's key tuple, computed distributed.
 
     duration bucket = floor expression (no shuffle); sub-batch and row
     index = one window shuffle partitioned by the bucket. Skew bound: a
     bucket holds at most one duration of data.
+
+    ``offsets`` maps a duration bucket -> rows already numbered in earlier
+    calls (BatchCounter continuation): row numbering inside that bucket
+    starts after them instead of at 0. Bounded by elapsed durations, so a
+    literal map expression suffices.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -197,6 +209,9 @@ def batch_key_columns(df, value_col: str, start, batch_spec, tiebreak_cols: Sequ
 
     w = Window.partitionBy(bucket).orderBy(F.col(value_col), *[F.col(c) for c in tiebreak_cols])
     rn = F.row_number().over(w) - 1
+    if offsets:
+        m = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        rn = rn + F.coalesce(m[bucket.cast("bigint")], F.lit(0))
     return (
         df.withColumn("__batch0__", bucket.cast("bigint"))
         .withColumn("__batch1__", (rn / size).cast("bigint"))

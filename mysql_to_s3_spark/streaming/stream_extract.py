@@ -169,15 +169,24 @@ def stream_extract(
     id_cols: tuple[str, ...] = (),
     checkpoint: str | None = None,
 ):
-    """foreachBatch bridge: each micro-batch runs the SAME deterministic
-    batch-key assignment as the batch Extract (counters.batch_key_columns)
-    and lands one JSON-lines directory per batch key under
-    ``destination``. Returns the DataStreamWriter (caller starts it)."""
+    """foreachBatch bridge: each micro-batch runs the batch Extract's
+    key assignment (counters.batch_key_columns) CONTINUED across
+    micro-batches — per-bucket seen-row counts are carried between epochs
+    (the BatchCounter contract), so a duration bucket spanning polls keeps
+    one monotone sub-batch numbering instead of restarting at 0 and
+    overfilling b0.b1 directories. The carry lives in driver memory like
+    the reference's counter chain; on restart it resets with the stream
+    (a retried epoch re-numbers from the same carry, matching the
+    append-mode idempotence caveat of the JSON sink). Returns the
+    DataStreamWriter (caller starts it)."""
+    seen: dict[int, int] = {}
 
     def handle(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
             return
-        keyed = batch_key_columns(df, field, start, batch_spec, tiebreak_cols=id_cols)
+        keyed = batch_key_columns(
+            df, field, start, batch_spec, tiebreak_cols=id_cols, offsets=seen
+        )
         keys = [
             tuple(r)
             for r in keyed.select("__batch0__", "__batch1__").distinct().orderBy(
@@ -197,6 +206,10 @@ def stream_extract(
             write_json_lines(
                 docs, os.path.join(destination, f"{b0}.{b1}"), fact_name, mode="append"
             )
+        # carry per-bucket counts into the next epoch (bounded: one entry
+        # per elapsed duration bucket)
+        for r in keyed.groupBy("__batch0__").agg(F.count(F.lit(1)).alias("n")).collect():
+            seen[r["__batch0__"]] = seen.get(r["__batch0__"], 0) + r["n"]
 
     writer = sdf.writeStream.foreachBatch(handle)
     if checkpoint:

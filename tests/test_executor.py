@@ -384,6 +384,41 @@ def test_one_aggregate_raises_on_multiple_values(spark, sf_dir):
         run_q(spark, sf_dir, q).collect()
 
 
+def test_one_aggregate_in_window_clause(spark, sf_dir):
+    """'one' over a window partition: single-valued partitions pass
+    (regression: the grouped count_distinct form is not window-legal),
+    multi-valued partitions raise."""
+    import pytest
+
+    ok = {
+        "from": "orders",
+        "select": ["o_orderkey", "w"],
+        "window": [{
+            "name": "w",
+            "value": "o_custkey",
+            "edges": ["o_orderkey"],  # o_orderkey-partitions are single-valued in o_custkey
+            "aggregate": "one",
+        }],
+        "limit": 10000,
+    }
+    rows = run_q(spark, sf_dir, ok).collect()
+    assert rows and all(r["w"] is not None for r in rows)
+
+    bad = {
+        "from": "orders",
+        "select": ["o_orderkey", "w"],
+        "window": [{
+            "name": "w",
+            "value": "o_orderkey",
+            "edges": ["o_custkey"],  # a customer has many orders
+            "aggregate": "one",
+        }],
+        "limit": 10000,
+    }
+    with pytest.raises(Exception):
+        run_q(spark, sf_dir, bad).collect()
+
+
 def test_agg_query_rejects_plain_select(spark, sf_dir):
     import pytest
 

@@ -38,6 +38,17 @@ def test_eq_simple_form(spark):
     assert eval_expr(spark, {"eq": {"a": 4}}, a=3) is False
 
 
+def test_eq_empty_string_matches_null_in_filter_context(spark):
+    """JX ""==missing: eq-"" must keep NULL rows, so the raw pushdown
+    predicate (which drops them) must not be emitted in filter context."""
+    from mysql_to_s3_spark.operators.executor import run
+
+    df = spark.createDataFrame([("x", 1), ("", 2), (None, 3)], "s string, i int")
+    out = run({"from": "t", "where": {"eq": {"s": ""}}, "select": ["i"]},
+              spark=spark, containers={"t": df})
+    assert sorted(r["i"] for r in out.collect()) == [2, 3]
+
+
 def test_eq_rhs_list_is_in(spark):
     assert eval_expr(spark, {"eq": {"a": [1, 3, 5]}}, a=3) is True
     assert eval_expr(spark, {"eq": {"a": [1, 5]}}, a=3) is False

@@ -70,6 +70,54 @@ def test_format_cube_edges_dense_null_last(spark, sf_dir):
     assert data[parts.index("NOSUCH")] == 0  # dense empty cell
 
 
+def test_format_cube_set_domain_declaration_order(spark, sf_dir):
+    """Cube partitions follow the DECLARED domain order (reference cubes
+    are not alphabetized); null bucket appends after."""
+    q = {
+        "from": "customer",
+        "edges": [
+            {
+                "name": "seg",
+                "value": "c_mktsegment",
+                "domain": {"type": "set", "partitions": ["MACHINERY", "AUTOMOBILE", "BUILDING"]},
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        "format": "cube",
+    }
+    out = run_formatted(q, spark=spark, sf_dir=sf_dir)
+    parts = [p["value"] for p in out["edges"][0]["domain"]["partitions"]]
+    assert parts[:3] == ["MACHINERY", "AUTOMOBILE", "BUILDING"]
+    assert parts[-1] is None
+
+
+def test_format_cube_general_set_declaration_order(spark, sf_dir):
+    """General-set (where-parts) cubes keep named parts in declaration
+    order; mixed part names must not hit a sorted() TypeError."""
+    q = {
+        "from": "lineitem",
+        "edges": [
+            {
+                "name": "band",
+                "value": "l_quantity",
+                "domain": {
+                    "type": "set",
+                    "partitions": [
+                        {"name": "small", "where": {"lt": {"l_quantity": 10}}},
+                        {"name": "big", "where": {"gte": {"l_quantity": 40}}},
+                        {"name": "mid", "where": {"gte": {"l_quantity": 10}}},
+                    ],
+                },
+            }
+        ],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        "format": "cube",
+    }
+    out = run_formatted(q, spark=spark, sf_dir=sf_dir)
+    parts = [p["value"] for p in out["edges"][0]["domain"]["partitions"]]
+    assert parts[:3] == ["small", "big", "mid"]  # declaration order, not alphabetical
+
+
 def test_format_cube_two_edges_matrix(spark, sf_dir):
     q = {
         "from": "lineitem",

@@ -114,13 +114,13 @@ def test_stateful_subbatch_continues_across_microbatches(spark, events_stream_di
 def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
     dest = str(tmp_path / "out")
     schema = spark.read.parquet(events_stream_dir).schema
-    sdf = read_parquet_stream(spark, events_stream_dir, schema, max_files_per_trigger=2)
+    sdf = read_parquet_stream(spark, events_stream_dir, schema, max_files_per_trigger=1)
     writer = stream_extract(
         sdf,
         destination=dest,
         fact_name="events",
         field="ts",
-        batch_spec=["day", 1000],
+        batch_spec=["day", 10],
         start="2024-01-01",
         id_cols=("event_id",),
         checkpoint=str(tmp_path / "ckpt"),
@@ -140,13 +140,32 @@ def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
 
     # batch-key dirs match the batch-side counter assignment
     events = spark.read.parquet(events_stream_dir)
-    keyed = batch_key_columns(events, "ts", "2024-01-01", ["day", 1000], tiebreak_cols=("event_id",))
+    keyed = batch_key_columns(events, "ts", "2024-01-01", ["day", 10], tiebreak_cols=("event_id",))
     want_keys = {
         f"{r['__batch0__']}.{r['__batch1__']}"
         for r in keyed.select("__batch0__", "__batch1__").distinct().collect()
     }
     got_keys = {os.path.basename(d) for d in batch_dirs}
-    # micro-batch boundaries can SPLIT a sub-batch (each micro-batch keys
-    # independently, like the reference's per-poll batching) — every
-    # batch0 (duration) key must match; batch1 partitioning is per-run
-    assert {k.split(".")[0] for k in got_keys} == {k.split(".")[0] for k in want_keys}
+    # per-bucket seen-counts carry across micro-batches (BatchCounter
+    # continuation), so the streamed key set equals the batch-side
+    # assignment exactly — sub-batch numbering never restarts per poll
+    assert got_keys == want_keys
+    # and no b0.b1 dir overfills: every non-final sub-batch holds
+    # exactly `size` rows, the final one at most `size`
+    per_dir = {}
+    for d in batch_dirs:
+        n = 0
+        for f in glob.glob(os.path.join(d, "part-*")):
+            with open(f) as fh:
+                n += sum(1 for ln in fh if ln.strip())
+        per_dir[os.path.basename(d)] = n
+    last_b1 = {}
+    for k in per_dir:
+        b0, b1 = (int(x) for x in k.split("."))
+        last_b1[b0] = max(last_b1.get(b0, -1), b1)
+    for k, n in per_dir.items():
+        b0, b1 = (int(x) for x in k.split("."))
+        if b1 < last_b1[b0]:
+            assert n == 10, (k, n)
+        else:
+            assert n <= 10, (k, n)
