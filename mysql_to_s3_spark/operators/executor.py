@@ -420,10 +420,23 @@ def _edge_keys(
     return keys, df
 
 
+def _jx_order_col(c) -> Column:
+    """Sort expression for a compiled key: variant (mixed-type) columns
+    order by value_compare's TYPE_ORDER via a struct key (jx.py:562-627
+    — boolean < number < string < missing); single-typed columns by
+    value."""
+    from mysql_to_s3_spark.functions import variants
+
+    if c.spark_type == variants.VARIANT_TYPE.simpleString():
+        return variants.sort_key(c.col)
+    return c.col
+
+
 def _sort_col(s: dict, schema: Schema) -> Column:
     c = compile_expression(s["value"], schema)
+    col = _jx_order_col(c)
     # nulls sort least in JX total order (jx.py:562-627)
-    return c.col.asc_nulls_first() if s["sort"] >= 0 else c.col.desc_nulls_last()
+    return col.asc_nulls_first() if s["sort"] >= 0 else col.desc_nulls_last()
 
 
 def _setop_sort_col(s: dict, schema: Schema, selects: list[SelectClause]) -> Column:
@@ -437,4 +450,5 @@ def _setop_sort_col(s: dict, schema: Schema, selects: list[SelectClause]) -> Col
         if match is not None:
             v = match.value
     c = compile_expression(v, schema)
-    return c.col.asc_nulls_first() if s["sort"] >= 0 else c.col.desc_nulls_last()
+    col = _jx_order_col(c)
+    return col.asc_nulls_first() if s["sort"] >= 0 else col.desc_nulls_last()

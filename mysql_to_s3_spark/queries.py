@@ -136,6 +136,65 @@ _q(
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
 
+def _sort_mixed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type sort total order (value_compare, jx.py:562-627): a
+    variant column holding booleans, numbers, strings, and missing rows
+    sorts by TYPE_ORDER (boolean < number < string < missing) with
+    values compared within a rank — compiled as ONE struct sort key
+    (functions/variants.py), so the global sort range-partitions
+    normally at scale."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.functions import variants
+    from mysql_to_s3_spark.operators.executor import run
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    mx = (
+        F.when(F.col("l_linenumber") == 1, variants.variant_of(F.col("l_quantity"), "number"))
+        .when(F.col("l_linenumber") == 2, variants.variant_of(F.col("l_returnflag"), "string"))
+        .when(F.col("l_linenumber") == 3, variants.variant_of(F.col("l_quantity") > 25, "boolean"))
+        .otherwise(variants.variant_of(F.lit(None).cast("string"), "string"))
+    )
+    t = li.select("l_orderkey", "l_linenumber", mx.alias("mx"))
+    out = run(
+        {
+            "from": "t",
+            "select": ["l_orderkey", "l_linenumber", "mx"],
+            "sort": ["mx", "l_orderkey", "l_linenumber"],
+            "limit": 100000,
+        },
+        spark=spark,
+        containers={"t": t},
+    )
+    return out.select(
+        variants.type_rank(F.col("mx")).alias("r"),
+        F.col("mx.b").alias("vb"),
+        F.col("mx.n").alias("vn"),
+        F.col("mx.s").alias("vs"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+_q(
+    "setop_sort_mixed_types",
+    _sort_mixed_spark,
+    """WITH m AS (
+         SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_linenumber = 3 THEN 0
+                     WHEN l_linenumber = 1 THEN 1
+                     WHEN l_linenumber = 2 THEN 2
+                     ELSE 9 END AS r,
+                CASE WHEN l_linenumber = 3 THEN l_quantity > 25 END AS vb,
+                CASE WHEN l_linenumber = 1 THEN l_quantity END AS vn,
+                CASE WHEN l_linenumber = 2 THEN l_returnflag END AS vs
+         FROM lineitem WHERE l_orderkey < 200)
+       SELECT r, vb, vn, vs, l_orderkey, l_linenumber FROM m
+       ORDER BY r, vb, vn, vs, l_orderkey, l_linenumber""",
+)
+
+
 _q(
     "setop_string_ops",
     {

@@ -26,8 +26,17 @@ class IngestError(ValueError):
 
 _ORDER = ["null", "boolean", "integer", "number", "string"]
 
+# value_compare kind classes (jx.py:614-627 TYPE_ORDER): merging across
+# classes is LOSSY (the reference widens only the column METADATA and
+# keeps values dynamically typed), within a class it is exact
+_KIND = {"boolean": "boolean", "integer": "number", "number": "number", "string": "string"}
 
-def _merge_scalar(a: str, b: str) -> str:
+
+def _merge_scalar(a: str, b: str, preserve: bool = False) -> Any:
+    if preserve and _KIND[a] != _KIND[b]:
+        # cross-kind merge: keep both original types as a variant column
+        # (see functions/variants.py) instead of coercing values
+        return {"mixed": sorted({_KIND[a], _KIND[b]})}
     return _ORDER[max(_ORDER.index(a), _ORDER.index(b))]
 
 
@@ -54,12 +63,24 @@ def _jtype(value: Any) -> Any:
     raise IngestError(f"cannot ingest value of type {type(value).__name__}: {value!r}")
 
 
-def merge_type(a: Any, b: Any) -> Any:
-    """The widening lattice (meta.py:232-331)."""
+def merge_type(a: Any, b: Any, preserve: bool = False) -> Any:
+    """The widening lattice (meta.py:232-331). With ``preserve``,
+    cross-kind scalar merges produce a {"mixed": [kinds]} variant
+    descriptor instead of widening values to string — the reference's
+    observable behavior (values keep their dynamic types; only the
+    column metadata widens)."""
     if a == "null":
         return b
     if b == "null":
         return a
+    a_mix = isinstance(a, dict) and "mixed" in a
+    b_mix = isinstance(b, dict) and "mixed" in b
+    if a_mix or b_mix:
+        ka = set(a["mixed"]) if a_mix else {_KIND[a]} if isinstance(a, str) else None
+        kb = set(b["mixed"]) if b_mix else {_KIND[b]} if isinstance(b, str) else None
+        if ka is None or kb is None:
+            raise IngestError(f"cannot merge mixed with non-scalar: {a!r} vs {b!r}")
+        return {"mixed": sorted(ka | kb)}
     a_obj = isinstance(a, dict) and "object" in a
     b_obj = isinstance(b, dict) and "object" in b
     a_arr = isinstance(a, dict) and "array" in a
@@ -67,15 +88,15 @@ def merge_type(a: Any, b: Any) -> Any:
     if a_obj and b_obj:
         fields = dict(a["object"])
         for k, v in b["object"].items():
-            fields[k] = merge_type(fields.get(k, "null"), v)
+            fields[k] = merge_type(fields.get(k, "null"), v, preserve)
         return {"object": fields}
     if a_arr or b_arr:
         ea = a["array"] if a_arr else a
         eb = b["array"] if b_arr else b
-        return {"array": merge_type(ea, eb)}  # scalar+array -> array(widened)
+        return {"array": merge_type(ea, eb, preserve)}  # scalar+array -> array(widened)
     if a_obj or b_obj:
         raise IngestError(f"cannot merge object with scalar: {a!r} vs {b!r}")
-    return _merge_scalar(a, b)
+    return _merge_scalar(a, b, preserve)
 
 
 _SPARK_TYPES = {
@@ -90,6 +111,10 @@ _SPARK_TYPES = {
 def _to_spark_type(desc: Any) -> T.DataType:
     if isinstance(desc, str):
         return _SPARK_TYPES[desc]
+    if "mixed" in desc:
+        from mysql_to_s3_spark.functions.variants import VARIANT_TYPE
+
+        return VARIANT_TYPE
     if "object" in desc:
         return T.StructType(
             [T.StructField(k, _to_spark_type(v), True) for k, v in sorted(desc["object"].items())]
@@ -99,6 +124,18 @@ def _to_spark_type(desc: Any) -> T.DataType:
 
 def _coerce(value: Any, desc: Any) -> Any:
     """Widen a value to the merged type (int->float->str etc.)."""
+    if isinstance(desc, dict) and "mixed" in desc:
+        # variant (b, n, s) tuple; missing = all-null, keeping the struct
+        # itself non-null so sort keys skip outer-null handling
+        if value is None:
+            return (None, None, None)
+        if isinstance(value, bool):
+            return (value, None, None)
+        if isinstance(value, (int, float)):
+            return (None, float(value), None)
+        if isinstance(value, str):
+            return (None, None, value)
+        raise IngestError(f"cannot store {value!r} in a mixed scalar column")
     if value is None:
         return None
     if isinstance(desc, str):
@@ -122,37 +159,54 @@ def _coerce(value: Any, desc: Any) -> Any:
     return [_coerce(v, desc["array"]) for v in value]
 
 
-def infer_schema(docs: list[dict]) -> Any:
+def infer_schema(docs: list[dict], preserve: bool = False) -> Any:
     desc: Any = "null"
     for d in docs:
         if not isinstance(d, dict):
             raise IngestError(f"documents must be objects, got {d!r}")
-        desc = merge_type(desc, _jtype(d))
+        desc = merge_type(desc, _jtype(d), preserve)
     if desc == "null":
         desc = {"object": {}}
     return desc
 
 
-def ingest_docs(spark: SparkSession, docs: list[dict], schema_desc: Any | None = None) -> DataFrame:
-    """Documents -> DataFrame with the lattice-widened schema."""
-    desc = merge_type(infer_schema(docs), schema_desc) if schema_desc else infer_schema(docs)
+def ingest_docs(
+    spark: SparkSession,
+    docs: list[dict],
+    schema_desc: Any | None = None,
+    on_conflict: str = "widen",
+) -> DataFrame:
+    """Documents -> DataFrame with the lattice-widened schema.
+
+    ``on_conflict`` governs cross-kind scalar clashes: "widen" coerces
+    values up the lattice to one Spark type (schema-first, the scalable
+    default); "preserve" stores them as variant structs keeping the
+    original dynamic types — the reference's observable semantics, with
+    value_compare sort parity (functions/variants.py)."""
+    preserve = on_conflict == "preserve"
+    desc = (
+        merge_type(infer_schema(docs, preserve), schema_desc, preserve)
+        if schema_desc
+        else infer_schema(docs, preserve)
+    )
     spark_schema = _to_spark_type(desc)
     rows = [_coerce(d, desc) for d in docs]
     return spark.createDataFrame(rows, spark_schema)
 
 
-def insert_docs(df: DataFrame, docs: list[dict]) -> DataFrame:
+def insert_docs(df: DataFrame, docs: list[dict], on_conflict: str = "widen") -> DataFrame:
     """Schema-evolving insert: new fields appear, shared fields widen
     (insert_table.py:204 flatten_many analog)."""
     spark = df.sparkSession
-    new = ingest_docs(spark, docs)
+    new = ingest_docs(spark, docs, on_conflict=on_conflict)
     if _compatible(df, new):
         return df.unionByName(new, allowMissingColumns=True)
     # incompatible scalar types: DISTRIBUTED re-cast — merge the two spark
     # schemas through the widening lattice, cast BOTH sides column-wise to
     # the merged schema, then union. Never collects the container (the old
     # re-ingest fallback pulled every row to the driver: OOM at scale).
-    desc = merge_type(_desc_from_spark(df.schema), _desc_from_spark(new.schema))
+    preserve = on_conflict == "preserve"
+    desc = merge_type(_desc_from_spark(df.schema), _desc_from_spark(new.schema), preserve)
     return _cast_to(df, desc).unionByName(_cast_to(new, desc))
 
 
@@ -176,6 +230,10 @@ def _desc_from_spark(dtype: T.DataType) -> Any:
     if isinstance(dtype, T.StringType):
         return "string"
     if isinstance(dtype, T.StructType):
+        from mysql_to_s3_spark.functions.variants import is_variant_type
+
+        if is_variant_type(dtype):
+            return {"mixed": ["boolean", "number", "string"]}
         return {"object": {f.name: _desc_from_spark(f.dataType) for f in dtype.fields}}
     if isinstance(dtype, T.ArrayType):
         return {"array": _desc_from_spark(dtype.elementType)}
@@ -194,6 +252,15 @@ def _cast_col(col: F.Column, src: T.DataType, desc: Any) -> F.Column:
                 col.isNotNull() & (col == as_long.cast(src)), as_long.cast("string")
             ).otherwise(col.cast("string"))
         return col.cast(target)
+    if "mixed" in desc:
+        from mysql_to_s3_spark.functions import variants
+
+        if variants.is_variant_type(src):
+            return col
+        kind = _desc_from_spark(src)
+        if not isinstance(kind, str):
+            raise IngestError(f"cannot store {src.simpleString()} in a mixed scalar column")
+        return variants.variant_of(col, kind)
     if "object" in desc:
         if not isinstance(src, T.StructType):
             raise IngestError(f"expected struct, got {src.simpleString()}")

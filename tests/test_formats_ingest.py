@@ -215,6 +215,50 @@ def test_insert_docs_widen_scalar_to_array(spark):
     assert got == [["a", "b"], ["solo"], None]  # NULL stays NULL, not [NULL]
 
 
+def test_ingest_preserve_mixed_types_variant(spark):
+    """on_conflict='preserve' keeps dynamic value types as variant
+    structs instead of widening to string (the reference never coerces
+    stored values; only column metadata widens)."""
+    from mysql_to_s3_spark.functions.variants import variant_python_value
+
+    docs = [{"x": True}, {"x": 7}, {"x": 2.5}, {"x": "s"}, {"x": None}]
+    df = ingest_docs(spark, docs, on_conflict="preserve")
+    assert df.schema["x"].dataType.simpleString() == "struct<b:boolean,n:double,s:string>"
+    vals = {variant_python_value(r["x"]) for r in df.collect()}
+    assert vals == {True, 7.0, 2.5, "s", None}
+
+
+def test_mixed_type_sort_follows_type_order(spark):
+    """Sorting an ingested mixed container follows value_compare's
+    TYPE_ORDER: boolean < number < string < missing (jx.py:562-627)."""
+    from mysql_to_s3_spark.functions.variants import variant_python_value
+    from mysql_to_s3_spark.operators.executor import run
+
+    docs = [
+        {"i": 1, "x": "b"}, {"i": 2, "x": 10}, {"i": 3, "x": None},
+        {"i": 4, "x": True}, {"i": 5, "x": "a"}, {"i": 6, "x": 9},
+        {"i": 7, "x": False}, {"i": 8, "x": 9.5},
+    ]
+    df = ingest_docs(spark, docs, on_conflict="preserve")
+    out = run(
+        {"from": "t", "select": ["i", "x"], "sort": ["x", "i"], "limit": 100},
+        spark=spark, containers={"t": df},
+    )
+    got = [variant_python_value(r["x"]) for r in out.collect()]
+    # bools first (False<True), then numbers ascending (9 < 9.5 < 10 —
+    # NOT the lexicographic '10'<'9' a string-widened sort would give),
+    # then strings, missing last
+    assert got == [False, True, 9.0, 9.5, 10.0, "a", "b", None]
+
+
+def test_insert_docs_preserve_mode_variant_union(spark):
+    df = ingest_docs(spark, [{"x": 1}])
+    df2 = insert_docs(df, [{"x": "s"}], on_conflict="preserve")
+    from mysql_to_s3_spark.functions.variants import variant_python_value
+
+    assert {variant_python_value(r["x"]) for r in df2.collect()} == {1.0, "s"}
+
+
 def test_insert_docs_widen_nested_object_field(spark):
     df = ingest_docs(spark, [{"o": {"a": 1, "keep": "k"}}])
     df2 = insert_docs(df, [{"o": {"a": 2.5}}])
