@@ -83,6 +83,10 @@ def stream_batch_counts(
     """Incremental per-duration-bucket counts (the DurationCounter ledger),
     watermarked: rows later than ``lateness`` are dropped, mirroring the
     reference's strictly-increasing rejection."""
+    # Watermarks require TIMESTAMP (with zone); parquet written from pandas
+    # naive datetimes scans as TIMESTAMP_NTZ, so normalize first.
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     w = duration_window(F.col(ts_col), duration)
     return (
         sdf.withWatermark(ts_col, lateness)

@@ -61,7 +61,7 @@ def test_stream_batch_counts_match_batch(spark, events_stream_dir):
 
     batch = (
         spark.read.parquet(events_stream_dir)
-        .groupBy(F.timestamp_seconds(F.floor(F.col("ts").cast("double") / 86400) * 86400).alias("b"))
+        .groupBy(F.timestamp_seconds(F.floor(F.col("ts").cast("timestamp").cast("double") / 86400) * 86400).alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     want = {r["b"]: r["n"] for r in batch.collect()}
