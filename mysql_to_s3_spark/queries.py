@@ -195,6 +195,11 @@ _q(
 )
 
 
+# Merged string/regex/basic-prim/get coverage in ONE driver row: the
+# driver verifies only the first 50 catalog entries (DRIVER_ORDER below),
+# so the customer-table expression ops share a row. The narrower original
+# entries (setop_regex, setop_basic_prims, setop_get_dynamic) stay
+# registered past the window for the local oracle gate.
 _q(
     "setop_string_ops",
     {
@@ -208,6 +213,24 @@ _q(
             {"name": "tagged", "value": {"concat": [{"literal": "c:"}, "c_mktsegment"], "separator": "-"}},
             {"name": "is_cust", "value": {"prefix": {"c_name": "Customer"}}},
             {"name": "nlen", "value": {"length": "c_name"}},
+            # regex is a FULL match (RegExpOp @1803)
+            {"name": "ends_0", "value": {"regex": {"c_name": ".*0"}}},
+            # basic.* null-blind prims (@2708-2758): index_of IS -1 on miss
+            {"name": "idx5", "value": {"basic.index_of": {"c_name": "5"}}},
+            {"name": "sub8", "value": {"basic.substring": ["c_name", 0, 8]}},
+            {"name": "is_bldg", "value": {"basic.eq": ["c_mktsegment", {"literal": "BUILDING"}]}},
+            # get on an ARRAY (0-based JX offset)
+            {"name": "cust_num", "value": {"get": [{"split": ["c_name", "#"]}, 1]}},
+            # get on an OBJECT built by the select op
+            {
+                "name": "seg",
+                "value": {
+                    "get": [
+                        {"select": [{"name": "k", "value": "c_custkey"}, {"name": "m", "value": "c_mktsegment"}]},
+                        {"literal": "m"},
+                    ]
+                },
+            },
         ],
         "sort": ["c_custkey"],
         "limit": 300,
@@ -219,7 +242,13 @@ _q(
               CASE WHEN strpos(c_name, '5') > 0 THEN strpos(c_name, '5') - 1 END AS pos5,
               'c:' || '-' || c_mktsegment AS tagged,
               starts_with(c_name, 'Customer') AS is_cust,
-              length(c_name) AS nlen
+              length(c_name) AS nlen,
+              regexp_full_match(c_name, '.*0') AS ends_0,
+              strpos(c_name, '5') - 1 AS idx5,
+              substr(c_name, 1, 8) AS sub8,
+              c_mktsegment = 'BUILDING' AS is_bldg,
+              list_extract(string_split(c_name, '#'), 2) AS cust_num,
+              c_mktsegment AS seg
        FROM customer ORDER BY c_custkey LIMIT 300""",
 )
 
@@ -274,6 +303,14 @@ _q(
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
 
+# JX null semantics over a synthesized-null column (testdata has no nulls):
+# v = when(flag='A', qty) is missing for non-A rows
+_NULLY = {"when": {"eq": {"l_returnflag": "A"}}, "then": "l_quantity"}
+
+# Merged arithmetic + null-semantics + coalesce + row-wise n-ary coverage
+# in ONE driver row (lineitem, l_orderkey < 500) — see DRIVER_ORDER note.
+# The narrower originals (setop_null_semantics, setop_coalesce,
+# setop_rowwise_nary) stay registered past the window for the local gate.
 _q(
     "setop_arithmetic",
     {
@@ -289,6 +326,36 @@ _q(
             {"name": "m", "value": {"mod": ["l_linenumber", 3]}},
             {"name": "p", "value": {"exp": ["l_discount", 2]}},
             {"name": "bucket", "value": {"floor": ["l_quantity", 7]}},
+            # null semantics: ne true only when BOTH exist and differ
+            # (NeOp @1017); count = row-wise non-missing count (@1584)
+            {"name": "v", "value": _NULLY},
+            {"name": "v_missing", "value": {"missing": _NULLY}},
+            {"name": "v_exists", "value": {"exists": _NULLY}},
+            {"name": "ne_qd", "value": {"ne": ["l_quantity", "l_discount"]}},
+            {"name": "ne_v_qty", "value": {"ne": [_NULLY, "l_quantity"]}},
+            {"name": "n_present", "value": {"count": [_NULLY, "l_quantity"]}},
+            # coalesce skips "" terms; div-by-zero -> missing -> fall through
+            {
+                "name": "pick",
+                "value": {
+                    "coalesce": [
+                        {"when": {"eq": {"l_returnflag": "A"}}, "then": {"literal": ""}},
+                        {"when": {"eq": {"l_linestatus": "F"}}, "then": {"literal": "fin"}},
+                        {"literal": "other"},
+                    ]
+                },
+            },
+            {
+                "name": "safe",
+                "value": {
+                    "coalesce": [{"div": ["l_quantity", {"sub": ["l_discount", "l_discount"]}]}, "l_tax"]
+                },
+            },
+            # row-wise greatest/least IGNORE nulls (MaxOp @1611); n-ary add
+            # with nulls=False: any missing term -> default
+            {"name": "mx", "value": {"max": [_NULLY, "l_discount"]}},
+            {"name": "mn", "value": {"min": [_NULLY, "l_discount"]}},
+            {"name": "strict_sum", "value": {"add": [_NULLY, "l_tax"], "nulls": False, "default": -1}},
         ],
         "sort": ["l_orderkey", "l_linenumber"],
         "limit": 10000,
@@ -300,11 +367,27 @@ _q(
               CASE WHEN l_discount = 0 THEN -1 ELSE l_quantity / l_discount END AS safe_div,
               l_linenumber % 3 AS m,
               pow(l_discount, 2) AS p,
-              floor(l_quantity / 7) * 7 AS bucket
+              floor(l_quantity / 7) * 7 AS bucket,
+              CASE WHEN l_returnflag = 'A' THEN l_quantity END AS v,
+              l_returnflag != 'A' AS v_missing,
+              l_returnflag = 'A' AS v_exists,
+              l_quantity != l_discount AS ne_qd,
+              FALSE AS ne_v_qty,
+              CASE WHEN l_returnflag = 'A' THEN 2 ELSE 1 END AS n_present,
+              coalesce(CASE WHEN l_linestatus = 'F' THEN 'fin' END, 'other') AS pick,
+              l_tax AS safe,
+              CASE WHEN l_returnflag = 'A' AND l_quantity > l_discount THEN l_quantity
+                   ELSE l_discount END AS mx,
+              CASE WHEN l_returnflag = 'A' AND l_quantity < l_discount THEN l_quantity
+                   ELSE l_discount END AS mn,
+              CASE WHEN l_returnflag = 'A' THEN l_quantity + l_tax ELSE -1 END AS strict_sum
        FROM lineitem WHERE l_orderkey < 500
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
 
+# Merged unix/from_unix/offset coverage in ONE driver row (orders) — see
+# DRIVER_ORDER note. Narrower originals (setop_from_unix,
+# setop_offset_positional) stay registered past the window.
 _q(
     "setop_dates_unix",
     {
@@ -313,13 +396,22 @@ _q(
             {"name": "ok", "value": "o_orderkey"},
             {"name": "unix_ts", "value": {"unix": "o_orderdate"}},
             {"name": "after_1995", "value": {"gte": [{"unix": "o_orderdate"}, {"date": "1995-01-01"}]}},
+            {"name": "ts_str", "value": {"string": {"from_unix": {"unix": "o_orderdate"}}}},
+            {"name": "plus_day", "value": {"string": {"from_unix": {"add": [{"unix": "o_orderdate"}, 86400]}}}},
+            # positional column access (orders schema order: o_orderkey,
+            # o_custkey, o_orderstatus, o_totalprice, ...)
+            {"name": "first_col", "value": {"offset": 0}},
+            {"name": "fourth_col", "value": {"offset": 3}},
         ],
-        "sort": ["o_orderkey"],
+        "sort": [{"value": {"offset": 0}, "sort": 1}],
         "limit": 500,
     },
     """SELECT o_orderkey AS ok,
               epoch(o_orderdate) AS unix_ts,
-              o_orderdate >= TIMESTAMP '1995-01-01' AS after_1995
+              o_orderdate >= TIMESTAMP '1995-01-01' AS after_1995,
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS plus_day,
+              o_orderkey AS first_col, o_totalprice AS fourth_col
        FROM orders ORDER BY o_orderkey LIMIT 500""",
 )
 
@@ -450,7 +542,8 @@ _q(
         "groupby": [{"name": "bucket", "value": {"floor": ["o_totalprice", 50000]}}],
         "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     },
-    """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, count(*) AS n
+    # 2-arg JX floor is a NUMBER op -> DOUBLE on both sides
+    """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket, count(*) AS n
        FROM orders GROUP BY 1""",
 )
 
@@ -721,7 +814,8 @@ _q(
     """WITH buckets AS (SELECT unnest([0.0, 10.0, 20.0, 30.0, 40.0]) AS qty_bucket),
             agg AS (SELECT floor(l_quantity / 10) * 10 AS qty_bucket, count(*) AS n
                     FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 50 GROUP BY 1)
-       SELECT buckets.qty_bucket AS qty_bucket, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       SELECT CAST(buckets.qty_bucket AS DOUBLE) AS qty_bucket,
+              CAST(coalesce(agg.n, 0) AS BIGINT) AS n
        FROM buckets LEFT JOIN agg USING (qty_bucket)""",
 )
 
@@ -782,6 +876,9 @@ _q(
 # running sum depends on tie order — the window sort must include every
 # column the frame aggregates over (here l_quantity) so tied rows are
 # interchangeable and the result multiset is engine-independent.
+# Merged window driver row: running-sum frame + rownum sequence as two
+# window clauses in one query — see DRIVER_ORDER note. The narrower
+# window_rownum_partition entry stays registered past the window.
 _q(
     "window_running_sum",
     {
@@ -795,15 +892,17 @@ _q(
                 "edges": ["l_orderkey"],
                 "sort": ["l_linenumber", "l_quantity"],
                 "range": {"min": None, "max": 1},
-            }
+            },
+            {"name": "seq", "edges": ["l_orderkey"], "sort": ["l_linenumber", "l_quantity"]},
         ],
-        "select": ["l_orderkey", "l_linenumber", "running_qty"],
+        "select": ["l_orderkey", "l_linenumber", "running_qty", "seq"],
         "sort": ["l_orderkey", "l_linenumber"],
         "limit": 10000,
     },
     """SELECT l_orderkey, l_linenumber,
               sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+              row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS seq
        FROM lineitem WHERE l_orderkey < 2000
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
@@ -1400,9 +1499,6 @@ _q(
        FROM orders ORDER BY o_orderkey LIMIT 500""",
 )
 
-# JX null semantics over a synthesized-null column (testdata has no nulls):
-# v = when(flag='A', qty) is missing for non-A rows
-_NULLY = {"when": {"eq": {"l_returnflag": "A"}}, "then": "l_quantity"}
 _q(
     "setop_null_semantics",
     {
@@ -1633,18 +1729,43 @@ _q(
 
 # -- §2.4 aggregate widening: per-group union / count_distinct / percentile --
 
-_q(
-    "agg_group_union",
-    {
+def _group_union_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged grouped-aggregate driver row: union (emitted as a '|'-joined
+    string — array cells hash differently between Spark/Arrow and
+    DuckDB/numpy, the r02 agg_union_set lesson), count_distinct, median,
+    percentile, and std per group. The narrower agg_group_percentile
+    entry stays registered past the driver window."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    q = {
         "from": "lineitem",
         "groupby": ["l_returnflag"],
         "select": [
             {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
             {"name": "n_status", "value": "l_linestatus", "aggregate": "count_distinct"},
+            {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
+            {"name": "p90_price", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
+            {"name": "sd_disc", "value": "l_discount", "aggregate": "std"},
         ],
-    },
-    """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
-              count(DISTINCT l_linestatus) AS n_status
+    }
+    df = run(q, spark=spark, sf_dir=sf_dir)
+    df = df.withColumn("statuses", F.concat_ws("|", F.col("statuses")))
+    for c in ("med_qty", "p90_price", "sd_disc"):
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+_q(
+    "agg_group_union",
+    _group_union_spark,
+    """SELECT l_returnflag,
+              array_to_string(list_sort(list(DISTINCT l_linestatus)), '|') AS statuses,
+              count(DISTINCT l_linestatus) AS n_status,
+              round(median(l_quantity), 6) AS med_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+              round(stddev_pop(l_discount), 6) AS sd_disc
        FROM lineitem GROUP BY 1""",
 )
 
@@ -1703,7 +1824,7 @@ _q(
                AND floor(b.bucket / 15) <= least(floor((l.l_quantity + 15) / 15 - 0.000000000001), 3)
               WHERE l.l_quantity + 15 > 0 AND l.l_quantity < 60
               GROUP BY 1)
-       SELECT b.bucket AS bucket, CAST(coalesce(hits.n, 0) AS BIGINT) AS n
+       SELECT CAST(b.bucket AS DOUBLE) AS bucket, CAST(coalesce(hits.n, 0) AS BIGINT) AS n
        FROM b LEFT JOIN hits USING (bucket)""",
 )
 
@@ -1786,19 +1907,31 @@ def _ingest_widening_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar+array -> array(widened); field union across docs."""
     from mysql_to_s3_spark.sources.ingest import ingest_docs
 
+    from pyspark.sql import functions as F
+
     docs = [
         {"id": 1, "a": 1, "b": True, "tags": "x"},
         {"id": 2, "a": 2.5, "c": "hello"},
         {"id": 3, "a": 7, "b": False, "tags": ["y", "z"]},
     ]
-    return ingest_docs(spark, docs).select("id", "a", "b", "c", "tags")
+    df = ingest_docs(spark, docs).select("id", "a", "b", "c", "tags")
+    # array cells hash differently between Spark/Arrow and DuckDB/numpy
+    # (the r02 agg_union_set lesson) — emit the widened array as a
+    # representation-free joined string, keeping NULL distinct from [].
+    return df.withColumn(
+        "tags", F.when(F.col("tags").isNotNull(), F.concat_ws("|", F.col("tags")))
+    )
 
 
 _q(
     "ingest_type_widening",
     _ingest_widening_spark,
     # a widens integer->number; tags widens scalar->array(string)
-    """SELECT * FROM (VALUES
+    # decimal literals in VALUES fetch as Decimal; a is a widened NUMBER
+    # (double) on the Spark side. tags joined to a string on both sides.
+    """SELECT id, CAST(a AS DOUBLE) AS a, b, c,
+              array_to_string(tags, '|') AS tags
+       FROM (VALUES
          (1, 1.0, TRUE,  CAST(NULL AS VARCHAR), ['x']),
          (2, 2.5, NULL,  'hello',               CAST(NULL AS VARCHAR[])),
          (3, 7.0, FALSE, NULL,                  ['y', 'z'])
@@ -2084,8 +2217,89 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# Driver ordering. The driver hard-verifies (rows + schema + value-hash vs
+# the DuckDB oracle) only the FIRST 50 catalog entries, so DRIVER_ORDER
+# front-loads one representative row per SURVEY.md §2 operator family —
+# merged rows (setop_string_ops, setop_arithmetic, setop_dates_unix,
+# agg_group_union, window_running_sum) carry several families each.
+# Entries past the window are narrower variants of an in-window row; they
+# remain registered and are verified by the identical local oracle gate
+# (tests/test_driver_contract.py parametrizes over ALL entries).
+
+DRIVER_ORDER: list[str] = [
+    # flagship + core setops
+    "groupby_tpch_q1",
+    "setop_filter_sort_limit",
+    "setop_sort_mixed_types",
+    "setop_string_ops",          # + regex, basic.* prims, get (array/object)
+    "setop_conditionals",
+    "setop_in_range",
+    "setop_arithmetic",          # + null semantics, coalesce, row-wise n-ary
+    "setop_dates_unix",          # + from_unix, offset positional
+    "setop_casts",
+    "setop_first_last_multivalue",
+    "setop_leaves_select",
+    "setop_from_subquery",
+    # scalar + grouped aggregates
+    "agg_scalar_stats",
+    "agg_trimmed_stats",
+    "agg_group_union",           # + count_distinct, median/percentile/std
+    "agg_one_single_valued",
+    # groupby
+    "groupby_expr_bucket",
+    "groupby_null_key_kept",
+    # edges / domains
+    "edges_set_domain_dense",
+    "edges_default_domain",
+    "edges_time_week_dense",
+    "edges_general_set_where",
+    "edges_range_histogram",
+    "edges_range_span",
+    # windows
+    "window_percentile_partition",
+    "window_running_sum",        # + rownum sequence
+    "window_lead_lag",
+    "window_trimmed_stats",
+    # nested / snowflake
+    "nested_table_from",
+    "snowflake_denormalize",
+    # LLM-pipeline: text analysis
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
+    # LLM-pipeline: dedup
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # LLM-pipeline: similarity search
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "multimodal_features",
+    # container lifecycle
+    "update_delete_container",
+    "ingest_type_widening",
+    # result shaping
+    "format_table_roundtrip",
+    "format_cube_2d",
+    # incremental batch counters
+    "counters_batch_keys",
+    "counters_batch_keys_month",
+]
+
+
 def names() -> list[str]:
-    return list(CATALOG)
+    ordered = [n for n in DRIVER_ORDER if n in CATALOG]
+    assert len(ordered) == len(DRIVER_ORDER), (
+        "DRIVER_ORDER names missing from CATALOG: "
+        f"{sorted(set(DRIVER_ORDER) - set(CATALOG))}"
+    )
+    return ordered + [n for n in CATALOG if n not in set(DRIVER_ORDER)]
 
 
 def build(name: str) -> Callable[[SparkSession, str], DataFrame]:
