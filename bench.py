@@ -16,6 +16,10 @@ HEADLINE = [
     "groupby_two_keys",
     "agg_scalar_stats",
     "agg_scalar_moments",
+    # scale path of the row above: KLL-sketch percentile + HLL cardinality
+    # instead of exact sort-based percentile + count-distinct expand — the
+    # 100 TB recommendation for unbounded-cardinality aggregates
+    "agg_scalar_moments_approx",
     "edges_two_dims_dense",
     "edges_time_month_dense",
     "edges_range_histogram",

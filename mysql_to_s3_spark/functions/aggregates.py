@@ -40,11 +40,15 @@ def build_aggregate(
         return F.avg(col)
     if agg == "median":
         # in-memory reference backend is exact (windows.py:281-306);
-        # use exact percentile for oracle parity, approx at scale
-        return F.percentile_approx(col, 0.5, 1_000_000) if approx else F.percentile(col, F.lit(0.5))
+        # use exact percentile for oracle parity, approx at scale.
+        # KLL accuracy 10_000 = ~1e-4 relative rank error with a sketch
+        # small enough that partial aggregation stays map-side cheap
+        # (accuracy 1_000_000 built sketches so large the approx path
+        # cost nearly as much as the exact sort)
+        return F.percentile_approx(col, 0.5, 10_000) if approx else F.percentile(col, F.lit(0.5))
     if agg == "percentile":
         p = 0.5 if percentile is None else float(percentile)
-        return F.percentile_approx(col, p, 1_000_000) if approx else F.percentile(col, F.lit(p))
+        return F.percentile_approx(col, p, 10_000) if approx else F.percentile(col, F.lit(p))
     if agg == "cardinality":
         return F.approx_count_distinct(col) if approx else F.countDistinct(col)
     if agg == "count_distinct":

@@ -216,7 +216,7 @@ def _leaf_columns(schema: T.StructType, prefix: str = "") -> list[str]:
 # aggregation
 
 
-def _agg_column(df: DataFrame, s: SelectClause, schema: Schema) -> Column:
+def _agg_column(df: DataFrame, s: SelectClause, schema: Schema, approx: bool = False) -> Column:
     if s.value == ".":
         base = F.lit(1)
         c = Compiled(base, "integer", F.lit(False))
@@ -227,7 +227,7 @@ def _agg_column(df: DataFrame, s: SelectClause, schema: Schema) -> Column:
         # count of non-missing (JX missing ⊇ {null, ""}): count(when(exists))
         agg = F.count(F.when(~c.missing, F.lit(1)))
     else:
-        agg = build_aggregate(s.aggregate, col, percentile=s.percentile, middle=s.middle)
+        agg = build_aggregate(s.aggregate, col, percentile=s.percentile, middle=s.middle, approx=approx)
     if s.default is not None:
         dflt = compile_expression(s.default, schema)
         agg = F.coalesce(agg, dflt.col)
@@ -246,7 +246,7 @@ def _check_agg_selects(q: QueryOp, key_values: set) -> None:
 
 def _scalar_agg_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     _check_agg_selects(q, set())
-    aggs = [_agg_column(df, s, schema) for s in q.select if s.aggregate != "none"]
+    aggs = [_agg_column(df, s, schema, approx=q.approx) for s in q.select if s.aggregate != "none"]
     return df.agg(*aggs)
 
 
@@ -254,7 +254,7 @@ def _groupby_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     """groupby: sparse groups, null groups kept (query.py:520-582)."""
     _check_agg_selects(q, {g.value for g in q.groupby if isinstance(g.value, str)})
     keys, df = _edge_keys(df, q.groupby, schema, densify=False)
-    aggs = [_agg_column(df, s, schema) for s in q.select if s.aggregate != "none"]
+    aggs = [_agg_column(df, s, schema, approx=q.approx) for s in q.select if s.aggregate != "none"]
     out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     return out.select(
         *[F.col(k).alias(e.name) for k, e in zip(keys, q.groupby)],
@@ -272,7 +272,7 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     _check_agg_selects(q, {e.value for e in q.edges if isinstance(e.value, str)})
     keys, df2 = _edge_keys(df, q.edges, schema, densify=True)
     sel_aggs = [s for s in q.select if s.aggregate != "none"]
-    aggs = [_agg_column(df2, s, schema) for s in sel_aggs]
+    aggs = [_agg_column(df2, s, schema, approx=q.approx) for s in sel_aggs]
     sparse = df2.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
     # sparse is consumed once per default-domain discovery and once by the

@@ -28,6 +28,31 @@ class WindowError(ValueError):
     pass
 
 
+# conf key (set to -1 to disable the check, e.g. for trusted small inputs)
+GLOBAL_WINDOW_MAX_ROWS_CONF = "mysql_to_s3_spark.window.maxGlobalRows"
+GLOBAL_WINDOW_MAX_ROWS_DEFAULT = 10_000_000
+
+
+def _guard_global_window(df: DataFrame, name: str) -> None:
+    """A window with no edges is a single Spark task over ALL rows (the
+    reference's global sort semantics). At cluster scale that is a silent
+    one-executor bottleneck/OOM, so refuse above a row bound. The check is
+    a limit(n+1).count() — an early-exit scan, not a full count."""
+    try:
+        limit = int(df.sparkSession.conf.get(
+            GLOBAL_WINDOW_MAX_ROWS_CONF, str(GLOBAL_WINDOW_MAX_ROWS_DEFAULT)))
+    except Exception:
+        limit = GLOBAL_WINDOW_MAX_ROWS_DEFAULT
+    if limit < 0:
+        return
+    if df.limit(limit + 1).count() > limit:
+        raise WindowError(
+            f"window {name!r} has no edges, forcing a single-task global "
+            f"sort over more than {limit} rows; add `edges` to partition "
+            f"the window, or raise/disable {GLOBAL_WINDOW_MAX_ROWS_CONF}"
+        )
+
+
 def apply_window(df: DataFrame, w: WindowClause, schema: Schema) -> DataFrame:
     # partition spec
     part_cols: list[Column] = []
@@ -44,10 +69,16 @@ def apply_window(df: DataFrame, w: WindowClause, schema: Schema) -> DataFrame:
         spec = Window.partitionBy(*part_cols).orderBy(*order_cols)
     elif part_cols:
         spec = Window.partitionBy(*part_cols).orderBy(F.lit(1))
-    elif order_cols:
-        spec = Window.partitionBy().orderBy(*order_cols)
     else:
-        spec = Window.partitionBy().orderBy(F.lit(1))
+        # Edge-less window: reference semantics force ONE global ordering,
+        # which Spark executes as a single task holding the whole input.
+        # Guard against silently funneling a large table through one
+        # executor — bounded row check, conf-overridable for small jobs.
+        _guard_global_window(df, w.name)
+        if order_cols:
+            spec = Window.partitionBy().orderBy(*order_cols)
+        else:
+            spec = Window.partitionBy().orderBy(F.lit(1))
 
     value_expr = w.value
 

@@ -98,7 +98,7 @@ def compile_domain(domain: dict) -> CompiledDomain:
     if dtype == "time":
         return _time_domain(domain)
     if dtype in ("range", "duration"):
-        return _range_domain(domain)
+        return _range_domain(domain, durations=(dtype == "duration"))
     raise DomainError(f"unknown domain type {dtype!r}")
 
 
@@ -140,12 +140,30 @@ def _time_domain(domain: dict) -> CompiledDomain:
     return CompiledDomain(bucket=bucket, part_values=parts, is_time=True)
 
 
-def _range_domain(domain: dict) -> CompiledDomain:
-    """Numeric [min,max) histogram buckets (domains.py:645-713)."""
+def _duration_seconds(v) -> float:
+    """Duration-domain bound: numeric seconds or a duration literal
+    ('day', '2hour'); calendar months have no fixed width and are
+    rejected (use a time domain for month grids)."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    dur = parse_duration(v)
+    if dur["months"]:
+        raise DomainError(
+            f"duration domain bound {v!r} is calendar-relative; "
+            "use a time domain for month/quarter/year grids"
+        )
+    return float(dur["seconds"])
+
+
+def _range_domain(domain: dict, durations: bool = False) -> CompiledDomain:
+    """Numeric [min,max) histogram buckets (domains.py:645-713); a
+    duration domain is the same fixed-width grid with bounds given in
+    seconds or duration literals (reference DurationDomain)."""
+    conv = _duration_seconds if durations else float
     if "partitions" in domain:
         # explicit overlap-checked parts: bucket by containment when-chain
-        parts = domain["partitions"]
-        values = [p.get("min") for p in parts]
+        parts = [{**p, "min": conv(p["min"]), "max": conv(p["max"])} for p in domain["partitions"]]
+        values = [p["min"] for p in parts]
 
         def bucket(c: Column) -> Column:
             out = F.lit(None).cast("double")
@@ -155,9 +173,9 @@ def _range_domain(domain: dict) -> CompiledDomain:
 
         return CompiledDomain(bucket=bucket, part_values=[float(v) for v in values])
 
-    lo = float(domain["min"])
-    hi = float(domain["max"])
-    w = float(domain["interval"])
+    lo = conv(domain["min"])
+    hi = conv(domain["max"])
+    w = conv(domain["interval"])
     parts = []
     cur = lo
     while cur < hi:

@@ -109,6 +109,11 @@ class QueryOp:
     limit: int | None = None
     format: str = "list"
     destination: Any = None
+    # scale switch (no reference analog): percentile/median via KLL sketch
+    # (percentile_approx) and cardinality via HLL instead of the exact
+    # sort-based / expand forms — the 100 TB recommendation for
+    # unbounded-cardinality aggregates
+    approx: bool = False
 
     @classmethod
     def wrap(cls, query: dict) -> "QueryOp":
@@ -159,6 +164,7 @@ class QueryOp:
             limit=limit,
             format=fmt,
             destination=query.get("destination"),
+            approx=bool(query.get("approx", False)),
         )
 
 

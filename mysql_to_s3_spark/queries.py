@@ -479,6 +479,31 @@ _q(
        FROM lineitem""",
 )
 
+# Scale path of agg_scalar_moments: percentile via KLL sketch
+# (percentile_approx) and cardinality via HLL (approx_count_distinct),
+# switched by the query-level "approx" flag. No oracle — approx values are
+# within-tolerance, not exactly reproducible; the exact form above is the
+# correctness row, this is the 100 TB recommendation and the bench entry
+# that prices the exact/approx split.
+_q(
+    "agg_scalar_moments_approx",
+    _rounded({
+        "from": "lineitem",
+        "approx": True,
+        "select": [
+            {"name": "vr", "value": "l_discount", "aggregate": "variance"},
+            {"name": "p90", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
+            {"name": "card", "value": "l_returnflag", "aggregate": "cardinality"},
+            {"name": "m0", "value": "l_discount", "aggregate": "s0"},
+            {"name": "m1", "value": "l_discount", "aggregate": "s1"},
+            {"name": "m2", "value": "l_discount", "aggregate": "s2"},
+            {"name": "any_qty", "value": "l_quantity", "aggregate": "exists"},
+        ],
+    }, ["vr", "p90", "m1", "m2"]),
+    None,
+)
+
+
 def _union_set_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`union` aggregate, emitted as a '|'-joined string.
 
@@ -797,26 +822,71 @@ _q(
        FROM months LEFT JOIN agg USING (month)""",
 )
 
+def _range_duration_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + duration domains in one tagged driver row: a numeric
+    [0,50)x10 histogram over l_quantity, unioned with a duration-domain
+    histogram ([0, 5week) x week, duration-literal bounds) over each
+    event's age since 2024-01-01. Both are the same dense fixed-width
+    grid; the duration leg exercises the duration-literal parsing."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    rng = run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "l_quantity",
+                    "allowNulls": False,
+                    "domain": {"type": "range", "min": 0, "max": 50, "interval": 10},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("range").alias("domain"), "bucket", "n")
+    dur = run(
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": {"sub": [{"unix": "ts"}, {"date": "2024-01-01"}]},
+                    "allowNulls": False,
+                    "domain": {"type": "duration", "min": 0, "max": "5week", "interval": "week"},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("duration").alias("domain"), "bucket", "n")
+    return rng.unionByName(dur)
+
+
 _q(
     "edges_range_histogram",
-    {
-        "from": "lineitem",
-        "edges": [
-            {
-                "name": "qty_bucket",
-                "value": "l_quantity",
-                "allowNulls": False,
-                "domain": {"type": "range", "min": 0, "max": 50, "interval": 10},
-            }
-        ],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    """WITH buckets AS (SELECT unnest([0.0, 10.0, 20.0, 30.0, 40.0]) AS qty_bucket),
-            agg AS (SELECT floor(l_quantity / 10) * 10 AS qty_bucket, count(*) AS n
-                    FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 50 GROUP BY 1)
-       SELECT CAST(buckets.qty_bucket AS DOUBLE) AS qty_bucket,
-              CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-       FROM buckets LEFT JOIN agg USING (qty_bucket)""",
+    _range_duration_hist_spark,
+    """WITH qb AS (SELECT unnest([0.0, 10.0, 20.0, 30.0, 40.0]) AS bucket),
+            qagg AS (SELECT floor(l_quantity / 10) * 10 AS bucket, count(*) AS n
+                     FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 50 GROUP BY 1),
+            db AS (SELECT unnest([0.0, 604800.0, 1209600.0, 1814400.0, 2419200.0]) AS bucket),
+            dagg AS (SELECT floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 604800) * 604800 AS bucket,
+                            count(*) AS n
+                     FROM events
+                     WHERE epoch(ts) - epoch(TIMESTAMP '2024-01-01') >= 0
+                       AND epoch(ts) - epoch(TIMESTAMP '2024-01-01') < 3024000
+                     GROUP BY 1)
+       SELECT 'range' AS domain, CAST(qb.bucket AS DOUBLE) AS bucket,
+              CAST(coalesce(qagg.n, 0) AS BIGINT) AS n
+       FROM qb LEFT JOIN qagg USING (bucket)
+       UNION ALL
+       SELECT 'duration' AS domain, CAST(db.bucket AS DOUBLE) AS bucket,
+              CAST(coalesce(dagg.n, 0) AS BIGINT) AS n
+       FROM db LEFT JOIN dagg USING (bucket)""",
 )
 
 _q(
@@ -1868,7 +1938,11 @@ _q(
 def _agg_one_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`one` aggregate (windows.py:76-101): asserts single-valuedness per
     group — n_name is functionally dependent on n_nationkey via the join,
-    so `one` succeeds; a multi-valued group would raise."""
+    so `one` succeeds; a multi-valued group would raise. Also hosts the
+    first/last/list aggregate driver coverage: first/last over the same
+    functionally-dependent column (deterministic regardless of partition
+    order), list emitted sorted + '|'-joined (collect order is partition-
+    dependent and arrays hash engine-differently)."""
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.executor import run
@@ -1878,25 +1952,32 @@ def _agg_one_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     joined = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left"
-    ).select("c_nationkey", "n_name", "c_acctbal")
-    return run(
+    ).select("c_custkey", "c_nationkey", "n_name", "c_acctbal")
+    df = run(
         {
             "from": "t",
             "groupby": ["c_nationkey"],
             "select": [
                 {"name": "nation_name", "value": "n_name", "aggregate": "one"},
+                {"name": "first_name", "value": "n_name", "aggregate": "first"},
+                {"name": "last_name", "value": "n_name", "aggregate": "last"},
+                {"name": "members", "value": "c_custkey", "aggregate": "list"},
                 {"name": "n", "value": ".", "aggregate": "count"},
             ],
         },
         spark=spark,
         containers={"t": joined},
     )
+    return df.withColumn("members", F.concat_ws("|", F.sort_array(F.col("members"))))
 
 
 _q(
     "agg_one_single_valued",
     _agg_one_spark,
-    """SELECT c.c_nationkey, any_value(n.n_name) AS nation_name, count(*) AS n
+    """SELECT c.c_nationkey, any_value(n.n_name) AS nation_name,
+              any_value(n.n_name) AS first_name, any_value(n.n_name) AS last_name,
+              array_to_string(list_sort(list(c.c_custkey)), '|') AS members,
+              count(*) AS n
        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
        GROUP BY 1""",
 )

@@ -524,3 +524,47 @@ def test_edge_named_after_source_column_keeps_raw_values(spark, sf_dir, duck):
     ).fetchall()
     want = {(b, round(av, 6) if av is not None else None) for b, av in want_rows}
     assert got == want, (got, want)
+
+
+def test_approx_flag_switches_scale_aggregates(spark, sf_dir, duck):
+    """query-level approx=True: percentile -> KLL sketch, cardinality ->
+    HLL. Values agree with the exact forms within sketch tolerance and
+    the plan drops the count-distinct Expand."""
+    q = {
+        "from": "lineitem",
+        "select": [
+            {"name": "p90", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
+            {"name": "card", "value": "l_returnflag", "aggregate": "cardinality"},
+        ],
+    }
+    exact = run(q, spark=spark, sf_dir=sf_dir).collect()[0]
+    approx = run({**q, "approx": True}, spark=spark, sf_dir=sf_dir).collect()[0]
+    assert abs(approx["p90"] - exact["p90"]) <= 0.01 * abs(exact["p90"])
+    assert abs(approx["card"] - exact["card"]) <= max(1, 0.05 * exact["card"])
+    plan = run({**q, "approx": True}, spark=spark, sf_dir=sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "approx_count_distinct" in plan or "HyperLogLog" in plan
+
+
+def test_global_window_guard(spark, sf_dir):
+    """An edge-less window over more rows than the conf bound refuses
+    instead of silently single-tasking the whole input."""
+    import pytest
+
+    from mysql_to_s3_spark.operators.windows import (
+        GLOBAL_WINDOW_MAX_ROWS_CONF, WindowError)
+
+    q = {
+        "from": "lineitem",
+        "window": [{"name": "seq", "sort": ["l_orderkey", "l_linenumber"]}],
+        "select": ["l_orderkey", "seq"],
+        "limit": 5,
+    }
+    spark.conf.set(GLOBAL_WINDOW_MAX_ROWS_CONF, "10")
+    try:
+        with pytest.raises(WindowError, match="no edges"):
+            run(q, spark=spark, sf_dir=sf_dir).collect()
+    finally:
+        spark.conf.unset(GLOBAL_WINDOW_MAX_ROWS_CONF)
+    # under the default bound the small table passes
+    assert run(q, spark=spark, sf_dir=sf_dir).count() == 5
