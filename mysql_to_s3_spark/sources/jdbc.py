@@ -17,9 +17,12 @@ Spark-native mapping:
   information_schema FK scan    -> DISCOVER_RELATIONS_SQL via a 1-row
                                    JDBC query; feeds snowflake.Relation
 
-No MySQL server exists in this container: everything below is exercised by
-unit tests on the generated options/SQL/predicates, and ``read_table``
-gates the live call behind the configured driver's availability.
+No MySQL server exists in this container: the MySQL-specific discovery
+SQL is exercised by unit tests on the generated options/SQL/predicates
+(tests/test_jdbc.py), while the live path — ``read_table`` partitioned
+scans, ``predicates`` batches, and the full read→build_plan→doc_frame
+round-trip — runs end-to-end against an embedded Apache Derby database
+(shipped with Spark) in tests/test_jdbc_e2e.py, no mocks.
 """
 
 from __future__ import annotations
@@ -48,9 +51,14 @@ class JdbcConfig:
     driver: str = "com.mysql.cj.jdbc.Driver"
     fetchsize: int = 10_000  # streaming-cursor analog
     properties: dict[str, str] = dc_field(default_factory=dict)
+    # verbatim JDBC URL override: any JDBC-speaking engine (MariaDB,
+    # Postgres, embedded Derby in tests) instead of the MySQL URL form
+    jdbc_url: str | None = None
 
     @property
     def url(self) -> str:
+        if self.jdbc_url:
+            return self.jdbc_url
         return f"jdbc:mysql://{self.host}:{self.port}/{self.schema}"
 
 
