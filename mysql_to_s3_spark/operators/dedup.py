@@ -131,17 +131,51 @@ def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> Column:
     )
 
 
-def _band_bucket_columns(sh: Column, n_hashes: int, bands: int) -> list[Column]:
-    """Per-band LSH bucket keys, each minhash expression referenced exactly
-    ONCE. (Building the full signature array and element_at-ing it back
-    lets Catalyst's projection collapse re-expand the whole array per
-    reference — 64x duplicated work, measured 17x slower.)"""
-    r = n_hashes // bands
-    mh = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(n_hashes)
+# universal-hash family over a 2^32 universe: h_i(x) = (a_i*x + b_i) mod P.
+# P prime > 2^32; a_i < 2^31 keeps a*x < 2^63 (no ANSI long overflow).
+_MINHASH_P = 4294967311
+
+
+def _perm_constants(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via splitmix64 from a fixed seed."""
+    out, z = [], 0x9E3779B97F4A7C15
+    for _ in range(n):
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = z
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        a = (x % (2**31 - 1)) + 1
+        b = (x >> 32) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def _base_hashes(sh: Column) -> Column:
+    """ONE xxhash64 per shingle, folded into the 2^32 universe. The n_hashes
+    minhash values are then cheap arithmetic permutations of these — not
+    n_hashes fresh string hashes per shingle (64x the hashing work, which
+    dominated the projection)."""
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(2**32)))
+
+
+def _minhash_columns(hb: Column, n_hashes: int) -> list[Column]:
+    """The n_hashes minhash values over materialized base hashes ``hb``.
+    ``hb`` must come from across an Exchange or cache so its per-shingle
+    xxhash64 is evaluated once — otherwise Catalyst's projection collapse
+    re-expands it into every permutation (n_hashes x the hashing work;
+    the same trap measured 17x slower for band keys referencing raw
+    minhash expressions)."""
+
+    def perm(a: int, b: int):
+        # single-arg lambda: a two-arg lambda would receive the array
+        # INDEX as its second argument, clobbering captured defaults
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+
+    return [
+        F.array_min(F.transform(hb, perm(a, b)))
+        for a, b in _perm_constants(n_hashes)
     ]
-    return [F.xxhash64(*mh[b * r : (b + 1) * r]) for b in range(bands)]
 
 
 def minhash_lsh_pairs(
@@ -160,27 +194,32 @@ def minhash_lsh_pairs(
     """
     # spread the (CPU-heavy) minhash projection across cores — a small
     # corpus arrives as one parquet split, which would serialize all
-    # n_hashes x |shingles| hash evaluations onto one task — and CACHE the
-    # computed band buckets so the candidate self-join's two sides don't
-    # re-evaluate the minhash expressions
+    # hash evaluations onto one task — and CACHE id/shingles/signature so
+    # every downstream consumer reads materialized columns. The repartition
+    # Exchange is ALSO the barrier that keeps Catalyst's projection
+    # collapse from re-expanding the per-shingle base hash into each of
+    # the n_hashes permutation expressions.
     par = df.sparkSession.sparkContext.defaultParallelism
-    buckets = _band_bucket_columns(F.col("sh"), n_hashes, bands)
+    r = n_hashes // bands
+    sig = F.array(*_minhash_columns(F.col("__hb__"), n_hashes))
     sets = (
         _shingle_sets(df, id_col, text_col)
+        .withColumn("__hb__", _base_hashes(F.col("sh")))
         .repartition(par, "id")
-        .select(
-            "id",
-            "sh",
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-                    for b, bucket in enumerate(buckets)
-                ]
-            ).alias("__bands__"),
-        )
+        .select("id", "sh", sig.alias("sig"))
         .cache()
     )
-    band_rows = sets.select("id", F.explode("__bands__").alias("bb")).select(
+    # band keys read the CACHED signature (element_at on a materialized
+    # column — safe to reference n_hashes times, unlike the raw minhash
+    # expressions, which projection collapse would duplicate per band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    band_rows = sets.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
     )
     x = band_rows.alias("x")
@@ -195,7 +234,27 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sets, threshold)
+    # signature pre-verify: a template-heavy corpus floods the bands with
+    # moderate-similarity collisions (measured 176k candidates for 255
+    # true pairs at sf0.1), and exact array_intersect over ~300-string
+    # shingle sets per candidate dominated the whole operator. Estimated
+    # Jaccard = fraction of agreeing signature positions costs 64 long
+    # compares and a 512-byte join payload; pruning at threshold - 0.15
+    # (>= 4 sigma of the n=64 estimator at t=0.9) keeps the expensive
+    # exact verify to the ~true pairs. Exact Jaccard still decides.
+    sigs = sets.select("id", "sig")
+    est = (
+        cand.join(sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b")), "b")
+        .withColumn(
+            "__est__",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v))
+            / F.lit(float(n_hashes)),
+        )
+        .filter(F.col("__est__") >= F.lit(max(0.0, threshold - 0.15)))
+        .select("a", "b")
+    )
+    return _verify_jaccard(est, sets, threshold)
 
 
 def simhash_bits() -> int:
