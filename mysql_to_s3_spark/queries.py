@@ -2374,6 +2374,64 @@ DRIVER_ORDER: list[str] = [
 ]
 
 
+def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES typed-JSON wire format (sinks/typed_json.py): write docs as
+    typed JSON lines through the distributed mapInPandas sink, read the
+    lines back, untype, and emit the scalar fields — a full
+    encode->decode round-trip under the driver's value compare."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sinks.typed_json import untyped, write_typed_json_lines
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    df = orders.select(
+        F.struct(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("fact")
+    )
+    out = tempfile.mkdtemp(prefix="typed_json_")
+    write_typed_json_lines(df, out, "fact")
+    lines = spark.read.text(out)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            docs = [untyped(_json.loads(v)) for v in pdf["value"]]
+            yield pd.DataFrame(
+                {
+                    "ok": [d["ok"] for d in docs],
+                    "status": [d["status"] for d in docs],
+                    "price": [d["price"] for d in docs],
+                }
+            )
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ok", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    return lines.mapInPandas(parse, schema).orderBy("ok")
+
+
+_q(
+    "typed_json_roundtrip",
+    _typed_json_roundtrip_spark,
+    """SELECT o_orderkey AS ok, o_orderstatus AS status, o_totalprice AS price
+       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""",
+)
+
+
 def names() -> list[str]:
     ordered = [n for n in DRIVER_ORDER if n in CATALOG]
     assert len(ordered) == len(DRIVER_ORDER), (

@@ -1,0 +1,100 @@
+"""ES typed-JSON encode/untype (reference mo_json/typed_encoder.py and
+pyLibrary/env/typed_inserter.py) + the distributed typed-JSON-lines sink."""
+
+import json
+
+import pytest
+
+from mysql_to_s3_spark.sinks.typed_json import (
+    BOOLEAN_TYPE,
+    EXISTS_TYPE,
+    NESTED_TYPE,
+    NUMBER_TYPE,
+    STRING_TYPE,
+    TypedEncodeError,
+    decode_property,
+    encode_property,
+    typed_encode,
+    untype_path,
+    untyped,
+    write_typed_json_lines,
+)
+
+
+def test_scalar_markers():
+    assert typed_encode(True) == {BOOLEAN_TYPE: True}
+    assert typed_encode(3) == {NUMBER_TYPE: 3}
+    assert typed_encode(3.5) == {NUMBER_TYPE: 3.5}
+    assert typed_encode("x") == {STRING_TYPE: "x"}
+    assert typed_encode(None) == {}
+
+
+def test_object_encoding_skips_missing_and_marks_exists():
+    # None and "" property values are JX-missing -> skipped (typed_inserter:345-347)
+    got = typed_encode({"a": 1, "b": None, "c": "", "d": "ok"})
+    assert got == {"a": {NUMBER_TYPE: 1}, "d": {STRING_TYPE: "ok"}, EXISTS_TYPE: 1}
+    assert typed_encode({}) == {EXISTS_TYPE: 0}
+    assert typed_encode({"a": None}) == {EXISTS_TYPE: 0}
+
+
+def test_primitive_multivalue_collapses():
+    # same-typed primitive lists are multivalues under the scalar marker;
+    # singletons collapse to the bare scalar (typed_inserter:319-330)
+    assert typed_encode([1, 2]) == {NUMBER_TYPE: [1, 2]}
+    assert typed_encode([1, None, 2]) == {NUMBER_TYPE: [1, 2]}
+    assert typed_encode(["only"]) == {STRING_TYPE: "only"}
+    assert typed_encode([]) == {NESTED_TYPE: []}
+    assert typed_encode([None]) == {NESTED_TYPE: []}
+    with pytest.raises(TypedEncodeError):
+        typed_encode([1, "x"])
+
+
+def test_nested_array_of_objects():
+    got = typed_encode([{"k": 1}, {"k": 2}])
+    assert got == {
+        NESTED_TYPE: [
+            {"k": {NUMBER_TYPE: 1}, EXISTS_TYPE: 1},
+            {"k": {NUMBER_TYPE: 2}, EXISTS_TYPE: 1},
+        ],
+        EXISTS_TYPE: 2,
+    }
+
+
+def test_property_name_encoding():
+    assert encode_property("a.b") == "a,b"
+    assert encode_property("a,b") == "a\\,b"
+    assert decode_property(encode_property("a.b,c")) == "a.b,c"
+    assert untype_path("a,b." + NUMBER_TYPE) == "a.b"
+    d = typed_encode({"a.b": 1})
+    assert d == {"a,b": {NUMBER_TYPE: 1}, EXISTS_TYPE: 1}
+    assert untyped(d) == {"a.b": 1}
+
+
+def test_untyped_round_trip():
+    doc = {
+        "name": "alpha",
+        "n": 7,
+        "flag": False,
+        "tags": ["x", "y"],
+        "child": {"deep": {"v": 1.5}},
+        "items": [{"q": 1}, {"q": 2}],
+    }
+    assert untyped(typed_encode(doc)) == doc
+
+
+def test_write_typed_json_lines_distributed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.struct(
+            F.col("id").alias("k"),
+            F.concat(F.lit("doc"), F.col("id").cast("string")).alias("name"),
+        ).alias("fact")
+    )
+    out = str(tmp_path / "typed")
+    write_typed_json_lines(df, out, "fact")
+    lines = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
+    docs = sorted((untyped(line) for line in lines), key=lambda d: d["k"])
+    assert docs == [{"k": i, "name": f"doc{i}"} for i in range(3)]
+    # wire format carries the typed markers
+    assert all(EXISTS_TYPE in line and NUMBER_TYPE in line["k"] for line in lines)
