@@ -34,9 +34,15 @@ HEADLINE = [
     "edges_general_set_where",
     "text_stats",
     "text_langid",
+    "text_quality",
+    "text_winnow_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_ann_lsh",
+    "multimodal_features",
+    "edges_range_span",
+    "counters_batch_keys_month",
 ]
 
 

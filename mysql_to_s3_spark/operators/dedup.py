@@ -101,26 +101,67 @@ def ngram_jaccard_pairs(
     freq^2 is tiny. df computation and the per-doc ranking are one
     hash-shuffle each; verification touches candidates only.
     """
+    t = float(threshold)
     par = df.sparkSession.sparkContext.defaultParallelism
-    sets = _shingle_sets(df, id_col, text_col).repartition(par, "id").cache()
+    sets = (
+        _shingle_sets(df, id_col, text_col)
+        .withColumn("__hb__", _base_hashes(F.col("sh")))
+        .repartition(par, "id")
+        .cache()
+    )
     ex = sets.select("id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
-    prefix_len = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     prefix = (
         ex.join(dfreq, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "shingle", "rn", "n")
     )
+    # PPJoin refinements on the candidate join — both EXACT:
+    #   length filter: J>=t forces t*|B| <= |A| (and symmetrically);
+    #   positional filter: the overlap needed is a = ceil(t/(1+t)*(na+nb));
+    #     at the FIRST shared prefix shingle (positions i, j) the overlap
+    #     is bounded by 1 + min(na-i, nb-j). True pairs always pass at
+    #     their first shared occurrence (which is one of the join rows),
+    #     so keeping a pair when ANY occurrence passes loses nothing.
     a = prefix.alias("x")
     b = prefix.alias("y")
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("x.n") + F.col("y.n")))
     cand = (
-        a.join(b, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.id") < F.col("y.id")))
+        a.join(
+            b,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.id") < F.col("y.id"))
+            & (F.col("x.n") >= F.lit(t) * F.col("y.n"))
+            & (F.col("y.n") >= F.lit(t) * F.col("x.n"))
+            & (
+                1 + F.least(F.col("x.n") - F.col("x.rn"), F.col("y.n") - F.col("y.rn"))
+                >= alpha
+            ),
+        )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sets, threshold)
+    # staged verification — stage 1 intersects the 8-byte base-hash
+    # arrays: hash collisions can only INFLATE the hashed Jaccard
+    # (intersection grows, union shrinks), so filtering at >= t keeps a
+    # SUPERSET of the true pairs — exact recall, ~1/4 the shuffle bytes
+    # and integer instead of string comparisons over the (measured 5.3M
+    # at sf0.1) candidate pairs. Stage 2 decides with exact string
+    # Jaccard on the few survivors.
+    hsets_a = sets.select(F.col("id").alias("a"), F.col("__hb__").alias("hb_a"))
+    hsets_b = sets.select(F.col("id").alias("b"), F.col("__hb__").alias("hb_b"))
+    h_inter = F.size(F.array_intersect("hb_a", "hb_b"))
+    h_j = h_inter.cast("double") / (F.size("hb_a") + F.size("hb_b") - h_inter)
+    likely = (
+        cand.join(hsets_a, "a")
+        .join(hsets_b, "b")
+        .filter(h_j >= F.lit(t))
+        .select("a", "b")
+    )
+    return _verify_jaccard(likely, sets.select("id", "sh"), threshold)
 
 
 def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> Column:
