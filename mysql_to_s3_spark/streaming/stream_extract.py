@@ -219,3 +219,33 @@ def stream_extract(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_exact_dedup(
+    sdf: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the normalized-text fingerprint (the
+    streaming analog of operators/dedup.exact_dedup): keep the FIRST
+    arrival of each fingerprint, drop re-arrivals within the watermark
+    horizon.
+
+    Spark-native mapping: ``dropDuplicatesWithinWatermark`` keys state by
+    the 16-byte fingerprint and expires entries once the event-time
+    watermark passes ``lateness`` — bounded state (one entry per DISTINCT
+    doc inside the horizon, not per row), exactly the shape a 100 TB
+    ingest firehose needs. A global ``dropDuplicates`` would keep every
+    fingerprint forever; at corpus scale that state never stops growing.
+    """
+    from mysql_to_s3_spark.operators.text import fingerprint
+
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        sdf.withColumn("__fp__", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, lateness)
+        .dropDuplicatesWithinWatermark(["__fp__"])
+        .drop("__fp__")
+    )

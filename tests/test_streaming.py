@@ -169,3 +169,42 @@ def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
             assert n == 10, (k, n)
         else:
             assert n <= 10, (k, n)
+
+
+def test_stream_exact_dedup_drops_rearrivals(spark, tmp_path):
+    """stream_exact_dedup keeps the first arrival per fingerprint and
+    drops re-arrivals across micro-batches (state keyed by fingerprint,
+    expired by the watermark)."""
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import stream_exact_dedup
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src, exist_ok=True)
+    # two files -> two micro-batches; doc "alpha beta" re-arrives in both,
+    # "Alpha  BETA " normalizes to the same fingerprint as "alpha beta"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02", "2024-01-01 00:00:03"]).astype("datetime64[us]"),
+            "text": ["alpha beta", "gamma delta", "Alpha  BETA "],
+        }
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:10:01"]).astype("datetime64[us]"),
+            "text": ["alpha beta", "epsilon zeta"],
+        }
+    ).to_parquet(src + "/b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    deduped = stream_exact_dedup(sdf, "ts", "text", lateness="1 hour")
+    _run_stream(deduped, "dedup_stream", "append")
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    # one survivor per distinct fingerprint: {alpha beta}, {gamma delta},
+    # {epsilon zeta} — ids 3 and 4 are dropped as duplicates
+    assert len(kept) == 3
+    assert 5 in kept and (1 in kept or 3 in kept) and 2 in kept
+    assert not {1, 3}.issubset(set(kept)) and 4 not in kept
