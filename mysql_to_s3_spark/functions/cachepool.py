@@ -1,0 +1,39 @@
+"""Scoped caching for intermediate frames that are consumed both inside
+an operator (e.g. domain discovery) and by the caller's later action.
+
+``cache_scoped(df, key)`` caches ``df`` and unpersists whatever was
+previously cached under ``key`` — so a session running many catalog
+queries (the driver checks 50 sequentially, bench runs 28) holds at most
+ONE cached intermediate per operator family instead of accumulating
+every query's cache until session death. Unpersisting is always
+correctness-safe in Spark: a still-referenced DataFrame silently
+recomputes from lineage if its cache is dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_POOL: dict[str, DataFrame] = {}
+
+
+def cache_scoped(df: DataFrame, key: str) -> DataFrame:
+    prev = _POOL.get(key)
+    if prev is not None and prev is not df:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session of the previous frame may already be stopped
+    df = df.cache()
+    _POOL[key] = df
+    return df
+
+
+def release_all() -> None:
+    """Drop every pooled cache (e.g. at the end of a bench run)."""
+    for df in _POOL.values():
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    _POOL.clear()

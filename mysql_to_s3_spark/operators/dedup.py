@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mysql_to_s3_spark.functions.cachepool import cache_scoped
 from mysql_to_s3_spark.operators.text import fingerprint, words
 
 SHINGLE_K = 5  # character-shingle width
@@ -107,8 +108,8 @@ def ngram_jaccard_pairs(
         _shingle_sets(df, id_col, text_col)
         .withColumn("__hb__", _base_hashes(F.col("sh")))
         .repartition(par, "id")
-        .cache()
     )
+    sets = cache_scoped(sets, "dedup.ngram.sets")
     ex = sets.select("id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
@@ -248,8 +249,8 @@ def minhash_lsh_pairs(
         .withColumn("__hb__", _base_hashes(F.col("sh")))
         .repartition(par, "id")
         .select("id", "sh", sig.alias("sig"))
-        .cache()
     )
+    sets = cache_scoped(sets, "dedup.minhash.sets")
     # band keys read the CACHED signature (element_at on a materialized
     # column — safe to reference n_hashes times, unlike the raw minhash
     # expressions, which projection collapse would duplicate per band)
@@ -346,7 +347,7 @@ def simhash_pairs(
     relaxes the filter, so pigeonhole recall is unaffected."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sh = simhash(df, id_col, text_col).cache()
+    sh = cache_scoped(simhash(df, id_col, text_col), "dedup.simhash")
     chunks = sh.select(
         "id",
         "simhash",

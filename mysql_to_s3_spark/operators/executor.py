@@ -40,6 +40,7 @@ from mysql_to_s3_spark.functions.compiler import (
     Schema,
     compile_expression,
 )
+from mysql_to_s3_spark.functions.cachepool import cache_scoped
 from mysql_to_s3_spark.operators.windows import apply_window
 from mysql_to_s3_spark.plans.domains import compile_domain, range_edge_buckets
 from mysql_to_s3_spark.plans.normalize import EdgeClause, QueryOp, SelectClause
@@ -276,8 +277,10 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     sparse = df2.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
     # sparse is consumed once per default-domain discovery and once by the
-    # densify join — cache so the scan+shuffle+agg runs exactly once
-    sparse = sparse.cache()
+    # densify join — cache so the scan+shuffle+agg runs exactly once;
+    # scoped so the NEXT edges query releases this one (bounded memory
+    # across a long catalog run)
+    sparse = cache_scoped(sparse, "edges.sparse")
 
     # Dense cube frame: the cross product of per-edge part lists, built
     # DRIVER-side in one partition. Every domain is bounded (declared parts
