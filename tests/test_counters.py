@@ -95,3 +95,60 @@ def test_spark_batch_key_columns_matches_golden(spark):
     }
     for i, (_, expected) in enumerate(WEEK_10_DATA):
         assert got[i] == expected, f"row {i}: {got[i]} != {expected}"
+
+
+DAY_3_DATA = [
+    (datetime(2017, 1, 1), [0, 0, 0]),
+    (datetime(2017, 1, 1), [0, 0, 1]),
+    (datetime(2017, 1, 1), [0, 0, 2]),
+    (datetime(2017, 1, 2), [1, 0, 0]),
+    (datetime(2017, 1, 2), [1, 0, 1]),
+    (datetime(2017, 1, 2), [1, 0, 2]),
+    (datetime(2017, 1, 2), [1, 1, 0]),
+    (datetime(2017, 1, 2), [1, 1, 1]),
+    (datetime(2017, 1, 2), [1, 1, 2]),
+    (datetime(2017, 1, 2), [1, 2, 0]),
+    (datetime(2017, 1, 3), [2, 0, 0]),
+    (datetime(2017, 1, 4), [3, 0, 0]),
+    (datetime(2017, 1, 5), [4, 0, 0]),
+    (datetime(2017, 1, 6), [5, 0, 0]),
+    (datetime(2017, 1, 7), [6, 0, 0]),
+    (datetime(2017, 1, 8), [7, 0, 0]),
+    (datetime(2017, 1, 9), [8, 0, 0]),
+    (datetime(2017, 1, 9), [8, 0, 1]),
+    (datetime(2017, 1, 10), [9, 0, 0]),
+    (datetime(2017, 1, 11), [10, 0, 0]),
+    (datetime(2017, 1, 11), [10, 0, 1]),
+    (datetime(2017, 1, 12), [11, 0, 0]),
+    (datetime(2017, 1, 12), [11, 0, 1]),
+    (datetime(2017, 1, 12), [11, 0, 2]),
+]
+
+
+def test_day_3_golden():
+    """reference tests/test_counters.py:132-174 — day buckets, size-3
+    sub-batches (batch0 counts days since start, not weeks)."""
+    c = DurationCounter(
+        start=datetime(2017, 1, 1), duration="day", child=BatchCounter(start=0, size=3, child=Counter(0))
+    )
+    got = [c.next((d, None)) for d, _ in DAY_3_DATA]
+    assert got == [e for _, e in DAY_3_DATA]
+
+
+def test_parts_of_day_golden():
+    """reference tests/test_counters.py:176-199 — values may move
+    BACKWARD within a duration bucket (00:01:01 then 00:00:00 on the
+    same day): the monotonicity contract applies to the bucket floor,
+    not the raw value."""
+    data = [
+        (datetime(2017, 1, 1), [0, 0, 0]),
+        (datetime(2017, 1, 1), [0, 0, 1]),
+        (datetime(2017, 1, 1), [0, 0, 2]),
+        (datetime(2017, 1, 2, 0, 1, 1), [1, 0, 0]),
+        (datetime(2017, 1, 2), [1, 0, 1]),
+    ]
+    c = DurationCounter(
+        start=datetime(2017, 1, 1), duration="day", child=BatchCounter(start=0, size=3, child=Counter(0))
+    )
+    got = [c.next((d, None)) for d, _ in data]
+    assert got == [e for _, e in data]
