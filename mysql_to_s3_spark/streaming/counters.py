@@ -212,8 +212,14 @@ def batch_key_columns(
     if offsets:
         m = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
         rn = rn + F.coalesce(m[bucket.cast("bigint")], F.lit(0))
+    # materialize the row number ONCE: deriving batch1 and batch2 straight
+    # from the window expression plants two copies with distinct expr IDs,
+    # which Catalyst cannot merge — two Window operators, two Exchanges
+    # and Sorts over the same partitioning (observed in the plan)
     return (
         df.withColumn("__batch0__", bucket.cast("bigint"))
-        .withColumn("__batch1__", (rn / size).cast("bigint"))
-        .withColumn("__batch2__", rn % size)
+        .withColumn("__rn__", rn)
+        .withColumn("__batch1__", (F.col("__rn__") / size).cast("bigint"))
+        .withColumn("__batch2__", F.col("__rn__") % size)
+        .drop("__rn__")
     )
