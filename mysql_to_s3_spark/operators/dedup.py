@@ -114,11 +114,14 @@ def ngram_jaccard_pairs(
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
     prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    prefix = (
+    # cached: the self-join below consumes prefix on BOTH sides — without
+    # it the df-count groupBy, join, and ranking window all run twice
+    prefix = cache_scoped(
         ex.join(dfreq, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "shingle", "rn", "n")
+        .select("id", "shingle", "rn", "n"),
+        "dedup.ngram.prefix",
     )
     # PPJoin refinements on the candidate join — both EXACT:
     #   length filter: J>=t forces t*|B| <= |A| (and symmetrically);
