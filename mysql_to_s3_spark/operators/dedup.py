@@ -130,16 +130,20 @@ def ngram_jaccard_pairs(
     #     is bounded by 1 + min(na-i, nb-j). True pairs always pass at
     #     their first shared occurrence (which is one of the join rows),
     #     so keeping a pair when ANY occurrence passes loses nothing.
+    # Both filters carry a 1e-9 epsilon so float representation error in
+    # the threshold literal (0.9 as double * 10 = 9.000000000000002) can
+    # never drop a boundary pair — they stay conservative SUPERSETS and
+    # the rounded exact verify remains the sole decider.
     a = prefix.alias("x")
     b = prefix.alias("y")
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("x.n") + F.col("y.n")))
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("x.n") + F.col("y.n")) - F.lit(1e-9))
     cand = (
         a.join(
             b,
             (F.col("x.shingle") == F.col("y.shingle"))
             & (F.col("x.id") < F.col("y.id"))
-            & (F.col("x.n") >= F.lit(t) * F.col("y.n"))
-            & (F.col("y.n") >= F.lit(t) * F.col("x.n"))
+            & (F.col("x.n") >= F.lit(t) * F.col("y.n") - F.lit(1e-9))
+            & (F.col("y.n") >= F.lit(t) * F.col("x.n") - F.lit(1e-9))
             & (
                 1 + F.least(F.col("x.n") - F.col("x.rn"), F.col("y.n") - F.col("y.rn"))
                 >= alpha
@@ -149,20 +153,24 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     # staged verification — stage 1 intersects the 8-byte base-hash
-    # arrays: hash collisions can only INFLATE the hashed Jaccard
-    # (intersection grows, union shrinks), so filtering at >= t keeps a
-    # SUPERSET of the true pairs — exact recall, ~1/4 the shuffle bytes
-    # and integer instead of string comparisons over the (measured 5.3M
-    # at sf0.1) candidate pairs. Stage 2 decides with exact string
-    # Jaccard on the few survivors.
-    hsets_a = sets.select(F.col("id").alias("a"), F.col("__hb__").alias("hb_a"))
-    hsets_b = sets.select(F.col("id").alias("b"), F.col("__hb__").alias("hb_b"))
+    # arrays: cheap integer set math over the (measured 5.3M at sf0.1)
+    # candidate pairs, ~1/4 the shuffle bytes of the string sets. The
+    # sizes use array_distinct — `sh` is distinct but its 32-bit folded
+    # hashes need not be, and an inflated denominator would UNDERestimate
+    # the hashed Jaccard and drop a true pair. A rare collision INSIDE the
+    # intersection can still shrink the numerator by ~1/|set| per event,
+    # so the filter runs at round(h_j, 6) >= t - 0.01: the 0.01 slack
+    # covers multiple simultaneous collisions (p ~ 1e-5 per pair for ONE)
+    # and the rounding matches _verify_jaccard's round-6 compare. Stage 2
+    # decides with exact string Jaccard on the few survivors.
+    hsets_a = sets.select(F.col("id").alias("a"), F.array_distinct("__hb__").alias("hb_a"))
+    hsets_b = sets.select(F.col("id").alias("b"), F.array_distinct("__hb__").alias("hb_b"))
     h_inter = F.size(F.array_intersect("hb_a", "hb_b"))
     h_j = h_inter.cast("double") / (F.size("hb_a") + F.size("hb_b") - h_inter)
     likely = (
         cand.join(hsets_a, "a")
         .join(hsets_b, "b")
-        .filter(h_j >= F.lit(t))
+        .filter(F.round(h_j, 6) >= F.lit(t) - F.lit(0.01))
         .select("a", "b")
     )
     return _verify_jaccard(likely, sets.select("id", "sh"), threshold)
@@ -283,10 +291,15 @@ def minhash_lsh_pairs(
     # moderate-similarity collisions (measured 176k candidates for 255
     # true pairs at sf0.1), and exact array_intersect over ~300-string
     # shingle sets per candidate dominated the whole operator. Estimated
-    # Jaccard = fraction of agreeing signature positions costs 64 long
-    # compares and a 512-byte join payload; pruning at threshold - 0.15
-    # (>= 4 sigma of the n=64 estimator at t=0.9) keeps the expensive
-    # exact verify to the ~true pairs. Exact Jaccard still decides.
+    # Jaccard = fraction of agreeing signature positions costs n_hashes
+    # long compares and a small join payload; the prune margin scales
+    # with the estimator's sigma — 4*sqrt(t*(1-t)/n_hashes), i.e. a 4-sigma
+    # band (0.15 at t=0.9, n=64; wider at lower thresholds where sigma
+    # grows) — so the added miss probability stays ~3e-5 per boundary
+    # pair at ANY threshold rather than silently growing as t drops.
+    # Exact Jaccard still decides; the prune is threshold-dependent and
+    # strictly additive to the base (1-t^r)^b LSH miss probability.
+    margin = 4.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
     sigs = sets.select("id", "sig")
     est = (
         cand.join(sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a")), "a")
@@ -296,7 +309,7 @@ def minhash_lsh_pairs(
             F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v))
             / F.lit(float(n_hashes)),
         )
-        .filter(F.col("__est__") >= F.lit(max(0.0, threshold - 0.15)))
+        .filter(F.col("__est__") >= F.lit(max(0.0, threshold - margin)))
         .select("a", "b")
     )
     return _verify_jaccard(est, sets, threshold)

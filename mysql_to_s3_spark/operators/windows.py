@@ -33,11 +33,22 @@ GLOBAL_WINDOW_MAX_ROWS_CONF = "mysql_to_s3_spark.window.maxGlobalRows"
 GLOBAL_WINDOW_MAX_ROWS_DEFAULT = 10_000_000
 
 
+# verdicts memoized per (input-plan semantic hash, limit): the bounded
+# count scan runs once per distinct input frame, not once per window
+# clause per re-run (driver + bench re-compile the same catalog queries
+# repeatedly). Bounded dict — evict oldest beyond a small cap.
+_GUARD_VERDICTS: dict[tuple[object, int], bool] = {}
+_GUARD_VERDICTS_CAP = 256
+
+
 def _guard_global_window(df: DataFrame, name: str) -> None:
     """A window with no edges is a single Spark task over ALL rows (the
     reference's global sort semantics). At cluster scale that is a silent
     one-executor bottleneck/OOM, so refuse above a row bound. The check is
-    a limit(n+1).count() — an early-exit scan, not a full count."""
+    a limit(n+1).count() — an early-exit scan, not a full count — and the
+    verdict is memoized per (input plan, limit). Streaming frames skip
+    the count (it would raise AnalysisException) and are refused outright:
+    an edge-less global sort has no streaming execution anyway."""
     try:
         limit = int(df.sparkSession.conf.get(
             GLOBAL_WINDOW_MAX_ROWS_CONF, str(GLOBAL_WINDOW_MAX_ROWS_DEFAULT)))
@@ -45,7 +56,22 @@ def _guard_global_window(df: DataFrame, name: str) -> None:
         limit = GLOBAL_WINDOW_MAX_ROWS_DEFAULT
     if limit < 0:
         return
-    if df.limit(limit + 1).count() > limit:
+    if df.isStreaming:
+        raise WindowError(
+            f"window {name!r} has no edges; a global sort is not executable "
+            "on a streaming DataFrame — add `edges` to partition the window"
+        )
+    try:
+        key = (df._jdf.queryExecution().analyzed().semanticHash(), limit)
+    except Exception:
+        key = (id(df), limit)
+    too_big = _GUARD_VERDICTS.get(key)
+    if too_big is None:
+        too_big = df.limit(limit + 1).count() > limit
+        while len(_GUARD_VERDICTS) >= _GUARD_VERDICTS_CAP:
+            _GUARD_VERDICTS.pop(next(iter(_GUARD_VERDICTS)))
+        _GUARD_VERDICTS[key] = too_big
+    if too_big:
         raise WindowError(
             f"window {name!r} has no edges, forcing a single-task global "
             f"sort over more than {limit} rows; add `edges` to partition "

@@ -1,0 +1,47 @@
+"""cachepool contract: plan-fingerprint keying lets interleaved
+pipelines of one family stay warm (round-3 verdict item: the old
+single-slot-per-family pool thrashed on interleaving)."""
+
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.functions import cachepool
+from mysql_to_s3_spark.functions.cachepool import cache_scoped, release_all
+
+
+def _corpus(spark, tag, n):
+    return spark.range(n).select(
+        F.col("id"), F.concat(F.lit(tag), F.col("id").cast("string")).alias("text")
+    )
+
+
+def test_interleaved_same_family_both_stay_cached(spark):
+    release_all()
+    a = _corpus(spark, "a", 10)
+    b = _corpus(spark, "b", 20)
+    ca = cache_scoped(a, "fam")
+    cb = cache_scoped(b, "fam")
+    # re-submitting either plan hits ITS warm cache — not a thrash of one slot
+    assert cache_scoped(_corpus(spark, "a", 10), "fam") is ca
+    assert cache_scoped(_corpus(spark, "b", 20), "fam") is cb
+    assert ca.is_cached and cb.is_cached
+    release_all()
+
+
+def test_capacity_evicts_oldest(spark):
+    release_all()
+    frames = [cache_scoped(_corpus(spark, f"t{i}", 5 + i), "fam") for i in range(cachepool.FAMILY_CAPACITY + 1)]
+    # the oldest plan fell out of the LRU; a re-submit re-caches a NEW frame
+    again = cache_scoped(_corpus(spark, "t0", 5), "fam")
+    assert again is not frames[0]
+    # the newest survivors are still hits
+    assert cache_scoped(_corpus(spark, f"t{cachepool.FAMILY_CAPACITY}", 5 + cachepool.FAMILY_CAPACITY), "fam") is frames[-1]
+    release_all()
+
+
+def test_release_all_unpersists(spark):
+    release_all()
+    c = cache_scoped(_corpus(spark, "x", 7), "fam2")
+    assert c.is_cached
+    release_all()
+    assert not c.is_cached
+    assert cachepool._POOL == {}
