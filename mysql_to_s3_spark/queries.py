@@ -117,25 +117,6 @@ _q(
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
 
-_q(
-    "setop_computed_revenue",
-    {
-        "from": "lineitem",
-        "select": [
-            {"name": "okey", "value": "l_orderkey"},
-            {"name": "lnum", "value": "l_linenumber"},
-            {"name": "revenue", "value": {"mul": ["l_extendedprice", {"sub": [1, "l_discount"]}]}},
-        ],
-        "where": {"and": [{"eq": {"l_returnflag": "R"}}, {"lt": {"l_orderkey": 1500}}]},
-        "sort": ["l_orderkey", "l_linenumber"],
-        "limit": 10000,
-    },
-    """SELECT l_orderkey AS okey, l_linenumber AS lnum,
-              l_extendedprice * (1 - l_discount) AS revenue
-       FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey < 1500
-       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
-)
-
 def _sort_mixed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-type sort total order (value_compare, jx.py:562-627): a
     variant column holding booleans, numbers, strings, and missing rows
@@ -197,13 +178,14 @@ _q(
 
 # Merged string/regex/basic-prim/get coverage in ONE driver row: the
 # driver verifies only the first 50 catalog entries (DRIVER_ORDER below),
-# so the customer-table expression ops share a row. The narrower original
-# entries (setop_regex, setop_basic_prims, setop_get_dynamic) stay
-# registered past the window for the local oracle gate.
+# so the customer-table expression ops share a row. The regex WHERE
+# exercises filter-context regex compilation (missing -> FALSE), the
+# former setop_regex semantics.
 _q(
     "setop_string_ops",
     {
         "from": "customer",
+        "where": {"regex": {"c_name": ".*[05]"}},
         "select": [
             {"name": "ck", "value": "c_custkey"},
             {"name": "prefix8", "value": {"left": ["c_name", 8]}},
@@ -249,7 +231,8 @@ _q(
               c_mktsegment = 'BUILDING' AS is_bldg,
               list_extract(string_split(c_name, '#'), 2) AS cust_num,
               c_mktsegment AS seg
-       FROM customer ORDER BY c_custkey LIMIT 300""",
+       FROM customer WHERE regexp_full_match(c_name, '.*[05]')
+       ORDER BY c_custkey LIMIT 300""",
 )
 
 _q(
@@ -309,8 +292,6 @@ _NULLY = {"when": {"eq": {"l_returnflag": "A"}}, "then": "l_quantity"}
 
 # Merged arithmetic + null-semantics + coalesce + row-wise n-ary coverage
 # in ONE driver row (lineitem, l_orderkey < 500) — see DRIVER_ORDER note.
-# The narrower originals (setop_null_semantics, setop_coalesce,
-# setop_rowwise_nary) stay registered past the window for the local gate.
 _q(
     "setop_arithmetic",
     {
@@ -319,6 +300,7 @@ _q(
         "select": [
             {"name": "ok", "value": "l_orderkey"},
             {"name": "ln", "value": "l_linenumber"},
+            {"name": "rev", "value": {"mul": ["l_extendedprice", {"sub": [1, "l_discount"]}]}},
             {"name": "s", "value": {"add": ["l_quantity", "l_discount", "l_tax"]}},
             {"name": "d", "value": {"sub": ["l_extendedprice", "l_quantity"]}},
             {"name": "ratio", "value": {"div": ["l_extendedprice", "l_quantity"]}},
@@ -361,6 +343,7 @@ _q(
         "limit": 10000,
     },
     """SELECT l_orderkey AS ok, l_linenumber AS ln,
+              l_extendedprice * (1 - l_discount) AS rev,
               l_quantity + l_discount + l_tax AS s,
               l_extendedprice - l_quantity AS d,
               l_extendedprice / l_quantity AS ratio,
@@ -386,8 +369,7 @@ _q(
 )
 
 # Merged unix/from_unix/offset coverage in ONE driver row (orders) — see
-# DRIVER_ORDER note. Narrower originals (setop_from_unix,
-# setop_offset_positional) stay registered past the window.
+# DRIVER_ORDER note.
 _q(
     "setop_dates_unix",
     {
@@ -415,28 +397,21 @@ _q(
        FROM orders ORDER BY o_orderkey LIMIT 500""",
 )
 
-_q(
-    "setop_between_extract",
-    {
-        "from": "events",
-        "select": [
-            {"name": "eid", "value": "event_id"},
-            {"name": "k_val", "value": {"between": "props", "prefix": '{"k": ', "suffix": "}"}},
-        ],
-        "sort": ["event_id"],
-        "limit": 500,
-    },
-    """SELECT event_id AS eid,
-              CASE WHEN regexp_matches(props, '\\{"k": (.*?)\\}')
-                   THEN regexp_extract(props, '\\{"k": (.*?)\\}', 1) END AS k_val
-       FROM events ORDER BY event_id LIMIT 500""",
-)
-
 # -- scalar aggregation (§2.4) --
 
-_q(
-    "agg_scalar_stats",
-    _rounded({
+def _agg_scalar_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged scalar-aggregate driver row: count/sum/min/max/avg/std/median
+    + variance/exact-percentile/cardinality/s0/s1/s2 moments/exists + the
+    `union` set aggregate ('|'-joined — arrays hash engine-differently,
+    the r02 lesson). One row, every §2.4 scalar aggregate hash-verified.
+    This is deliberately the EXACT oracle-parity form (sort-based
+    percentile + count-distinct Expand); agg_scalar_moments_approx is the
+    KLL/HLL scale path of the same query."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    q = {
         "from": "lineitem",
         "select": [
             {"name": "n", "value": "l_quantity", "aggregate": "count"},
@@ -446,20 +421,6 @@ _q(
             {"name": "mean", "value": "l_quantity", "aggregate": "avg"},
             {"name": "sd", "value": "l_quantity", "aggregate": "std"},
             {"name": "med", "value": "l_quantity", "aggregate": "median"},
-        ],
-    }, ["mean", "sd", "med"]),
-    """SELECT count(l_quantity) AS n, sum(l_quantity) AS total,
-              min(l_quantity) AS lo, max(l_quantity) AS hi,
-              round(avg(l_quantity), 6) AS mean, round(stddev_pop(l_quantity), 6) AS sd,
-              round(median(l_quantity), 6) AS med
-       FROM lineitem""",
-)
-
-_q(
-    "agg_scalar_moments",
-    _rounded({
-        "from": "lineitem",
-        "select": [
             {"name": "vr", "value": "l_discount", "aggregate": "variance"},
             {"name": "p90", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
             {"name": "card", "value": "l_returnflag", "aggregate": "cardinality"},
@@ -467,24 +428,41 @@ _q(
             {"name": "m1", "value": "l_discount", "aggregate": "s1"},
             {"name": "m2", "value": "l_discount", "aggregate": "s2"},
             {"name": "any_qty", "value": "l_quantity", "aggregate": "exists"},
+            {"name": "flags", "value": "l_returnflag", "aggregate": "union"},
         ],
-    }, ["vr", "p90", "m1", "m2"]),
-    """SELECT round(var_pop(l_discount), 6) AS vr,
+    }
+    df = run(q, spark=spark, sf_dir=sf_dir)
+    df = df.withColumn("flags", F.concat_ws("|", F.col("flags")))
+    for c in ("mean", "sd", "med", "vr", "p90", "m1", "m2"):
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+_q(
+    "agg_scalar_stats",
+    _agg_scalar_stats_spark,
+    """SELECT count(l_quantity) AS n, sum(l_quantity) AS total,
+              min(l_quantity) AS lo, max(l_quantity) AS hi,
+              round(avg(l_quantity), 6) AS mean, round(stddev_pop(l_quantity), 6) AS sd,
+              round(median(l_quantity), 6) AS med,
+              round(var_pop(l_discount), 6) AS vr,
               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
               count(DISTINCT l_returnflag) AS card,
               CAST(count(l_discount) AS DOUBLE) AS m0,
               round(sum(l_discount), 6) AS m1,
               round(sum(l_discount * l_discount), 6) AS m2,
-              count(l_quantity) > 0 AS any_qty
+              count(l_quantity) > 0 AS any_qty,
+              array_to_string(list_sort(list(DISTINCT l_returnflag)), '|') AS flags
        FROM lineitem""",
 )
 
-# Scale path of agg_scalar_moments: percentile via KLL sketch
-# (percentile_approx) and cardinality via HLL (approx_count_distinct),
-# switched by the query-level "approx" flag. No oracle — approx values are
-# within-tolerance, not exactly reproducible; the exact form above is the
-# correctness row, this is the 100 TB recommendation and the bench entry
-# that prices the exact/approx split.
+# Scale path of the moments half of agg_scalar_stats: percentile via KLL
+# sketch (percentile_approx) and cardinality via HLL
+# (approx_count_distinct), switched by the query-level "approx" flag. No
+# oracle — approx values are within-tolerance, not exactly reproducible;
+# the exact form above is the correctness row, this is the 100 TB
+# recommendation and the bench entry that prices the exact/approx split.
+# In-window as a rows-only driver check.
 _q(
     "agg_scalar_moments_approx",
     _rounded({
@@ -503,34 +481,6 @@ _q(
     None,
 )
 
-
-def _union_set_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`union` aggregate, emitted as a '|'-joined string.
-
-    The aggregate itself returns a sorted array (kept for the local gate in
-    tests/), but the driver's value-hasher canonicalizes array cells
-    differently between Spark/Arrow and DuckDB/numpy, so the ONLY
-    array-typed driver row hash-mismatched in r02 despite equal values.
-    Joining to a scalar string makes the compare representation-free.
-    """
-    from pyspark.sql import functions as F
-
-    from mysql_to_s3_spark.operators.executor import run
-
-    q = {
-        "from": "lineitem",
-        "select": [{"name": "flags", "value": "l_returnflag", "aggregate": "union"}],
-    }
-    df = run(q, spark=spark, sf_dir=sf_dir)
-    return df.select(F.concat_ws("|", F.col("flags")).alias("flags"))
-
-
-_q(
-    "agg_union_set",
-    _union_set_joined,
-    """SELECT array_to_string(list_sort(list(DISTINCT l_returnflag)), '|') AS flags
-       FROM lineitem""",
-)
 
 # -- groupby (§2.1) --
 
@@ -560,82 +510,107 @@ _q(
        GROUP BY l_returnflag, l_linestatus""",
 )
 
+# hosts the former groupby_two_keys aggregates (grouped avg/max) — the
+# two-key groupby shape itself is hash-verified by groupby_tpch_q1
 _q(
     "groupby_expr_bucket",
-    {
-        "from": "orders",
-        "groupby": [{"name": "bucket", "value": {"floor": ["o_totalprice", 50000]}}],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    # 2-arg JX floor is a NUMBER op -> DOUBLE on both sides
-    """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket, count(*) AS n
-       FROM orders GROUP BY 1""",
-)
-
-_q(
-    "groupby_two_keys",
     _rounded({
         "from": "orders",
-        "groupby": ["o_orderstatus", "o_orderpriority"],
+        "groupby": [{"name": "bucket", "value": {"floor": ["o_totalprice", 50000]}}],
         "select": [
             {"name": "n", "value": ".", "aggregate": "count"},
             {"name": "avg_price", "value": "o_totalprice", "aggregate": "avg"},
             {"name": "max_price", "value": "o_totalprice", "aggregate": "max"},
         ],
     }, ["avg_price"]),
-    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+    # 2-arg JX floor is a NUMBER op -> DOUBLE on both sides
+    """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket, count(*) AS n,
               round(avg(o_totalprice), 6) AS avg_price, max(o_totalprice) AS max_price
-       FROM orders GROUP BY 1, 2""",
+       FROM orders GROUP BY 1""",
 )
 
 # -- edges + domains (§2.1, §2.7): DENSE output --
 
-_q(
-    "edges_set_domain_dense",
-    {
-        "from": "customer",
-        "edges": [
-            {
-                "name": "seg",
-                "value": "c_mktsegment",
-                "allowNulls": False,
-                "domain": {
-                    "type": "set",
-                    "partitions": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD", "NOSUCH"],
-                },
-            }
-        ],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    """WITH parts(seg) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'),
-                                 ('MACHINERY'), ('HOUSEHOLD'), ('NOSUCH')),
-            agg AS (SELECT c_mktsegment AS seg, count(*) AS n FROM customer GROUP BY 1)
-       SELECT parts.seg AS seg, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-       FROM parts LEFT JOIN agg USING (seg)""",
-)
+def _edges_set_variants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged multi-leg set-domain driver row (the edges_range_histogram
+    pattern): `dense` = declared 6-part set incl. an empty part,
+    `nullbucket` = 2-part set with allowNulls=True collecting out-of-set
+    rows, `words` = multivalue edge (split -> a row contributes to EVERY
+    matching coordinate). One row hash-verifies all three set-edge
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    dense = run(
+        {
+            "from": "customer",
+            "edges": [
+                {
+                    "name": "part",
+                    "value": "c_mktsegment",
+                    "allowNulls": False,
+                    "domain": {
+                        "type": "set",
+                        "partitions": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD", "NOSUCH"],
+                    },
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("dense").alias("leg"), "part", "n")
+    nullb = run(
+        {
+            "from": "customer",
+            "edges": [
+                {
+                    "name": "part",
+                    "value": "c_mktsegment",
+                    "allowNulls": True,
+                    "domain": {"type": "set", "partitions": ["AUTOMOBILE", "BUILDING"]},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("nullbucket").alias("leg"), "part", "n")
+    words = run(
+        {
+            "from": "documents",
+            "edges": [{"name": "part", "value": {"split": ["text", " "]}, "allowNulls": False}],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            "limit": 1000,
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("words").alias("leg"), "part", "n")
+    return dense.unionByName(nullb).unionByName(words)
+
 
 _q(
-    "edges_set_null_bucket",
-    {
-        "from": "customer",
-        "edges": [
-            {
-                "name": "seg",
-                "value": "c_mktsegment",
-                "allowNulls": True,
-                "domain": {"type": "set", "partitions": ["AUTOMOBILE", "BUILDING"]},
-            }
-        ],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    # null bucket collects rows OUTSIDE the declared parts (allowNulls=True)
-    """WITH agg AS (SELECT CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
-                                THEN c_mktsegment END AS seg,
-                           count(*) AS n
-                    FROM customer GROUP BY 1),
-            parts(seg) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), (NULL))
-       SELECT parts.seg AS seg, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-       FROM parts LEFT JOIN agg ON parts.seg IS NOT DISTINCT FROM agg.seg""",
+    "edges_set_domain_dense",
+    _edges_set_variants_spark,
+    """WITH parts(part) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'),
+                                 ('MACHINERY'), ('HOUSEHOLD'), ('NOSUCH')),
+            agg AS (SELECT c_mktsegment AS part, count(*) AS n FROM customer GROUP BY 1),
+            nparts(part) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), (NULL)),
+            nagg AS (SELECT CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+                                 THEN c_mktsegment END AS part,
+                            count(*) AS n
+                     FROM customer GROUP BY 1),
+            wagg AS (SELECT w AS part, count(*) AS n
+                     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                     GROUP BY 1)
+       SELECT 'dense' AS leg, parts.part AS part, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       FROM parts LEFT JOIN agg USING (part)
+       UNION ALL
+       SELECT 'nullbucket' AS leg, nparts.part AS part, CAST(coalesce(nagg.n, 0) AS BIGINT) AS n
+       FROM nparts LEFT JOIN nagg ON nparts.part IS NOT DISTINCT FROM nagg.part
+       UNION ALL
+       SELECT 'words' AS leg, part, CAST(n AS BIGINT) AS n FROM wagg""",
 )
 
 def _trimmed_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,40 +692,77 @@ _q(
        ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 10000""",
 )
 
+def _edges_time_variants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged time-domain driver row: `week` = fixed 7-day buckets
+    anchored at the domain min (dense: every week appears even when
+    empty), `month` = CALENDAR-month buckets (variable width — a month is
+    not n seconds). Both legs emit (leg, bucket, n)."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    week = run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "o_orderdate",
+                    "allowNulls": False,
+                    "domain": {"type": "time", "min": "1995-03-01", "max": "1995-04-26", "interval": "week"},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("week").alias("leg"), "bucket", "n")
+    month = run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "o_orderdate",
+                    "allowNulls": False,
+                    "domain": {"type": "time", "min": "1995-01-01", "max": "1996-01-01", "interval": "month"},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("month").alias("leg"), "bucket", "n")
+    return week.unionByName(month)
+
+
 _q(
     "edges_time_week_dense",
-    {
-        "from": "orders",
-        "edges": [
-            {
-                "name": "wk",
-                "value": "o_orderdate",
-                "allowNulls": False,
-                "domain": {
-                    "type": "time",
-                    "min": "1995-03-01",
-                    "max": "1995-04-26",
-                    "interval": "week",
-                },
-            }
-        ],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    # fixed 7-day buckets anchored at the domain min (dense: every week
-    # appears even when empty); plain TIMESTAMP arithmetic keeps DuckDB in
-    # the TZ-less type Spark's NTZ column compares against
+    _edges_time_variants_spark,
+    # plain TIMESTAMP arithmetic keeps DuckDB in the TZ-less type Spark's
+    # NTZ column compares against
     """WITH agg AS (
          SELECT TIMESTAMP '1995-03-01'
-                  + INTERVAL 1 SECOND * (604800 * CAST(floor(date_diff('second', TIMESTAMP '1995-03-01', o_orderdate) / 604800) AS BIGINT)) AS wk,
+                  + INTERVAL 1 SECOND * (604800 * CAST(floor(date_diff('second', TIMESTAMP '1995-03-01', o_orderdate) / 604800) AS BIGINT)) AS bucket,
                 count(*) AS n
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-26'
          GROUP BY 1),
        parts AS (
-         SELECT TIMESTAMP '1995-03-01' + INTERVAL 1 SECOND * (604800 * g.x) AS wk
-         FROM generate_series(0, 7) g(x))
-       SELECT parts.wk AS wk, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-       FROM parts LEFT JOIN agg USING (wk)""",
+         SELECT TIMESTAMP '1995-03-01' + INTERVAL 1 SECOND * (604800 * g.x) AS bucket
+         FROM generate_series(0, 7) g(x)),
+       months AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                                TIMESTAMP '1995-12-01',
+                                                INTERVAL 1 MONTH)) AS bucket),
+       magg AS (SELECT date_trunc('month', o_orderdate) AS bucket, count(*) AS n
+                FROM orders
+                WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+                GROUP BY 1)
+       SELECT 'week' AS leg, parts.bucket AS bucket, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       FROM parts LEFT JOIN agg USING (bucket)
+       UNION ALL
+       SELECT 'month' AS leg, months.bucket AS bucket, CAST(coalesce(magg.n, 0) AS BIGINT) AS n
+       FROM months LEFT JOIN magg USING (bucket)""",
 )
 
 _q(
@@ -785,41 +797,55 @@ _q(
        FROM parts LEFT JOIN agg ON parts.tier IS NOT DISTINCT FROM agg.tier""",
 )
 
-_q(
-    "edges_default_domain",
-    {
-        "from": "lineitem",
-        "edges": [{"name": "flag", "value": "l_returnflag", "allowNulls": False}],
-        "select": [{"name": "total", "value": "l_quantity", "aggregate": "sum"}],
-        "limit": 1000,
-    },
-    """SELECT l_returnflag AS flag, sum(l_quantity) AS total
-       FROM lineitem GROUP BY 1""",
-)
+def _edges_default_variants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged default-domain driver row: `onedim` = discovered (capped +
+    sorted) part set on one edge, `twodim` = dense CROSS PRODUCT of two
+    discovered part sets (empty cells NULL). Legs emit
+    (leg, flag, status, total); the one-dim leg has status NULL."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+
+    one = run(
+        {
+            "from": "lineitem",
+            "edges": [{"name": "flag", "value": "l_returnflag", "allowNulls": False}],
+            "select": [{"name": "total", "value": "l_quantity", "aggregate": "sum"}],
+            "limit": 1000,
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("onedim").alias("leg"), "flag", F.lit(None).cast("string").alias("status"), "total")
+    two = run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {"name": "flag", "value": "l_returnflag", "allowNulls": False},
+                {"name": "status", "value": "l_linestatus", "allowNulls": False},
+            ],
+            "select": [{"name": "total", "value": "l_quantity", "aggregate": "sum"}],
+            "limit": 1000,
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("twodim").alias("leg"), "flag", "status", "total")
+    return one.unionByName(two)
+
 
 _q(
-    "edges_time_month_dense",
-    {
-        "from": "orders",
-        "edges": [
-            {
-                "name": "month",
-                "value": "o_orderdate",
-                "allowNulls": False,
-                "domain": {"type": "time", "min": "1995-01-01", "max": "1996-01-01", "interval": "month"},
-            }
-        ],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    """WITH months AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
-                                                     TIMESTAMP '1995-12-01',
-                                                     INTERVAL 1 MONTH)) AS month),
-            agg AS (SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
-                    FROM orders
-                    WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
-                    GROUP BY 1)
-       SELECT months.month AS month, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-       FROM months LEFT JOIN agg USING (month)""",
+    "edges_default_domain",
+    _edges_default_variants_spark,
+    """WITH f AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+            s AS (SELECT DISTINCT l_linestatus AS status FROM lineitem),
+            agg2 AS (SELECT l_returnflag AS flag, l_linestatus AS status,
+                            sum(l_quantity) AS total
+                     FROM lineitem GROUP BY 1, 2)
+       SELECT 'onedim' AS leg, l_returnflag AS flag, CAST(NULL AS VARCHAR) AS status,
+              sum(l_quantity) AS total
+       FROM lineitem GROUP BY 2
+       UNION ALL
+       SELECT 'twodim' AS leg, f.flag AS flag, s.status AS status, agg2.total AS total
+       FROM f CROSS JOIN s LEFT JOIN agg2 USING (flag, status)""",
 )
 
 def _range_duration_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,66 +915,16 @@ _q(
        FROM db LEFT JOIN dagg USING (bucket)""",
 )
 
-_q(
-    "edges_two_dims_dense",
-    {
-        "from": "lineitem",
-        "edges": [
-            {"name": "flag", "value": "l_returnflag", "allowNulls": False},
-            {"name": "status", "value": "l_linestatus", "allowNulls": False},
-        ],
-        "select": [{"name": "total", "value": "l_quantity", "aggregate": "sum"}],
-        "limit": 1000,
-    },
-    # dense cross product of the two discovered part sets; empty cells NULL
-    """WITH f AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
-            s AS (SELECT DISTINCT l_linestatus AS status FROM lineitem),
-            agg AS (SELECT l_returnflag AS flag, l_linestatus AS status,
-                           sum(l_quantity) AS total
-                    FROM lineitem GROUP BY 1, 2)
-       SELECT f.flag AS flag, s.status AS status, agg.total AS total
-       FROM f CROSS JOIN s LEFT JOIN agg USING (flag, status)""",
-)
-
-_q(
-    "edges_multivalue_words",
-    {
-        "from": "documents",
-        "edges": [{"name": "word", "value": {"split": ["text", " "]}, "allowNulls": False}],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-        "limit": 1000,
-    },
-    # a row contributes to EVERY matching coordinate (multivalue explode)
-    """SELECT w AS word, count(*) AS n
-       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       GROUP BY 1""",
-)
-
 # -- window clauses (§2.5) --
-
-_q(
-    "window_rownum_partition",
-    {
-        "from": "lineitem",
-        "where": {"lt": {"l_orderkey": 2000}},
-        "window": [{"name": "seq", "edges": ["l_orderkey"], "sort": ["l_linenumber"]}],
-        "select": ["l_orderkey", "l_linenumber", "seq"],
-        "sort": ["l_orderkey", "l_linenumber"],
-        "limit": 10000,
-    },
-    """SELECT l_orderkey, l_linenumber,
-              row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS seq
-       FROM lineitem WHERE l_orderkey < 2000
-       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
-)
 
 # NOTE on window sorts: (l_orderkey, l_linenumber) is NOT unique, and the
 # running sum depends on tie order — the window sort must include every
 # column the frame aggregates over (here l_quantity) so tied rows are
 # interchangeable and the result multiset is engine-independent.
-# Merged window driver row: running-sum frame + rownum sequence as two
-# window clauses in one query — see DRIVER_ORDER note. The narrower
-# window_rownum_partition entry stays registered past the window.
+# Merged window driver row: running-sum frame + rownum sequence + trailing
+# [-2,1) frame + `where` pre-filtered frame as four window clauses in one
+# query (the former window_rownum_partition / window_trailing_frame /
+# window_where_prefilter entries, consolidated into the window in round 4).
 _q(
     "window_running_sum",
     {
@@ -964,25 +940,7 @@ _q(
                 "range": {"min": None, "max": 1},
             },
             {"name": "seq", "edges": ["l_orderkey"], "sort": ["l_linenumber", "l_quantity"]},
-        ],
-        "select": ["l_orderkey", "l_linenumber", "running_qty", "seq"],
-        "sort": ["l_orderkey", "l_linenumber"],
-        "limit": 10000,
-    },
-    """SELECT l_orderkey, l_linenumber,
-              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
-              row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS seq
-       FROM lineitem WHERE l_orderkey < 2000
-       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
-)
-
-_q(
-    "window_trailing_frame",
-    {
-        "from": "lineitem",
-        "where": {"lt": {"l_orderkey": 1000}},
-        "window": [
+            # JX range [min,max) over rownum offsets: -2..0 = 2 preceding..current
             {
                 "name": "trail3",
                 "value": "l_quantity",
@@ -990,26 +948,9 @@ _q(
                 "edges": ["l_orderkey"],
                 "sort": ["l_linenumber", "l_quantity"],
                 "range": {"min": -2, "max": 1},
-            }
-        ],
-        "select": ["l_orderkey", "l_linenumber", "trail3"],
-        "sort": ["l_orderkey", "l_linenumber"],
-        "limit": 10000,
-    },
-    # JX range [min,max) over rownum offsets: -2..0 = 2 preceding..current
-    """SELECT l_orderkey, l_linenumber,
-              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail3
-       FROM lineitem WHERE l_orderkey < 1000
-       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
-)
-
-_q(
-    "window_where_prefilter",
-    {
-        "from": "lineitem",
-        "where": {"lt": {"l_orderkey": 1000}},
-        "window": [
+            },
+            # window `where` pre-filters rows the frame aggregates (jx.py:984);
+            # sort includes l_returnflag so tie rows are frame-interchangeable
             {
                 "name": "a_qty",
                 "value": "l_quantity",
@@ -1018,23 +959,28 @@ _q(
                 "sort": ["l_linenumber", "l_quantity", "l_returnflag"],
                 "where": {"eq": {"l_returnflag": "A"}},
                 "range": {"min": None, "max": 1},
-            }
+            },
         ],
-        "select": ["l_orderkey", "l_linenumber", "a_qty"],
+        "select": ["l_orderkey", "l_linenumber", "running_qty", "seq", "trail3", "a_qty"],
         "sort": ["l_orderkey", "l_linenumber"],
         "limit": 10000,
     },
-    # window `where` pre-filters rows the frame aggregates (jx.py:984);
-    # sort includes l_returnflag so tie rows are frame-interchangeable
     """SELECT l_orderkey, l_linenumber,
+              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+              row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS seq,
+              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail3,
               sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
                   OVER (PARTITION BY l_orderkey
                         ORDER BY l_linenumber, l_quantity, l_returnflag
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_qty
-       FROM lineitem WHERE l_orderkey < 1000
+       FROM lineitem WHERE l_orderkey < 2000
        ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
 )
 
+# hosts the `between` prefix/suffix extraction (former setop_between_extract)
+# alongside the lead/lag window — both run over the events table
 _q(
     "window_lead_lag",
     {
@@ -1047,12 +993,18 @@ _q(
                 "sort": ["ts", "event_id"],
             }
         ],
-        "select": ["event_id", "prev_value"],
+        "select": [
+            "event_id",
+            "prev_value",
+            {"name": "k_val", "value": {"between": "props", "prefix": '{"k": ', "suffix": "}"}},
+        ],
         "sort": ["event_id"],
         "limit": 10000,
     },
     """SELECT event_id,
-              lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+              lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+              CASE WHEN regexp_matches(props, '\\{"k": (.*?)\\}')
+                   THEN regexp_extract(props, '\\{"k": (.*?)\\}', 1) END AS k_val
        FROM events ORDER BY event_id LIMIT 10000""",
 )
 
@@ -1100,7 +1052,8 @@ def _text_stats_sql() -> str:
                  THEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / length(text)
                  ELSE 0.0 END, 6) AS punct_ratio,
            round(CASE WHEN len({_sql_words('text')}) > 0
-                 THEN {stop}::DOUBLE / len({_sql_words('text')}) ELSE 0.0 END, 6) AS stopword_ratio
+                 THEN {stop}::DOUBLE / len({_sql_words('text')}) ELSE 0.0 END, 6) AS stopword_ratio,
+           {_SQL_FP} AS fp
     FROM documents"""
 
 
@@ -1177,14 +1130,20 @@ def _ann_sql() -> str:
 
 
 def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # also hosts the normalized-text fingerprint column (former
+    # text_fingerprint entry — same per-doc Column algebra, one scan)
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.text import text_stats
+    from mysql_to_s3_spark.operators.text import fingerprint, text_stats
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     st = text_stats(F.col("text"))
-    return docs.select(F.col("doc_id"), *[c.alias(n) for n, c in st.items()])
+    return docs.select(
+        F.col("doc_id"),
+        *[c.alias(n) for n, c in st.items()],
+        fingerprint(F.col("text")).alias("fp"),
+    )
 
 
 def _text_langid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,16 +1154,6 @@ def _text_langid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(F.col("doc_id"), language_id(F.col("text")).alias("lang_guess"))
-
-
-def _text_fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from mysql_to_s3_spark.operators.text import fingerprint
-    from mysql_to_s3_spark.sources.registry import load_table, spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
 
 
 def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,11 +1265,6 @@ def _text_quality_sql() -> str:
 _q("text_stats", _text_stats_spark, _text_stats_sql())
 _q("text_quality", _text_quality_spark, _text_quality_sql())
 _q("text_langid", _text_langid_spark, _langid_sql())
-_q(
-    "text_fingerprint",
-    _text_fingerprint_spark,
-    f"SELECT doc_id, {_SQL_FP} AS fp FROM documents",
-)
 
 
 def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,27 +1459,12 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# §2.6 expression-op coverage widening: regex, casts/is_*, null semantics,
-# coalesce ""-skip, row-wise n-ary ops, from_unix, multivalue first/last,
-# basic.* prims, get (struct + array), offset, leaves select.
-
-_q(
-    "setop_regex",
-    {
-        "from": "customer",
-        "where": {"regex": {"c_name": ".*[05]"}},
-        "select": [
-            {"name": "ck", "value": "c_custkey"},
-            {"name": "ends_0", "value": {"regex": {"c_name": ".*0"}}},
-        ],
-        "sort": ["c_custkey"],
-        "limit": 10000,
-    },
-    # JX regex is a FULL match (RegExpOp @1803)
-    """SELECT c_custkey AS ck, regexp_full_match(c_name, '.*0') AS ends_0
-       FROM customer WHERE regexp_full_match(c_name, '.*[05]')
-       ORDER BY c_custkey LIMIT 10000""",
-)
+# §2.6 expression-op coverage: casts/is_*, multivalue first/last, leaves
+# select. (The former narrow variants — regex, null semantics, coalesce
+# ""-skip, row-wise n-ary, from_unix, basic.* prims, get, offset — were
+# strict subsets of the merged setop_string_ops / setop_arithmetic /
+# setop_dates_unix driver rows and were consolidated away in round 4 so
+# every registered semantic sits inside the driver's 50-entry window.)
 
 _q(
     "setop_casts",
@@ -1569,119 +1498,9 @@ _q(
        FROM orders ORDER BY o_orderkey LIMIT 500""",
 )
 
-_q(
-    "setop_null_semantics",
-    {
-        "from": "lineitem",
-        "where": {"lt": {"l_orderkey": 500}},
-        "select": [
-            {"name": "ok", "value": "l_orderkey"},
-            {"name": "ln", "value": "l_linenumber"},
-            {"name": "v", "value": _NULLY},
-            {"name": "v_missing", "value": {"missing": _NULLY}},
-            {"name": "v_exists", "value": {"exists": _NULLY}},
-            {"name": "ne_qd", "value": {"ne": ["l_quantity", "l_discount"]}},
-            {"name": "ne_v_qty", "value": {"ne": [_NULLY, "l_quantity"]}},
-            {"name": "n_present", "value": {"count": [_NULLY, "l_quantity"]}},
-        ],
-        "sort": ["l_orderkey", "l_linenumber"],
-        "limit": 10000,
-    },
-    # ne: true only when BOTH exist and differ (NeOp @1017) -> ne_v_qty is
-    # always false; count = row-wise non-missing count (CountOp @1584)
-    """SELECT l_orderkey AS ok, l_linenumber AS ln,
-              CASE WHEN l_returnflag = 'A' THEN l_quantity END AS v,
-              l_returnflag != 'A' AS v_missing,
-              l_returnflag = 'A' AS v_exists,
-              l_quantity != l_discount AS ne_qd,
-              FALSE AS ne_v_qty,
-              CASE WHEN l_returnflag = 'A' THEN 2 ELSE 1 END AS n_present
-       FROM lineitem WHERE l_orderkey < 500
-       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
-)
 
-_q(
-    "setop_coalesce",
-    {
-        "from": "lineitem",
-        "where": {"lt": {"l_orderkey": 500}},
-        "select": [
-            {"name": "ok", "value": "l_orderkey"},
-            {"name": "ln", "value": "l_linenumber"},
-            # first term is "" (for A rows) or missing -> always skipped:
-            # JX coalesce treats "" as missing (compiler op_coalesce)
-            {
-                "name": "pick",
-                "value": {
-                    "coalesce": [
-                        {"when": {"eq": {"l_returnflag": "A"}}, "then": {"literal": ""}},
-                        {"when": {"eq": {"l_linestatus": "F"}}, "then": {"literal": "fin"}},
-                        {"literal": "other"},
-                    ]
-                },
-            },
-            # div-by-zero -> missing -> coalesce falls through to l_tax
-            {
-                "name": "safe",
-                "value": {
-                    "coalesce": [{"div": ["l_quantity", {"sub": ["l_discount", "l_discount"]}]}, "l_tax"]
-                },
-            },
-        ],
-        "sort": ["l_orderkey", "l_linenumber"],
-        "limit": 10000,
-    },
-    """SELECT l_orderkey AS ok, l_linenumber AS ln,
-              coalesce(CASE WHEN l_linestatus = 'F' THEN 'fin' END, 'other') AS pick,
-              l_tax AS safe
-       FROM lineitem WHERE l_orderkey < 500
-       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
-)
 
-_q(
-    "setop_rowwise_nary",
-    {
-        "from": "lineitem",
-        "where": {"lt": {"l_orderkey": 500}},
-        "select": [
-            {"name": "ok", "value": "l_orderkey"},
-            {"name": "ln", "value": "l_linenumber"},
-            # row-wise greatest/least IGNORE nulls (MaxOp @1611)
-            {"name": "mx", "value": {"max": [_NULLY, "l_discount"]}},
-            {"name": "mn", "value": {"min": [_NULLY, "l_discount"]}},
-            # n-ary add with nulls=False: any missing term -> default
-            {"name": "strict_sum", "value": {"add": [_NULLY, "l_tax"], "nulls": False, "default": -1}},
-        ],
-        "sort": ["l_orderkey", "l_linenumber"],
-        "limit": 10000,
-    },
-    """SELECT l_orderkey AS ok, l_linenumber AS ln,
-              CASE WHEN l_returnflag = 'A' AND l_quantity > l_discount THEN l_quantity
-                   ELSE l_discount END AS mx,
-              CASE WHEN l_returnflag = 'A' AND l_quantity < l_discount THEN l_quantity
-                   ELSE l_discount END AS mn,
-              CASE WHEN l_returnflag = 'A' THEN l_quantity + l_tax ELSE -1 END AS strict_sum
-       FROM lineitem WHERE l_orderkey < 500
-       ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
-)
 
-_q(
-    "setop_from_unix",
-    {
-        "from": "orders",
-        "select": [
-            {"name": "ok", "value": "o_orderkey"},
-            {"name": "ts_str", "value": {"string": {"from_unix": {"unix": "o_orderdate"}}}},
-            {"name": "plus_day", "value": {"string": {"from_unix": {"add": [{"unix": "o_orderdate"}, 86400]}}}},
-        ],
-        "sort": ["o_orderkey"],
-        "limit": 500,
-    },
-    """SELECT o_orderkey AS ok,
-              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
-              strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS plus_day
-       FROM orders ORDER BY o_orderkey LIMIT 500""",
-)
 
 _q(
     "setop_first_last_multivalue",
@@ -1701,70 +1520,8 @@ _q(
        FROM documents ORDER BY doc_id LIMIT 1000""",
 )
 
-_q(
-    "setop_basic_prims",
-    {
-        "from": "customer",
-        "select": [
-            {"name": "ck", "value": "c_custkey"},
-            {"name": "idx5", "value": {"basic.index_of": {"c_name": "5"}}},
-            {"name": "sub8", "value": {"basic.substring": ["c_name", 0, 8]}},
-            {"name": "is_bldg", "value": {"basic.eq": ["c_mktsegment", {"literal": "BUILDING"}]}},
-        ],
-        "sort": ["c_custkey"],
-        "limit": 500,
-    },
-    # basic.* are the null-blind prims (@2708-2758): index_of IS -1 on miss
-    """SELECT c_custkey AS ck,
-              strpos(c_name, '5') - 1 AS idx5,
-              substr(c_name, 1, 8) AS sub8,
-              c_mktsegment = 'BUILDING' AS is_bldg
-       FROM customer ORDER BY c_custkey LIMIT 500""",
-)
 
-_q(
-    "setop_get_dynamic",
-    {
-        "from": "customer",
-        "select": [
-            {"name": "ck", "value": "c_custkey"},
-            # get on an ARRAY (0-based JX offset)
-            {"name": "cust_num", "value": {"get": [{"split": ["c_name", "#"]}, 1]}},
-            # get on an OBJECT built by the select op
-            {
-                "name": "seg",
-                "value": {
-                    "get": [
-                        {"select": [{"name": "k", "value": "c_custkey"}, {"name": "m", "value": "c_mktsegment"}]},
-                        {"literal": "m"},
-                    ]
-                },
-            },
-        ],
-        "sort": ["c_custkey"],
-        "limit": 500,
-    },
-    """SELECT c_custkey AS ck,
-              list_extract(string_split(c_name, '#'), 2) AS cust_num,
-              c_mktsegment AS seg
-       FROM customer ORDER BY c_custkey LIMIT 500""",
-)
 
-_q(
-    "setop_offset_positional",
-    {
-        "from": "orders",
-        "select": [
-            {"name": "first_col", "value": {"offset": 0}},
-            {"name": "fourth_col", "value": {"offset": 3}},
-        ],
-        "sort": [{"value": {"offset": 0}, "sort": 1}],
-        "limit": 500,
-    },
-    # orders schema order: o_orderkey, o_custkey, o_orderstatus, o_totalprice...
-    """SELECT o_orderkey AS first_col, o_totalprice AS fourth_col
-       FROM orders ORDER BY o_orderkey LIMIT 500""",
-)
 
 
 def _leaves_select_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1803,8 +1560,7 @@ def _group_union_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged grouped-aggregate driver row: union (emitted as a '|'-joined
     string — array cells hash differently between Spark/Arrow and
     DuckDB/numpy, the r02 agg_union_set lesson), count_distinct, median,
-    percentile, and std per group. The narrower agg_group_percentile
-    entry stays registered past the driver window."""
+    percentile, and std per group."""
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.executor import run
@@ -1839,22 +1595,6 @@ _q(
        FROM lineitem GROUP BY 1""",
 )
 
-_q(
-    "agg_group_percentile",
-    _rounded({
-        "from": "lineitem",
-        "groupby": ["l_returnflag"],
-        "select": [
-            {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
-            {"name": "p90_price", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
-            {"name": "sd_disc", "value": "l_discount", "aggregate": "std"},
-        ],
-    }, ["med_qty", "p90_price", "sd_disc"]),
-    """SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty,
-              round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
-              round(stddev_pop(l_discount), 6) AS sd_disc
-       FROM lineitem GROUP BY 1""",
-)
 
 _q(
     "groupby_null_key_kept",
@@ -2047,65 +1787,46 @@ _q(
 )
 
 
-def _format_cube_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cube layout check: parts are sorted (null last) and each select is
-    a matrix indexed by part coordinates — re-emit (part, value) rows."""
-    from mysql_to_s3_spark.plans.formats import run_formatted
-
-    shaped = run_formatted(
-        {
-            "from": "customer",
-            "edges": [
-                {
-                    "name": "seg",
-                    "value": "c_mktsegment",
-                    "allowNulls": False,
-                    "domain": {"type": "set", "partitions": ["BUILDING", "AUTOMOBILE", "MACHINERY"]},
-                }
-            ],
-            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-            "format": "cube",
-        },
-        spark=spark,
-        sf_dir=sf_dir,
-    )
-    parts = [p["value"] for p in shaped["edges"][0]["domain"]["partitions"]]
-    rows = [(p, shaped["data"]["n"][i]) for i, p in enumerate(parts)]
-    return spark.createDataFrame(rows, "seg string, n bigint")
-
-
-_q(
-    "format_cube_roundtrip",
-    _format_cube_spark,
-    """SELECT c_mktsegment AS seg, count(*) AS n FROM customer
-       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') GROUP BY 1""",
-)
-
-
 def _counters_batch_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-batch counter chain (reference counter.py:20,36,59) as
-    distributed columns: ["day", 500] = day tumbling bucket x 500-row
-    sub-batch, tiebroken by event_id so the row order is total."""
+    distributed columns, two tagged legs: `day` = day tumbling bucket x
+    500-row sub-batch over events (tiebroken by event_id so the row order
+    is total); `month` = CALENDAR-month buckets x 400 over orders
+    (DurationCounter with a month duration keeps months separate from
+    seconds, counter.py:67-79 + mo_times)."""
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.sources.registry import load_table
     from mysql_to_s3_spark.streaming.counters import batch_key_columns
 
     events = load_table(spark, sf_dir, "events")
-    keyed = batch_key_columns(
+    day = batch_key_columns(
         events, "ts", start="2024-01-01", batch_spec=["day", 500], tiebreak_cols=["event_id"]
-    )
-    return keyed.select(
-        F.col("event_id"),
+    ).select(
+        F.lit("day").alias("leg"),
+        F.col("event_id").alias("id"),
         F.col("__batch0__").alias("batch0"),
         F.col("__batch1__").alias("batch1"),
         F.col("__batch2__").cast("bigint").alias("batch2"),
     )
+    orders = load_table(spark, sf_dir, "orders")
+    month = batch_key_columns(
+        orders, "o_orderdate", start="1995-01-01", batch_spec=["month", 400], tiebreak_cols=["o_orderkey"]
+    ).select(
+        F.lit("month").alias("leg"),
+        F.col("o_orderkey").alias("id"),
+        F.col("__batch0__").alias("batch0"),
+        F.col("__batch1__").alias("batch1"),
+        F.col("__batch2__").cast("bigint").alias("batch2"),
+    )
+    return day.unionByName(month)
 
 
 _q(
     "counters_batch_keys",
     _counters_batch_keys_spark,
+    # month leg: calendar months elapsed since the month-floored start
+    # (start is a month boundary, so boundary-count == full-months-elapsed)
     """
     WITH b AS (
       SELECT event_id, ts,
@@ -2114,12 +1835,26 @@ _q(
                PARTITION BY CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400) AS BIGINT)
                ORDER BY ts, event_id) - 1 AS rn
       FROM events
+    ),
+    mb AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(datediff('month', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS b0
+      FROM orders
+    ), mr AS (
+      SELECT o_orderkey, b0,
+             row_number() OVER (PARTITION BY b0 ORDER BY o_orderdate, o_orderkey) - 1 AS rn
+      FROM mb
     )
-    SELECT event_id,
+    SELECT 'day' AS leg, event_id AS id,
            b0 AS batch0,
            CAST(floor(rn / 500) AS BIGINT) AS batch1,
            CAST(rn % 500 AS BIGINT) AS batch2
-    FROM b""",
+    FROM b
+    UNION ALL
+    SELECT 'month' AS leg, o_orderkey AS id, b0 AS batch0,
+           CAST(floor(rn / 400) AS BIGINT) AS batch1,
+           CAST(rn % 400 AS BIGINT) AS batch2
+    FROM mr""",
 )
 
 
@@ -2205,11 +1940,35 @@ _q(
 
 
 def _format_cube2d_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D dense cube: data['n'] is a matrix indexed by (edge0, edge1)
-    coordinates; flattened back to rows for the oracle compare."""
+    """Tagged cube-format driver row. `cube1d` leg: parts are SORTED
+    (declaration order BUILDING/AUTOMOBILE/MACHINERY re-emitted in
+    declaration order per the reference contract) and data['n'] is a
+    vector indexed by part coordinate. `cube2d` leg: data['n'] is a
+    matrix indexed by (edge0, edge1). Both flattened back to
+    (leg, k1, k2, n) rows for the oracle compare; cube1d has k2 NULL."""
     from mysql_to_s3_spark.plans.formats import run_formatted
 
-    shaped = run_formatted(
+    one = run_formatted(
+        {
+            "from": "customer",
+            "edges": [
+                {
+                    "name": "seg",
+                    "value": "c_mktsegment",
+                    "allowNulls": False,
+                    "domain": {"type": "set", "partitions": ["BUILDING", "AUTOMOBILE", "MACHINERY"]},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            "format": "cube",
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    assert one["meta"]["format"] == "cube"
+    segs = [p["value"] for p in one["edges"][0]["domain"]["partitions"]]
+    rows = [("cube1d", s, None, one["data"]["n"][i]) for i, s in enumerate(segs)]
+    two = run_formatted(
         {
             "from": "lineitem",
             "edges": [
@@ -2232,124 +1991,90 @@ def _format_cube2d_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         sf_dir=sf_dir,
     )
-    rfs = [p["value"] for p in shaped["edges"][0]["domain"]["partitions"]]
-    lss = [p["value"] for p in shaped["edges"][1]["domain"]["partitions"]]
-    rows = [
-        (rf, ls, shaped["data"]["n"][i][j])
+    rfs = [p["value"] for p in two["edges"][0]["domain"]["partitions"]]
+    lss = [p["value"] for p in two["edges"][1]["domain"]["partitions"]]
+    rows += [
+        ("cube2d", rf, ls, two["data"]["n"][i][j])
         for i, rf in enumerate(rfs)
         for j, ls in enumerate(lss)
     ]
-    return spark.createDataFrame(rows, "rf string, ls string, n bigint")
+    return spark.createDataFrame(rows, "leg string, k1 string, k2 string, n bigint")
 
 
 _q(
     "format_cube_2d",
     _format_cube2d_spark,
-    """WITH agg AS (SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
+    """WITH agg AS (SELECT l_returnflag AS k1, l_linestatus AS k2, count(*) AS n
                     FROM lineitem
                     WHERE l_returnflag IN ('A','N','R') AND l_linestatus IN ('F','O')
                     GROUP BY 1, 2),
-            dense AS (SELECT rf, ls FROM (VALUES ('A'),('N'),('R')) r(rf)
-                      CROSS JOIN (VALUES ('F'),('O')) l(ls))
-       SELECT dense.rf AS rf, dense.ls AS ls, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-       FROM dense LEFT JOIN agg USING (rf, ls)""",
-)
-
-
-def _counters_month_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-month batch buckets (DurationCounter with a month duration
-    keeps months separate from seconds, counter.py:67-79 + mo_times)."""
-    from pyspark.sql import functions as F
-
-    from mysql_to_s3_spark.sources.registry import load_table
-    from mysql_to_s3_spark.streaming.counters import batch_key_columns
-
-    orders = load_table(spark, sf_dir, "orders")
-    keyed = batch_key_columns(
-        orders, "o_orderdate", start="1995-01-01", batch_spec=["month", 400], tiebreak_cols=["o_orderkey"]
-    )
-    return keyed.select(
-        F.col("o_orderkey"),
-        F.col("__batch0__").alias("batch0"),
-        F.col("__batch1__").alias("batch1"),
-        F.col("__batch2__").cast("bigint").alias("batch2"),
-    )
-
-
-_q(
-    "counters_batch_keys_month",
-    _counters_month_spark,
-    # calendar months elapsed since the month-floored start (start is a
-    # month boundary, so boundary-count == full-months-elapsed)
-    """
-    WITH b AS (
-      SELECT o_orderkey, o_orderdate,
-             CAST(datediff('month', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS b0
-      FROM orders
-    ), r AS (
-      SELECT o_orderkey, b0,
-             row_number() OVER (PARTITION BY b0 ORDER BY o_orderdate, o_orderkey) - 1 AS rn
-      FROM b
-    )
-    SELECT o_orderkey, b0 AS batch0,
-           CAST(floor(rn / 400) AS BIGINT) AS batch1,
-           CAST(rn % 400 AS BIGINT) AS batch2
-    FROM r""",
+            dense AS (SELECT k1, k2 FROM (VALUES ('A'),('N'),('R')) r(k1)
+                      CROSS JOIN (VALUES ('F'),('O')) l(k2))
+       SELECT 'cube1d' AS leg, c_mktsegment AS k1, CAST(NULL AS VARCHAR) AS k2,
+              count(*) AS n
+       FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+       GROUP BY 2
+       UNION ALL
+       SELECT 'cube2d' AS leg, dense.k1 AS k1, dense.k2 AS k2,
+              CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       FROM dense LEFT JOIN agg USING (k1, k2)""",
 )
 
 
 # ---------------------------------------------------------------------------
 # Driver ordering. The driver hard-verifies (rows + schema + value-hash vs
-# the DuckDB oracle) only the FIRST 50 catalog entries, so DRIVER_ORDER
-# front-loads one representative row per SURVEY.md §2 operator family —
-# merged rows (setop_string_ops, setop_arithmetic, setop_dates_unix,
-# agg_group_union, window_running_sum) carry several families each.
-# Entries past the window are narrower variants of an in-window row; they
-# remain registered and are verified by the identical local oracle gate
-# (tests/test_driver_contract.py parametrizes over ALL entries).
+# the DuckDB oracle) only the FIRST 50 catalog entries. As of round 4 the
+# catalog IS exactly 50 entries — every formerly-out-of-window variant was
+# either a strict subset of a merged row (deleted) or folded in as a
+# tagged leg (edges_set_domain_dense, edges_time_week_dense,
+# edges_default_domain, window_running_sum, format_cube_2d,
+# counters_batch_keys each carry 2-4 legs) — so EVERY registered semantic
+# gets a hard driver row. DRIVER_ORDER lists all 50 in family order; the
+# local gate (tests/test_driver_contract.py) runs the identical oracle
+# compare over the same set.
 
 DRIVER_ORDER: list[str] = [
     # flagship + core setops
     "groupby_tpch_q1",
     "setop_filter_sort_limit",
     "setop_sort_mixed_types",
-    "setop_string_ops",          # + regex, basic.* prims, get (array/object)
+    "setop_string_ops",          # + regex (select + filter ctx), basic.* prims, get
     "setop_conditionals",
     "setop_in_range",
-    "setop_arithmetic",          # + null semantics, coalesce, row-wise n-ary
+    "setop_arithmetic",          # + mul/revenue, null semantics, coalesce, n-ary
     "setop_dates_unix",          # + from_unix, offset positional
     "setop_casts",
     "setop_first_last_multivalue",
     "setop_leaves_select",
     "setop_from_subquery",
     # scalar + grouped aggregates
-    "agg_scalar_stats",
+    "agg_scalar_stats",          # + moments, exact percentile, union set
+    "agg_scalar_moments_approx", # KLL/HLL scale path — rows-only (no oracle)
     "agg_trimmed_stats",
     "agg_group_union",           # + count_distinct, median/percentile/std
-    "agg_one_single_valued",
+    "agg_one_single_valued",     # + first/last/list
     # groupby
-    "groupby_expr_bucket",
+    "groupby_expr_bucket",       # + grouped avg/max
     "groupby_null_key_kept",
     # edges / domains
-    "edges_set_domain_dense",
-    "edges_default_domain",
-    "edges_time_week_dense",
+    "edges_set_domain_dense",    # legs: dense / nullbucket / multivalue words
+    "edges_default_domain",      # legs: discovered 1-D / dense 2-D cross
+    "edges_time_week_dense",     # legs: week / calendar month
     "edges_general_set_where",
-    "edges_range_histogram",
+    "edges_range_histogram",     # legs: numeric range / duration
     "edges_range_span",
     # windows
     "window_percentile_partition",
-    "window_running_sum",        # + rownum sequence
-    "window_lead_lag",
+    "window_running_sum",        # + rownum seq, trailing frame, where prefilter
+    "window_lead_lag",           # + `between` prefix/suffix extract
     "window_trimmed_stats",
     # nested / snowflake
     "nested_table_from",
     "snowflake_denormalize",
     # LLM-pipeline: text analysis
-    "text_stats",
+    "text_stats",                # + normalized-text fingerprint
     "text_quality",
     "text_langid",
-    "text_fingerprint",
     "text_winnow_fingerprint",
     # LLM-pipeline: dedup
     "dedup_exact",
@@ -2367,10 +2092,11 @@ DRIVER_ORDER: list[str] = [
     "ingest_type_widening",
     # result shaping
     "format_table_roundtrip",
-    "format_cube_2d",
+    "format_cube_2d",            # legs: sorted 1-D cube / 2-D matrix
     # incremental batch counters
-    "counters_batch_keys",
-    "counters_batch_keys_month",
+    "counters_batch_keys",       # legs: day x 500 / calendar month x 400
+    # ES typed-JSON wire format round-trip
+    "typed_json_roundtrip",
 ]
 
 

@@ -23,9 +23,13 @@ Pipeline:
 
 Scale notes: dimension tables broadcast (they are small by definition of
 the snowflake shape); the child aggregation shuffles on the parent key
-once per nesting level — skew from a fact row with millions of children
-is bounded by AQE skew-join splitting plus the collect_list cap being a
-real product decision (cap+overflow table) rather than a silent default.
+once per nesting level. Skew from a fact row with millions of children is
+bounded by the CHILD CAP (``SnowflakeConfig.child_cap`` or the
+``mysql_to_s3_spark.snowflake.childCap`` conf): a per-parent
+``row_number() <= cap`` BEFORE the collect_list bounds the aggregation
+buffer, and the dropped-row count lands in a sibling
+``<field>__overflow__`` column — see ``_prepare_child``. Unset = the
+reference's unbounded contract.
 """
 
 from __future__ import annotations
@@ -60,6 +64,10 @@ class TableMeta:
     id_columns: list[str]
 
 
+# conf-key fallback for SnowflakeConfig.child_cap (None/unset = unbounded)
+CHILD_CAP_CONF = "mysql_to_s3_spark.snowflake.childCap"
+
+
 @dataclass
 class SnowflakeConfig:
     fact_table: str
@@ -69,6 +77,12 @@ class SnowflakeConfig:
     include: list[str] = dc_field(default_factory=list)
     null_values: list[str] = dc_field(default_factory=list)
     add_relations: list[str] = dc_field(default_factory=list)  # "t.col -> r.col"
+    # max children collected per parent per nesting level (the 100 TB skew
+    # valve, SURVEY §7): a parent with more children keeps the FIRST cap in
+    # sort_columns order and gains a sibling `<field>__overflow__` count of
+    # the dropped rows. None = read CHILD_CAP_CONF; both unset = unbounded
+    # (the reference contract, snowflake_schema.py:535-543).
+    child_cap: int | None = None
 
 
 @dataclass
@@ -374,7 +388,19 @@ def _prepare_dim(tables: dict[str, DataFrame], d: DimNode) -> tuple[DataFrame, l
     )
 
 
-def _element_fields(tables: dict[str, DataFrame], node) -> tuple[DataFrame, list[tuple[str, any]]]:
+def _resolved_child_cap(df: DataFrame, cfg: SnowflakeConfig | None) -> int | None:
+    if cfg is not None and cfg.child_cap is not None:
+        return int(cfg.child_cap)
+    try:
+        raw = df.sparkSession.conf.get(CHILD_CAP_CONF, None)
+    except Exception:
+        raw = None
+    return int(raw) if raw is not None else None
+
+
+def _element_fields(
+    tables: dict[str, DataFrame], node, cfg: SnowflakeConfig | None = None
+) -> tuple[DataFrame, list[tuple[str, any]]]:
     """Shared dim/child field assembly for one table's rows."""
     df = tables[node.table]
     fields: list[tuple[str, any]] = [(out, F.col(c)) for c, out in node.out_columns]
@@ -387,22 +413,42 @@ def _element_fields(tables: dict[str, DataFrame], node) -> tuple[DataFrame, list
         df = df.join(F.broadcast(sub_df), cond, "left").drop(*sub_keys)
         fields.append((sub.field, F.col(sub_v)))
     for sub in getattr(node, "children", []) or []:
-        sub_df, sub_keys, sub_v = _prepare_child(tables, sub)
+        sub_df, sub_keys, sub_v, sub_ov = _prepare_child(tables, sub, cfg)
         cond = None
         for pc, k in zip(sub.parent_columns, sub_keys):
             c = df[pc] == sub_df[k]
             cond = c if cond is None else cond & c
         df = df.join(sub_df, cond, "left").drop(*sub_keys)
         fields.append((sub.field, F.col(sub_v)))
+        if sub_ov is not None:
+            # dropped-children count per parent (NULL for parents with no
+            # children at all — the array field is NULL there too)
+            fields.append((f"{sub.field}__overflow__", F.col(sub_ov)))
     return df, fields
 
 
-def _prepare_child(tables: dict[str, DataFrame], ch: ChildNode) -> tuple[DataFrame, list[str], str]:
-    """-> (frame keyed by renamed FK columns, key names, array column name).
+def _prepare_child(
+    tables: dict[str, DataFrame], ch: ChildNode, cfg: SnowflakeConfig | None = None
+) -> tuple[DataFrame, list[str], str, str | None]:
+    """-> (frame keyed by renamed FK columns, key names, array column name,
+    overflow column name | None).
 
     Children are ordered by their id columns via sort_array over a
-    (sort-key, payload) struct (snowflake_schema.py:535-543 ordering)."""
-    df, fields = _element_fields(tables, ch)
+    (sort-key, payload) struct (snowflake_schema.py:535-543 ordering).
+
+    Skew valve (SURVEY §7): with a child cap configured, a per-parent
+    row_number() ≤ cap runs BEFORE the collect_list, so the aggregation
+    buffer holds at most cap elements — AQE skew-join splitting cannot
+    split a single group's collect_list, and an uncapped million-child
+    parent materializes one unbounded array in one buffer. The window
+    sorts within each parent key using Spark's spillable row buffer
+    (disk-backed), converting the OOM into a spill; the window and the
+    groupBy share one hash partitioning on the FK, so the cap costs a
+    sort, not a second shuffle. Dropped rows are counted into the
+    overflow column (reference contract extension; the reference itself
+    is unbounded, snowflake_schema.py:535-543)."""
+    df, fields = _element_fields(tables, ch, cfg)
+    cap = _resolved_child_cap(df, cfg)
     elem = F.struct(*[c.alias(n) for n, c in fields])
     sort_struct = F.struct(
         *[F.col(s).alias(f"__s{i}__") for i, s in enumerate(ch.sort_columns)],
@@ -411,12 +457,38 @@ def _prepare_child(tables: dict[str, DataFrame], ch: ChildNode) -> tuple[DataFra
     uid = next(_uid)
     keys = [f"__k{uid}_{i}__" for i in range(len(ch.fk_columns))]
     vname = f"__v{uid}__"
-    grouped = (
-        df.groupBy(*[F.col(c).alias(k) for c, k in zip(ch.fk_columns, keys)])
-        .agg(F.sort_array(F.collect_list(sort_struct)).alias("__raw__"))
-        .select(*keys, F.transform(F.col("__raw__"), lambda s: s["__p__"]).alias(vname))
+    if cap is None:
+        grouped = (
+            df.groupBy(*[F.col(c).alias(k) for c, k in zip(ch.fk_columns, keys)])
+            .agg(F.sort_array(F.collect_list(sort_struct)).alias("__raw__"))
+            .select(*keys, F.transform(F.col("__raw__"), lambda s: s["__p__"]).alias(vname))
+        )
+        return grouped, keys, vname, None
+    from pyspark.sql import Window
+
+    oname = f"__ov{uid}__"
+    w_order = Window.partitionBy(*ch.fk_columns).orderBy(
+        *[F.col(s) for s in ch.sort_columns]
     )
-    return grouped, keys, vname
+    w_all = Window.partitionBy(*ch.fk_columns)
+    capped = (
+        df.withColumn("__rn__", F.row_number().over(w_order))
+        .withColumn("__nc__", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn__") <= F.lit(cap))
+    )
+    grouped = (
+        capped.groupBy(*[F.col(c).alias(k) for c, k in zip(ch.fk_columns, keys)])
+        .agg(
+            F.sort_array(F.collect_list(sort_struct)).alias("__raw__"),
+            F.greatest(F.max("__nc__") - F.lit(cap), F.lit(0)).cast("long").alias(oname),
+        )
+        .select(
+            *keys,
+            F.transform(F.col("__raw__"), lambda s: s["__p__"]).alias(vname),
+            oname,
+        )
+    )
+    return grouped, keys, vname, oname
 
 
 def doc_frame(
@@ -438,7 +510,7 @@ def doc_frame(
     if ids_df is not None:
         fact = fact.join(F.broadcast(ids_df), fact[id_col] == ids_df[ids_df.columns[0]], "left_semi")
     norm[plan.table] = fact
-    df, fields = _element_fields(norm, plan)
+    df, fields = _element_fields(norm, plan, cfg)
     return df.select(
         F.col(id_col).alias("__id__"),
         F.struct(*[c.alias(n) for n, c in fields]).alias(plan.table),

@@ -187,3 +187,80 @@ def test_lean_inline_all(spark):
         {"fact_table": {"id": 22, "name": "L"}},
     ]
     fuzzy_eq(got, expected)
+
+
+# -- child cap + overflow (SURVEY §7 skew valve) --
+
+
+def _cap_fixture(spark):
+    from mysql_to_s3_spark.sources.snowflake import Relation, TableMeta
+
+    from pyspark.sql import functions as F
+
+    parent = spark.createDataFrame([(1, "big"), (2, "small"), (3, "empty")], "id int, name string")
+    many = spark.range(100_000).select(
+        (F.col("id") + 1000).cast("int").alias("id"),
+        F.lit(1).alias("ref"),
+        F.col("id").cast("int").alias("seq"),
+    )
+    few = spark.createDataFrame([(1, 2, 0), (2, 2, 1), (3, 2, 2), (4, 2, 3), (5, 2, 4)], "id int, ref int, seq int")
+    child = many.unionByName(few.select((F.col("id") + 5_000_000).cast("int").alias("id"), "ref", "seq"))
+    meta = [
+        TableMeta("parent", ["id", "name"], ["id"]),
+        TableMeta("child", ["id", "ref", "seq"], ["id"]),
+    ]
+    rels = [Relation("child_ref", "child", ["ref"], "parent", ["id"])]
+    return {"parent": parent, "child": child}, meta, rels
+
+
+def test_child_cap_golden_100k_under_1k_cap(spark):
+    """A 100k-child parent under a 1k cap keeps the FIRST 1000 children in
+    sort order and records 99000 dropped in <field>__overflow__; parents
+    under the cap record 0; childless parents stay NULL/NULL."""
+    from pyspark.sql import functions as F
+
+    tables, meta, rels = _cap_fixture(spark)
+    cfg = SnowflakeConfig(fact_table="parent", show_foreign_keys=False, child_cap=1000)
+    plan = build_plan(meta, rels, cfg)
+    docs = doc_frame(tables, plan, cfg)
+    rows = {
+        r["__id__"]: r
+        for r in docs.select(
+            "__id__",
+            F.size("parent.child").alias("n_items"),
+            F.col("parent.child__overflow__").alias("overflow"),
+            F.col("parent.child")[0]["seq"].alias("first_seq"),
+            F.element_at(F.col("parent.child"), -1)["seq"].alias("last_seq"),
+        ).collect()
+    }
+    assert rows[1]["n_items"] == 1000 and rows[1]["overflow"] == 99_000
+    # capped children are the FIRST 1000 by the child's id columns
+    # (child id 1000+i carries seq i, so seq 0..999 survive)
+    assert rows[1]["first_seq"] == 0 and rows[1]["last_seq"] == 999
+    assert rows[2]["n_items"] == 5 and rows[2]["overflow"] == 0
+    assert rows[3]["n_items"] is None and rows[3]["overflow"] is None
+
+
+def test_child_cap_via_conf_and_unset_schema(spark):
+    """The conf key gates the cap when the config leaves it None; with
+    both unset the schema has NO overflow column (reference contract)."""
+    from mysql_to_s3_spark.sources.snowflake import CHILD_CAP_CONF
+
+    tables, meta, rels = _cap_fixture(spark)
+    cfg = SnowflakeConfig(fact_table="parent", show_foreign_keys=False)
+    plan = build_plan(meta, rels, cfg)
+
+    uncapped = doc_frame(tables, plan, cfg)
+    assert "child__overflow__" not in uncapped.schema["parent"].dataType.fieldNames()
+
+    spark.conf.set(CHILD_CAP_CONF, "10")
+    try:
+        capped = doc_frame(tables, plan, cfg)
+        assert "child__overflow__" in capped.schema["parent"].dataType.fieldNames()
+        from pyspark.sql import functions as F
+
+        r = {x["__id__"]: x for x in capped.select("__id__", F.size("parent.child").alias("n"), F.col("parent.child__overflow__").alias("ov")).collect()}
+        assert r[1]["n"] == 10 and r[1]["ov"] == 99_990
+        assert r[2]["n"] == 5 and r[2]["ov"] == 0
+    finally:
+        spark.conf.unset(CHILD_CAP_CONF)
