@@ -55,10 +55,30 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pil_image():
+    """Optional PIL import: the sandbox ships no imaging library, but the
+    decode path is live code the day one appears (tests skip cleanly
+    until then)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> Any:
-    """Decode an image payload to an HxWxC array. STUB: the container has
-    no imaging library; wire PIL/cv2 here in a real deployment."""
-    raise NotImplementedError("image decode requires an imaging library (PIL/cv2); not available here")
+    """Decode an image payload to an HxWxC numpy array via PIL when
+    available; raises NotImplementedError otherwise (no imaging library
+    in this container)."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError("image decode requires an imaging library (PIL/cv2); not available here")
+    import io
+
+    import numpy as np
+
+    return np.asarray(Image.open(io.BytesIO(bytes(payload))))
 
 
 def decode_audio(payload: bytes) -> Any:
@@ -67,9 +87,19 @@ def decode_audio(payload: bytes) -> Any:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. STUB (no PIL/cv2 here); a real deployment
-    decodes, resizes, re-encodes inside the same mapInPandas batch."""
-    raise NotImplementedError("image resize requires an imaging library (PIL/cv2); not available here")
+    """Resize an image payload via PIL when available (decode, resize,
+    re-encode — the same shape a mapInPandas batch uses); raises
+    NotImplementedError otherwise."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError("image resize requires an imaging library (PIL/cv2); not available here")
+    import io
+
+    img = Image.open(io.BytesIO(bytes(payload)))
+    fmt = img.format or "PNG"
+    out = io.BytesIO()
+    img.resize((int(width), int(height))).save(out, format=fmt)
+    return out.getvalue()
 
 
 def frame_sample(payload: bytes, every_ms: int = 1000) -> Any:

@@ -51,6 +51,40 @@ def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     return F.concat(*bits)
 
 
+# width of the packed sign signature used by embedding_dup_pairs_lsh's
+# pre-verify: wide enough that the hamming angle estimate separates
+# at-threshold pairs from random collisions even in the low-threshold
+# (near-orthogonal) regime — sigma(θ/π) = sqrt(f(1-f)/512) ≈ 0.021
+SIG_BITS = 512
+
+
+def _sign_signature_udf(dim: int):
+    """Vectorized signature: one (batch x dim) @ (dim x SIG_BITS) numpy
+    GEMM per Arrow batch, signs packed into SIG_BITS/64 longs. Per-VECTOR
+    cost (not per-candidate); planes are seeded and deterministic. The
+    signature only feeds the conservative pre-verify margin, so it needs
+    no oracle replica — the exact cosine verify decides."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(_SEED + 99)
+    planes = rng.standard_normal((dim, SIG_BITS))
+
+    @pandas_udf("array<long>")
+    def sig(vs):  # pd.Series of float arrays -> pd.Series of long arrays
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = np.packbits((m @ planes) > 0, axis=1)  # n x SIG_BITS/8 bytes
+        longs = bits.view(np.int64)  # n x SIG_BITS/64 (endianness is
+        # irrelevant: both sides of the hamming compare pack identically)
+        return pd.Series(list(longs))
+
+    return sig
+
+
 def topk_cosine(
     df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -204,22 +238,54 @@ def embedding_dup_pairs_lsh(
     cumulative candidate volume at sf0.1 (3.1M) exceeds all-pairs (2.0M).
     Real corpus dedup runs at cos >= 0.8 (θ/π <= 0.2), where p=12-16,
     T~8 gives ~2^12-fold candidate shrinkage with the same code; the
-    (n_planes, n_tables) knobs are the tuning surface."""
+    (n_planes, n_tables) knobs are the tuning surface.
+
+    Signature pre-verify (sf1 stress fix): with fixed p, per-bucket
+    occupancy grows linearly with the corpus, so raw band collisions grow
+    QUADRATICALLY — at 10x sf0.1 the distinct+verify consumed ~350M junk
+    rows and fell over. Each vector now carries a packed SIG_BITS-bit
+    sign signature (one numpy GEMM per Arrow batch — a per-VECTOR cost);
+    the hamming distance between two signatures estimates the pair angle
+    (f = ham/SIG_BITS estimates θ/π, σ = sqrt(f0(1-f0)/SIG_BITS)), and
+    candidates are pruned at 4σ past the threshold angle BEFORE the
+    distinct shuffle. The filter runs inside the band-join task — the
+    junk rows are generated and dropped in place, never shuffled. At
+    t=0.45 the prune keeps ~0.2% of random collisions; miss probability
+    for an exactly-at-threshold pair is ~3e-5 (4σ), and the exact cosine
+    verify remains the sole decider above the margin."""
+    import math
+
     dim = len(df.select(vec_col).first()[0])
+    sig_longs = SIG_BITS // 64
+    f0 = math.acos(threshold) / math.pi
+    sigma = math.sqrt(f0 * (1.0 - f0) / SIG_BITS)
+    d_max = int(math.floor(SIG_BITS * min(1.0, f0 + 4.0 * sigma)))
     keys = []
     for t in range(n_tables):
         planes = hyperplanes(dim=dim, n=n_planes, seed=_SEED + 1000 + t)
         keys.append(F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vec_col), planes).alias("bk")))
-    banded = df.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("key")
-    ).select("id", F.col("key.t").alias("t"), F.col("key.bk").alias("bk"))
+    sig = _sign_signature_udf(dim)
+    # the signature rides the join as FLAT long columns, so the hamming
+    # filter is whole-stage-codegen scalar ops (bit_count(xor)) — a
+    # zip_with/aggregate HOF here is interpreted per row with array
+    # allocations, which at ~350M join rows was itself the bottleneck
+    sig_cols = [F.col("sig")[k].alias(f"s{k}") for k in range(sig_longs)]
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col), sig(F.col(vec_col)).alias("sig"))
+    banded = vecs.select(
+        "id", F.explode(F.array(*keys)).alias("key"), *sig_cols
+    ).select("id", F.col("key.t").alias("t"), F.col("key.bk").alias("bk"), *[f"s{k}" for k in range(sig_longs)])
+    ham = None
+    for k in range(sig_longs):
+        term = F.bit_count(F.col(f"x.s{k}").bitwiseXOR(F.col(f"y.s{k}")))
+        ham = term if ham is None else ham + term
     cands = (
         banded.alias("x")
         .join(
             banded.alias("y"),
             (F.col("x.t") == F.col("y.t"))
             & (F.col("x.bk") == F.col("y.bk"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.id") < F.col("y.id"))
+            & (ham <= F.lit(d_max)),
         )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
@@ -232,3 +298,114 @@ def embedding_dup_pairs_lsh(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.45,
+    rows_per_block: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via block-partitioned GEMM —
+    the DENSE-REGIME scale path.
+
+    Regime guide (see embedding_dup_pairs_lsh): at high thresholds
+    (cos >= ~0.8) sign-LSH shrinks candidates ~2^p-fold and wins. At LOW
+    thresholds (near-orthogonal, e.g. 0.45) the candidate set of ANY
+    hashing scheme is Θ(n²) — the pairs themselves are dense — so the
+    winning move is to make the quadratic work CHEAP, not to avoid it:
+    pack each block of vectors into one contiguous float64 matrix, emit
+    every block pair (i <= j), and compute each pair's cosine submatrix
+    as ONE vectorized numpy GEMM inside mapInPandas. BLAS does in ~ns per
+    pair what row-at-a-time Column algebra does in ~µs.
+
+    Shuffle story: one groupBy(block) shuffle of the vectors (block =
+    hash(id) mod B, balanced), then a broadcast-able B-row packed-block
+    table joined into B(B+1)/2 block-pair rows — work parallelism is the
+    block-pair count, independent of per-bucket skew. Output rows are
+    only the above-threshold pairs. Matches the exact all-pairs oracle
+    bit-for-bit at round-6 (double GEMM + the same rounding)."""
+    import math as _math
+
+    import pandas as pd  # noqa: F401
+
+    n = df.count()
+    n_blocks = max(1, _math.ceil(n / rows_per_block))
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    pack_schema = "blk int, ids binary, mat binary, nrows int, dim int"
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [ids.tobytes()],
+                "mat": [m.tobytes()],
+                "nrows": [m.shape[0]],
+                "dim": [m.shape[1]],
+            }
+        )
+
+    packed = rows.groupBy("blk").applyInPandas(pack, pack_schema)
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"), F.col("nrows").alias("n_a"), F.col("dim").alias("d_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"), F.col("nrows").alias("n_b"), F.col("dim").alias("d_b"),
+    )
+    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    # spread the B(B+1)/2 GEMMs across the cluster — each row is one task
+    # unit of ~rows_per_block² flops, so parallelism is pair count
+    block_pairs = block_pairs.repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, n_blocks)
+    )
+
+    out_schema = "a long, b long, cos double"
+    t = float(threshold)
+
+    def gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for r in pdf.to_dict(orient="records"):
+                ma = np.frombuffer(r["mat_a"], dtype=np.float64).reshape(r["n_a"], r["d_a"])
+                mb = np.frombuffer(r["mat_b"], dtype=np.float64).reshape(r["n_b"], r["d_b"])
+                ia = np.frombuffer(r["ids_a"], dtype=np.int64)
+                ib = np.frombuffer(r["ids_b"], dtype=np.int64)
+                na = np.sqrt((ma * ma).sum(axis=1))
+                nb = np.sqrt((mb * mb).sum(axis=1))
+                cos = np.round((ma @ mb.T) / np.outer(na, nb), 6)
+                if r["blk_a"] == r["blk_b"]:
+                    # within a block: strict upper triangle by id
+                    keep = (cos >= t) & (ia[:, None] < ib[None, :])
+                else:
+                    # across blocks: every pair occurs exactly once in the
+                    # blk_a <= blk_b join, whatever the id order — keep all
+                    # and canonicalize to (min, max)
+                    keep = cos >= t
+                xi, yi = np.nonzero(keep)
+                if len(xi):
+                    lo = np.minimum(ia[xi], ib[yi])
+                    hi = np.maximum(ia[xi], ib[yi])
+                    outs.append(pd.DataFrame({"a": lo, "b": hi, "cos": cos[xi, yi]}))
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+            )
+
+    return block_pairs.mapInPandas(gemm, out_schema)

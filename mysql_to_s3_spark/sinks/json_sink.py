@@ -79,8 +79,36 @@ def docs_from_rows(rows: list[Row], fact_name: str, etl: dict | None = None) -> 
     return out
 
 
+# conf key bounding collect_docs (mirrors formats.py's bounded-result
+# guarantee); write_json_lines is the unbounded/distributed path
+COLLECT_DOCS_MAX_ROWS_CONF = "mysql_to_s3_spark.sink.collectDocsMaxRows"
+COLLECT_DOCS_MAX_ROWS_DEFAULT = 100_000
+
+
+class SinkError(ValueError):
+    pass
+
+
 def collect_docs(df: DataFrame, fact_name: str, etl: dict | None = None) -> list[dict]:
-    """Driver-side doc materialization, ordered by the fact id."""
+    """Driver-side doc materialization, ordered by the fact id.
+
+    CONTRACT: this is the test/pretty-file path (reference
+    extract.py:240-242 parity) and refuses more than
+    ``mysql_to_s3_spark.sink.collectDocsMaxRows`` rows (default 100k;
+    set -1 to disable) — pointing it at a full table is a driver OOM at
+    scale. Production writes go through ``write_json_lines``, which
+    streams the identical scrubbed JSON through the file committer."""
+    try:
+        limit = int(df.sparkSession.conf.get(
+            COLLECT_DOCS_MAX_ROWS_CONF, str(COLLECT_DOCS_MAX_ROWS_DEFAULT)))
+    except Exception:
+        limit = COLLECT_DOCS_MAX_ROWS_DEFAULT
+    if limit >= 0 and df.limit(limit + 1).count() > limit:
+        raise SinkError(
+            f"collect_docs is the bounded driver-side path and the input "
+            f"exceeds {limit} rows; use write_json_lines for large "
+            f"extracts, or raise/disable {COLLECT_DOCS_MAX_ROWS_CONF}"
+        )
     rows = df.orderBy("__id__").collect()
     return docs_from_rows(rows, fact_name, etl)
 

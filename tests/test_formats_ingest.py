@@ -302,3 +302,27 @@ def test_delete_rows(spark):
     df = ingest_docs(spark, [{"a": 1}, {"a": 5}, {"a": 9}])
     out = delete_rows(df, {"gt": {"a": 3}})
     assert [r["a"] for r in out.collect()] == [1]
+
+
+def test_collect_docs_refuses_unbounded_input(spark):
+    """collect_docs is the bounded driver-side path: above the conf bound
+    it raises instead of OOMing the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sinks.json_sink import (
+        COLLECT_DOCS_MAX_ROWS_CONF,
+        SinkError,
+        collect_docs,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("__id__"), F.struct(F.col("id").alias("v")).alias("fact")
+    )
+    spark.conf.set(COLLECT_DOCS_MAX_ROWS_CONF, "50")
+    try:
+        with pytest.raises(SinkError):
+            collect_docs(df, "fact")
+        assert len(collect_docs(df.limit(50), "fact")) == 50
+    finally:
+        spark.conf.unset(COLLECT_DOCS_MAX_ROWS_CONF)

@@ -95,3 +95,66 @@ def test_relations_feed_snowflake_plan(spark, sf_dir):
     plan = build_plan(meta, rels, SnowflakeConfig(fact_table="orders"))
     docs = doc_frame(tables, plan, SnowflakeConfig(fact_table="orders"), ids=[1, 2, 3])
     assert docs.count() == 3
+
+
+# -- recorded-response MySQL discovery contract (no live server) --
+# Golden information_schema.key_column_usage rows EXACTLY as MySQL returns
+# them (post-WHERE referenced_column_name IS NOT NULL, ORDER BY
+# constraint_name, ordinal_position) for the reference's 5-table snowflake
+# (/root/reference/tests/resources/database.sql FOREIGN KEYs, MySQL
+# auto-named <table>_ibfk_<n> constraints).
+
+_RECORDED_KEY_COLUMN_USAGE = [
+    ("fact_table_ibfk_1", "fact_table", "about", "inner1", "id", 1),
+    ("inner1_ibfk_1", "inner1", "time", "inner2", "id", 1),
+    ("nested1_ibfk_1", "nested1", "ref", "fact_table", "id", 1),
+    ("nested1_ibfk_2", "nested1", "about", "inner2", "id", 1),
+    ("nested2_ibfk_1", "nested2", "ref", "nested1", "id", 1),
+    ("nested2_ibfk_2", "nested2", "about", "inner1", "id", 1),
+]
+
+
+def test_discovery_recorded_rows_match_reference_schema():
+    """relations_from_rows over the recorded wire rows reproduces the
+    hand-written fixture relations (name aside) edge-for-edge."""
+    from mysql_to_s3_spark.sources.jdbc import relations_from_rows
+    from tests.fixtures_snowflake import RELATIONS
+
+    got = relations_from_rows(_RECORDED_KEY_COLUMN_USAGE)
+    edges = {(r.table, tuple(r.columns), r.referenced_table, tuple(r.referenced_columns)) for r in got}
+    want = {(r.table, tuple(r.columns), r.referenced_table, tuple(r.referenced_columns)) for r in RELATIONS}
+    assert edges == want
+
+
+def test_discovery_composite_fk_merges_by_constraint():
+    from mysql_to_s3_spark.sources.jdbc import relations_from_rows
+
+    rows = [
+        ("child_ibfk_1", "child", "pa", "parent", "a", 1),
+        ("child_ibfk_1", "child", "pb", "parent", "b", 2),
+    ]
+    (rel,) = relations_from_rows(rows)
+    assert rel.columns == ["pa", "pb"] and rel.referenced_columns == ["a", "b"]
+
+
+def test_discovery_drives_snowflake_end_to_end(spark):
+    """The discovered relations drive build_plan/doc_frame to the SAME
+    documents as the hand-written fixture relations — the full MySQL
+    discovery path minus only the socket."""
+    from mysql_to_s3_spark.sinks.json_sink import collect_docs
+    from mysql_to_s3_spark.sources.jdbc import relations_from_rows
+    from mysql_to_s3_spark.sources.snowflake import SnowflakeConfig, build_plan, doc_frame
+    from tests.fixtures_snowflake import RELATIONS, TABLES_META, build_tables
+
+    tables = build_tables(spark)
+    cfg = SnowflakeConfig(
+        fact_table="fact_table",
+        null_values=["-", "unknown", ""],
+        reference_only=["inner1", "inner2"],
+    )
+    discovered = build_plan(TABLES_META, relations_from_rows(_RECORDED_KEY_COLUMN_USAGE), cfg)
+    handwritten = build_plan(TABLES_META, RELATIONS, cfg)
+    ids = [10, 11, 12, 13, 15]
+    got = collect_docs(doc_frame(tables, discovered, cfg, ids=ids), "fact_table")
+    want = collect_docs(doc_frame(tables, handwritten, cfg, ids=ids), "fact_table")
+    assert got == want

@@ -177,3 +177,53 @@ def test_ann_multiprobe_improves_recall(spark, sf_dir):
     # probing wider can only add candidates -> recall is monotone
     assert len(r0 & exact) <= len(r1 & exact) <= len(r2 & exact)
     assert len(r2) >= len(r0)
+
+
+def test_pil_decode_resize_roundtrip():
+    """Live decode path the day an imaging library appears; skipped
+    cleanly in this container (no PIL)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from mysql_to_s3_spark.operators.multimodal import decode_image, resize_image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (255, 0, 0)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    arr = decode_image(payload)
+    assert arr.shape == (6, 8, 3)
+    resized = resize_image(payload, 4, 3)
+    assert decode_image(resized).shape == (3, 4, 3)
+
+
+def test_decode_stubs_raise_without_libs():
+    import pytest
+
+    from mysql_to_s3_spark.operators import multimodal
+
+    if multimodal._pil_image() is not None:
+        pytest.skip("imaging library present; stub contract not applicable")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"xx", 2, 2)
+
+
+def test_embedding_blocked_gemm_matches_all_pairs(spark, sf_dir):
+    """Blocked-GEMM all-pairs (the dense/low-threshold scale path) equals
+    the Column-algebra all-pairs exactly, across block boundaries."""
+    from mysql_to_s3_spark.operators.dedup import embedding_dup_pairs
+    from mysql_to_s3_spark.operators.similarity import embedding_dup_pairs_blocked
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {(r["a"], r["b"], r["cos"]) for r in embedding_dup_pairs(emb, threshold=0.45).collect()}
+    got = {
+        (r["a"], r["b"], r["cos"])
+        for r in embedding_dup_pairs_blocked(emb, threshold=0.45, rows_per_block=300).collect()
+    }
+    assert got == want and len(got) > 0
