@@ -98,3 +98,93 @@ def test_write_typed_json_lines_distributed(spark, tmp_path):
     assert docs == [{"k": i, "name": f"doc{i}"} for i in range(3)]
     # wire format carries the typed markers
     assert all(EXISTS_TYPE in line and NUMBER_TYPE in line["k"] for line in lines)
+
+
+# -- ES _bulk wire format + alias/rollover planning (sinks/es_bulk.py) --
+
+
+def test_rollover_name_matches_reference_pattern():
+    import datetime as dt
+    import re
+
+    from mysql_to_s3_spark.sinks.es_bulk import ROLLOVER_SUFFIX_RE, rollover_index_name
+
+    name = rollover_index_name("repo", dt.datetime(2026, 8, 14, 1, 2, 3))
+    assert name == "repo20260814_010203"
+    # the exact regex the reference uses to recognize rollovers
+    assert re.match(re.escape("repo") + ROLLOVER_SUFFIX_RE, name)
+
+
+def test_index_for_alias_resolution_and_ambiguity():
+    import pytest
+
+    from mysql_to_s3_spark.sinks.es_bulk import BulkSinkError, index_for_alias
+
+    aliases = [
+        {"index": "repo20260101_000000", "alias": "repo"},
+        {"index": "other20260101_000000", "alias": "other"},
+    ]
+    assert index_for_alias(aliases, "repo") == "repo20260101_000000"
+    assert index_for_alias(aliases, "nosuch") is None
+    # un-aliased rollover still resolves by the name pattern
+    assert index_for_alias([{"index": "repo20260101_000000", "alias": None}], "repo") == "repo20260101_000000"
+    with pytest.raises(BulkSinkError):
+        index_for_alias(
+            aliases + [{"index": "repo20270101_000000", "alias": "repo"}], "repo"
+        )
+
+
+def test_indexes_to_prune_keeps_live_index():
+    from mysql_to_s3_spark.sinks.es_bulk import indexes_to_prune
+
+    aliases = [
+        {"index": "repo20250101_000000", "alias": None},
+        {"index": "repo20260101_000000", "alias": "repo"},
+        {"index": "repoX", "alias": None},  # not a rollover of 'repo'
+        {"index": "other20250101_000000", "alias": "other"},
+    ]
+    assert indexes_to_prune(aliases, "repo", "repo20260101_000000") == ["repo20250101_000000"]
+    assert indexes_to_prune(aliases, "repo", "repo") == []
+
+
+def test_write_bulk_lines_roundtrip(spark, tmp_path):
+    """Bulk body = (action, typed doc) line pairs; parsing the body back
+    reproduces ids + untyped docs exactly, across >1 partitions."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sinks.es_bulk import write_bulk_lines
+    from mysql_to_s3_spark.sinks.typed_json import untyped
+
+    df = (
+        spark.range(20)
+        .select(
+            F.col("id").alias("__id__"),
+            F.struct(
+                F.col("id").alias("k"),
+                F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+                F.when(F.col("id") % 2 == 0, F.lit("")).otherwise(F.lit("x")).alias("scrubme"),
+            ).alias("fact"),
+        )
+        .repartition(3)
+    )
+    out = str(tmp_path / "bulk")
+    write_bulk_lines(df, out, "fact")
+    import glob
+
+    docs = {}
+    part_files = sorted(glob.glob(out + "/part-*"))
+    assert len(part_files) > 1
+    for pf in part_files:
+        with open(pf) as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+        assert len(lines) % 2 == 0
+        for action, body in zip(lines[0::2], lines[1::2]):
+            a = json.loads(action)
+            assert set(a) == {"index"} and set(a["index"]) == {"_id"}
+            docs[a["index"]["_id"]] = untyped(json.loads(body))
+    assert set(docs) == set(range(20))
+    # scrub dropped the "" field on even ids, kept "x" on odd ids
+    assert docs[2] == {"k": 2, "s": "v2"}
+    assert docs[3] == {"k": 3, "s": "v3", "scrubme": "x"}
