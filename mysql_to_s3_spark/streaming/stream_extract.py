@@ -249,3 +249,148 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["__fp__"])
         .drop("__fp__")
     )
+
+
+def stream_near_dedup(
+    sdf: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    lateness: str = "1 hour",
+    max_refs_per_bucket: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-dup detection — the streaming analog of
+    ``dedup.minhash_lsh_pairs``: each document's MinHash signature is
+    banded into (band, bucket) keys; per-bucket state remembers the
+    (id, signature) of documents seen inside the watermark horizon, and
+    an arriving document that estimates Jaccard >= threshold - margin
+    against any remembered signature emits a (doc_id, matched_id, est)
+    candidate row (typically once per agreeing band — consumers dedup on
+    doc_id).
+
+    Honest contract vs the batch operator: bounded state cannot hold
+    shingle sets, so the SIGNATURE ESTIMATE is the decider here (margin =
+    4*sqrt(t(1-t)/n), the batch pre-verify's 4-sigma band); the batch
+    operator's exact-Jaccard verification does not exist in the stream.
+    Use the stream to FLAG, the batch path to adjudicate.
+
+    100 TB story: state is (<= max_refs_per_bucket) signatures per active
+    (band, bucket) — expired by EventTimeTimeout at the watermark, capped
+    against adversarial bucket floods (overflow drops the OLDEST
+    reference, so a flood degrades recall, never memory). Signature
+    computation is Column algebra in the same micro-batch projection; at
+    ingest scale precompute it upstream of the stream instead (projection
+    collapse re-expands the per-shingle hash into each permutation here
+    — the cost note in dedup._minhash_columns applies)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mysql_to_s3_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_N,
+        _base_hashes,
+        _minhash_columns,
+        shingles,
+    )
+
+    n_hashes, bands = MINHASH_N, MINHASH_BANDS
+    r = n_hashes // bands
+    margin = 4.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+    cutoff = threshold - margin
+    ttl_secs = _fixed_seconds(lateness) if lateness[0].isdigit() else 3600
+
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    hb = _base_hashes(shingles(F.col(text_col)))
+    sig = F.array(*_minhash_columns(hb, n_hashes))
+    with_sig = sdf.select(
+        F.col(id_col).cast("long").alias("__id__"),
+        F.col(ts_col).alias("__ts__"),
+        sig.alias("__sig__"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at("__sig__", b * r + j + 1) for j in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        with_sig.withColumn("__bb__", F.explode(F.array(*band_structs)))
+        .select(
+            F.col("__bb__.band").alias("band"),
+            F.col("__bb__.bucket").alias("bucket"),
+            "__id__",
+            "__ts__",
+            "__sig__",
+        )
+        .withWatermark("__ts__", lateness)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("matched_id", T.LongType()),
+            T.StructField("est", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("sigs", T.BinaryType()),
+        ]
+    )
+
+    def flag(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, packed = state.get
+            ids = list(ids)
+            mat = np.frombuffer(packed, dtype=np.int64).reshape(len(ids), n_hashes) if ids else np.empty((0, n_hashes), dtype=np.int64)
+        else:
+            ids, mat = [], np.empty((0, n_hashes), dtype=np.int64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["__ts__", "__id__"])
+            out_doc, out_match, out_est = [], [], []
+            for did, s in zip(pdf["__id__"].to_numpy(), pdf["__sig__"].to_numpy()):
+                sv = np.asarray(s, dtype=np.int64)
+                if len(ids):
+                    ests = (mat == sv).mean(axis=1)
+                    j = int(np.argmax(ests))
+                    if ests[j] >= cutoff:
+                        out_doc.append(int(did))
+                        out_match.append(int(ids[j]))
+                        out_est.append(round(float(ests[j]), 6))
+                ids.append(int(did))
+                mat = np.vstack([mat, sv[None, :]])
+                if len(ids) > max_refs_per_bucket:
+                    ids = ids[-max_refs_per_bucket:]
+                    mat = mat[-max_refs_per_bucket:]
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "band": int(key[0]),
+                        "doc_id": out_doc,
+                        "matched_id": out_match,
+                        "est": out_est,
+                    }
+                )
+        state.update((ids, mat.tobytes()))
+        # expire this bucket's references once the watermark passes TTL
+        wm = state.getCurrentWatermarkMs()
+        base = wm if wm > 0 else 0
+        state.setTimeoutTimestamp(base + ttl_secs * 1000)
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        flag, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -208,3 +208,53 @@ def test_stream_exact_dedup_drops_rearrivals(spark, tmp_path):
     assert len(kept) == 3
     assert 5 in kept and (1 in kept or 3 in kept) and 2 in kept
     assert not {1, 3}.issubset(set(kept)) and 4 not in kept
+
+
+def test_stream_near_dedup_flags_near_duplicate_across_batches(spark, tmp_path):
+    """stream_near_dedup flags a near-identical re-arrival (small edit)
+    against the earlier document via banded minhash state, leaves an
+    unrelated document unflagged, and works across micro-batches."""
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import stream_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the cat sat on the mat "
+        "watching the ships sail slowly over the calm evening sea"
+    )
+    near = base.replace("evening", "morning")  # one-word edit: J >> 0.9
+    other = (
+        "completely different content about distributed query engines "
+        "and columnar execution with vectorized operators and shuffles "
+        "nothing in common with the fox or the rain or the mat at all"
+    )
+    src = str(tmp_path / "near_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02"]).astype("datetime64[us]"),
+            "text": [base, other],
+        }
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 00:05:00"]).astype("datetime64[us]"),
+            "text": [near],
+        }
+    ).to_parquet(src + "/b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    flagged = stream_near_dedup(sdf, "ts", "text", "doc_id", threshold=0.9)
+    _run_stream(flagged, "near_dedup_stream", "append")
+    rows = spark.sql("SELECT * FROM near_dedup_stream").collect()
+    # doc 3 flagged against doc 1 (possibly in several bands); 1 and 2 never
+    by_doc = {}
+    for row in rows:
+        by_doc.setdefault(row["doc_id"], set()).add(row["matched_id"])
+    assert set(by_doc) == {3}
+    assert by_doc[3] == {1}
+    assert all(row["est"] >= 0.7 for row in rows)
