@@ -227,3 +227,23 @@ def test_embedding_blocked_gemm_matches_all_pairs(spark, sf_dir):
         for r in embedding_dup_pairs_blocked(emb, threshold=0.45, rows_per_block=300).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ngram_jaccard_exact_threshold_boundary_pair_kept(spark):
+    """A pair with Jaccard EXACTLY == t must be kept: before the round-4
+    epsilon fix the PPJoin length filter compared 9 >= 0.9*10 =
+    9.000000000000002 and dropped it (r3 ADVICE item 1)."""
+    from mysql_to_s3_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 13 distinct chars -> 9 distinct 5-shingles; the 14-char superset has
+    # 10, sharing all 9 -> J = 9/10 = 0.9 exactly
+    a, b = "abcdefghijklm", "abcdefghijklmn"
+    df = spark.createDataFrame([(1, a), (2, b), (3, "zzzzzyyyyyxxxxx")], "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2): 0.9}
+
+    # second exact boundary at a different threshold: 3 of 4 shingles
+    c, d = "abcdefg", "abcdefgh"  # 3 and 4 shingles, J = 3/4
+    df2 = spark.createDataFrame([(1, c), (2, d)], "doc_id long, text string")
+    pairs2 = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df2, threshold=0.75).collect()}
+    assert pairs2 == {(1, 2): 0.75}
