@@ -1112,21 +1112,35 @@ def _sql_plane_dot(vec: str, plane: list[float]) -> str:
 
 
 def _ann_sql() -> str:
+    """Tagged two-leg oracle: `probe0` = exact-bucket ANN, `probe1` =
+    multi-probe (all buckets within hamming distance 1 of the query's
+    sign pattern — SQL-side as a per-bit mismatch count <= 1, the exact
+    set the Spark side enumerates as an IN-filter)."""
     from mysql_to_s3_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes()
+    n = len(planes)
     bucket = "(" + " || ".join(
         f"CASE WHEN {_sql_plane_dot('e.embedding', p)} > 0 THEN '1' ELSE '0' END" for p in planes
     ) + ")"
     q_bucket = "(" + " || ".join(
         f"CASE WHEN {_sql_plane_dot('q.qe', p)} > 0 THEN '1' ELSE '0' END" for p in planes
     ) + ")"
+    ham = (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> CASE WHEN substr(eb, i, 1) = substr(qb, i, 1) THEN 0 ELSE 1 END))"
+    )
     return f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qe')}, 6) AS cos
-    FROM embeddings e, q
-    WHERE {bucket} = {q_bucket}
-    ORDER BY cos DESC, e.vec_id LIMIT 10"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qe')}, 6) AS cos,
+                  {bucket} AS eb, {q_bucket} AS qb
+           FROM embeddings e, q),
+         p0 AS (SELECT 'probe0' AS leg, vec_id, cos FROM scored WHERE eb = qb
+                ORDER BY cos DESC, vec_id LIMIT 10),
+         p1 AS (SELECT 'probe1' AS leg, vec_id, cos FROM scored WHERE {ham} <= 1
+                ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT * FROM p0 UNION ALL SELECT * FROM p1"""
 
 
 def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,11 +1230,18 @@ def _similarity_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _similarity_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged two-leg ANN row: exact-bucket probe + hamming-1 multi-probe
+    (the recall knob) — both partition-prunable bucket IN-filters."""
+    from pyspark.sql import functions as F
+
     from mysql_to_s3_spark.operators.similarity import ann_topk
     from mysql_to_s3_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+    qv = _query_vec(spark, sf_dir)
+    p0 = ann_topk(emb, qv, k=10).select(F.lit("probe0").alias("leg"), "vec_id", "cos")
+    p1 = ann_topk(emb, qv, k=10, multiprobe=1).select(F.lit("probe1").alias("leg"), "vec_id", "cos")
+    return p0.unionByName(p1)
 
 
 def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,6 +1595,10 @@ def _group_union_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
             {"name": "p90_price", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
             {"name": "sd_disc", "value": "l_discount", "aggregate": "std"},
+            # per-select `default` on aggregates (§2.4): all-missing input
+            # -> default, partially-present input -> real aggregate
+            {"name": "f_qty_sum", "value": {"when": {"eq": {"l_linestatus": "F"}}, "then": "l_quantity"}, "aggregate": "sum"},
+            {"name": "never_sum", "value": {"when": {"gt": {"l_quantity": 9999}}, "then": "l_quantity"}, "aggregate": "sum", "default": -1},
         ],
     }
     df = run(q, spark=spark, sf_dir=sf_dir)
@@ -1591,7 +1616,9 @@ _q(
               count(DISTINCT l_linestatus) AS n_status,
               round(median(l_quantity), 6) AS med_qty,
               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
-              round(stddev_pop(l_discount), 6) AS sd_disc
+              round(stddev_pop(l_discount), 6) AS sd_disc,
+              sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty_sum,
+              CAST(coalesce(sum(CASE WHEN l_quantity > 9999 THEN l_quantity END), -1) AS DOUBLE) AS never_sum
        FROM lineitem GROUP BY 1""",
 )
 
@@ -2051,7 +2078,7 @@ DRIVER_ORDER: list[str] = [
     "agg_scalar_stats",          # + moments, exact percentile, union set
     "agg_scalar_moments_approx", # KLL/HLL scale path — rows-only (no oracle)
     "agg_trimmed_stats",
-    "agg_group_union",           # + count_distinct, median/percentile/std
+    "agg_group_union",           # + count_distinct, median/percentile/std, per-select default
     "agg_one_single_valued",     # + first/last/list
     # groupby
     "groupby_expr_bucket",       # + grouped avg/max
@@ -2084,7 +2111,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_embedding_cosine",
     # LLM-pipeline: similarity search
     "similarity_topk",
-    "similarity_ann_lsh",
+    "similarity_ann_lsh",        # legs: exact bucket / hamming-1 multiprobe
     "similarity_ivf",
     "multimodal_features",
     # container lifecycle
