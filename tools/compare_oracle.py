@@ -74,8 +74,29 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
             failures.append(name)
             continue
+        # driver-grade TYPE audit: the driver hashes exact values, where
+        # Python's == calls 35 == 35.0 equal — catch int/float (and
+        # Decimal) drift per column before it becomes a driver hash FAIL
+        stypes: dict[str, set] = {c: set() for c in cols}
+        otypes: dict[str, set] = {c: set() for c in cols}
+        for r in df.limit(50).collect():
+            for c in cols:
+                if r[c] is not None:
+                    stypes[c].add(type(r[c]).__name__)
+        for row_ in con.execute(sql).fetchmany(50):
+            for c, v in zip(names_, row_):
+                if v is not None and c in otypes:
+                    otypes[c].add(type(v).__name__)
+        tdiffs = {
+            c: (sorted(stypes[c]), sorted(otypes.get(c, set())))
+            for c in cols
+            if stypes[c] and otypes.get(c) and stypes[c] != otypes[c]
+        }
         if sorted(names_) != cols:
             print(f"FAIL  {name}: columns spark={cols} oracle={sorted(names_)}")
+            failures.append(name)
+        elif tdiffs:
+            print(f"FAIL  {name}: value TYPE drift (spark vs oracle): {tdiffs}")
             failures.append(name)
         elif got != exp:
             diff = next(
