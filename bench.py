@@ -42,13 +42,13 @@ HEADLINE = [
     "counters_batch_keys",
     "edges_general_set_where",
     "text_stats",
-    "text_langid",
-    "text_quality",
+    "text_quality",  # + lang_guess leg (former text_langid row)
     "text_winnow_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "similarity_topk",
-    "similarity_ann_lsh",
+    "dedup_cluster_components",
+    "similarity_ann_lsh",  # legs: exact topk / bucket probe / multiprobe
+    "text_decontaminate",
     "multimodal_features",
     "edges_range_span",
     "typed_json_roundtrip",

@@ -1,0 +1,146 @@
+"""Distributed connected components over a near-dup pair graph.
+
+Turns the pairwise output of the dedup family (``ngram_jaccard_pairs``,
+``minhash_lsh_pairs``, ``simhash_pairs``, ``embedding_dup_pairs_lsh``)
+into dedup CLUSTERS: every document gets a ``component`` label — the
+minimum doc id reachable through the pair graph — so "keep one doc per
+near-dup cluster" becomes a single anti-join (`dedup_by_components`).
+Pairs alone under-delete: A~B and B~C with A!~C still means keep only
+one of {A,B,C} in a training corpus.
+
+Algorithm: min-label propagation with POINTER JUMPING, the classic
+PRAM/MapReduce shape (cf. Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — the alternating-star algorithm solves
+the same telescoping). Each round does
+
+  1. neighbor-min:  comp(v) <- min(comp(v), min_{u in N(v)} comp(u))
+  2. pointer jump:  comp(v) <- min(comp(v), comp(comp(v)))
+
+Step 1 alone converges in O(diameter) rounds (bad for chain-shaped
+clusters); step 2 halves the remaining pointer depth each round, giving
+O(log n) rounds overall.
+
+100 TB story: each round is two shuffle joins + one partial-agg min on
+the node key — no collect, no driver-side graph. The edge frame is
+symmetrized once, hash-partitioned on the join key, and cached; labels
+are `localCheckpoint`ed each round to truncate the otherwise-exponential
+iterative lineage (Spark's standard idiom for iterative algorithms —
+GraphFrames does the same internally). Convergence costs nothing extra:
+labels only ever decrease, so the label-sum is a monotone checksum, and
+the one sum-action per round doubles as the checkpoint materializer —
+one Spark job per round total. Near-dup graphs are
+bounded-degree in practice (a doc has few near-dups), so rounds are
+cheap; pathological star clusters are exactly what the min-label
+formulation handles well (one round).
+
+Reference parity: the reference has no clustering operator (its dedup
+story stops at pairs); this is a beyond-reference training-data-pipeline
+operator per SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class ComponentsError(ValueError):
+    """Raised when the iteration cap is hit before convergence."""
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(doc_id, component) for every node that appears in ``pairs``.
+
+    ``component`` is the minimum doc id in the node's connected
+    component, so ``doc_id == component`` identifies the canonical
+    keeper. Nodes that appear in no pair are NOT emitted (they are
+    their own singleton components by definition); join back to the
+    corpus with a left join + coalesce(own id) if a total assignment is
+    needed (see `dedup_by_components`).
+
+    ``max_iter`` is a convergence backstop: pointer jumping needs
+    ~log2(longest chain) rounds, so 30 covers any graph that fits in an
+    exabyte. Hitting it raises rather than returning a wrong answer.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("v")
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # 1. neighbor-min: pull min(comp) across each node's neighbors.
+        #    Join on v (edges are pre-partitioned by v), partial-agg min
+        #    on u — map-side combine keeps the shuffle linear in |E|.
+        nmin = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), F.col("comp").alias("vcomp")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nmin"))
+        )
+        stepped = labels.join(
+            nmin.select(F.col("u").alias("node"), "nmin"), "node", "left"
+        ).select("node", F.least("comp", F.coalesce("nmin", F.col("comp"))).alias("comp"))
+        # 2. pointer jump: comp <- comp(comp). comp values are node ids
+        #    (every label is some node's id), so the self-join resolves.
+        jumped = (
+            stepped.join(
+                stepped.select(F.col("node").alias("pnode"), F.col("comp").alias("pcomp")),
+                stepped["comp"] == F.col("pnode"),
+                "left",
+            )
+            .select(
+                "node", F.least("comp", F.coalesce("pcomp", F.col("comp"))).alias("comp")
+            )
+            .localCheckpoint(eager=False)
+        )
+        # ONE Spark job per round: this sum-action also materializes the
+        # lazy checkpoint above. Labels are monotonically non-increasing,
+        # so an unchanged sum <=> an unchanged labeling (decimal(38,0)
+        # keeps the comparison exact far past any int64-sum overflow) —
+        # strictly cheaper than a changed-rows join + limit(1).count().
+        cur = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+        labels = jumped
+        if prev_sum is not None and cur == prev_sum:
+            return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        prev_sum = cur
+    raise ComponentsError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def component_summary(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Per-node cluster assignment with cluster size:
+    (doc_id, component, n_members). ``n_members`` counts the nodes in
+    the pair graph sharing the component (singletons never appear, so
+    n_members >= 2). One extra partial-agg count + broadcast-back join
+    on top of `connected_components`."""
+    cc = connected_components(pairs, a_col, b_col)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(sizes, "component").select("doc_id", "component", "n_members")
+
+
+def dedup_by_components(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster from
+    ``df`` — the end-to-end "apply the dedup" step. Keeps the minimum
+    id per component plus every doc that appears in no pair. One
+    left-anti join against the (small) loser set."""
+    cc = connected_components(pairs, a_col, b_col)
+    losers = cc.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    if id_col != "doc_id":
+        losers = losers.withColumnRenamed("doc_id", id_col)
+    return df.join(losers, id_col, "left_anti")

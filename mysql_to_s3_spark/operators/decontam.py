@@ -1,0 +1,88 @@
+"""Train/eval cross-corpus decontamination by n-gram overlap.
+
+A training-corpus document is CONTAMINATED when a large fraction of an
+evaluation document's k-shingles appear verbatim in it — the standard
+published decontamination recipe (n-gram collision against benchmark
+text, as described in the GPT-2/GPT-3 appendices and the open
+Dolma/RedPajama pipeline docs). The overlap is measured as
+
+    |shingles(bench) ∩ shingles(train)| / |shingles(bench)|
+
+i.e. asymmetric containment of the BENCH doc (the small, fixed side) in
+the train doc — a 1000-page train doc that embeds a whole eval question
+scores 1.0 even though its Jaccard similarity is tiny, which is exactly
+why dedup thresholds cannot be reused for decontamination.
+
+100 TB story: the benchmark side is tiny (eval suites are MBs) while the
+train side is the full corpus, so the exploded bench shingles are
+BROADCAST — the corpus-side scan never shuffles on text. The per-pair
+overlap count is a partial-aggregated groupBy on (train_id, bench_id),
+map-side-combined down to the few candidate pairs that share any shingle
+at all. No all-pairs step anywhere; cost is linear in corpus shingles ×
+(benchmark shingle hit-rate).
+
+Reference parity: no analog in the reference (its pipeline stops at
+extract/dedup); beyond-reference LLM-pipeline operator per SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mysql_to_s3_spark.operators.dedup import SHINGLE_K, shingles
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    train_id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(train_id, bench_id, overlap, overlap_frac) for every pair with
+    round(overlap_frac, 6) >= threshold. ``overlap`` counts distinct
+    shared k-shingles; ``overlap_frac`` normalizes by the BENCH doc's
+    shingle count (containment, not Jaccard). Self-pairs (same id on
+    both sides) are excluded so a corpus can be screened against a
+    subset of itself."""
+    tsh = train.select(
+        F.col(train_id_col).alias("train_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    bsets = bench.select(
+        F.col(bench_id_col).alias("bench_id"), shingles(F.col(text_col), k).alias("s")
+    )
+    bsh = bsets.select("bench_id", F.size("s").alias("n_bench"), F.explode("s").alias("shingle"))
+    # shingle lists are array_distinct per doc, so count(*) per pair is
+    # exactly the distinct shared-shingle count — no count_distinct Expand
+    pairs = (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .filter(F.col("train_id") != F.col("bench_id"))
+        .groupBy("train_id", "bench_id", "n_bench")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    frac = F.round(F.col("overlap").cast("double") / F.col("n_bench"), 6)
+    return (
+        pairs.withColumn("overlap_frac", frac)
+        .filter(F.col("overlap_frac") >= F.lit(float(threshold)))
+        .select("train_id", "bench_id", F.col("overlap").cast("long").alias("overlap"), "overlap_frac")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    train_id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every contaminated doc from ``train`` — one left-anti join
+    against the (small) contaminated-id set."""
+    hits = contamination_pairs(
+        train, bench, threshold, k, train_id_col, bench_id_col, text_col
+    ).select(F.col("train_id").alias(train_id_col)).distinct()
+    return train.join(hits, train_id_col, "left_anti")

@@ -1057,7 +1057,8 @@ def _text_stats_sql() -> str:
     FROM documents"""
 
 
-def _langid_sql() -> str:
+def _langid_case_expr() -> str:
+    """DuckDB CASE expression mirroring operators.text.language_id."""
     from mysql_to_s3_spark.operators.text import LANG_PROFILES
 
     langs = list(LANG_PROFILES)
@@ -1075,9 +1076,7 @@ def _langid_sql() -> str:
         conds += [f"{scores[lang]} > {scores[o]}" for o in langs[:i]]
         conds += [f"{scores[lang]} >= {scores[o]}" for o in langs[i + 1:]]
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    return f"""
-    SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_guess
-    FROM documents"""
+    return f"CASE {' '.join(cases)} ELSE 'und' END"
 
 
 _SQL_FP = "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)"
@@ -1139,8 +1138,10 @@ def _ann_sql() -> str:
          p0 AS (SELECT 'probe0' AS leg, vec_id, cos FROM scored WHERE eb = qb
                 ORDER BY cos DESC, vec_id LIMIT 10),
          p1 AS (SELECT 'probe1' AS leg, vec_id, cos FROM scored WHERE {ham} <= 1
+                ORDER BY cos DESC, vec_id LIMIT 10),
+         ex AS (SELECT 'exact' AS leg, vec_id, cos FROM scored WHERE vec_id != 0
                 ORDER BY cos DESC, vec_id LIMIT 10)
-    SELECT * FROM p0 UNION ALL SELECT * FROM p1"""
+    SELECT * FROM ex UNION ALL SELECT * FROM p0 UNION ALL SELECT * FROM p1"""
 
 
 def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,16 +1159,6 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(n) for n, c in st.items()],
         fingerprint(F.col("text")).alias("fp"),
     )
-
-
-def _text_langid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from mysql_to_s3_spark.operators.text import language_id
-    from mysql_to_s3_spark.sources.registry import load_table, spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(F.col("doc_id"), language_id(F.col("text")).alias("lang_guess"))
 
 
 def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,29 +1210,24 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
 
 
-def _similarity_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from mysql_to_s3_spark.operators.similarity import topk_cosine
-    from mysql_to_s3_spark.sources.registry import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return topk_cosine(emb.filter(F.col("vec_id") != 0), _query_vec(spark, sf_dir), k=10)
-
-
 def _similarity_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged two-leg ANN row: exact-bucket probe + hamming-1 multi-probe
-    (the recall knob) — both partition-prunable bucket IN-filters."""
+    """Tagged three-leg similarity row: brute-force exact top-k (former
+    similarity_topk row — the recall baseline, TakeOrderedAndProject with
+    0 exchanges) + exact-bucket probe + hamming-1 multi-probe (the recall
+    knob) — the probes are partition-prunable bucket IN-filters."""
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.similarity import ann_topk
+    from mysql_to_s3_spark.operators.similarity import ann_topk, topk_cosine
     from mysql_to_s3_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
+    ex = topk_cosine(emb.filter(F.col("vec_id") != 0), qv, k=10).select(
+        F.lit("exact").alias("leg"), "vec_id", "cos"
+    )
     p0 = ann_topk(emb, qv, k=10).select(F.lit("probe0").alias("leg"), "vec_id", "cos")
     p1 = ann_topk(emb, qv, k=10, multiprobe=1).select(F.lit("probe1").alias("leg"), "vec_id", "cos")
-    return p0.unionByName(p1)
+    return ex.unionByName(p0).unionByName(p1)
 
 
 def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,11 +1240,17 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.text import quality_score
+    from mysql_to_s3_spark.operators.text import language_id, quality_score
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(F.col("doc_id"), quality_score(F.col("text")).alias("quality"))
+    # hosts the language-ID leg (former text_langid row) — both are
+    # shuffle-free per-doc Column algebra over the same scan
+    return docs.select(
+        F.col("doc_id"),
+        quality_score(F.col("text")).alias("quality"),
+        language_id(F.col("text")).alias("lang_guess"),
+    )
 
 
 def _text_quality_sql() -> str:
@@ -1279,13 +1271,13 @@ def _text_quality_sql() -> str:
     stop_ok = f"least(1.0, {stop_r} * 5)"
     return f"""
     SELECT doc_id,
-           round({w['len']} * {len_ok} + {w['punct']} * {punct_ok} + {w['stop']} * {stop_ok}, 6) AS quality
+           round({w['len']} * {len_ok} + {w['punct']} * {punct_ok} + {w['stop']} * {stop_ok}, 6) AS quality,
+           {_langid_case_expr()} AS lang_guess
     FROM documents"""
 
 
 _q("text_stats", _text_stats_spark, _text_stats_sql())
-_q("text_quality", _text_quality_spark, _text_quality_sql())
-_q("text_langid", _text_langid_spark, _langid_sql())
+_q("text_quality", _text_quality_spark, _text_quality_sql())  # + lang_guess leg
 
 
 def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,6 +1332,44 @@ _q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
 # minhash verifies candidates with exact Jaccard, so it matches the exact
 # oracle up to the LSH miss probability ((1-j^4)^16 ~= 4e-8 at j=0.9)
 _q("dedup_minhash_lsh", _dedup_minhash_spark, _SQL_JACCARD_PAIRS)
+
+
+def _dedup_cc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact ngram-Jaccard pairs -> distributed
+    connected components (min-label + pointer jumping,
+    operators/components.py) -> per-doc (component, n_members).
+    Pairs alone under-delete (A~B, B~C, A!~C still means keep one of
+    {A,B,C}); this is the operator that closes that gap."""
+    from mysql_to_s3_spark.operators.components import component_summary
+    from mysql_to_s3_spark.operators.dedup import ngram_jaccard_pairs
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+    return component_summary(pairs)
+
+
+# oracle: transitive closure by recursive CTE over the SAME exact-Jaccard
+# pair set; component = min reachable id (symmetric edges make every node
+# self-reachable), n_members = nodes sharing the component
+_SQL_CC_COMPONENTS = f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.9),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+    SELECT c.doc_id, c.component, n.n_members
+    FROM comp c
+    JOIN (SELECT component, count(*) AS n_members FROM comp GROUP BY component) n
+      USING (component)"""
+
+_q("dedup_cluster_components", _dedup_cc_spark, _SQL_CC_COMPONENTS)
 def _simhash_sql() -> str:
     """DuckDB replica of operators.dedup.simhash_pairs: the token hash is
     the PORTABLE int(md5(w)[:15], 16) (see dedup.token_hash), so the
@@ -1392,8 +1422,42 @@ _SQL_EXACT_TOPK = f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE ve
         FROM embeddings e, q WHERE e.vec_id != 0
         ORDER BY cos DESC, e.vec_id LIMIT 10"""
 
-_q("similarity_topk", _similarity_topk_spark, _SQL_EXACT_TOPK)
 _q("similarity_ann_lsh", _similarity_ann_spark, _ann_sql())
+
+
+def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (operators/decontam.py): screen the
+    documents corpus against a deterministic benchmark subset
+    (doc_id % 7 == 0) at 50% shingle containment. The former standalone
+    similarity_topk row became the `exact` leg of similarity_ann_lsh to
+    free this driver slot."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.decontam import contamination_pairs
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    # k=13 (~2-3 words): published decontam recipes use LONG n-grams so
+    # shingles are rare — that is what keeps the shared-shingle join
+    # sparse (df_bench per shingle ~1) AND what makes a hit meaningful
+    return contamination_pairs(docs, bench, threshold=0.5, k=13)
+
+
+_SQL_SHINGLES_13 = (
+    "list_distinct([substr(text, i, 13) FOR i IN range(1, greatest(length(text) - 11, 2))])"
+)
+
+_SQL_DECONTAM = f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES_13} AS s FROM documents),
+    b AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 7 = 0)
+    SELECT t.doc_id AS train_id, b.bench_id,
+           CAST(len(list_intersect(t.s, b.bs)) AS BIGINT) AS overlap,
+           round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6) AS overlap_frac
+    FROM sh t JOIN b ON t.doc_id != b.bench_id
+    WHERE round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6) >= 0.5"""
+
+_q("text_decontaminate", _decontam_spark, _SQL_DECONTAM)
 
 
 def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2100,18 +2164,18 @@ DRIVER_ORDER: list[str] = [
     "snowflake_denormalize",
     # LLM-pipeline: text analysis
     "text_stats",                # + normalized-text fingerprint
-    "text_quality",
-    "text_langid",
+    "text_quality",              # + language-ID leg (lang_guess)
     "text_winnow_fingerprint",
+    "text_decontaminate",        # cross-corpus n-gram decontamination
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",  # pairs -> clusters (beyond-reference)
     "dedup_simhash",
     "dedup_embedding_cosine",
     # LLM-pipeline: similarity search
-    "similarity_topk",
-    "similarity_ann_lsh",        # legs: exact bucket / hamming-1 multiprobe
+    "similarity_ann_lsh",        # legs: exact topk / bucket / multiprobe
     "similarity_ivf",
     "multimodal_features",
     # container lifecycle

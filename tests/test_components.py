@@ -1,0 +1,83 @@
+"""Connected-components clustering over near-dup pair graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.components import (
+    ComponentsError,
+    component_summary,
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, pairs: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    out = connected_components(df).collect()
+    return {r.doc_id: r.component for r in out}
+
+
+def test_chain_star_and_islands(spark):
+    # chain 1-2-3-4-5 (pointer-jumping's worst shape), star around 10,
+    # disjoint pair (100,101)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (100, 101)]
+    got = _run(spark, pairs)
+    assert got == _union_find(pairs)
+    assert got[5] == 1 and got[13] == 10 and got[101] == 100
+
+
+def test_reversed_and_duplicate_edges(spark):
+    pairs = [(9, 3), (3, 9), (9, 3), (7, 9)]
+    got = _run(spark, pairs)
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(20260814)
+    for _ in range(3):
+        n = 120
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _run(spark, pairs) == _union_find(pairs)
+
+
+def test_component_summary_sizes(spark):
+    pairs = [(1, 2), (2, 3), (50, 51)]
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    rows = {r.doc_id: (r.component, r.n_members) for r in component_summary(df).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 50: (50, 2), 51: (50, 2)}
+
+
+def test_dedup_by_components_keeps_canonical_and_singletons(spark):
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(6)], "doc_id: long, text: string")
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "a: long, b: long")
+    kept = sorted(r.doc_id for r in dedup_by_components(docs, pairs).collect())
+    # cluster {1,2,4} -> keep 1; 0,3,5 untouched singletons
+    assert kept == [0, 1, 3, 5]
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
+    with pytest.raises(ComponentsError):
+        connected_components(df, max_iter=0)

@@ -1,0 +1,67 @@
+"""Cross-corpus decontamination (operators/decontam.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.decontam import contamination_pairs, decontaminate
+
+
+def _frames(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text here. {bench_text}. and a long tail of unrelated prose"),
+            (2, "completely different content with no overlap at all whatsoever"),
+            (3, bench_text[: len(bench_text) // 2] + " then it diverges entirely xyz"),
+            (10, bench_text),  # also in the bench set -> self-pair excluded
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame([(10, bench_text)], "doc_id: long, text: string")
+    return train, bench
+
+
+def test_verbatim_inclusion_scores_full_containment(spark):
+    train, bench = _frames(spark)
+    rows = {r.train_id: r for r in contamination_pairs(train, bench, threshold=0.9, k=8).collect()}
+    assert list(rows) == [1]
+    assert rows[1].bench_id == 10 and rows[1].overlap_frac == 1.0
+    # overlap == the bench doc's full distinct 8-shingle count
+    n_bench = bench.select(
+        F.size(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(length(text)-7, 1)), i -> substring(text, i, 8))"
+        ))).alias("n")
+    ).first()["n"]
+    assert rows[1].overlap == n_bench
+
+
+def test_partial_overlap_threshold(spark):
+    train, bench = _frames(spark)
+    # doc 3 contains ~half the bench text: in at tau=0.3, out at tau=0.9
+    ids_loose = {r.train_id for r in contamination_pairs(train, bench, threshold=0.3, k=8).collect()}
+    assert ids_loose == {1, 3}
+    ids_tight = {r.train_id for r in contamination_pairs(train, bench, threshold=0.9, k=8).collect()}
+    assert ids_tight == {1}
+
+
+def test_self_pairs_excluded_and_decontaminate_applies(spark):
+    train, bench = _frames(spark)
+    pairs = contamination_pairs(train, bench, threshold=0.9, k=8)
+    assert 10 not in {r.train_id for r in pairs.collect()}
+    kept = sorted(r.doc_id for r in decontaminate(train, bench, threshold=0.9, k=8).collect())
+    # doc 1 dropped (contaminated); doc 10 kept (self-pair is not contamination)
+    assert kept == [2, 3, 10]
+
+
+def test_asymmetry_containment_not_jaccard(spark):
+    # a long train doc embedding a short bench doc: containment 1.0 even
+    # though Jaccard is small — the decontam-specific semantics
+    bench_text = "exact eval question text appears here verbatim"
+    train = spark.createDataFrame(
+        [(1, ("filler sentence %d. " * 30) % tuple(range(30)) + bench_text)],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id: long, text: string")
+    r = contamination_pairs(train, bench, threshold=0.99, k=8).collect()
+    assert len(r) == 1 and r[0].overlap_frac == 1.0
