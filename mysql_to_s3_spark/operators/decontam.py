@@ -40,19 +40,33 @@ def contamination_pairs(
     train_id_col: str = "doc_id",
     bench_id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """(train_id, bench_id, overlap, overlap_frac) for every pair with
     round(overlap_frac, 6) >= threshold. ``overlap`` counts distinct
     shared k-shingles; ``overlap_frac`` normalizes by the BENCH doc's
     shingle count (containment, not Jaccard). Self-pairs (same id on
     both sides) are excluded so a corpus can be screened against a
-    subset of itself."""
+    subset of itself.
+
+    ``hashed=True`` is the scale switch: shingles become xxhash64 int64s
+    before the explode/join, shrinking the corpus-side rows and the
+    broadcast from k-byte strings to 8 bytes and making the join key
+    comparison a long compare. A cross-doc hash collision can inflate an
+    overlap count by ~1/|bench shingles|; at 64 bits that is ~1e-12 per
+    screened pair — keep the exact string form only where results feed a
+    value-equality parity check."""
+
+    def _sh(col):
+        s = shingles(col, k)
+        return F.transform(s, lambda x: F.xxhash64(x)) if hashed else s
+
     tsh = train.select(
         F.col(train_id_col).alias("train_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+        F.explode(_sh(F.col(text_col))).alias("shingle"),
     )
     bsets = bench.select(
-        F.col(bench_id_col).alias("bench_id"), shingles(F.col(text_col), k).alias("s")
+        F.col(bench_id_col).alias("bench_id"), _sh(F.col(text_col)).alias("s")
     )
     bsh = bsets.select("bench_id", F.size("s").alias("n_bench"), F.explode("s").alias("shingle"))
     # shingle lists are array_distinct per doc, so count(*) per pair is
@@ -79,10 +93,11 @@ def decontaminate(
     train_id_col: str = "doc_id",
     bench_id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """Drop every contaminated doc from ``train`` — one left-anti join
     against the (small) contaminated-id set."""
     hits = contamination_pairs(
-        train, bench, threshold, k, train_id_col, bench_id_col, text_col
+        train, bench, threshold, k, train_id_col, bench_id_col, text_col, hashed
     ).select(F.col("train_id").alias(train_id_col)).distinct()
     return train.join(hits, train_id_col, "left_anti")

@@ -179,3 +179,60 @@ def fingerprint(col: Column, bits_hex: int = 16) -> Column:
     DuckDB, so the oracle can replicate byte-for-byte."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.substring(F.md5(norm), 1, bits_hex)
+
+# conservative PII patterns, restricted to syntax that behaves identically
+# in Java regex (Spark) and RE2 (DuckDB/Go): no backrefs, no lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document PII match counts, one bigint column per pattern —
+    the screening half of a scrub pipeline (shuffle-free, codegen'd
+    regexp_count; patterns are the published-pipeline conservative set,
+    cf. the open Dolma/CCNet cleanup rules)."""
+    return {f"n_{name}": F.regexp_count(col, F.lit(pat)).cast("bigint") for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column, replacement: str = "<PII>") -> Column:
+    """Replace every PII match with ``replacement``. Order matters:
+    emails first so their user/host digits are not half-eaten by the
+    phone pattern."""
+    out = col
+    for name in ("email", "ssn", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], replacement)
+    return out
+
+
+def repetition_stats(col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1 —
+    public quality-filter rules): ``dup_word_frac`` = 1 - distinct/total
+    words, ``top_bigram_frac`` = share of the most frequent word bigram.
+
+    Shuffle-free Column algebra; top_bigram_frac is O(len^2) per doc
+    (distinct-bigrams x filter scan), the right trade for bounded-length
+    docs because it stays inside whole-stage codegen. For multi-MB docs
+    switch to the linear explode -> groupBy(doc, bigram) -> max form and
+    pay the shuffle instead.
+    """
+    ws = words(col)
+    nw = F.size(ws)
+    dup_word = F.when(
+        nw > 0, F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.greatest(nw - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    top = F.array_max(
+        F.transform(F.array_distinct(bg), lambda d: F.size(F.filter(bg, lambda x: x == d)))
+    )
+    top_bigram = F.when(nw > 1, top.cast("double") / (nw - 1)).otherwise(F.lit(0.0))
+    return {
+        "dup_word_frac": F.round(dup_word, 6),
+        "top_bigram_frac": F.round(top_bigram, 6),
+    }

@@ -1036,6 +1036,16 @@ def _sql_stop_hits(col: str, vocab: tuple[str, ...]) -> str:
     )
 
 
+def _sql_top_bigram(col: str) -> str:
+    """Occurrence count of the most frequent word bigram (DuckDB list
+    algebra mirroring operators.text.repetition_stats)."""
+    w = _sql_words(col)
+    bg = (f"list_transform(range(1, greatest(len({w}) - 1, 0) + 1), "
+          f"i -> {w}[i] || ' ' || {w}[i + 1])")
+    return (f"list_max(list_transform(list_distinct({bg}), "
+            f"d -> len(list_filter({bg}, x -> x = d))))")
+
+
 def _text_stats_sql() -> str:
     from mysql_to_s3_spark.operators.text import LANG_PROFILES, TOKEN_RE
 
@@ -1053,6 +1063,12 @@ def _text_stats_sql() -> str:
                  ELSE 0.0 END, 6) AS punct_ratio,
            round(CASE WHEN len({_sql_words('text')}) > 0
                  THEN {stop}::DOUBLE / len({_sql_words('text')}) ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN len({_sql_words('text')}) > 0
+                 THEN 1.0 - len(list_distinct({_sql_words('text')}))::DOUBLE / len({_sql_words('text')})
+                 ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN len({_sql_words('text')}) > 1
+                 THEN {_sql_top_bigram('text')}::DOUBLE / (len({_sql_words('text')}) - 1)
+                 ELSE 0.0 END, 6) AS top_bigram_frac,
            {_SQL_FP} AS fp
     FROM documents"""
 
@@ -1149,14 +1165,17 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_fingerprint entry — same per-doc Column algebra, one scan)
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.text import fingerprint, text_stats
+    from mysql_to_s3_spark.operators.text import fingerprint, repetition_stats, text_stats
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     st = text_stats(F.col("text"))
+    # + Gopher-style repetition legs (dup_word_frac, top_bigram_frac)
+    rep = repetition_stats(F.col("text"))
     return docs.select(
         F.col("doc_id"),
         *[c.alias(n) for n, c in st.items()],
+        *[c.alias(n) for n, c in rep.items()],
         fingerprint(F.col("text")).alias("fp"),
     )
 
@@ -1428,7 +1447,7 @@ _q("similarity_ann_lsh", _similarity_ann_spark, _ann_sql())
 def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus decontamination (operators/decontam.py): screen the
     documents corpus against a deterministic benchmark subset
-    (doc_id % 7 == 0) at 50% shingle containment. The former standalone
+    (doc_id % 7 == 0, doc_id < 3500) at 50% shingle containment. The former standalone
     similarity_topk row became the `exact` leg of similarity_ann_lsh to
     free this driver slot."""
     from pyspark.sql import functions as F
@@ -1437,7 +1456,12 @@ def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    # FIXED-SIZE benchmark (<=500 docs at any sf): eval suites do not grow
+    # with the training corpus, and the operator's linearity depends on
+    # that — a bench side proportional to the corpus makes the shingle
+    # join quadratic (measured 375 s at sf1 with bench = corpus/7 vs
+    # linear with this fixed window; SCALE.md "decontamination")
+    bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 3500))
     # k=13 (~2-3 words): published decontam recipes use LONG n-grams so
     # shingles are rare — that is what keeps the shared-shingle join
     # sparse (df_bench per shingle ~1) AND what makes a hit meaningful
@@ -1450,7 +1474,7 @@ _SQL_SHINGLES_13 = (
 
 _SQL_DECONTAM = f"""
     WITH sh AS (SELECT doc_id, {_SQL_SHINGLES_13} AS s FROM documents),
-    b AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 7 = 0)
+    b AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 7 = 0 AND doc_id < 3500)
     SELECT t.doc_id AS train_id, b.bench_id,
            CAST(len(list_intersect(t.s, b.bs)) AS BIGINT) AS overlap,
            round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6) AS overlap_frac

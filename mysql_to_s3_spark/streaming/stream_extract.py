@@ -394,3 +394,44 @@ def stream_near_dedup(
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         flag, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def stream_decontaminate(
+    sdf: DataFrame,
+    bench_rows: list[tuple],
+    threshold: float = 0.5,
+    k: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming analog of operators/decontam.decontaminate: drop every
+    arriving doc whose k-shingle containment of ANY benchmark doc reaches
+    ``threshold``. ``bench_rows`` is the collected eval suite as
+    ``[(bench_id, text), ...]`` — eval suites are small and FIXED, so the
+    Python shingle sets ship to executors in the task closure (a
+    broadcast, not a join) and the operator is completely STATELESS: no
+    watermark, no state store, append-mode-safe, per-micro-batch cost
+    linear in arriving docs. Shingling matches operators/dedup.shingles
+    (whole text as the single shingle when len(text) < k).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    bench_sets = []
+    for bid, text in bench_rows:
+        t = text or ""
+        sh = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+        bench_sets.append((bid, sh, len(sh)))
+
+    def keep(batches):
+        for pdf in batches:
+            mask = []
+            for t in pdf[text_col]:
+                t = t or ""
+                sh = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+                mask.append(
+                    not any(
+                        round(len(sh & bs) / nb, 6) >= threshold for _, bs, nb in bench_sets
+                    )
+                )
+            yield pdf[mask]
+
+    return sdf.mapInPandas(keep, sdf.schema)

@@ -77,6 +77,19 @@ def test_dedup_by_components_keeps_canonical_and_singletons(spark):
     assert kept == [0, 1, 3, 5]
 
 
+def test_long_chain_and_wide_star_converge(spark):
+    # chain of 256 nodes: neighbor-min alone needs ~256 rounds; pointer
+    # jumping must close it in O(log n). A 2k-spoke star rides along to
+    # cover the skew (single-giant-component) shape.
+    chain = [(i, i + 1) for i in range(1000, 1256)]
+    star = [(5000, 5000 + i) for i in range(1, 2001)]
+    df = spark.createDataFrame(chain + star, "a: long, b: long")
+    out = connected_components(df, max_iter=12).collect()
+    comps = {r.doc_id: r.component for r in out}
+    assert all(comps[i] == 1000 for i in range(1000, 1257))
+    assert all(comps[5000 + i] == 5000 for i in range(2001))
+
+
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
     with pytest.raises(ComponentsError):

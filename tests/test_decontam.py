@@ -65,3 +65,16 @@ def test_asymmetry_containment_not_jaccard(spark):
     bench = spark.createDataFrame([(99, bench_text)], "doc_id: long, text: string")
     r = contamination_pairs(train, bench, threshold=0.99, k=8).collect()
     assert len(r) == 1 and r[0].overlap_frac == 1.0
+
+
+def test_hashed_matches_exact_on_corpus(spark):
+    # the int64-shingle scale path returns the identical pair set on the
+    # sf0.001 corpus (hash collisions are ~1e-12 events, not present here)
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 3500))
+    exact = contamination_pairs(docs, bench, threshold=0.5, k=13).collect()
+    hashed = contamination_pairs(docs, bench, threshold=0.5, k=13, hashed=True).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, hashed))
+    assert len(exact) > 0

@@ -258,3 +258,46 @@ def test_stream_near_dedup_flags_near_duplicate_across_batches(spark, tmp_path):
     assert set(by_doc) == {3}
     assert by_doc[3] == {1}
     assert all(row["est"] >= 0.7 for row in rows)
+
+
+def test_stream_decontaminate_drops_contaminated_docs(spark, tmp_path):
+    """stream_decontaminate: stateless broadcast-bench screen — docs
+    embedding a benchmark doc are dropped per micro-batch, clean docs and
+    the below-threshold partial overlap pass through; equivalent to the
+    batch operator on the union of batches."""
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import stream_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"prefix text. {bench_text}. suffix", "entirely unrelated content here"],
+        }
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "text": [bench_text, "more clean prose with zero overlap"],
+        }
+    ).to_parquet(src + "/b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    cleaned = stream_decontaminate(sdf, [(99, bench_text)], threshold=0.5, k=13)
+    _run_stream(cleaned, "decontam_stream", "append")
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM decontam_stream").collect())
+    assert kept == [2, 4]
+
+    # batch-operator equivalence on the same corpus
+    from mysql_to_s3_spark.operators.decontam import decontaminate
+
+    batch_docs = spark.read.parquet(src)
+    bench_df = spark.createDataFrame([(99, bench_text)], "doc_id: long, text: string")
+    batch_kept = sorted(
+        r["doc_id"] for r in decontaminate(batch_docs, bench_df, threshold=0.5, k=13).collect()
+    )
+    assert batch_kept == kept
