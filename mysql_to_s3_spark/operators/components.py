@@ -92,9 +92,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vcomp").alias("nmin"))
         )
-        stepped = labels.join(
-            nmin.select(F.col("u").alias("node"), "nmin"), "node", "left"
-        ).select("node", F.least("comp", F.coalesce("nmin", F.col("comp"))).alias("comp"))
+        # lazily checkpointed because the pointer-jump below self-joins
+        # this frame: as one RDD referenced twice in the DAG it is
+        # computed once; as two plan subtrees Catalyst would run the
+        # neighbor-min shuffle join twice per round
+        stepped = (
+            labels.join(nmin.select(F.col("u").alias("node"), "nmin"), "node", "left")
+            .select("node", F.least("comp", F.coalesce("nmin", F.col("comp"))).alias("comp"))
+            .localCheckpoint(eager=False)
+        )
         # 2. pointer jump: comp <- comp(comp). comp values are node ids
         #    (every label is some node's id), so the self-join resolves.
         jumped = (
@@ -115,7 +121,9 @@ def connected_components(
         # strictly cheaper than a changed-rows join + limit(1).count().
         cur = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
         labels = jumped
-        if prev_sum is not None and cur == prev_sum:
+        # sum over zero rows is NULL: an empty pair graph (no edges above
+        # threshold, or only self-pairs) is converged immediately
+        if cur is None or (prev_sum is not None and cur == prev_sum):
             return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
         prev_sum = cur
     raise ComponentsError(f"connected_components did not converge in {max_iter} rounds")

@@ -1099,9 +1099,17 @@ _SQL_FP = "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 1
 
 # exact char-5-shingle sets + all-pairs Jaccard (oracle side only — the
 # Spark side uses the shared-shingle equi-join / LSH, never all-pairs)
-_SQL_SHINGLES = (
-    "list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text) - 3, 2))])"
-)
+def _sql_shingles(k: int) -> str:
+    """DuckDB replica of operators.dedup.shingles: distinct char
+    k-shingles, whole text as the single shingle when len(text) < k
+    (range end = len - k + 2, floored at 2 so position 1 always emits)."""
+    return (
+        f"list_distinct([substr(text, i, {k}) "
+        f"FOR i IN range(1, greatest(length(text) - {k - 2}, 2))])"
+    )
+
+
+_SQL_SHINGLES = _sql_shingles(5)
 
 _SQL_JACCARD_PAIRS = f"""
     WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
@@ -1468,9 +1476,7 @@ def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, bench, threshold=0.5, k=13)
 
 
-_SQL_SHINGLES_13 = (
-    "list_distinct([substr(text, i, 13) FOR i IN range(1, greatest(length(text) - 11, 2))])"
-)
+_SQL_SHINGLES_13 = _sql_shingles(13)
 
 _SQL_DECONTAM = f"""
     WITH sh AS (SELECT doc_id, {_SQL_SHINGLES_13} AS s FROM documents),

@@ -402,6 +402,7 @@ def stream_decontaminate(
     threshold: float = 0.5,
     k: int = 13,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming analog of operators/decontam.decontaminate: drop every
     arriving doc whose k-shingle containment of ANY benchmark doc reaches
@@ -411,7 +412,11 @@ def stream_decontaminate(
     broadcast, not a join) and the operator is completely STATELESS: no
     watermark, no state store, append-mode-safe, per-micro-batch cost
     linear in arriving docs. Shingling matches operators/dedup.shingles
-    (whole text as the single shingle when len(text) < k).
+    (whole text as the single shingle when len(text) < k). Matching the
+    batch operator, a doc whose ``id_col`` equals a bench id is never
+    dropped on account of THAT bench doc (self-pair exclusion), so a
+    corpus containing its own eval split screens identically in batch
+    and streaming.
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
@@ -424,12 +429,14 @@ def stream_decontaminate(
     def keep(batches):
         for pdf in batches:
             mask = []
-            for t in pdf[text_col]:
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 t = t or ""
                 sh = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
                 mask.append(
                     not any(
-                        round(len(sh & bs) / nb, 6) >= threshold for _, bs, nb in bench_sets
+                        bid != doc_id
+                        and round(len(sh & bs) / nb, 6) >= threshold
+                        for bid, bs, nb in bench_sets
                     )
                 )
             yield pdf[mask]

@@ -94,3 +94,14 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
     with pytest.raises(ComponentsError):
         connected_components(df, max_iter=0)
+
+
+def test_empty_and_self_loop_only_graphs(spark):
+    # an empty pair graph (clean corpus) converges immediately to an
+    # empty assignment instead of burning max_iter no-op rounds
+    empty = spark.createDataFrame([], "a: long, b: long")
+    assert connected_components(empty).collect() == []
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "a: long, b: long")
+    assert connected_components(loops).collect() == []
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id: long, text: string")
+    assert sorted(r.doc_id for r in dedup_by_components(docs, empty).collect()) == [1, 2]

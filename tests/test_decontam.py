@@ -71,8 +71,9 @@ def test_hashed_matches_exact_on_corpus(spark):
     # the int64-shingle scale path returns the identical pair set on the
     # sf0.001 corpus (hash collisions are ~1e-12 events, not present here)
     from mysql_to_s3_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_DIR, "documents")
     bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 3500))
     exact = contamination_pairs(docs, bench, threshold=0.5, k=13).collect()
     hashed = contamination_pairs(docs, bench, threshold=0.5, k=13, hashed=True).collect()

@@ -280,8 +280,10 @@ def test_stream_decontaminate_drops_contaminated_docs(spark, tmp_path):
     ).to_parquet(src + "/a.parquet")
     pd.DataFrame(
         {
-            "doc_id": [3, 4],
-            "text": [bench_text, "more clean prose with zero overlap"],
+            # doc 99 IS the bench doc (self-pair): must be kept, matching
+            # the batch operator's train_id != bench_id exclusion
+            "doc_id": [3, 4, 99],
+            "text": [bench_text, "more clean prose with zero overlap", bench_text],
         }
     ).to_parquet(src + "/b.parquet")
 
@@ -290,7 +292,7 @@ def test_stream_decontaminate_drops_contaminated_docs(spark, tmp_path):
     cleaned = stream_decontaminate(sdf, [(99, bench_text)], threshold=0.5, k=13)
     _run_stream(cleaned, "decontam_stream", "append")
     kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM decontam_stream").collect())
-    assert kept == [2, 4]
+    assert kept == [2, 4, 99]
 
     # batch-operator equivalence on the same corpus
     from mysql_to_s3_spark.operators.decontam import decontaminate
