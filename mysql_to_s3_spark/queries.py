@@ -1173,13 +1173,22 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_fingerprint entry — same per-doc Column algebra, one scan)
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.text import fingerprint, repetition_stats, text_stats
+    from mysql_to_s3_spark.operators.text import (
+        fingerprint,
+        repetition_stats,
+        text_stats,
+        word_bigrams,
+    )
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # materialize the bigram array once; the nested top-bigram HOF then
+    # references a column, not an expression Catalyst re-derives per
+    # outer element (the O(len^3) trap — see repetition_stats docstring)
+    docs = docs.withColumn("__bg__", word_bigrams(F.col("text")))
     st = text_stats(F.col("text"))
     # + Gopher-style repetition legs (dup_word_frac, top_bigram_frac)
-    rep = repetition_stats(F.col("text"))
+    rep = repetition_stats(F.col("text"), bg=F.col("__bg__"))
     return docs.select(
         F.col("doc_id"),
         *[c.alias(n) for n, c in st.items()],
