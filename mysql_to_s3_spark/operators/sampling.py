@@ -1,0 +1,72 @@
+"""Deterministic corpus splitting and sampling by content-stable hash.
+
+Training pipelines need train/val/test assignment that is a pure
+function of the document id: stable when the corpus grows, is
+re-partitioned, or is re-ingested in a different order (a doc must never
+migrate from test into train), and reproducible across engines. Random
+`df.sample`/`sampleBy` gives none of that.
+
+The bucket is the first 8 hex chars of md5(id) as a uint32, reduced mod
+1e6 — portable bit-for-bit between Spark (`conv(substring(md5(x),1,8),
+16, 10)`) and DuckDB (`('0x' || substr(md5(x),1,8))::BIGINT`), so split
+assignments are oracle-checkable. The 2^32-vs-1e6 modulo bias is ~0.002%
+and identical in every engine.
+
+100 TB story: a per-row codegen'd expression — no shuffle, no second
+pass, no driver state; filters on the split column combine with
+partition pruning and pushdown like any other predicate.
+
+Reference parity: no analog (beyond-reference pipeline operator,
+SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SPLIT_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column) -> Column:
+    """Uniform bucket in [0, SPLIT_BUCKETS) from a content-stable md5."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return h % SPLIT_BUCKETS
+
+
+def hash_split(col: Column, fractions: dict[str, float]) -> Column:
+    """Split label for each row: ``fractions`` maps label -> fraction, in
+    declaration order; fractions must sum to ~1 (the last label absorbs
+    rounding remainder)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions sum to {total}, expected 1")
+    b = hash_bucket(col)
+    labels = list(fractions)
+    expr = F.lit(labels[-1])
+    cum = 0.0
+    conds = []
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        conds.append((int(round(cum * SPLIT_BUCKETS)), name))
+    for threshold, name in reversed(conds):
+        expr = F.when(b < threshold, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def hash_split_sql(col_sql: str, fractions: dict[str, float]) -> str:
+    """DuckDB expression producing the identical split labels."""
+    b = f"(('0x' || substr(md5({col_sql}::VARCHAR), 1, 8))::BIGINT % {SPLIT_BUCKETS})"
+    labels = list(fractions)
+    cases = []
+    cum = 0.0
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        cases.append(f"WHEN {b} < {int(round(cum * SPLIT_BUCKETS))} THEN '{name}'")
+    return f"CASE {' '.join(cases)} ELSE '{labels[-1]}' END"
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ``fraction`` sample: keeps exactly the rows whose
+    bucket falls below the cut, so repeated runs (and different engines)
+    select the SAME rows — unlike df.sample, and without a shuffle."""
+    return df.filter(hash_bucket(F.col(id_col)) < int(round(fraction * SPLIT_BUCKETS)))

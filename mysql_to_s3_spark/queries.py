@@ -1276,20 +1276,27 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from mysql_to_s3_spark.operators.sampling import hash_split
     from mysql_to_s3_spark.operators.text import language_id, quality_score
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # hosts the language-ID leg (former text_langid row) — both are
-    # shuffle-free per-doc Column algebra over the same scan
+    # hosts the language-ID leg (former text_langid row) and the
+    # deterministic train/val/test hash-split — all shuffle-free per-doc
+    # Column algebra over the same scan
     return docs.select(
         F.col("doc_id"),
         quality_score(F.col("text")).alias("quality"),
         language_id(F.col("text")).alias("lang_guess"),
+        hash_split(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
     )
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
 def _text_quality_sql() -> str:
+    from mysql_to_s3_spark.operators.sampling import hash_split_sql
     from mysql_to_s3_spark.operators.text import LANG_PROFILES, QUALITY_WEIGHTS
 
     w = QUALITY_WEIGHTS
@@ -1308,7 +1315,8 @@ def _text_quality_sql() -> str:
     return f"""
     SELECT doc_id,
            round({w['len']} * {len_ok} + {w['punct']} * {punct_ok} + {w['stop']} * {stop_ok}, 6) AS quality,
-           {_langid_case_expr()} AS lang_guess
+           {_langid_case_expr()} AS lang_guess,
+           {hash_split_sql('doc_id', _SPLIT_FRACTIONS)} AS split
     FROM documents"""
 
 

@@ -79,3 +79,41 @@ def test_hashed_matches_exact_on_corpus(spark):
     hashed = contamination_pairs(docs, bench, threshold=0.5, k=13, hashed=True).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, hashed))
     assert len(exact) > 0
+
+
+def _py_contamination(docs, bench, threshold, k):
+    """Pure-Python oracle mirroring contamination_pairs semantics."""
+    out = set()
+    sh = lambda t: {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+    for bid, btext in bench:
+        bs = sh(btext)
+        for tid, ttext in docs:
+            if tid == bid:
+                continue
+            ov = len(sh(ttext) & bs)
+            if round(ov / len(bs), 6) >= threshold:
+                out.add((tid, bid, ov))
+    return out
+
+
+def test_property_random_corpora_match_python_oracle(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @given(st.lists(text, min_size=1, max_size=10), st.sampled_from([0.3, 0.5, 0.9]))
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    def check(texts, tau):
+        docs = [(i, t) for i, t in enumerate(texts)]
+        bench = docs[: max(len(docs) // 3, 1)]
+        tdf = spark.createDataFrame(docs, "doc_id: long, text: string")
+        bdf = spark.createDataFrame(bench, "doc_id: long, text: string")
+        got = {
+            (r.train_id, r.bench_id, r.overlap)
+            for r in contamination_pairs(tdf, bdf, threshold=tau, k=4).collect()
+        }
+        assert got == _py_contamination(docs, bench, tau, 4)
+
+    check()
