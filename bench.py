@@ -50,7 +50,7 @@ HEADLINE = [
     "similarity_ann_lsh",  # legs: exact topk / bucket probe / multiprobe
     "text_decontaminate",
     "multimodal_features",
-    "edges_range_span",
+    "text_chunk_pack",
     "typed_json_roundtrip",
 ]
 

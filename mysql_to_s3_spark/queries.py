@@ -849,11 +849,13 @@ _q(
 )
 
 def _range_duration_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range + duration domains in one tagged driver row: a numeric
-    [0,50)x10 histogram over l_quantity, unioned with a duration-domain
+    """Range + duration + span domains in one tagged driver row: a
+    numeric [0,50)x10 histogram over l_quantity, a duration-domain
     histogram ([0, 5week) x week, duration-literal bounds) over each
-    event's age since 2024-01-01. Both are the same dense fixed-width
-    grid; the duration leg exercises the duration-literal parsing."""
+    event's age since 2024-01-01, and an edge `range{min,max}` SPAN leg
+    (row contributes to EVERY overlapped bucket via explode(sequence),
+    never a cross join — the former edges_range_span entry, merged in
+    round 4). All are the same dense fixed-width grid shape."""
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.executor import run
@@ -890,7 +892,23 @@ def _range_duration_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         sf_dir=sf_dir,
     ).select(F.lit("duration").alias("domain"), "bucket", "n")
-    return rng.unionByName(dur)
+    span = run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "range": {"min": "l_quantity", "max": {"add": ["l_quantity", 15]}},
+                    "allowNulls": False,
+                    "domain": {"type": "range", "min": 0, "max": 60, "interval": 15},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    ).select(F.lit("span").alias("domain"), "bucket", "n")
+    return rng.unionByName(dur).unionByName(span)
 
 
 _q(
@@ -912,7 +930,18 @@ _q(
        UNION ALL
        SELECT 'duration' AS domain, CAST(db.bucket AS DOUBLE) AS bucket,
               CAST(coalesce(dagg.n, 0) AS BIGINT) AS n
-       FROM db LEFT JOIN dagg USING (bucket)""",
+       FROM db LEFT JOIN dagg USING (bucket)
+       UNION ALL
+       SELECT 'span' AS domain, CAST(sb.bucket AS DOUBLE) AS bucket,
+              CAST(coalesce(shits.n, 0) AS BIGINT) AS n
+       FROM (SELECT unnest([0.0, 15.0, 30.0, 45.0]) AS bucket) sb
+       LEFT JOIN (
+         SELECT b.bucket, count(*) AS n
+         FROM lineitem l JOIN (SELECT unnest([0.0, 15.0, 30.0, 45.0]) AS bucket) b
+           ON floor(b.bucket / 15) >= greatest(floor(l.l_quantity / 15), 0)
+          AND floor(b.bucket / 15) <= least(floor((l.l_quantity + 15) / 15 - 0.000000000001), 3)
+         WHERE l.l_quantity + 15 > 0 AND l.l_quantity < 60
+         GROUP BY 1) shits USING (bucket)""",
 )
 
 # -- window clauses (§2.5) --
@@ -1746,35 +1775,65 @@ _q(
        FROM lineitem GROUP BY 1""",
 )
 
-# -- §2.7: edge range {min,max} span (row contributes to EVERY overlapped
-# bucket via explode(sequence), never a cross join) --
+# -- §2.7 edge range {min,max} span: merged into edges_range_histogram's
+# 'span' leg in round 4 (same dense-grid family, one driver slot) --
 
-_q(
-    "edges_range_span",
-    {
-        "from": "lineitem",
-        "edges": [
-            {
-                "name": "bucket",
-                "range": {"min": "l_quantity", "max": {"add": ["l_quantity", 15]}},
-                "allowNulls": False,
-                "domain": {"type": "range", "min": 0, "max": 60, "interval": 15},
-            }
-        ],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    # replicate range_edge_buckets' inclusive-mode index arithmetic
-    """WITH b AS (SELECT unnest([0.0, 15.0, 30.0, 45.0]) AS bucket),
-            hits AS (
-              SELECT b.bucket, count(*) AS n
-              FROM lineitem l JOIN b
-                ON floor(b.bucket / 15) >= greatest(floor(l.l_quantity / 15), 0)
-               AND floor(b.bucket / 15) <= least(floor((l.l_quantity + 15) / 15 - 0.000000000001), 3)
-              WHERE l.l_quantity + 15 > 0 AND l.l_quantity < 60
-              GROUP BY 1)
-       SELECT CAST(b.bucket AS DOUBLE) AS bucket, CAST(coalesce(hits.n, 0) AS BIGINT) AS n
-       FROM b LEFT JOIN hits USING (bucket)""",
-)
+
+# -- LLM-pipeline: document chunking + token-budget sequence packing --
+
+
+def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged two-leg chunk/pack driver row (operators/packing.py):
+    `chunk` = sliding 64-token windows with 8-token overlap (per-chunk
+    md5 content witness), `pack` = deterministic offset packing of whole
+    docs into 2048-token sequences over 16 portable hash buckets.
+    Harmonized schema (leg, key1, key2, n_tokens, n_items, content_hash);
+    the pack leg's content_hash is NULL."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.packing import chunk_documents, pack_stats
+    from mysql_to_s3_spark.sources.registry import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunk = chunk_documents(docs, max_tokens=64, overlap=8).select(
+        F.lit("chunk").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("key1"),
+        F.col("chunk_idx").alias("key2"),
+        "n_tokens",
+        F.lit(1).cast("bigint").alias("n_items"),
+        "content_hash",
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
+    pack = pack_stats(docs, budget=2048, n_buckets=16).select(
+        F.lit("pack").alias("leg"),
+        F.col("bucket").cast("bigint").alias("key1"),
+        F.col("seq_no").alias("key2"),
+        F.col("tokens_total").alias("n_tokens"),
+        F.col("n_docs").alias("n_items"),
+        F.lit(None).cast("string").alias("content_hash"),
+        "fill_frac",
+    )
+    return chunk.unionByName(pack)
+
+
+def _chunk_pack_oracle() -> str:
+    from mysql_to_s3_spark.operators.packing import chunk_documents_sql, pack_stats_sql
+
+    chunk = chunk_documents_sql("documents", max_tokens=64, overlap=8)
+    pack = pack_stats_sql("documents", budget=2048, n_buckets=16)
+    return f"""
+      SELECT 'chunk' AS leg, CAST(doc_id AS BIGINT) AS key1, chunk_idx AS key2,
+             n_tokens, CAST(1 AS BIGINT) AS n_items, content_hash,
+             CAST(NULL AS DOUBLE) AS fill_frac
+      FROM ({chunk})
+      UNION ALL
+      SELECT 'pack' AS leg, bucket AS key1, seq_no AS key2,
+             tokens_total AS n_tokens, n_docs AS n_items,
+             CAST(NULL AS VARCHAR) AS content_hash, fill_frac
+      FROM ({pack})"""
+
+
+_q("text_chunk_pack", _chunk_pack_spark, _chunk_pack_oracle())
 
 # -- update / delete / ingest --
 
@@ -2199,8 +2258,7 @@ DRIVER_ORDER: list[str] = [
     "edges_default_domain",      # legs: discovered 1-D / dense 2-D cross
     "edges_time_week_dense",     # legs: week / calendar month
     "edges_general_set_where",
-    "edges_range_histogram",     # legs: numeric range / duration
-    "edges_range_span",
+    "edges_range_histogram",     # legs: numeric range / duration / range{min,max} span
     # windows
     "window_percentile_partition",
     "window_running_sum",        # + rownum seq, trailing frame, where prefilter
@@ -2214,6 +2272,7 @@ DRIVER_ORDER: list[str] = [
     "text_quality",              # + language-ID leg (lang_guess)
     "text_winnow_fingerprint",
     "text_decontaminate",        # cross-corpus n-gram decontamination
+    "text_chunk_pack",           # legs: sliding-window chunking / sequence packing
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
