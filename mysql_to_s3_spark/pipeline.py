@@ -1,0 +1,219 @@
+"""End-to-end training-corpus preparation: one config-driven composition
+of the LLM-pipeline operators.
+
+The reference is config-driven end to end (`/root/reference/mysql_to_s3/
+extract.py:40` builds the whole extract from one settings object); this
+module gives the beyond-reference corpus operators (SURVEY §2 item 8)
+the same shape — a user declares WHAT the corpus should satisfy and the
+engine composes the verified operators into one lazy DataFrame plan:
+
+    quality gate -> language gate -> exact dedup -> near-dup cluster
+    removal -> benchmark decontamination -> PII redaction ->
+    deterministic split -> (chunk ->) token-budget packed shard write
+
+Stage-order rationale (each choice is load-bearing at 100 TB):
+
+- cheap per-row gates (quality, language) run FIRST — they are
+  shuffle-free Column algebra pushed against the scan, so every later
+  shuffle (dedup, decontam) sees only surviving rows;
+- dedup runs on the ORIGINAL text, before redaction: redaction can
+  collapse two genuinely different docs into one string (same template,
+  different emails), which would over-delete; near-dup clustering keeps
+  exactly one doc per connected component (pairs alone under-delete);
+- decontamination runs after dedup (fewer docs to shingle) and the
+  bench side is broadcast — a fixed-size eval suite, never the corpus;
+- redaction runs LAST among content transforms so every earlier
+  fingerprint/shingle reflects what was actually ingested;
+- the split label is a pure function of the doc id (`hash_split`), so
+  it commutes with every stage and is assigned at the end for free.
+
+Laziness contract: ``prepare_corpus`` builds ONE unexecuted plan; no
+stage triggers a job. The optional ``funnel`` diagnostic is the only
+thing that runs per-stage actions, and it caches the shared prefix so
+the corpus is scanned once per stage boundary, not once per count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mysql_to_s3_spark.operators.components import dedup_by_components
+from mysql_to_s3_spark.operators.decontam import decontaminate
+from mysql_to_s3_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mysql_to_s3_spark.operators.sampling import hash_split
+from mysql_to_s3_spark.operators.text import (
+    language_id,
+    quality_score,
+    redact_pii,
+)
+
+
+class PipelineError(ValueError):
+    pass
+
+
+NEAR_DUP_PAIRS = {
+    "minhash": minhash_lsh_pairs,
+    "ngram": ngram_jaccard_pairs,
+}
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Declarative corpus contract. ``None`` disables a stage."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_quality: float | None = None
+    languages: tuple[str, ...] | None = None
+    exact: bool = True
+    near_dup: str | None = None  # None | "minhash" | "ngram" | "simhash"
+    near_threshold: float = 0.9
+    max_hamming: int = 3  # simhash only
+    decontam_threshold: float | None = None  # needs a bench frame
+    redact: bool = False
+    splits: Mapping[str, float] | None = None
+    split_col: str = "split"
+
+
+@dataclass
+class PreparedCorpus:
+    """Result of ``prepare_corpus``: the final lazy frame plus each
+    stage boundary (for the funnel diagnostic and for callers that want
+    an intermediate — e.g. the deduped-but-unredacted corpus)."""
+
+    docs: DataFrame
+    stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+
+    def funnel(self) -> dict[str, int]:
+        """Row count at every stage boundary — a diagnostic that runs
+        one count-job per stage (cache the source before calling this
+        on anything expensive)."""
+        return {name: df.count() for name, df in self.stages}
+
+
+def _near_dup_pairs(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    if cfg.near_dup == "simhash":
+        pairs = simhash_pairs(
+            df, max_hamming=cfg.max_hamming, id_col=cfg.id_col, text_col=cfg.text_col
+        )
+    elif cfg.near_dup in NEAR_DUP_PAIRS:
+        pairs = NEAR_DUP_PAIRS[cfg.near_dup](
+            df, threshold=cfg.near_threshold, id_col=cfg.id_col, text_col=cfg.text_col
+        )
+    else:
+        raise PipelineError(
+            f"unknown near_dup strategy {cfg.near_dup!r}; "
+            f"expected one of {sorted(NEAR_DUP_PAIRS) + ['simhash']}"
+        )
+    return pairs.select("a", "b")
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    cfg: CorpusConfig = CorpusConfig(),
+    bench: DataFrame | None = None,
+) -> PreparedCorpus:
+    """Compose the configured stages into one lazy plan over ``docs``.
+
+    ``bench`` is the held-out evaluation suite for decontamination —
+    required iff ``cfg.decontam_threshold`` is set. The returned frame
+    keeps the input schema (plus ``cfg.split_col`` when splits are
+    configured, with the text column redacted in place when
+    ``cfg.redact``)."""
+    txt = F.col(cfg.text_col)
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    out = docs
+
+    if cfg.min_quality is not None:
+        out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
+        stages.append(("quality", out))
+    if cfg.languages is not None:
+        out = out.filter(language_id(txt).isin(*cfg.languages))
+        stages.append(("language", out))
+
+    if cfg.exact:
+        keepers = exact_dedup(out, cfg.id_col, cfg.text_col).select(
+            F.col("keeper").alias(cfg.id_col)
+        )
+        out = out.join(keepers, cfg.id_col, "left_semi")
+        stages.append(("exact_dedup", out))
+
+    if cfg.near_dup is not None:
+        pairs = _near_dup_pairs(out, cfg)
+        out = dedup_by_components(out, pairs, id_col=cfg.id_col)
+        stages.append(("near_dedup", out))
+
+    if cfg.decontam_threshold is not None:
+        if bench is None:
+            raise PipelineError("decontam_threshold set but no bench frame given")
+        out = decontaminate(
+            out,
+            bench,
+            threshold=cfg.decontam_threshold,
+            train_id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            hashed=True,  # scale default; parity tests pass hashed=False directly
+        )
+        stages.append(("decontam", out))
+
+    if cfg.redact:
+        out = out.withColumn(cfg.text_col, redact_pii(txt))
+        stages.append(("redact", out))
+
+    if cfg.splits is not None:
+        out = out.withColumn(cfg.split_col, hash_split(F.col(cfg.id_col), dict(cfg.splits)))
+        stages.append(("split", out))
+
+    return PreparedCorpus(docs=out, stages=stages)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    budget: int = 2048,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+    extra_cols: tuple[str, ...] = (),
+) -> None:
+    """Pack the corpus into token-budget sequences and write one JSON
+    line per document, sharded so each output partition holds complete
+    sequences: (bucket, seq_no, start_off, n_tokens, doc) ordered by
+    offset within the sequence.
+
+    Partitioned by the pack bucket — the same uniform hash slots the
+    offset packer uses — so a training reader streams one file per
+    bucket and reconstructs sequences by (seq_no, start_off) order
+    without a global sort. One shuffle total (the packer's bucket
+    exchange); the write reuses that partitioning."""
+    from mysql_to_s3_spark.operators.packing import pack_assignments
+
+    asg = pack_assignments(
+        df, id_col=id_col, text_col=text_col, budget=budget, n_buckets=n_buckets
+    )
+    keep = [id_col, text_col, *extra_cols]
+    packed = df.select(*keep).join(asg, id_col)
+    (
+        packed.select(
+            "bucket",
+            "seq_no",
+            "start_off",
+            "n_tokens",
+            F.to_json(F.struct(*keep)).alias("doc"),
+        )
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "seq_no", "start_off")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .json(path)
+    )

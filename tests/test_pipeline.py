@@ -1,0 +1,178 @@
+"""End-to-end corpus-preparation pipeline (mysql_to_s3_spark/pipeline.py).
+
+Verifies the COMPOSITION, not the operators (each stage has its own
+oracle-checked tests): the final corpus satisfies every contract the
+config declares, the SQL-expressible prefix (quality gate -> exact
+dedup -> split) matches a DuckDB replica doc-for-doc, and the packed
+shard writer round-trips with complete in-order sequences.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.decontam import contamination_pairs
+from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
+from mysql_to_s3_spark.operators.text import quality_score
+from mysql_to_s3_spark.pipeline import (
+    CorpusConfig,
+    PipelineError,
+    prepare_corpus,
+    write_training_shards,
+)
+from mysql_to_s3_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_full_pipeline_contracts(spark, sf_dir, docs):
+    """Every configured contract holds on the final corpus."""
+    bench = (
+        docs.orderBy("doc_id").limit(5).select("doc_id", "text")
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)  # disjoint ids
+    )
+    cfg = CorpusConfig(
+        min_quality=0.8,
+        exact=True,
+        near_dup="minhash",
+        near_threshold=0.9,
+        decontam_threshold=0.8,
+        redact=True,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    prep = prepare_corpus(docs, cfg, bench=bench)
+    out = prep.docs.cache()
+
+    # schema: input columns + split label
+    assert set(out.columns) == set(docs.columns) | {"split"}
+
+    # funnel counts only ever decrease (split/redact do not drop rows)
+    funnel = prep.funnel()
+    names = [n for n, _ in prep.stages]
+    assert names == [
+        "input", "quality", "exact_dedup", "near_dedup", "decontam", "redact", "split",
+    ]
+    counts = [funnel[n] for n in names]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
+
+    # quality gate: redaction can only change text AFTER the gate, so
+    # re-check against the pre-redaction frame
+    pre_redact = dict(prep.stages)["decontam"]
+    assert pre_redact.filter(quality_score(F.col("text")) < 0.8).count() == 0
+
+    # exact dedup: no fingerprint appears twice (redaction is injective
+    # enough on this corpus for the check to transfer; use pre-redaction)
+    from mysql_to_s3_spark.operators.text import fingerprint
+
+    n_docs = pre_redact.count()
+    n_fp = pre_redact.select(fingerprint(F.col("text")).alias("fp")).distinct().count()
+    assert n_docs == n_fp
+
+    # near-dedup: rerunning the pair generator on the RESULT finds nothing
+    assert minhash_lsh_pairs(pre_redact, threshold=0.9).count() == 0
+
+    # decontam: the five bench docs were lifted verbatim from the corpus,
+    # so their surviving originals must be gone (containment = 1.0)
+    assert (
+        contamination_pairs(pre_redact, bench, threshold=0.8, hashed=True).count() == 0
+    )
+
+    # split labels are complete and non-degenerate
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    assert "train" in labels
+    out.unpersist()
+
+
+def test_sql_expressible_prefix_matches_duckdb(spark, sf_dir, docs, duck):
+    """quality -> exact dedup -> split replicated in DuckDB: identical
+    surviving (doc_id, split) sets."""
+    from mysql_to_s3_spark.operators.sampling import hash_split_sql
+    from mysql_to_s3_spark.queries import _SQL_FP, _text_quality_sql  # noqa: PLC2701
+
+    cfg = CorpusConfig(min_quality=0.8, exact=True, splits={"train": 0.9, "val": 0.1})
+    got = {
+        (r.doc_id, r.split)
+        for r in prepare_corpus(docs, cfg).docs.select("doc_id", "split").collect()
+    }
+    quality_sql = _text_quality_sql()
+    want = set(
+        duck.execute(
+            f"""
+            WITH q AS ({quality_sql}),
+                 kept AS (SELECT d.doc_id, d.text FROM documents d
+                          JOIN q ON q.doc_id = d.doc_id WHERE q.quality >= 0.8),
+                 fp AS (SELECT doc_id, {_SQL_FP} AS f FROM kept),
+                 keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+            SELECT doc_id, {hash_split_sql('doc_id', {'train': 0.9, 'val': 0.1})} AS split
+            FROM keepers
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_disabled_stages_are_identity(spark, docs):
+    cfg = CorpusConfig(exact=False)
+    prep = prepare_corpus(docs, cfg)
+    assert [n for n, _ in prep.stages] == ["input"]
+    assert prep.docs is docs
+
+
+def test_decontam_requires_bench(docs):
+    with pytest.raises(PipelineError, match="bench"):
+        prepare_corpus(docs, CorpusConfig(decontam_threshold=0.5))
+
+
+def test_unknown_near_dup_strategy(docs):
+    with pytest.raises(PipelineError, match="near_dup"):
+        prepare_corpus(docs, CorpusConfig(near_dup="nosuch")).docs.count()
+
+
+def test_write_training_shards_roundtrip(spark, docs):
+    """Shards partition by pack bucket; within a file, rows arrive in
+    (seq_no, start_off) order and every sequence is complete (token
+    sums match the packer's assignment)."""
+    from mysql_to_s3_spark.operators.packing import pack_assignments
+
+    src = docs.limit(200).cache()
+    out = os.path.join(tempfile.mkdtemp(prefix="shards_"), "packed")
+    write_training_shards(src, out, budget=256, n_buckets=4)
+
+    files = sorted(glob.glob(os.path.join(out, "bucket=*", "part-*")))
+    assert files, "no shard files written"
+    buckets = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert all(b.startswith("bucket=") for b in buckets)
+
+    # per-file ordering: the writer's sortWithinPartitions must survive
+    rows_by_bucket: dict[int, list[dict]] = {}
+    for f in files:
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        with open(f) as fh:
+            recs = [json.loads(line) for line in fh]
+        order = [(r["seq_no"], r["start_off"]) for r in recs]
+        assert order == sorted(order), f"rows out of order in {f}"
+        rows_by_bucket.setdefault(b, []).extend(recs)
+
+    # completeness: same (doc -> bucket, seq, off) assignment as the packer
+    asg = {
+        r.doc_id: (r.bucket, r.seq_no, r.start_off)
+        for r in pack_assignments(src, budget=256, n_buckets=4).collect()
+    }
+    got = {
+        json.loads(r["doc"])["doc_id"]: (b, r["seq_no"], r["start_off"])
+        for b, recs in rows_by_bucket.items()
+        for r in recs
+    }
+    assert got == asg
+    src.unpersist()
