@@ -70,3 +70,67 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataF
     bucket falls below the cut, so repeated runs (and different engines)
     select the SAME rows — unlike df.sample, and without a shuffle."""
     return df.filter(hash_bucket(F.col(id_col)) < int(round(fraction * SPLIT_BUCKETS)))
+
+
+def _salted_bucket(col: Column, salt: str) -> Column:
+    """Independent draw per salt: the same id gets UNCORRELATED buckets
+    under different salts (md5 of ``id|salt``), so a stratified sample
+    does not systematically align with the train/val/test split (which
+    draws from the unsalted bucket) or with another sampling pass."""
+    return hash_bucket(F.concat(col.cast("string"), F.lit("|" + salt)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixture-weighting
+    step of a training-data pipeline (keep 100% of books, 10% of web,
+    1% of logs): each row survives iff its salted bucket falls under its
+    stratum's rate. Strata absent from ``rates`` get ``default_rate``.
+
+    Pure per-row Column algebra: no shuffle, no count pass, stable under
+    growth/reordering/re-ingest (same guarantees as hash_split, and
+    nested: raising a stratum's rate only ADDS rows). Unlike
+    ``df.sampleBy`` the result is reproducible across runs and engines.
+
+    100 TB story: the filter folds into the scan like any predicate;
+    combined with a partition layout on ``strata_col`` the dropped
+    strata prune whole partitions.
+    """
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} is {v}, expected [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate {default_rate} outside [0, 1]")
+    cut = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for name, rate in rates.items():
+        cut = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(int(round(rate * SPLIT_BUCKETS)))
+        ).otherwise(cut)
+    return df.filter(_salted_bucket(F.col(id_col), salt) < cut)
+
+
+def stratified_hash_sample_sql(
+    table: str,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> str:
+    """DuckDB replica selecting the identical rows."""
+    b = (
+        f"(('0x' || substr(md5({id_col}::VARCHAR || '|{salt}'), 1, 8))::BIGINT"
+        f" % {SPLIT_BUCKETS})"
+    )
+    cases = " ".join(
+        f"WHEN '{name}' THEN {int(round(rate * SPLIT_BUCKETS))}"
+        for name, rate in rates.items()
+    )
+    cut = f"CASE {strata_col} {cases} ELSE {int(round(default_rate * SPLIT_BUCKETS))} END"
+    return f"SELECT * FROM {table} WHERE {b} < {cut}"

@@ -8,8 +8,9 @@ the same shape — a user declares WHAT the corpus should satisfy and the
 engine composes the verified operators into one lazy DataFrame plan:
 
     quality gate -> language gate -> exact dedup -> near-dup cluster
-    removal -> benchmark decontamination -> PII redaction ->
-    deterministic split -> (chunk ->) token-budget packed shard write
+    removal -> mixture weighting (stratified downsample) -> benchmark
+    decontamination -> PII redaction -> deterministic split ->
+    (chunk ->) token-budget packed shard write
 
 Stage-order rationale (each choice is load-bearing at 100 TB):
 
@@ -48,7 +49,7 @@ from mysql_to_s3_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from mysql_to_s3_spark.operators.sampling import hash_split
+from mysql_to_s3_spark.operators.sampling import hash_split, stratified_hash_sample
 from mysql_to_s3_spark.operators.text import (
     language_id,
     quality_score,
@@ -78,6 +79,9 @@ class CorpusConfig:
     near_dup: str | None = None  # None | "minhash" | "ngram" | "simhash"
     near_threshold: float = 0.9
     max_hamming: int = 3  # simhash only
+    mixture_rates: Mapping[str, float] | None = None  # stratum -> keep rate
+    strata_col: str = "lang"
+    mixture_default_rate: float = 0.0
     decontam_threshold: float | None = None  # needs a bench frame
     redact: bool = False
     splits: Mapping[str, float] | None = None
@@ -151,6 +155,18 @@ def prepare_corpus(
         pairs = _near_dup_pairs(out, cfg)
         out = dedup_by_components(out, pairs, id_col=cfg.id_col)
         stages.append(("near_dedup", out))
+
+    if cfg.mixture_rates is not None:
+        # after dedup (rates are per UNIQUE doc, the published convention)
+        # and before decontam (shingling cost scales with what survives)
+        out = stratified_hash_sample(
+            out,
+            dict(cfg.mixture_rates),
+            cfg.strata_col,
+            id_col=cfg.id_col,
+            default_rate=cfg.mixture_default_rate,
+        )
+        stages.append(("mixture", out))
 
     if cfg.decontam_threshold is not None:
         if bench is None:

@@ -176,3 +176,25 @@ def test_write_training_shards_roundtrip(spark, docs):
     }
     assert got == asg
     src.unpersist()
+
+
+def test_mixture_stage(spark, docs):
+    """Stratified downsample drops the excluded stratum and keeps ~rate
+    of the rest, between dedup and decontam in the stage order."""
+    src = docs.withColumn(
+        "domain", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("books")
+    )
+    cfg = CorpusConfig(
+        exact=True,
+        mixture_rates={"books": 1.0, "web": 0.4},
+        strata_col="domain",
+        splits={"train": 1.0},
+    )
+    prep = prepare_corpus(src, cfg)
+    assert [n for n, _ in prep.stages] == ["input", "exact_dedup", "mixture", "split"]
+    pre = dict(prep.stages)["exact_dedup"]
+    n_books_pre = pre.filter(F.col("domain") == "books").count()
+    counts = dict(prep.docs.groupBy("domain").count().collect())
+    assert counts["books"] == n_books_pre  # rate 1.0 keeps everything
+    n_web_pre = pre.filter(F.col("domain") == "web").count()
+    assert 0 < counts["web"] < n_web_pre

@@ -58,3 +58,68 @@ def test_bucket_range(ids):
         F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
     ).first()
     assert 0 <= mm.lo and mm.hi < SPLIT_BUCKETS
+
+
+def test_stratified_sample_rates_and_determinism(spark, ids):
+    from mysql_to_s3_spark.operators.sampling import stratified_hash_sample
+
+    strat = ids.withColumn(
+        "src",
+        F.when(F.col("doc_id") % 3 == 0, "web")
+        .when(F.col("doc_id") % 3 == 1, "books")
+        .otherwise("logs"),
+    )
+    rates = {"books": 1.0, "web": 0.3, "logs": 0.0}
+    out = stratified_hash_sample(strat, rates, "src")
+    counts = dict(out.groupBy("src").count().collect())
+    n = 20000 / 3
+    assert counts.get("logs", 0) == 0
+    assert counts["books"] == pytest.approx(n, rel=0.01)
+    assert counts["web"] == pytest.approx(0.3 * n, rel=0.1)
+    # repeat run: identical rows
+    again = {r.doc_id for r in stratified_hash_sample(strat, rates, "src").collect()}
+    assert again == {r.doc_id for r in out.collect()}
+    # nested: raising a rate only adds rows
+    more = {r.doc_id for r in stratified_hash_sample(strat, {**rates, "web": 0.6}, "src").collect()}
+    assert {r.doc_id for r in out.collect()} <= more
+
+
+def test_stratified_sample_independent_of_split(ids):
+    """The salted draw must not align with hash_split's unsalted buckets:
+    sampling web at 50% keeps ~50% of EACH split label, not one label."""
+    from mysql_to_s3_spark.operators.sampling import stratified_hash_sample
+
+    strat = ids.withColumn("src", F.lit("web")).withColumn(
+        "split", hash_split(F.col("doc_id"), {"train": 0.5, "val": 0.5})
+    )
+    out = stratified_hash_sample(strat, {"web": 0.5}, "src")
+    counts = dict(out.groupBy("split").count().collect())
+    assert counts["train"] == pytest.approx(5000, rel=0.05)
+    assert counts["val"] == pytest.approx(5000, rel=0.05)
+
+
+def test_stratified_sample_matches_duckdb(spark, ids):
+    import duckdb
+
+    from mysql_to_s3_spark.operators.sampling import (
+        stratified_hash_sample,
+        stratified_hash_sample_sql,
+    )
+
+    strat = ids.withColumn("src", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"))
+    rates = {"a": 0.25, "b": 0.75}
+    got = {r.doc_id for r in stratified_hash_sample(strat, rates, "src").collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT range AS doc_id, "
+        "CASE WHEN range % 2 = 0 THEN 'a' ELSE 'b' END AS src FROM range(20000)"
+    )
+    want = {r[0] for r in con.execute(stratified_hash_sample_sql("t", rates, "src")).fetchall()}
+    assert got == want
+
+
+def test_stratified_sample_bad_rates():
+    from mysql_to_s3_spark.operators.sampling import stratified_hash_sample
+
+    with pytest.raises(ValueError):
+        stratified_hash_sample(None, {"a": 1.5}, "src")
