@@ -207,6 +207,64 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the inverted file: vectors as parquet PARTITIONED BY the
+    cell id (one directory per cell), centroids as a tiny sidecar
+    parquet. This is what turns ``nprobe`` from a filter into I/O
+    savings — a probe becomes a partition-pruned scan that never opens
+    the other cells' files (asserted against the physical plan in
+    tests/test_llm_ops.py). At 100 TB the vector table is the only big
+    artifact; the sidecar is centroids × dim doubles."""
+    spark = df.sparkSession
+    ivf_assign(df, centroids, vec_col).write.mode(mode).partitionBy("__cell__").parquet(
+        path + "/vectors"
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode(mode).parquet(path + "/centroids")
+
+
+def ivf_read_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path + "/centroids").orderBy("cell").collect()
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF index: pick the ``nprobe`` nearest
+    cells driver-side (centroid sidecar only), then scan JUST those
+    partitions of the vector parquet — exact cosine re-rank inside."""
+    centroids = ivf_read_centroids(spark, path)
+
+    def d2(a: list[float], c: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: d2(query_vec, centroids[i]))[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path + "/vectors")
+        .filter(F.col("__cell__").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.45,

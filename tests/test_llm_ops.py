@@ -111,6 +111,38 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert full == exact
 
 
+def test_ivf_persisted_index_partition_pruned_search(spark, sf_dir, tmp_path):
+    """ivf_write_index + ivf_search_index: same answer as the in-memory
+    ivf_topk, and the probe is a PARTITION-pruned scan (the plan's
+    PartitionFilters carry __cell__; non-probed cells are never read)."""
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = similarity.ivf_fit(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(emb, centroids, path)
+
+    # sidecar round-trips the quantizer exactly
+    assert similarity.ivf_read_centroids(spark, path) == [
+        [float(x) for x in c] for c in centroids
+    ]
+
+    got = similarity.ivf_search_index(spark, path, q, k=10, nprobe=3).collect()
+    want = similarity.ivf_topk(emb, q, centroids, k=10, nprobe=3).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [(r["vec_id"], r["cos"]) for r in want]
+
+    probe_df = similarity.ivf_search_index(spark, path, q, k=10, nprobe=3)
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell__" in plan.split("PartitionFilters", 1)[1][:200]
+    # the pruned scan reads <= nprobe of the 8 cell directories
+    import re as _re
+
+    m = _re.search(r"partition count: (\d+)", plan)
+    if m:  # Spark prints the selected-partition count in the scan node
+        assert int(m.group(1)) <= 3
+
+
 def test_winnow_shared_substring_shares_fingerprint(spark):
     from mysql_to_s3_spark.operators.text import winnow_fingerprint
 
