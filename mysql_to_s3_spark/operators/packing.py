@@ -117,6 +117,7 @@ def pack_assignments(
     n_tokens_col: str | None = None,
     budget: int = 2048,
     n_buckets: int = 32,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document sequence assignment (bucket, seq_no, start_off).
 
@@ -124,11 +125,19 @@ def pack_assignments(
     otherwise lengths come from tokenizing ``text_col``. Zero-token
     docs are dropped (they carry no training signal and would alias
     onto whatever sequence the offset cursor is at).
+
+    ``keep_cols`` are carried through the bucket exchange so a consumer
+    that needs the payload (e.g. the shard writer) avoids a second
+    join-back shuffle on the id — the ONE window exchange then moves
+    full rows instead of the slim (id, n_tokens, bucket) frame, which is
+    still strictly cheaper than exchanging the slim frame AND re-joining
+    the payload by id.
     """
     n = F.col(n_tokens_col) if n_tokens_col else token_count(F.col(text_col))
     base = (
         df.select(
             F.col(id_col),
+            *[F.col(c) for c in keep_cols],
             n.cast("bigint").alias("n_tokens"),
             (hash_bucket(F.col(id_col)) % n_buckets).alias("bucket"),
         )
@@ -138,6 +147,7 @@ def pack_assignments(
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
     return base.select(
         id_col,
+        *keep_cols,
         "n_tokens",
         "bucket",
         start,

@@ -123,14 +123,23 @@ def stratified_hash_sample_sql(
     default_rate: float = 0.0,
     salt: str = "strata",
 ) -> str:
-    """DuckDB replica selecting the identical rows."""
+    """DuckDB replica selecting the identical rows (empty ``rates`` and
+    quoted stratum names produce valid SQL, matching the Spark side)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
     b = (
-        f"(('0x' || substr(md5({id_col}::VARCHAR || '|{salt}'), 1, 8))::BIGINT"
+        f"(('0x' || substr(md5({id_col}::VARCHAR || {q('|' + salt)}), 1, 8))::BIGINT"
         f" % {SPLIT_BUCKETS})"
     )
-    cases = " ".join(
-        f"WHEN '{name}' THEN {int(round(rate * SPLIT_BUCKETS))}"
-        for name, rate in rates.items()
-    )
-    cut = f"CASE {strata_col} {cases} ELSE {int(round(default_rate * SPLIT_BUCKETS))} END"
+    default_cut = str(int(round(default_rate * SPLIT_BUCKETS)))
+    if rates:
+        cases = " ".join(
+            f"WHEN {q(name)} THEN {int(round(rate * SPLIT_BUCKETS))}"
+            for name, rate in rates.items()
+        )
+        cut = f"CASE {strata_col} {cases} ELSE {default_cut} END"
+    else:
+        cut = default_cut
     return f"SELECT * FROM {table} WHERE {b} < {cut}"

@@ -180,6 +180,31 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
     return df.withColumn("__cell__", _nearest_cell(F.col(vec_col), centroids))
 
 
+def _nearest_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side probe selection: the nprobe cells nearest the query
+    (shared by the in-memory and persisted IVF paths so they cannot
+    diverge)."""
+
+    def d2(a: list[float], c: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, c))
+
+    return sorted(range(len(centroids)), key=lambda i: d2(query_vec, centroids[i]))[:nprobe]
+
+
+def _cosine_rerank(
+    df: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact cosine top-k tail shared by the IVF paths."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -192,18 +217,13 @@ def ivf_topk(
     """Probe the ``nprobe`` cells nearest the query; exact cosine re-rank
     inside them. Driver-side math touches only the centroid table (tiny);
     the scan reads only probed cells."""
-
-    def d2(a: list[float], c: list[float]) -> float:
-        return sum((x - y) ** 2 for x, y in zip(a, c))
-
-    probe = sorted(range(len(centroids)), key=lambda i: d2(query_vec, centroids[i]))[:nprobe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        ivf_assign(df, centroids, vec_col)
-        .filter(F.col("__cell__").isin(probe))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
-        .orderBy(F.desc("cos"), F.col(id_col))
-        .limit(k)
+    probe = _nearest_cells(query_vec, centroids, nprobe)
+    return _cosine_rerank(
+        ivf_assign(df, centroids, vec_col).filter(F.col("__cell__").isin(probe)),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
     )
 
 
@@ -225,11 +245,15 @@ def ivf_write_index(
     ivf_assign(df, centroids, vec_col).write.mode(mode).partitionBy("__cell__").parquet(
         path + "/vectors"
     )
+    # sidecar is ALWAYS overwritten: appending vectors (mode='append',
+    # valid only with the SAME centroids — cell ids must mean the same
+    # thing across increments) must not duplicate centroid rows, which
+    # would misalign every later probe
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
-    cent.coalesce(1).write.mode(mode).parquet(path + "/centroids")
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
 
 
 def ivf_read_centroids(spark, path: str) -> list[list[float]]:
@@ -250,18 +274,13 @@ def ivf_search_index(
     cells driver-side (centroid sidecar only), then scan JUST those
     partitions of the vector parquet — exact cosine re-rank inside."""
     centroids = ivf_read_centroids(spark, path)
-
-    def d2(a: list[float], c: list[float]) -> float:
-        return sum((x - y) ** 2 for x, y in zip(a, c))
-
-    probe = sorted(range(len(centroids)), key=lambda i: d2(query_vec, centroids[i]))[:nprobe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        spark.read.parquet(path + "/vectors")
-        .filter(F.col("__cell__").isin(probe))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
-        .orderBy(F.desc("cos"), F.col(id_col))
-        .limit(k)
+    probe = _nearest_cells(query_vec, centroids, nprobe)
+    return _cosine_rerank(
+        spark.read.parquet(path + "/vectors").filter(F.col("__cell__").isin(probe)),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
     )
 
 

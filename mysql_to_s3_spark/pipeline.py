@@ -30,8 +30,9 @@ Stage-order rationale (each choice is load-bearing at 100 TB):
 
 Laziness contract: ``prepare_corpus`` builds ONE unexecuted plan; no
 stage triggers a job. The optional ``funnel`` diagnostic is the only
-thing that runs per-stage actions, and it caches the shared prefix so
-the corpus is scanned once per stage boundary, not once per count.
+thing that runs per-stage actions — one count-job per stage, each
+re-deriving its prefix from the source, so cache the source (or the
+heaviest boundary) before calling it on anything expensive.
 """
 
 from __future__ import annotations
@@ -210,24 +211,31 @@ def write_training_shards(
     Partitioned by the pack bucket — the same uniform hash slots the
     offset packer uses — so a training reader streams one file per
     bucket and reconstructs sequences by (seq_no, start_off) order
-    without a global sort. One shuffle total (the packer's bucket
-    exchange); the write reuses that partitioning."""
+    without a global sort. One shuffle total: the payload columns ride
+    the packer's window exchange (``keep_cols``), so there is no
+    join-back on the id and no extra repartition; the per-task sort
+    below already leads with the partition column, which satisfies the
+    dynamic-partition writer's required ordering — no second sort is
+    inserted (plan-asserted in tests/test_pipeline.py)."""
     from mysql_to_s3_spark.operators.packing import pack_assignments
 
-    asg = pack_assignments(
-        df, id_col=id_col, text_col=text_col, budget=budget, n_buckets=n_buckets
+    keep = [text_col, *extra_cols]
+    packed = pack_assignments(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        n_buckets=n_buckets,
+        keep_cols=tuple(keep),
     )
-    keep = [id_col, text_col, *extra_cols]
-    packed = df.select(*keep).join(asg, id_col)
     (
         packed.select(
             "bucket",
             "seq_no",
             "start_off",
             "n_tokens",
-            F.to_json(F.struct(*keep)).alias("doc"),
+            F.to_json(F.struct(id_col, *keep)).alias("doc"),
         )
-        .repartition(F.col("bucket"))
         .sortWithinPartitions("bucket", "seq_no", "start_off")
         .write.mode(mode)
         .partitionBy("bucket")

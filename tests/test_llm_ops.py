@@ -132,15 +132,20 @@ def test_ivf_persisted_index_partition_pruned_search(spark, sf_dir, tmp_path):
     want = similarity.ivf_topk(emb, q, centroids, k=10, nprobe=3).collect()
     assert [(r["vec_id"], r["cos"]) for r in got] == [(r["vec_id"], r["cos"]) for r in want]
 
-    probe_df = similarity.ivf_search_index(spark, path, q, k=10, nprobe=3)
-    plan = probe_df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "__cell__" in plan.split("PartitionFilters", 1)[1][:200]
-    # the pruned scan reads <= nprobe of the 8 cell directories
+    # pruning is real: the scan carries a NON-EMPTY PartitionFilters
+    # IN-list on __cell__ with <= nprobe values (if the index were not
+    # partitioned by cell, __cell__ would be a data column and
+    # PartitionFilters would print as []). inputFiles() can't be used —
+    # it lists the relation's files before partition-filter pruning.
     import re as _re
 
-    m = _re.search(r"partition count: (\d+)", plan)
-    if m:  # Spark prints the selected-partition count in the scan node
-        assert int(m.group(1)) <= 3
+    probe_df = similarity.ivf_search_index(spark, path, q, k=10, nprobe=3)
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*__cell__[^\]]*)\]", plan)
+    assert m, plan
+    in_list = _re.search(r"IN \(([^)]*)\)", m.group(1))
+    assert in_list, m.group(1)
+    assert len(in_list.group(1).split(",")) <= 3, in_list.group(1)
 
 
 def test_winnow_shared_substring_shares_fingerprint(spark):

@@ -139,14 +139,14 @@ def test_unknown_near_dup_strategy(docs):
         prepare_corpus(docs, CorpusConfig(near_dup="nosuch")).docs.count()
 
 
-def test_write_training_shards_roundtrip(spark, docs):
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
     """Shards partition by pack bucket; within a file, rows arrive in
     (seq_no, start_off) order and every sequence is complete (token
     sums match the packer's assignment)."""
     from mysql_to_s3_spark.operators.packing import pack_assignments
 
     src = docs.limit(200).cache()
-    out = os.path.join(tempfile.mkdtemp(prefix="shards_"), "packed")
+    out = str(tmp_path / "packed")
     write_training_shards(src, out, budget=256, n_buckets=4)
 
     files = sorted(glob.glob(os.path.join(out, "bucket=*", "part-*")))
@@ -175,6 +175,22 @@ def test_write_training_shards_roundtrip(spark, docs):
         for r in recs
     }
     assert got == asg
+
+    # shuffle story: ONE hash exchange (the packer's window shuffle,
+    # carrying the payload — no join-back, no repartition). Asserted on
+    # the un-limited source; the limit(200) test frame above collapses
+    # to a single partition, which would elide the window exchange.
+    from mysql_to_s3_spark.operators.packing import pack_assignments as pa
+
+    packed = (
+        pa(docs, budget=256, n_buckets=4, keep_cols=("text",))
+        .select("bucket", "seq_no", "start_off", "n_tokens",
+                F.to_json(F.struct("doc_id", "text")).alias("doc"))
+        .sortWithinPartitions("bucket", "seq_no", "start_off")
+    )
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
     src.unpersist()
 
 

@@ -123,3 +123,33 @@ def test_stratified_sample_bad_rates():
 
     with pytest.raises(ValueError):
         stratified_hash_sample(None, {"a": 1.5}, "src")
+
+
+def test_stratified_sample_sql_edge_cases(spark, ids):
+    """Empty rates and quoted stratum names stay valid SQL and keep
+    parity with the Spark side."""
+    import duckdb
+
+    from mysql_to_s3_spark.operators.sampling import (
+        stratified_hash_sample,
+        stratified_hash_sample_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT range AS doc_id, "
+        "CASE WHEN range % 2 = 0 THEN 'o''reilly' ELSE 'b' END AS src FROM range(2000)"
+    )
+    strat = ids.filter(F.col("doc_id") < 2000).withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "o'reilly").otherwise("b")
+    )
+    # empty rates -> pure default_rate, no CASE
+    got = {r.doc_id for r in stratified_hash_sample(strat, {}, "src", default_rate=0.5).collect()}
+    want = {r[0] for r in con.execute(
+        stratified_hash_sample_sql("t", {}, "src", default_rate=0.5)).fetchall()}
+    assert got == want and 0 < len(got) < 2000
+    # quoted stratum name
+    rates = {"o'reilly": 0.4, "b": 0.0}
+    got = {r.doc_id for r in stratified_hash_sample(strat, rates, "src").collect()}
+    want = {r[0] for r in con.execute(stratified_hash_sample_sql("t", rates, "src")).fetchall()}
+    assert got == want and len(got) > 0
