@@ -193,6 +193,77 @@ def prepare_corpus(
     return PreparedCorpus(docs=out, stages=stages)
 
 
+def prepare_corpus_stream(
+    sdf: DataFrame,
+    cfg: CorpusConfig = CorpusConfig(),
+    ts_col: str = "ts",
+    bench_rows: list[tuple] | None = None,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming analog of ``prepare_corpus`` over a readStream frame.
+
+    Stage mapping (same CorpusConfig, same order, same semantics where a
+    bounded-state streaming form exists):
+
+    - quality / language gates, mixture sampling, redaction, split:
+      pure per-row Column algebra — commutes with micro-batching,
+      applied UNCHANGED;
+    - exact dedup -> ``stream_exact_dedup`` (dropDuplicatesWithinWatermark
+      on the fingerprint: first arrival wins, state bounded by the
+      watermark horizon) — note the batch keeper is min-id, the stream
+      keeper is first-arrival; identical iff ids are arrival-ordered;
+    - decontamination -> ``stream_decontaminate`` (stateless closure over
+      the fixed eval suite; requires the collected ``bench_rows``);
+    - near-dup is REJECTED here by design: bounded state cannot hold the
+      shingle sets exact verification needs, so the streaming form
+      (``streaming.stream_extract.stream_near_dedup``) only FLAGS
+      candidates — run it side-by-side and adjudicate in batch, per its
+      docstring, rather than silently dropping on an estimate.
+    """
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        stream_decontaminate,
+        stream_exact_dedup,
+    )
+
+    if cfg.near_dup is not None:
+        raise PipelineError(
+            "near_dup has no exact streaming form (signature state cannot "
+            "verify Jaccard); use streaming.stream_extract.stream_near_dedup "
+            "to flag candidates and adjudicate with the batch operator"
+        )
+    txt = F.col(cfg.text_col)
+    out = sdf
+    if cfg.min_quality is not None:
+        out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
+    if cfg.languages is not None:
+        out = out.filter(language_id(txt).isin(*cfg.languages))
+    if cfg.exact:
+        out = stream_exact_dedup(out, ts_col, cfg.text_col, lateness)
+    if cfg.mixture_rates is not None:
+        out = stratified_hash_sample(
+            out,
+            dict(cfg.mixture_rates),
+            cfg.strata_col,
+            id_col=cfg.id_col,
+            default_rate=cfg.mixture_default_rate,
+        )
+    if cfg.decontam_threshold is not None:
+        if bench_rows is None:
+            raise PipelineError("decontam_threshold set but no bench_rows given")
+        out = stream_decontaminate(
+            out,
+            bench_rows,
+            threshold=cfg.decontam_threshold,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+    if cfg.redact:
+        out = out.withColumn(cfg.text_col, redact_pii(txt))
+    if cfg.splits is not None:
+        out = out.withColumn(cfg.split_col, hash_split(F.col(cfg.id_col), dict(cfg.splits)))
+    return out
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

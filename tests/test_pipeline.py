@@ -214,3 +214,75 @@ def test_mixture_stage(spark, docs):
     assert counts["books"] == n_books_pre  # rate 1.0 keeps everything
     n_web_pre = pre.filter(F.col("domain") == "web").count()
     assert 0 < counts["web"] < n_web_pre
+
+
+def test_prepare_corpus_stream_matches_batch_semantics(spark, tmp_path):
+    """The streaming pipeline applies the same gates/dedup/decontam/split
+    over micro-batches: re-arrivals are dropped, contaminated docs are
+    dropped, the split labels equal the batch hash_split."""
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    src = str(tmp_path / "stream_src")
+    _os.makedirs(src, exist_ok=True)
+    good = "the quick brown fox jumps over the lazy dog and then it rests for a while"
+    bench_text = "held out evaluation document that must never leak into the corpus at all"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02", "2024-01-01 00:00:03"]
+            ).astype("datetime64[us]"),
+            "text": [good, "!!% ^&* ()!", bench_text],
+        }
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:10:01"]).astype(
+                "datetime64[us]"
+            ),
+            "text": [good, "some other perfectly fine document with many plain words in it here"],
+        }
+    ).to_parquet(src + "/b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    cfg = CorpusConfig(
+        min_quality=0.5,
+        exact=True,
+        decontam_threshold=0.8,
+        splits={"train": 0.5, "val": 0.5},
+    )
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts", bench_rows=[(99, bench_text)])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("corpus_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["split"] for r in spark.sql("SELECT * FROM corpus_stream").collect()}
+    # 2 fails quality, 3 is contaminated, 4 re-arrives doc 1's text
+    assert set(rows) == {1, 5}
+    from mysql_to_s3_spark.operators.sampling import hash_split
+
+    want = {
+        r.doc_id: r.s
+        for r in spark.createDataFrame([(1,), (5,)], "doc_id long")
+        .select("doc_id", hash_split(F.col("doc_id"), {"train": 0.5, "val": 0.5}).alias("s"))
+        .collect()
+    }
+    assert rows == want
+
+
+def test_prepare_corpus_stream_rejects_near_dup(spark):
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+
+    with pytest.raises(PipelineError, match="near_dup"):
+        prepare_corpus_stream(None, CorpusConfig(near_dup="minhash"))
