@@ -287,7 +287,17 @@ def write_training_shards(
     join-back on the id and no extra repartition; the per-task sort
     below already leads with the partition column, which satisfies the
     dynamic-partition writer's required ordering — no second sort is
-    inserted (plan-asserted in tests/test_pipeline.py)."""
+    inserted (plan-asserted in tests/test_pipeline.py).
+
+    To shard sliding-window CHUNKS instead of whole documents, chunk
+    first and give each chunk a stable id::
+
+        chunks = chunk_documents(docs, max_tokens=512, overlap=64)
+        chunks = chunks.withColumn(
+            "chunk_id", F.concat_ws("#", "doc_id", "chunk_idx"))
+        write_training_shards(chunks, path, id_col="chunk_id",
+                              text_col="chunk_text")
+    """
     from mysql_to_s3_spark.operators.packing import pack_assignments
 
     keep = [text_col, *extra_cols]

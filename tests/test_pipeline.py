@@ -286,3 +286,21 @@ def test_prepare_corpus_stream_rejects_near_dup(spark):
 
     with pytest.raises(PipelineError, match="near_dup"):
         prepare_corpus_stream(None, CorpusConfig(near_dup="minhash"))
+
+
+def test_chunk_then_shard_composition(spark, docs, tmp_path):
+    """chunk_documents -> write_training_shards: every chunk lands in a
+    shard exactly once under its composite chunk id."""
+    from mysql_to_s3_spark.operators.packing import chunk_documents
+
+    src = docs.limit(50)
+    chunks = chunk_documents(src, max_tokens=32, overlap=4).withColumn(
+        "chunk_id", F.concat_ws("#", "doc_id", "chunk_idx")
+    )
+    out = str(tmp_path / "chunk_shards")
+    write_training_shards(chunks, out, budget=128, n_buckets=2,
+                          id_col="chunk_id", text_col="chunk_text")
+    files = glob.glob(os.path.join(out, "bucket=*", "part-*"))
+    got = [json.loads(line)["doc"] for f in files for line in open(f)]
+    ids = [json.loads(d)["chunk_id"] for d in got]
+    assert len(ids) == len(set(ids)) == chunks.count()
