@@ -1,0 +1,129 @@
+"""As-of join (operators/joins.py) vs DuckDB's native ASOF JOIN."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.joins import JoinError, asof_join
+from mysql_to_s3_spark.sources.registry import load_table
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    return con
+
+
+def test_asof_matches_duckdb_on_events(spark, sf_dir):
+    """Each purchase event gets the latest prior signup's value per user
+    — identical to DuckDB ASOF JOIN row for row."""
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    quote = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts"), F.col("value").alias("signup_value")
+    )
+    got = {
+        (r.event_id, r.signup_value)
+        for r in asof_join(
+            probe, quote, by=["user_id"], value_cols=["signup_value"]
+        ).collect()
+    }
+    want = set(
+        _duck(sf_dir)
+        .execute(
+            """
+            SELECT p.event_id, q.value AS signup_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') q
+              ON p.user_id = q.user_id AND p.ts >= q.ts
+            """
+        )
+        .fetchall()
+    )
+    assert got == want
+    assert any(v is not None for _, v in got)  # matches actually happen
+    assert len(got) == probe.count()  # left join: every probe row kept
+
+
+def test_asof_exact_match_and_tolerance(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    probe = spark.createDataFrame(
+        [(1, "k", ts(10)), (2, "k", ts(30)), (3, "k", ts(0))],
+        "id long, k string, ts timestamp",
+    )
+    quote = spark.createDataFrame(
+        [("k", ts(10), 1.0), ("k", ts(25), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    exact = {
+        r.id: r.v
+        for r in asof_join(probe, quote, by=["k"], value_cols=["v"]).collect()
+    }
+    # id=1 at t+10 sees the t+10 quote (exact match allowed); id=3 predates all
+    assert exact == {1: 1.0, 2: 2.0, 3: None}
+    strict = {
+        r.id: r.v
+        for r in asof_join(
+            probe, quote, by=["k"], value_cols=["v"], allow_exact_matches=False
+        ).collect()
+    }
+    assert strict == {1: None, 2: 2.0, 3: None}
+    # tolerance: id=2 at t+30 matched t+25 (5 min back); a 4-minute window drops it
+    tol = {
+        r.id: r.v
+        for r in asof_join(
+            probe, quote, by=["k"], value_cols=["v"], tolerance="4 minutes"
+        ).collect()
+    }
+    assert tol == {1: 1.0, 2: None, 3: None}
+
+
+def test_asof_tiebreak_among_equal_ts_quotes(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    probe = spark.createDataFrame([(1, "k", t)], "id long, k string, ts timestamp")
+    quote = spark.createDataFrame(
+        [("k", t, 10.0, 1), ("k", t, 20.0, 2)],
+        "k string, ts timestamp, v double, seq int",
+    )
+    r = asof_join(
+        probe, quote, by=["k"], value_cols=["v"], quote_tiebreak="seq"
+    ).first()
+    assert r.v == 20.0  # highest tiebreak wins deterministically
+
+
+def test_asof_single_shuffle_plan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    quote = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    plan = (
+        asof_join(probe, quote, by=["user_id"], value_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_asof_validation(spark):
+    df = spark.createDataFrame([(1, "k", 1.0)], "id long, k string, v double")
+    with pytest.raises(JoinError, match="by"):
+        asof_join(df, df, by=[], value_cols=["v"])
+    with pytest.raises(JoinError, match="collide"):
+        asof_join(df, df.withColumnRenamed("id", "x"), by=["k"], value_cols=["v"])
