@@ -1,0 +1,94 @@
+"""Sessionization: cut per-key event streams into sessions at
+inactivity gaps — the standard event-analytics primitive (user visits,
+device sessions, conversation turns) the reference's JX has no operator
+for (beyond-reference, SURVEY §2 item 8 family).
+
+Batch form: one window shuffle per key — ``lag`` marks a session start
+when the gap from the previous event exceeds the threshold, a running
+sum of starts numbers the sessions (both aggregates share one
+partitionBy(key) exchange, whole-stage codegen, spillable). The session
+id is (key, seq) — stable, join-able, and deterministic for a given
+input.
+
+Streaming form: Spark's native ``session_window`` — state is one open
+window per active key, merged on arrival and closed by the watermark;
+this is the bounded-state analog (the batch seq numbering needs the
+whole history, so the streaming result carries the window struct
+instead of a seq).
+
+Oracle: plain SQL window functions (DuckDB side in tests/test_joins.py's
+sibling, tests/test_sessions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Add a ``session_seq`` column: 0-based session index per ``by``
+    key, incremented whenever the gap from the previous event strictly
+    exceeds ``gap`` (an INTERVAL literal). Rows keep their schema."""
+    if not by:
+        raise ValueError("sessionize requires at least one `by` key (a keyless "
+                         "sessionization is one global window task)")
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    seq = F.sum(new_session).over(
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - 1
+    return df.withColumn("session_seq", seq)
+
+
+def session_stats(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """One row per session: (by..., session_seq, n_events, session_start,
+    session_end, duration_secs). Two exchanges total — the sessionize
+    window's, then the groupBy reuses that hash partitioning only if the
+    grouping is a superset of the window keys plus seq; Catalyst keeps it
+    to one additional partial-agg shuffle otherwise."""
+    ss = sessionize(df, by, ts_col, gap)
+    return ss.groupBy(*by, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_secs"),
+    )
+
+
+def stream_session_stats(
+    sdf: DataFrame,
+    by: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessions via the native ``session_window`` aggregate:
+    per-key open-window state, merged on arrival, emitted once the
+    watermark passes the session's close — bounded by ACTIVE keys, not
+    history. Result: (by..., session struct{start, end}, n_events)."""
+    from pyspark.sql import types as T
+
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        sdf.withWatermark(ts_col, lateness)
+        .groupBy(*by, F.session_window(F.col(ts_col), gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,141 @@
+"""Sessionization (operators/sessions.py) vs a DuckDB window-SQL oracle,
+plus the streaming session_window analog."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+    stream_session_stats,
+)
+from mysql_to_s3_spark.sources.registry import load_table
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con
+
+
+SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, event_id,
+       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+FROM marked
+"""
+
+
+def test_sessionize_matches_duckdb(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(ev, by=["user_id"], gap="30 minutes").collect()
+    }
+    want = {(u, e): s for u, e, s in _duck(sf_dir).execute(SESSION_SQL).fetchall()}
+    assert got == want
+    assert max(got.values()) > 0  # the corpus actually has multiple sessions
+
+
+def test_session_stats_consistency(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    stats = session_stats(ev, by=["user_id"], gap="30 minutes")
+    # totals reconcile: every event is in exactly one session
+    assert stats.agg(F.sum("n_events")).first()[0] == ev.count()
+    r = stats.filter(F.col("duration_secs") < 0).count()
+    assert r == 0
+    # sessions of one key never overlap: end_i < start_{i+1}
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_seq")
+    overl = (
+        stats.withColumn("next_start", F.lead("session_start").over(w))
+        .filter(F.col("next_start").isNotNull() & (F.col("session_end") >= F.col("next_start")))
+        .count()
+    )
+    assert overl == 0
+
+
+def test_sessionize_single_exchange_plan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        sessionize(ev, by=["user_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_requires_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="by"):
+        sessionize(ev, by=[])
+
+
+def test_stream_session_stats_matches_batch_sessions(spark, tmp_path):
+    """Streaming session_window over two micro-batches produces the same
+    (start, end, n_events) sessions as the batch operator once the
+    stream drains."""
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    src = str(tmp_path / "sess_stream")
+    os.makedirs(src, exist_ok=True)
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.Series([t, t + 5 * m, t + 2 * m]).astype("datetime64[us]"),
+            "v": [1.0, 2.0, 3.0],
+        }
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            # user 1 re-appears 90 min later -> NEW session; user 2 at +3min -> same
+            "ts": pd.Series([t + 95 * m, t + 3 * m]).astype("datetime64[us]"),
+            "v": [4.0, 5.0],
+        }
+    ).to_parquet(src + "/b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    out = stream_session_stats(sdf, by=["user_id"], gap="30 minutes", lateness="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session.start, r.session.end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    batch = session_stats(
+        spark.read.parquet(src), by=["user_id"], gap="30 minutes"
+    ).collect()
+    # session_window's end = last event + gap (the close boundary), while
+    # the batch end = last event ts; compare on (key, start, n)
+    want = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    # append mode emits only watermark-closed sessions; every emitted one
+    # must match a batch session, and the CLOSED ones (all but user 1's
+    # late session, which the final watermark may or may not close) appear
+    emitted = {(u, s, n) for (u, s, e, n) in got}
+    assert emitted <= want
+    assert (1, t.to_pydatetime(), 2) in emitted
+    assert (2, (t + 2 * m).to_pydatetime(), 2) in emitted
