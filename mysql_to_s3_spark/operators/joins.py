@@ -32,6 +32,68 @@ class JoinError(ValueError):
     pass
 
 
+def interval_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    by: list[str],
+    value_cols: list[str],
+    probe_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    granularity_secs: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every (probe row, interval) pair with the
+    same ``by`` key and ``start <= probe_ts <= end`` (inclusive) — as a
+    bucketized EQUI-join, never a range cross join.
+
+    Mechanics: each interval explodes to the fixed-width time buckets it
+    overlaps (``explode(sequence(floor(start/g), floor(end/g)))`` — the
+    same trick as the JX range-span edge); each probe row maps to its
+    single bucket; the join is a plain hash equi-join on
+    (by..., bucket) with the exact range predicate refining inside the
+    join. A probe row occupies exactly ONE bucket, so no post-join
+    dedup is needed.
+
+    Scale: blowup is bounded by interval_span / granularity — pick
+    ``granularity_secs`` near the TYPICAL interval length so most
+    intervals land in 1-2 buckets; a pathological mega-interval costs
+    span/g join rows (visible, tunable), where the naive
+    ``t1.key = t2.key AND ts BETWEEN ...`` plan degenerates to a
+    per-key cross product.
+    """
+    if not by:
+        raise JoinError("interval_join requires at least one `by` key")
+    clash = set(value_cols) & set(probe.columns)
+    if clash:
+        raise JoinError(f"value_cols collide with probe columns: {sorted(clash)}")
+    g = int(granularity_secs)
+    if g <= 0:
+        raise JoinError("granularity_secs must be positive")
+    b_start = F.floor(F.unix_timestamp(F.col(start_col)) / g)
+    b_end = F.floor(F.unix_timestamp(F.col(end_col)) / g)
+    iv = intervals.select(
+        *[F.col(c).alias(f"__i_{c}__") for c in by],
+        F.col(start_col).alias("__start__"),
+        F.col(end_col).alias("__end__"),
+        *[F.col(c) for c in value_cols],
+        F.explode(F.sequence(b_start, b_end)).alias("__bucket__"),
+    )
+    p = probe.withColumn(
+        "__bucket__", F.floor(F.unix_timestamp(F.col(probe_ts)) / g)
+    )
+    cond = None
+    for c in by:
+        eq = F.col(c) == F.col(f"__i_{c}__")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (p["__bucket__"] == iv["__bucket__"])
+        & (F.col(probe_ts) >= F.col("__start__"))
+        & (F.col(probe_ts) <= F.col("__end__"))
+    )
+    return p.join(iv, cond, "inner").select(*probe.columns, *value_cols)
+
+
 def asof_join(
     probe: DataFrame,
     quote: DataFrame,

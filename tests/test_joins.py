@@ -127,3 +127,78 @@ def test_asof_validation(spark):
         asof_join(df, df, by=[], value_cols=["v"])
     with pytest.raises(JoinError, match="collide"):
         asof_join(df, df.withColumnRenamed("id", "x"), by=["k"], value_cols=["v"])
+
+
+def test_interval_join_events_into_their_own_sessions(spark, sf_dir):
+    """Compose sessions -> interval_join: joining events into the session
+    [start, end] intervals reproduces DuckDB's range join exactly, and
+    every event lands in at least its own session."""
+    from mysql_to_s3_spark.operators.joins import interval_join
+    from mysql_to_s3_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_stats(ev, by=["user_id"], gap="30 minutes").select(
+        "user_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+        F.col("session_seq").alias("sess"),
+    )
+    got = {
+        (r.event_id, r.sess)
+        for r in interval_join(
+            ev.select("event_id", "user_id", "ts"),
+            sess,
+            by=["user_id"],
+            value_cols=["sess"],
+            granularity_secs=1800,
+        ).collect()
+    }
+    con = _duck(sf_dir)
+    con.execute(
+        """
+        CREATE VIEW sess AS
+        WITH m AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS n
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts,
+                     sum(n) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS sess
+              FROM m)
+        SELECT user_id, sess, min(ts) AS s0, max(ts) AS s1
+        FROM s GROUP BY user_id, sess
+        """
+    )
+    want = set(
+        con.execute(
+            """SELECT e.event_id, s.sess FROM events e JOIN sess s
+               ON e.user_id = s.user_id AND e.ts >= s.s0 AND e.ts <= s.s1"""
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) >= load_table(spark, sf_dir, "events").count()
+
+
+def test_interval_join_is_equi_join_not_range_cross(spark, sf_dir):
+    from mysql_to_s3_spark.operators.joins import interval_join
+    from mysql_to_s3_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_stats(ev, by=["user_id"], gap="30 minutes").select(
+        "user_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+        F.col("session_seq").alias("sess"),
+    )
+    plan = (
+        interval_join(
+            ev.select("event_id", "user_id", "ts"), sess,
+            by=["user_id"], value_cols=["sess"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # hash-partitioned equi-join on (key, bucket); the range predicate
+    # refines INSIDE it — no BroadcastNestedLoopJoin/CartesianProduct
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
