@@ -72,6 +72,46 @@ def session_stats(
     )
 
 
+def funnel(
+    df: DataFrame,
+    by: list[str],
+    steps: list,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion per key: for predicates ``steps =
+    [A, B, C]`` (Column booleans), find the GREEDY earliest completion —
+    t1 = min ts where A, t2 = min ts where B and ts > t1, ... Output one
+    row per key: (by..., step_1_ts .. step_k_ts, converted). Greedy is
+    optimal for unwindowed funnels: any completion's first step can be
+    replaced by the earliest A without breaking the later strict
+    inequalities.
+
+    Plan: k chained window minima over the SAME partitionBy(by) — one
+    hash exchange total, each step's min conditioned on the previous
+    step's (per-key constant) timestamp; then one first() groupBy that
+    reuses the window partitioning. No joins, no explode.
+    """
+    if not by:
+        raise ValueError("funnel requires at least one `by` key")
+    if not steps:
+        raise ValueError("funnel requires at least one step predicate")
+    w = Window.partitionBy(*by)
+    out = df
+    prev: Column | None = None
+    names = [f"step_{i + 1}_ts" for i in range(len(steps))]
+    for i, (pred, name) in enumerate(zip(steps, names)):
+        hit = pred if prev is None else pred & (F.col(ts_col) > prev)
+        out = out.withColumn(
+            name, F.min(F.when(hit, F.col(ts_col))).over(w)
+        )
+        prev = F.col(name)
+    return (
+        out.groupBy(*by)
+        .agg(*[F.first(n).alias(n) for n in names])
+        .withColumn("converted", F.col(names[-1]).isNotNull())
+    )
+
+
 def stream_session_stats(
     sdf: DataFrame,
     by: list[str],

@@ -139,3 +139,50 @@ def test_stream_session_stats_matches_batch_sessions(spark, tmp_path):
     assert emitted <= want
     assert (1, t.to_pydatetime(), 2) in emitted
     assert (2, (t + 2 * m).to_pydatetime(), 2) in emitted
+
+
+FUNNEL_SQL = """
+WITH t1 AS (SELECT user_id, min(ts) AS s1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+     t2 AS (SELECT e.user_id, min(e.ts) AS s2 FROM events e JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.s1 GROUP BY e.user_id),
+     t3 AS (SELECT e.user_id, min(e.ts) AS s3 FROM events e JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.s2 GROUP BY e.user_id)
+SELECT u.user_id, t1.s1, t2.s2, t3.s3, t3.user_id IS NOT NULL AS conv
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""
+
+
+def test_funnel_matches_duckdb(spark, sf_dir):
+    """signup -> click -> purchase greedy funnel equals the chained-min
+    DuckDB oracle for every user."""
+    from mysql_to_s3_spark.operators.sessions import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.converted)
+        for r in funnel(
+            ev,
+            by=["user_id"],
+            steps=[
+                F.col("event_type") == "signup",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+        ).collect()
+    }
+    want = {u: (s1, s2, s3, c) for u, s1, s2, s3, c in _duck(sf_dir).execute(FUNNEL_SQL).fetchall()}
+    assert got == want
+    assert any(c for (_, _, _, c) in got.values())
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    from mysql_to_s3_spark.operators.sessions import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        funnel(ev, by=["user_id"], steps=[F.col("event_type") == "signup"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
