@@ -132,6 +132,17 @@ def asof_join(
         raise JoinError(f"quote side lacks columns: {sorted(missing)}")
 
     probe_cols = probe.columns
+    # SQL join semantics for NULLs: a NULL key or NULL timestamp never
+    # matches (DuckDB ASOF JOIN parity). Quote rows with either are
+    # unmatchable — drop them BEFORE the union; a NULL-keyed probe row
+    # then shares its partition with no quotes and correctly yields NULL
+    # (without this, nulls-first ordering would hand every such probe the
+    # NULL row's values: the struct wrapper is non-null, so
+    # last(ignoreNulls) does not skip it).
+    null_free = F.lit(True)
+    for c in [*by, quote_ts]:
+        null_free = null_free & F.col(c).isNotNull()
+    quote = quote.filter(null_free)
     # side ordering at equal timestamps decides exact-match semantics:
     # quote BEFORE probe (0 < 1) -> a quote at exactly probe_ts is
     # visible; probe first (-1) -> it is not

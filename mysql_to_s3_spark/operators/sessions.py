@@ -22,7 +22,7 @@ sibling, tests/test_sessions.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def sessionize(
@@ -66,8 +66,12 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
+        # double-cast difference keeps sub-second precision
+        # (unix_timestamp truncates to whole seconds); NTZ needs the
+        # intermediate TIMESTAMP cast (session TZ is pinned UTC)
         (
-            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+            F.max(ts_col).cast("timestamp").cast("double")
+            - F.min(ts_col).cast("timestamp").cast("double")
         ).alias("duration_secs"),
     )
 

@@ -1,8 +1,8 @@
-"""As-of join (operators/joins.py) vs DuckDB's native ASOF JOIN."""
+"""As-of / interval join (operators/joins.py) vs DuckDB's native ASOF
+JOIN and range join (events view comes from the shared `duck` fixture)."""
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 from pyspark.sql import functions as F
 
@@ -10,15 +10,7 @@ from mysql_to_s3_spark.operators.joins import JoinError, asof_join
 from mysql_to_s3_spark.sources.registry import load_table
 
 
-def _duck(sf_dir):
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
-    )
-    return con
-
-
-def test_asof_matches_duckdb_on_events(spark, sf_dir):
+def test_asof_matches_duckdb_on_events(spark, sf_dir, duck):
     """Each purchase event gets the latest prior signup's value per user
     — identical to DuckDB ASOF JOIN row for row."""
     ev = load_table(spark, sf_dir, "events")
@@ -35,7 +27,7 @@ def test_asof_matches_duckdb_on_events(spark, sf_dir):
         ).collect()
     }
     want = set(
-        _duck(sf_dir)
+        duck
         .execute(
             """
             SELECT p.event_id, q.value AS signup_value
@@ -129,7 +121,7 @@ def test_asof_validation(spark):
         asof_join(df, df.withColumnRenamed("id", "x"), by=["k"], value_cols=["v"])
 
 
-def test_interval_join_events_into_their_own_sessions(spark, sf_dir):
+def test_interval_join_events_into_their_own_sessions(spark, sf_dir, duck):
     """Compose sessions -> interval_join: joining events into the session
     [start, end] intervals reproduces DuckDB's range join exactly, and
     every event lands in at least its own session."""
@@ -153,10 +145,10 @@ def test_interval_join_events_into_their_own_sessions(spark, sf_dir):
             granularity_secs=1800,
         ).collect()
     }
-    con = _duck(sf_dir)
+    con = duck
     con.execute(
         """
-        CREATE VIEW sess AS
+        CREATE OR REPLACE VIEW sess AS
         WITH m AS (
           SELECT user_id, ts,
                  CASE WHEN lag(ts) OVER w IS NULL
@@ -202,3 +194,21 @@ def test_interval_join_is_equi_join_not_range_cross(spark, sf_dir):
     # hash-partitioned equi-join on (key, bucket); the range predicate
     # refines INSIDE it — no BroadcastNestedLoopJoin/CartesianProduct
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_asof_null_keys_and_null_ts_never_match(spark):
+    """SQL join semantics: a NULL by-key or NULL quote timestamp never
+    matches (DuckDB ASOF JOIN parity — NULL = NULL is not true)."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    probe = spark.createDataFrame(
+        [(1, None, t), (2, "k", t)], "id long, k string, ts timestamp"
+    )
+    quote = spark.createDataFrame(
+        [(None, t - dt.timedelta(hours=1), 9.0), ("k", None, 5.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = {r.id: r.v for r in asof_join(probe, quote, by=["k"], value_cols=["v"]).collect()}
+    # probe 1 has a NULL key; quote 1 has a NULL ts — neither pair matches
+    assert got == {1: None, 2: None}

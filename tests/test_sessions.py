@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import os
 
-import duckdb
 import pytest
 from pyspark.sql import functions as F
 
@@ -15,12 +14,6 @@ from mysql_to_s3_spark.operators.sessions import (
     stream_session_stats,
 )
 from mysql_to_s3_spark.sources.registry import load_table
-
-
-def _duck(sf_dir):
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
-    return con
 
 
 SESSION_SQL = """
@@ -38,13 +31,13 @@ FROM marked
 """
 
 
-def test_sessionize_matches_duckdb(spark, sf_dir):
+def test_sessionize_matches_duckdb(spark, sf_dir, duck):
     ev = load_table(spark, sf_dir, "events")
     got = {
         (r.user_id, r.event_id): r.session_seq
         for r in sessionize(ev, by=["user_id"], gap="30 minutes").collect()
     }
-    want = {(u, e): s for u, e, s in _duck(sf_dir).execute(SESSION_SQL).fetchall()}
+    want = {(u, e): s for u, e, s in duck.execute(SESSION_SQL).fetchall()}
     assert got == want
     assert max(got.values()) > 0  # the corpus actually has multiple sessions
 
@@ -110,6 +103,11 @@ def test_stream_session_stats_matches_batch_sessions(spark, tmp_path):
             "v": [4.0, 5.0],
         }
     ).to_parquet(src + "/b.parquet")
+    # FileStreamSource orders pending files by modification time; the two
+    # writes can land in the same ms, letting b go first and its t+95m
+    # event advance the watermark past batch a's rows. Force the order.
+    t_a = os.path.getmtime(src + "/a.parquet")
+    os.utime(src + "/b.parquet", (t_a + 10, t_a + 10))
 
     schema = spark.read.parquet(src).schema
     sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
@@ -154,7 +152,7 @@ LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (us
 """
 
 
-def test_funnel_matches_duckdb(spark, sf_dir):
+def test_funnel_matches_duckdb(spark, sf_dir, duck):
     """signup -> click -> purchase greedy funnel equals the chained-min
     DuckDB oracle for every user."""
     from mysql_to_s3_spark.operators.sessions import funnel
@@ -172,7 +170,7 @@ def test_funnel_matches_duckdb(spark, sf_dir):
             ],
         ).collect()
     }
-    want = {u: (s1, s2, s3, c) for u, s1, s2, s3, c in _duck(sf_dir).execute(FUNNEL_SQL).fetchall()}
+    want = {u: (s1, s2, s3, c) for u, s1, s2, s3, c in duck.execute(FUNNEL_SQL).fetchall()}
     assert got == want
     assert any(c for (_, _, _, c) in got.values())
 
