@@ -2355,6 +2355,127 @@ _q(
 )
 
 
+def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged 4-leg temporal-analytics row over the events table —
+    beyond-reference operators (operators/joins.py, sessions.py), kept
+    OUTSIDE the driver's 50-entry window by design (DRIVER_ORDER covers
+    every reference semantic; this entry rides the identical local
+    oracle gate in tests/test_driver_contract.py):
+
+    - `asof`:   per purchase, latest prior signup value (ASOF JOIN)
+    - `range`:  each event resolved into its session interval
+    - `sess`:   per-session rollup (start/end/n_events)
+    - `funnel`: per-user greedy signup->click->purchase timestamps
+    """
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.joins import asof_join, interval_join
+    from mysql_to_s3_spark.operators.sessions import funnel, session_stats
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    quote = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    asof = asof_join(probe, quote, by=["user_id"], value_cols=["sv"]).select(
+        F.lit("asof").alias("leg"),
+        F.col("event_id").alias("a"),
+        F.col("user_id").alias("b"),
+        F.col("ts").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.col("sv").cast("double").alias("x"),
+    )
+    sess = session_stats(ev, by=["user_id"], gap="30 minutes")
+    rng = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        sess.select(
+            "user_id",
+            F.col("session_start").alias("start"),
+            F.col("session_end").alias("end"),
+            F.col("session_seq").alias("sq"),
+        ),
+        by=["user_id"],
+        value_cols=["sq"],
+        granularity_secs=1800,
+    ).select(
+        F.lit("range").alias("leg"),
+        F.col("event_id").alias("a"),
+        F.col("sq").alias("b"),
+        F.col("ts").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    sessrow = sess.select(
+        F.lit("sess").alias("leg"),
+        F.col("user_id").alias("a"),
+        F.col("session_seq").alias("b"),
+        F.col("session_start").alias("t1"),
+        F.col("session_end").alias("t2"),
+        F.col("n_events").cast("double").alias("x"),
+    )
+    fn = funnel(
+        ev,
+        by=["user_id"],
+        steps=[F.col("event_type") == t for t in ("signup", "click", "purchase")],
+    ).select(
+        F.lit("funnel").alias("leg"),
+        F.col("user_id").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("step_1_ts").alias("t1"),
+        F.col("step_3_ts").alias("t2"),
+        F.col("converted").cast("double").alias("x"),
+    )
+    return asof.unionByName(rng).unionByName(sessrow).unionByName(fn)
+
+
+_SQL_SESS_CTE = """
+  marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  sessioned AS (
+    SELECT user_id, event_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS sq
+    FROM marked),
+  sess AS (
+    SELECT user_id, sq, min(ts) AS s0, max(ts) AS s1, count(*) AS n
+    FROM sessioned GROUP BY user_id, sq)
+"""
+
+_q(
+    "temporal_events",
+    _temporal_events_spark,
+    f"""WITH {_SQL_SESS_CTE},
+    t1 AS (SELECT user_id, min(ts) AS s1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS s2 FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t1.s1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS s3 FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.s2 GROUP BY e.user_id)
+    SELECT 'asof' AS leg, p.event_id AS a, p.user_id AS b, p.ts AS t1,
+           NULL::TIMESTAMP AS t2, q.value::DOUBLE AS x
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') q
+      ON p.user_id = q.user_id AND p.ts >= q.ts
+    UNION ALL
+    SELECT 'range', e.event_id, s.sq, e.ts, NULL, NULL
+    FROM events e JOIN sess s
+      ON e.user_id = s.user_id AND e.ts >= s.s0 AND e.ts <= s.s1
+    UNION ALL
+    SELECT 'sess', user_id, sq, s0, s1, n::DOUBLE FROM sess
+    UNION ALL
+    SELECT 'funnel', u.user_id, NULL, t1.s1, t3.s3,
+           (t3.user_id IS NOT NULL)::INT::DOUBLE
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)""",
+)
+
+
 def names() -> list[str]:
     ordered = [n for n in DRIVER_ORDER if n in CATALOG]
     assert len(ordered) == len(DRIVER_ORDER), (
