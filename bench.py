@@ -52,6 +52,9 @@ HEADLINE = [
     "multimodal_features",
     "text_chunk_pack",
     "typed_json_roundtrip",
+    # beyond-reference temporal analytics: asof + interval join,
+    # sessionization, funnel (4 legs, one events scan family)
+    "temporal_events",
 ]
 
 
