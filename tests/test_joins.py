@@ -212,3 +212,63 @@ def test_asof_null_keys_and_null_ts_never_match(spark):
     got = {r.id: r.v for r in asof_join(probe, quote, by=["k"], value_cols=["v"]).collect()}
     # probe 1 has a NULL key; quote 1 has a NULL ts — neither pair matches
     assert got == {1: None, 2: None}
+
+
+# -- property: random corpora (with NULL keys/timestamps) vs DuckDB ASOF --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+_minute = st.one_of(st.none(), st.integers(min_value=0, max_value=120))
+_probe_row = st.tuples(_key, st.integers(min_value=0, max_value=120))
+_quote_row = st.tuples(_key, _minute, st.floats(min_value=-10, max_value=10,
+                                               allow_nan=False, width=32))
+
+
+@given(
+    st.lists(_probe_row, min_size=1, max_size=15),
+    st.lists(_quote_row, min_size=0, max_size=15),
+    st.booleans(),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_asof_property_matches_duckdb(spark, probes, quotes, exact):
+    import datetime as dt
+
+    import duckdb as _dd
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return None if m is None else t0 + dt.timedelta(minutes=m)
+
+    pdf = [(i, k, ts(m)) for i, (k, m) in enumerate(probes)]
+    qdf = [(k, ts(m), float(v)) for (k, m, v) in quotes]
+    probe = spark.createDataFrame(pdf, "id long, k string, ts timestamp")
+    quote = spark.createDataFrame(qdf, "k string, ts timestamp, v double")
+    got = {
+        r.id: (None if r.v is None else round(r.v, 6))
+        for r in asof_join(
+            probe, quote, by=["k"], value_cols=["v"], allow_exact_matches=exact,
+            quote_tiebreak="v",  # deterministic winner among equal-ts quotes
+        ).collect()
+    }
+    con = _dd.connect()
+    con.execute("CREATE TABLE p (id BIGINT, k VARCHAR, ts TIMESTAMP)")
+    con.execute("CREATE TABLE q (k VARCHAR, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", pdf)
+    if qdf:
+        con.executemany("INSERT INTO q VALUES (?, ?, ?)", qdf)
+    op = ">=" if exact else ">"
+    # DuckDB ASOF picks an arbitrary winner among equal-ts quotes; make it
+    # deterministic the same way (max v per (k, ts)) before the ASOF join
+    want = {
+        i: (None if v is None else round(v, 6))
+        for i, v in con.execute(
+            f"""SELECT p.id, q.v FROM p ASOF LEFT JOIN
+                (SELECT k, ts, max(v) AS v FROM q
+                 WHERE k IS NOT NULL AND ts IS NOT NULL GROUP BY k, ts) q
+                ON p.k = q.k AND p.ts {op} q.ts"""
+        ).fetchall()
+    }
+    assert got == want
