@@ -1,0 +1,88 @@
+"""Incremental dedup index (operators/dedup_index.py): screening a new
+batch against the persisted index finds exactly the cross-corpus pairs
+the full batch operator finds, plus exact fingerprint hits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
+from mysql_to_s3_spark.operators.dedup_index import (
+    dedup_against_index,
+    dedup_index_pairs,
+    write_dedup_index,
+)
+from mysql_to_s3_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def split_point(corpus):
+    ids = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    return ids[len(ids) // 2]
+
+
+def test_index_pairs_match_full_batch_cross_pairs(spark, corpus, split_point, tmp_path):
+    """index(A) screened with B == the (a in A, b in B) cross pairs of
+    minhash_lsh_pairs(A ∪ B) — same hash family, same verification."""
+    a = corpus.filter(F.col("doc_id") < split_point)
+    b = corpus.filter(F.col("doc_id") >= split_point)
+    path = str(tmp_path / "idx")
+    write_dedup_index(a, path)
+
+    got = {
+        (r.index_id, r.new_id)
+        for r in dedup_index_pairs(b, path, threshold=0.9).collect()
+    }
+    # full-batch oracle: pairs with exactly one side in each half
+    # (pairs are a < b and A ids < split <= B ids, so a in A, b in B)
+    want = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(corpus, threshold=0.9).collect()
+        if r.a < split_point <= r.b
+    }
+    assert got == want
+    assert got, "corpus should contain cross-half near-dups"
+
+
+def test_exact_duplicates_always_hit(spark, corpus, split_point, tmp_path):
+    """A verbatim copy with a new id is caught via the fingerprint even
+    at jaccard 1.0 (and regardless of LSH)."""
+    a = corpus.filter(F.col("doc_id") < split_point)
+    path = str(tmp_path / "idx")
+    write_dedup_index(a, path)
+    copies = (
+        a.orderBy("doc_id").limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    hits = dedup_index_pairs(copies, path, threshold=0.9)
+    per_copy = {r.new_id for r in hits.filter(F.col("jaccard") == 1.0).collect()}
+    assert {r.doc_id for r in copies.select("doc_id").collect()} <= per_copy
+
+
+def test_incremental_ingest_filter_and_append(spark, corpus, split_point, tmp_path):
+    """dedup_against_index drops exactly the hit docs; appending the
+    survivors makes re-screening them a no-op (idempotent ingest)."""
+    a = corpus.filter(F.col("doc_id") < split_point)
+    b = corpus.filter(F.col("doc_id") >= split_point)
+    path = str(tmp_path / "idx")
+    write_dedup_index(a, path)
+
+    hit_ids = {r.new_id for r in dedup_index_pairs(b, path, threshold=0.9).collect()}
+    # materialize before appending — the lazy frame's lineage re-reads
+    # the index parquet (see dedup_against_index docstring)
+    kept = dedup_against_index(b, path, threshold=0.9).localCheckpoint()
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == {r.doc_id for r in b.select("doc_id").collect()} - hit_ids
+
+    write_dedup_index(kept, path, mode="append")
+    # every kept doc is now an exact hit against the extended index
+    rescreen = dedup_index_pairs(kept, path, threshold=0.9)
+    self_hits = {r.new_id for r in rescreen.filter(F.col("jaccard") == 1.0).collect()}
+    assert kept_ids <= self_hits
+    assert dedup_against_index(kept, path, threshold=0.9).count() == 0
