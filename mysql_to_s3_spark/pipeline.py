@@ -80,6 +80,7 @@ class CorpusConfig:
     near_dup: str | None = None  # None | "minhash" | "ngram" | "simhash"
     near_threshold: float = 0.9
     max_hamming: int = 3  # simhash only
+    index_path: str | None = None  # screen against a persisted dedup index
     mixture_rates: Mapping[str, float] | None = None  # stratum -> keep rate
     strata_col: str = "lang"
     mixture_default_rate: float = 0.0
@@ -156,6 +157,21 @@ def prepare_corpus(
         pairs = _near_dup_pairs(out, cfg)
         out = dedup_by_components(out, pairs, id_col=cfg.id_col)
         stages.append(("near_dedup", out))
+
+    if cfg.index_path is not None:
+        # incremental ingest: after IN-batch dedup, drop everything the
+        # persisted corpus index already holds (exact or near) — the old
+        # corpus is touched only through its index
+        from mysql_to_s3_spark.operators.dedup_index import dedup_against_index
+
+        out = dedup_against_index(
+            out,
+            cfg.index_path,
+            threshold=cfg.near_threshold,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+        )
+        stages.append(("index_dedup", out))
 
     if cfg.mixture_rates is not None:
         # after dedup (rates are per UNIQUE doc, the published convention)

@@ -304,3 +304,24 @@ def test_chunk_then_shard_composition(spark, docs, tmp_path):
     got = [json.loads(line)["doc"] for f in files for line in open(f)]
     ids = [json.loads(d)["chunk_id"] for d in got]
     assert len(ids) == len(set(ids)) == chunks.count()
+
+
+def test_index_dedup_stage(spark, docs, tmp_path):
+    """With index_path set, the pipeline drops docs the persisted corpus
+    index already holds (incremental ingest)."""
+    from mysql_to_s3_spark.operators.dedup_index import write_dedup_index
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "corpus_idx")
+    write_dedup_index(old, path)
+
+    cfg = CorpusConfig(exact=True, index_path=path, near_threshold=0.9)
+    prep = prepare_corpus(new, cfg)
+    assert [n for n, _ in prep.stages] == ["input", "exact_dedup", "index_dedup"]
+    kept = {r.doc_id for r in prep.docs.select("doc_id").collect()}
+    from mysql_to_s3_spark.operators.dedup_index import dedup_index_pairs
+
+    hits = {r.new_id for r in dedup_index_pairs(new, path, threshold=0.9).collect()}
+    assert kept == {r.doc_id for r in new.select("doc_id").collect()} - hits
+    assert hits  # the corpus has cross-parity near-dups
