@@ -123,8 +123,13 @@ def dedup_index_pairs(
     idx_docs = spark.read.parquet(path + "/docs")
     idx_bands = spark.read.parquet(path + "/bands")
 
-    new_docs = _doc_rows(new_df, id_col, text_col, n_hashes)
-    new_docs = new_docs.persist()
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+
+    # scoped cache (LRU per family, evicted frames unpersisted) — a bare
+    # .persist() would pin the batch's shingle sets until session end
+    new_docs = cache_scoped(
+        _doc_rows(new_df, id_col, text_col, n_hashes), "dedup_index.new_docs"
+    )
     cand = (
         _band_rows(new_docs, n_hashes, bands)
         .join(
