@@ -231,6 +231,27 @@ def _minhash_columns(hb: Column, n_hashes: int) -> list[Column]:
     ]
 
 
+def lsh_band_rows(docs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH keys from a frame with (id, sig) — the ONE
+    definition of the band-bucket formula, shared by the in-memory
+    operator and the persisted incremental index (dedup_index.py): any
+    change here changes both sides together, keeping signatures written
+    by one batch joinable with keys computed by any later batch. ``sig``
+    must be a MATERIALIZED column (cache/Exchange/parquet), see the
+    projection-collapse note in `_minhash_columns`."""
+    r = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return docs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -265,16 +286,7 @@ def minhash_lsh_pairs(
     # band keys read the CACHED signature (element_at on a materialized
     # column — safe to reference n_hashes times, unlike the raw minhash
     # expressions, which projection collapse would duplicate per band)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    band_rows = sets.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "bb.band", "bb.bucket"
-    )
+    band_rows = lsh_band_rows(sets, n_hashes, bands)
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     cand = (

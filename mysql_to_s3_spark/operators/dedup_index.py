@@ -4,29 +4,27 @@ of the old corpus.
 
 At 100 TB the corpus is append-only and arrives in batches; re-running
 `minhash_lsh_pairs` over old ∪ new per batch re-pays the full corpus
-shingling cost every time. The index stores, once per ingested doc:
+shingling cost every time. The index is three tables under one path:
 
-- ``fp``  — the 16-byte exact-dedup fingerprint,
-- ``sig`` — the 64-long minhash signature,
-- ``hb``  — the xxhash64-folded distinct shingle set (``array<long>``,
-  ~8 bytes/shingle: the verify payload, a few percent of text size),
-
-plus a ``bands`` table of (band, bucket, id) keys — the same two-table
-persisted-index shape as the IVF ANN index (vectors + centroids).
+- ``docs``  — one row per ingested doc: ``fp`` (the normalized-text
+  exact-dedup fingerprint), ``sig`` (the minhash signature), and ``hb``
+  (the doc's distinct shingle set as FULL 64-bit xxhash64 values,
+  ~8 bytes/shingle — the verify payload, a few percent of text size);
+- ``bands`` — (band, bucket, id) LSH keys (`dedup.lsh_band_rows`, the
+  same formula the in-memory operator uses);
+- ``meta``  — (n_hashes, bands, shingle_k): the hash-family shape, read
+  back at screen time so a writer/reader parameter mismatch is
+  impossible (the same sidecar idea as the IVF index's centroids).
 
 A new batch then pays exactly its own cost: project its shingles and
-signature, equi-join its band keys against the index's bands table,
-signature pre-verify (σ-scaled margin, same as the batch operator), and
-decide with HASHED Jaccard over the stored ``hb`` sets — exact up to
-64-bit collisions (~1e-12 per screened pair; the trade is stated in
-`decontam.contamination_pairs`'s hashed switch too). The old corpus is
-touched only through the index: one bands equi-join plus point lookups
-of ``sig``/``hb`` for candidates.
-
-Consistency contract: the index's hash family (`dedup._base_hashes` +
-`_minhash_columns` constants) is deterministic, so signatures written
-by one batch compare exactly with signatures computed by any later
-batch.
+signature, equi-join its band keys against the bands table, signature
+pre-verify (σ-scaled margin, same as the batch operator), and decide
+with Jaccard over the stored 64-bit hash sets — the collision odds for
+~1k-shingle docs are ~|A|·|B|/2^64 ≈ 1e-13 per screened pair, so the
+decision agrees with exact string Jaccard for all practical purposes
+(the minhash SIGNATURES still derive from the 2^32-folded universe so
+they stay bit-identical with `minhash_lsh_pairs`). The old corpus is
+touched only through the index.
 
 Reference parity: none (beyond-reference, SURVEY §2 item 8 — the
 reference re-extracts from scratch; its `Counter` resume is row-id
@@ -35,49 +33,42 @@ based, not content-based).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from mysql_to_s3_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_N,
-    _base_hashes,
+    SHINGLE_K,
     _minhash_columns,
-    _shingle_sets,
+    lsh_band_rows,
+    shingles,
 )
 from mysql_to_s3_spark.operators.text import fingerprint
 
 
-def _doc_rows(df: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
-    """(id, fp, hb, sig) — one scan; hb is materialized by a repartition
-    Exchange before sig derives from it, so projection collapse cannot
-    re-expand the per-shingle xxhash64 into all n_hashes permutations
-    (same trap + fix as minhash_lsh_pairs)."""
+class DedupIndexError(ValueError):
+    pass
+
+
+def _doc_rows(df: DataFrame, id_col: str, text_col: str, n_hashes: int, k: int) -> DataFrame:
+    """(id, fp, hb, sig) in ONE scan: fingerprint and shingles project
+    together; ``hb`` keeps the full 64-bit shingle hashes (the decision
+    payload), while the signature permutes the 2^32-folded values so it
+    stays bit-identical with `minhash_lsh_pairs`. hb is materialized by
+    a repartition Exchange before sig derives from it, so projection
+    collapse cannot re-expand the per-shingle xxhash64 into all n_hashes
+    permutations (same trap + fix as minhash_lsh_pairs)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        _shingle_sets(df, id_col, text_col)
-        .join(
-            df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")),
-            "id",
-        )
-        .withColumn("hb", F.array_distinct(_base_hashes(F.col("sh"))))
-        .repartition(par, "id")
-    )
-    sig = F.array(*_minhash_columns(F.col("hb"), n_hashes))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("hb"),
+    ).repartition(par, "id")
+    folded = F.transform(F.col("hb"), lambda h: F.pmod(h, F.lit(2**32)))
+    sig = F.array(*_minhash_columns(folded, n_hashes))
     return base.select("id", "fp", "hb", sig.alias("sig"))
-
-
-def _band_rows(docs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    r = n_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    return docs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "bb.band", "bb.bucket"
-    )
 
 
 def write_dedup_index(
@@ -87,23 +78,35 @@ def write_dedup_index(
     text_col: str = "text",
     n_hashes: int = MINHASH_N,
     bands: int = MINHASH_BANDS,
+    shingle_k: int = SHINGLE_K,
     mode: str = "overwrite",
 ) -> None:
     """Build/extend the index. ``mode='append'`` adds a new batch's docs
-    (callers append only the batch's KEPT docs, after screening)."""
-    docs = _doc_rows(df, id_col, text_col, n_hashes)
-    docs.write.mode(mode).parquet(path + "/docs")
-    # derive bands from the WRITTEN docs parquet: the signatures are read
-    # back materialized instead of recomputing the whole shingle/minhash
-    # projection a second time (and the two tables cannot diverge).
-    # mode='append' must only band the rows just written, so scope the
-    # read-back to this batch's ids via a broadcast semi-join.
+    (callers append only the batch's KEPT docs, after screening).
+
+    The batch frame is frozen with ``localCheckpoint`` before any write:
+    the docs and bands tables must be derived from the SAME evaluation —
+    a lazy frame whose lineage reads this very index (the
+    `dedup_against_index` output, the natural append input) would
+    otherwise re-screen against the just-extended docs table when the
+    bands write re-evaluates it, anti-join itself away, and leave the
+    appended docs with no band keys (silent recall loss)."""
     spark = df.sparkSession
-    written = spark.read.parquet(path + "/docs")
     if mode == "append":
-        batch_ids = df.select(F.col(id_col).alias("id")).distinct()
-        written = written.join(F.broadcast(batch_ids), "id", "left_semi")
-    _band_rows(written, n_hashes, bands).write.mode(mode).parquet(path + "/bands")
+        meta = spark.read.parquet(path + "/meta").first()
+        if (meta.n_hashes, meta.bands, meta.shingle_k) != (n_hashes, bands, shingle_k):
+            raise DedupIndexError(
+                f"index at {path} was built with (n_hashes={meta.n_hashes}, "
+                f"bands={meta.bands}, shingle_k={meta.shingle_k}); "
+                f"append requested ({n_hashes}, {bands}, {shingle_k})"
+            )
+    docs = _doc_rows(df, id_col, text_col, n_hashes, shingle_k).localCheckpoint()
+    docs.write.mode(mode).parquet(path + "/docs")
+    lsh_band_rows(docs, n_hashes, bands).write.mode(mode).parquet(path + "/bands")
+    if mode != "append":
+        spark.createDataFrame(
+            [(n_hashes, bands, shingle_k)], "n_hashes int, bands int, shingle_k int"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
 def dedup_index_pairs(
@@ -112,30 +115,33 @@ def dedup_index_pairs(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = MINHASH_N,
-    bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """(new_id, index_id, jaccard) for every new doc within ``threshold``
-    of an indexed doc — plus exact-duplicate hits at jaccard 1.0 via the
-    fingerprint (an identical doc always matches even if, pathologically,
-    LSH missed it). Only the new batch is shingled."""
+    of an indexed doc, via the hash family recorded in the index's meta
+    table. Near pairs decide on 64-bit hashed Jaccard (≈ exact string
+    Jaccard; collision odds ~1e-13/pair); additionally, an identical doc
+    AFTER text normalization always matches at jaccard 1.0 through the
+    fingerprint — a deliberate superset of the raw-shingle operator
+    (normalized-exact copies are duplicates even when case/whitespace
+    shifts their raw shingles). Only the new batch is shingled."""
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+
     spark = new_df.sparkSession
+    meta = spark.read.parquet(path + "/meta").first()
+    n_hashes, bands = int(meta.n_hashes), int(meta.bands)
     idx_docs = spark.read.parquet(path + "/docs")
     idx_bands = spark.read.parquet(path + "/bands")
-
-    from mysql_to_s3_spark.functions.cachepool import cache_scoped
 
     # scoped cache (LRU per family, evicted frames unpersisted) — a bare
     # .persist() would pin the batch's shingle sets until session end
     new_docs = cache_scoped(
-        _doc_rows(new_df, id_col, text_col, n_hashes), "dedup_index.new_docs"
+        _doc_rows(new_df, id_col, text_col, n_hashes, int(meta.shingle_k)),
+        "dedup_index.new_docs",
     )
     cand = (
-        _band_rows(new_docs, n_hashes, bands)
+        lsh_band_rows(new_docs, n_hashes, bands)
         .join(
-            idx_bands.select(
-                F.col("id").alias("index_id"), "band", "bucket"
-            ),
+            idx_bands.select(F.col("id").alias("index_id"), "band", "bucket"),
             ["band", "bucket"],
         )
         .select(F.col("id").alias("new_id"), "index_id")
@@ -186,13 +192,9 @@ def dedup_against_index(
     """The incremental ingest filter: new docs minus everything already
     represented in the index (exact or near) — one anti-join against the
     (small) hit set. Survivors are what `write_dedup_index(mode='append')`
-    should then add.
-
-    MATERIALIZE the result (localCheckpoint / write) before appending it
-    to the same index: the returned frame is lazy and its lineage
-    re-reads the index parquet on every evaluation, so evaluating it
-    AFTER the append would screen against the extended index (the batch
-    would then anti-join itself away)."""
+    should then add (the append freezes its input, so passing this lazy
+    result straight in is safe; evaluating it yourself AFTER the append
+    would re-screen against the extended index)."""
     hits = (
         dedup_index_pairs(new_df, path, threshold, id_col, text_col)
         .select(F.col("new_id").alias(id_col))

@@ -46,7 +46,20 @@ def test_index_pairs_match_full_batch_cross_pairs(spark, corpus, split_point, tm
         for r in minhash_lsh_pairs(corpus, threshold=0.9).collect()
         if r.a < split_point <= r.b
     }
-    assert got == want
+    # the fingerprint leg is a deliberate SUPERSET: normalized-exact
+    # copies (case/whitespace variants) hit at 1.0 even when raw-shingle
+    # Jaccard would not — compute it explicitly for the comparison
+    from mysql_to_s3_spark.operators.text import fingerprint as _fp
+
+    fps = corpus.select("doc_id", _fp(F.col("text")).alias("fp"))
+    fa = fps.filter(F.col("doc_id") < split_point).select(
+        F.col("doc_id").alias("ia"), "fp"
+    )
+    fb = fps.filter(F.col("doc_id") >= split_point).select(
+        F.col("doc_id").alias("ib"), "fp"
+    )
+    fp_cross = {(r.ia, r.ib) for r in fa.join(fb, "fp").collect()}
+    assert got == want | fp_cross
     assert got, "corpus should contain cross-half near-dups"
 
 
@@ -86,3 +99,27 @@ def test_incremental_ingest_filter_and_append(spark, corpus, split_point, tmp_pa
     self_hits = {r.new_id for r in rescreen.filter(F.col("jaccard") == 1.0).collect()}
     assert kept_ids <= self_hits
     assert dedup_against_index(kept, path, threshold=0.9).count() == 0
+
+
+def test_append_with_mismatched_params_rejected(spark, corpus, split_point, tmp_path):
+    from mysql_to_s3_spark.operators.dedup_index import DedupIndexError
+
+    a = corpus.filter(F.col("doc_id") < split_point)
+    path = str(tmp_path / "idx")
+    write_dedup_index(a, path, n_hashes=64, bands=16)
+    with pytest.raises(DedupIndexError, match="n_hashes"):
+        write_dedup_index(a, path, n_hashes=64, bands=8, mode="append")
+
+
+def test_screen_uses_persisted_meta_not_defaults(spark, corpus, split_point, tmp_path):
+    """An index written with a non-default band count still screens
+    correctly: the reader takes the shape from the meta table."""
+    a = corpus.filter(F.col("doc_id") < split_point)
+    b = corpus.filter(F.col("doc_id") >= split_point)
+    path = str(tmp_path / "idx8")
+    write_dedup_index(a, path, bands=8)  # r = 8 per band
+    got = {
+        (r.index_id, r.new_id)
+        for r in dedup_index_pairs(b, path, threshold=0.9).collect()
+    }
+    assert got, "bands=8 index must still produce candidates via meta"
