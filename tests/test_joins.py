@@ -272,3 +272,52 @@ def test_asof_property_matches_duckdb(spark, probes, quotes, exact):
         ).fetchall()
     }
     assert got == want
+
+
+_iv_row = st.tuples(_key, st.integers(min_value=0, max_value=100),
+                    st.integers(min_value=0, max_value=40))
+
+
+@given(
+    st.lists(_probe_row, min_size=1, max_size=12),
+    st.lists(_iv_row, min_size=0, max_size=8),
+    st.sampled_from([60, 600, 3600]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_interval_join_property_matches_duckdb(spark, probes, ivs, gran):
+    """Bucketized interval join == plain range join for any granularity."""
+    import datetime as dt
+
+    import duckdb as _dd
+
+    from mysql_to_s3_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    pdf = [(i, k, ts(m)) for i, (k, m) in enumerate(probes)]
+    # interval = [start, start + dur]; iv id for identity
+    idf = [(j, k, ts(s), ts(s + d)) for j, (k, s, d) in enumerate(ivs)]
+    probe = spark.createDataFrame(pdf, "id long, k string, ts timestamp")
+    intervals = spark.createDataFrame(idf, "iv long, k string, start timestamp, end timestamp")
+    got = {
+        (r.id, r.iv)
+        for r in interval_join(
+            probe, intervals, by=["k"], value_cols=["iv"], granularity_secs=gran
+        ).collect()
+    }
+    con = _dd.connect()
+    con.execute("CREATE TABLE p (id BIGINT, k VARCHAR, ts TIMESTAMP)")
+    con.execute("CREATE TABLE iv (iv BIGINT, k VARCHAR, s TIMESTAMP, e TIMESTAMP)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", pdf)
+    if idf:
+        con.executemany("INSERT INTO iv VALUES (?, ?, ?, ?)", idf)
+    want = set(
+        con.execute(
+            "SELECT p.id, iv.iv FROM p JOIN iv ON p.k = iv.k "
+            "AND p.ts >= iv.s AND p.ts <= iv.e"
+        ).fetchall()
+    )
+    assert got == want
