@@ -8,9 +8,10 @@ the same shape — a user declares WHAT the corpus should satisfy and the
 engine composes the verified operators into one lazy DataFrame plan:
 
     quality gate -> language gate -> exact dedup -> near-dup cluster
-    removal -> mixture weighting (stratified downsample) -> benchmark
-    decontamination -> PII redaction -> deterministic split ->
-    (chunk ->) token-budget packed shard write
+    removal -> persisted-index screen (incremental ingest) -> mixture
+    weighting (stratified downsample) -> benchmark decontamination ->
+    PII redaction -> deterministic split -> (chunk ->) token-budget
+    packed shard write
 
 Stage-order rationale (each choice is load-bearing at 100 TB):
 
