@@ -116,6 +116,69 @@ def funnel(
     )
 
 
+def funnel_within(
+    df: DataFrame,
+    by: list[str],
+    steps: list,
+    within: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-boxed funnel: converted iff SOME step-1 event starts a strict
+    ordered completion of all steps with every later step inside
+    ``within`` (an INTERVAL literal) of that start. Output one row per
+    key: (by..., converted, start_ts = earliest completing start, or
+    null).
+
+    Greedy-earliest (see ``funnel``) is NOT exact here — the earliest
+    step-1 may time-box out while a later one completes — so every
+    candidate start is tried: one ``collect_list`` shuffle per key, then
+    pure Column algebra — an outer HOF over candidate starts and an
+    inner ``aggregate`` fold that greedily advances through the steps
+    (greedy IS optimal once the start is fixed, by the classic exchange
+    argument). O(n² · k) worst case per key inside whole-stage codegen;
+    per-key memory is the event array — the same bound the trimmed-stats
+    aggregate carries, and the practical one for per-user event counts.
+    Cross-checked against a pure-Python reference implementation over
+    randomized corpora (hypothesis) in tests/test_sessions.py.
+    """
+    if not by:
+        raise ValueError("funnel_within requires at least one `by` key")
+    if not steps:
+        raise ValueError("funnel_within requires at least one step predicate")
+    k = len(steps)
+    mask = F.array(*[F.coalesce(p.cast("boolean"), F.lit(False)) for p in steps])
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), mask.alias("m")))
+    )
+    grouped = df.groupBy(*by).agg(arr.alias("__arr__"))
+    win = F.expr(f"INTERVAL {within}")
+
+    def completes(s):
+        zero = F.struct(F.lit(1).alias("step"), s["t"].alias("last"))
+
+        def advance(st, e):
+            can = (
+                (st["step"] < k)
+                & F.element_at(e["m"], st["step"] + 1)
+                & (e["t"] > st["last"])
+                & (e["t"] <= s["t"] + win)
+            )
+            return F.when(
+                can, F.struct((st["step"] + 1).alias("step"), e["t"].alias("last"))
+            ).otherwise(st)
+
+        return F.aggregate(F.col("__arr__"), zero, advance)["step"] == k
+
+    starts = F.filter(F.col("__arr__"), lambda e: F.element_at(e["m"], 1))
+    completing = F.filter(starts, completes)
+    return grouped.select(
+        *by,
+        (F.size(completing) > 0).alias("converted"),
+        # try_element_at: ANSI element_at throws on the empty array
+        F.try_element_at(completing, F.lit(1))["t"].alias("start_ts"),
+    )
+
+
 def stream_session_stats(
     sdf: DataFrame,
     by: list[str],

@@ -184,3 +184,76 @@ def test_funnel_single_exchange(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_within_basic(spark):
+    """The earliest signup times out; a later one converts — greedy
+    earliest-start would miss this."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    from mysql_to_s3_spark.operators.sessions import funnel_within
+
+    rows = [
+        ("u", ts(0), "A"),    # early start: next B is 100 min away -> out of window
+        ("u", ts(90), "A"),   # late start: B at 100, C at 110 -> within 30 min
+        ("u", ts(100), "B"),
+        ("u", ts(110), "C"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, e string")
+    r = funnel_within(
+        df, by=["k"],
+        steps=[F.col("e") == s for s in ("A", "B", "C")],
+        within="30 minutes",
+    ).first()
+    assert r.converted and r.start_ts == ts(90)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ev = st.tuples(st.integers(min_value=0, max_value=50), st.integers(min_value=0, max_value=7))
+
+
+@given(st.lists(_ev, min_size=1, max_size=18), st.sampled_from([5, 15, 40]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_funnel_within_property_matches_python_reference(spark, events, win_min):
+    import datetime as dt
+
+    from mysql_to_s3_spark.operators.sessions import funnel_within
+
+    t0 = dt.datetime(2024, 1, 1)
+    K = 3
+    rows = [("k", t0 + dt.timedelta(minutes=m), v) for m, v in events]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    got = funnel_within(
+        df, by=["k"],
+        steps=[F.col("v").bitwiseAND(1 << i) != 0 for i in range(K)],
+        within=f"{win_min} minutes",
+    ).first()
+
+    # pure-Python reference: same sort order (ts, then mask array), try
+    # every start, greedy advance inside the window
+    ev = sorted(
+        ((t0 + dt.timedelta(minutes=m), [bool(v & (1 << i)) for i in range(K)])
+         for m, v in events),
+        key=lambda e: (e[0], e[1]),
+    )
+    win = dt.timedelta(minutes=win_min)
+    expect_start = None
+    for t1, m1 in ev:
+        if not m1[0]:
+            continue
+        step, last = 1, t1
+        for t, m in ev:
+            if step < K and m[step] and t > last and t <= t1 + win:
+                step, last = step + 1, t
+        if step == K:
+            expect_start = t1
+            break
+    assert got.converted == (expect_start is not None)
+    assert got.start_ts == expect_start
