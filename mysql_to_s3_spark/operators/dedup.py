@@ -274,7 +274,6 @@ def minhash_lsh_pairs(
     # collapse from re-expanding the per-shingle base hash into each of
     # the n_hashes permutation expressions.
     par = df.sparkSession.sparkContext.defaultParallelism
-    r = n_hashes // bands
     sig = F.array(*_minhash_columns(F.col("__hb__"), n_hashes))
     sets = (
         _shingle_sets(df, id_col, text_col)

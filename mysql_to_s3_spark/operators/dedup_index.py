@@ -92,6 +92,11 @@ def write_dedup_index(
     bands write re-evaluates it, anti-join itself away, and leave the
     appended docs with no band keys (silent recall loss)."""
     spark = df.sparkSession
+    if mode not in ("overwrite", "append"):
+        # SaveMode.Ignore/ErrorIfExists would no-op the data writes while
+        # the meta rewrite below still ran, silently flipping the
+        # recorded hash shape out from under the stored tables
+        raise DedupIndexError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     if mode == "append":
         meta = spark.read.parquet(path + "/meta").first()
         if (meta.n_hashes, meta.bands, meta.shingle_k) != (n_hashes, bands, shingle_k):
@@ -101,8 +106,14 @@ def write_dedup_index(
                 f"append requested ({n_hashes}, {bands}, {shingle_k})"
             )
     docs = _doc_rows(df, id_col, text_col, n_hashes, shingle_k).localCheckpoint()
-    docs.write.mode(mode).parquet(path + "/docs")
+    # bands BEFORE docs: the two appends are not atomic, and the failure
+    # modes differ — a crash after bands-only leaves orphan band keys
+    # (harmless: candidates with no doc row drop out of the sig join),
+    # while docs-without-bands would be SILENT near-dup recall loss.
+    # Recover a half-done append by re-running it after deduplicating on
+    # id, or rebuild with mode='overwrite'.
     lsh_band_rows(docs, n_hashes, bands).write.mode(mode).parquet(path + "/bands")
+    docs.write.mode(mode).parquet(path + "/docs")
     if mode != "append":
         spark.createDataFrame(
             [(n_hashes, bands, shingle_k)], "n_hashes int, bands int, shingle_k int"
@@ -147,16 +158,20 @@ def dedup_index_pairs(
         .select(F.col("id").alias("new_id"), "index_id")
         .distinct()
     )
+    # STAGED verification, same as minhash_lsh_pairs: join SIGNATURES
+    # only (n_hashes longs) for every band candidate, prune at the
+    # σ-scaled margin, and attach the ~KB-scale hb shingle sets only for
+    # survivors — a template-heavy corpus floods the bands (176k
+    # candidates for 255 true pairs measured there), and shuffling both
+    # sides' full sets per candidate would dominate the screen
     margin = 4.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
     est = (
         cand.join(
-            new_docs.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n"),
-                            F.col("hb").alias("hb_n")),
+            new_docs.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n")),
             "new_id",
         )
         .join(
-            idx_docs.select(F.col("id").alias("index_id"), F.col("sig").alias("sig_i"),
-                            F.col("hb").alias("hb_i")),
+            idx_docs.select(F.col("id").alias("index_id"), F.col("sig").alias("sig_i")),
             "index_id",
         )
         .withColumn(
@@ -165,11 +180,14 @@ def dedup_index_pairs(
             / F.lit(float(n_hashes)),
         )
         .filter(F.col("__est__") >= F.lit(max(0.0, threshold - margin)))
+        .select("new_id", "index_id")
     )
     inter = F.size(F.array_intersect("hb_n", "hb_i"))
     j = inter.cast("double") / (F.size("hb_n") + F.size("hb_i") - inter)
     near = (
-        est.select("new_id", "index_id", F.round(j, 6).alias("jaccard"))
+        est.join(new_docs.select(F.col("id").alias("new_id"), F.col("hb").alias("hb_n")), "new_id")
+        .join(idx_docs.select(F.col("id").alias("index_id"), F.col("hb").alias("hb_i")), "index_id")
+        .select("new_id", "index_id", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     exact = (
