@@ -123,3 +123,51 @@ def test_screen_uses_persisted_meta_not_defaults(spark, corpus, split_point, tmp
         for r in dedup_index_pairs(b, path, threshold=0.9).collect()
     }
     assert got, "bands=8 index must still produce candidates via meta"
+
+
+# -- property: randomized corpora with planted near-dups --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_base = st.text(alphabet="abcdef ", min_size=30, max_size=60)
+
+
+@given(
+    st.lists(_base, min_size=2, max_size=6, unique=True),
+    st.data(),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_index_screen_property_matches_batch(spark, tmp_path_factory, bases, data):
+    """Random corpora with planted single-char-mutation near-dups: the
+    index screen equals batch cross pairs ∪ fingerprint matches."""
+    from mysql_to_s3_spark.operators.text import fingerprint as _fp
+
+    docs = []
+    i = 0
+    for b in bases:
+        docs.append((i, b)); i += 1
+        if data.draw(st.booleans()):
+            pos = data.draw(st.integers(min_value=0, max_value=len(b) - 1))
+            docs.append((i, b[:pos] + b[pos + 1:]))  # near-dup by deletion
+            i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    split = data.draw(st.integers(min_value=1, max_value=len(docs) - 1))
+    a = df.filter(F.col("doc_id") < split)
+    b_ = df.filter(F.col("doc_id") >= split)
+    path = str(tmp_path_factory.mktemp("prop") / "idx")
+    write_dedup_index(a, path)
+    got = {
+        (r.index_id, r.new_id)
+        for r in dedup_index_pairs(b_, path, threshold=0.7).collect()
+    }
+    want = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(df, threshold=0.7).collect()
+        if r.a < split <= r.b
+    }
+    fps = df.select("doc_id", _fp(F.col("text")).alias("fp"))
+    fa = fps.filter(F.col("doc_id") < split).select(F.col("doc_id").alias("ia"), "fp")
+    fb = fps.filter(F.col("doc_id") >= split).select(F.col("doc_id").alias("ib"), "fp")
+    fp_cross = {(r.ia, r.ib) for r in fa.join(fb, "fp").collect()}
+    assert got == want | fp_cross
