@@ -106,6 +106,25 @@ class PreparedCorpus:
         on anything expensive)."""
         return {name: df.count() for name, df in self.stages}
 
+    def audit(self, id_col: str = "doc_id") -> DataFrame:
+        """(id_col, dropped_at) for every input doc that did NOT survive
+        — the doc-level "why was this dropped" companion to ``funnel``:
+        each row names the first stage whose output no longer contains
+        the doc. Survivors are absent. Lazy; one anti-join per stage
+        boundary (stages that drop nothing contribute empty legs), so
+        cache the source before collecting this on a large corpus."""
+        out: DataFrame | None = None
+        for (_, prev_df), (name, df) in zip(self.stages, self.stages[1:]):
+            dropped = (
+                prev_df.select(id_col)
+                .join(df.select(id_col), id_col, "left_anti")
+                .withColumn("dropped_at", F.lit(name))
+            )
+            out = dropped if out is None else out.unionByName(dropped)
+        if out is None:
+            raise PipelineError("audit needs at least one configured stage")
+        return out
+
 
 def _near_dup_pairs(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     if cfg.near_dup == "simhash":

@@ -325,3 +325,31 @@ def test_index_dedup_stage(spark, docs, tmp_path):
     hits = {r.new_id for r in dedup_index_pairs(new, path, threshold=0.9).collect()}
     assert kept == {r.doc_id for r in new.select("doc_id").collect()} - hits
     assert hits  # the corpus has cross-parity near-dups
+
+
+def test_audit_names_the_dropping_stage(spark, docs, tmp_path):
+    """audit() partitions the dropped docs exactly: every input doc is
+    either in the final corpus or audited with the stage that dropped
+    it, and each audited doc really is absent from that stage on."""
+    bench = (
+        docs.orderBy("doc_id").limit(3).select("doc_id", "text")
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    cfg = CorpusConfig(
+        min_quality=0.8, exact=True, near_dup="minhash",
+        decontam_threshold=0.8, splits={"train": 1.0},
+    )
+    prep = prepare_corpus(docs, cfg, bench=bench)
+    audit = {r.doc_id: r.dropped_at for r in prep.audit().collect()}
+    final_ids = {r.doc_id for r in prep.docs.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    # partition: dropped ∪ survived == input, disjoint
+    assert set(audit) | final_ids == all_ids
+    assert not set(audit) & final_ids
+    # stage attribution agrees with the per-stage frames
+    stages = dict(prep.stages)
+    for doc_id, stage in audit.items():
+        ids_at_stage = {r.doc_id for r in stages[stage].select("doc_id").collect()}
+        assert doc_id not in ids_at_stage
+    # at least quality and one dedup stage actually dropped something
+    assert {"quality"} <= set(audit.values())
