@@ -115,6 +115,41 @@ def stratified_hash_sample(
     return df.filter(_salted_bucket(F.col(id_col), salt) < cut)
 
 
+def sample_per_key(
+    df: DataFrame,
+    by: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "perkey",
+) -> DataFrame:
+    """Deterministic cap of ``n`` rows per key: keeps the rows whose
+    salted content hash ranks lowest within the key — the "at most N
+    examples per domain/dedup-cluster/template" op. Unlike
+    ``df.sample``/``rand()`` ordering, the kept set is a pure function
+    of the ids: stable across runs, engines, partitionings, and corpus
+    growth (a kept row is only ever displaced by a new lower-hash row,
+    never by reordering).
+
+    One window shuffle on ``by``; rank ties are impossible for distinct
+    ids (the hash ties break on the id itself). At 100 TB prefer this
+    over collect_list-based capping: the window buffer spills, an array
+    does not."""
+    if not by:
+        raise ValueError("sample_per_key requires at least one `by` key")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(
+        _salted_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
 def stratified_hash_sample_sql(
     table: str,
     rates: dict[str, float],

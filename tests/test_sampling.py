@@ -153,3 +153,28 @@ def test_stratified_sample_sql_edge_cases(spark, ids):
     got = {r.doc_id for r in stratified_hash_sample(strat, rates, "src").collect()}
     want = {r[0] for r in con.execute(stratified_hash_sample_sql("t", rates, "src")).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_sample_per_key_caps_and_is_stable(spark, ids):
+    from mysql_to_s3_spark.operators.sampling import sample_per_key
+
+    strat = ids.withColumn("src", (F.col("doc_id") % 5).cast("string"))
+    out = sample_per_key(strat, by=["src"], n=100)
+    counts = dict(out.groupBy("src").count().collect())
+    assert all(c == 100 for c in counts.values()) and len(counts) == 5
+    # keys with fewer than n rows keep everything
+    small = strat.filter(F.col("doc_id") < 30)
+    assert sample_per_key(small, by=["src"], n=100).count() == 30
+    # deterministic: same rows on repeat and under reshuffling
+    a = {r.doc_id for r in out.collect()}
+    shuffled = strat.orderBy(F.reverse(F.col("doc_id").cast("string"))).repartition(7)
+    b = {r.doc_id for r in sample_per_key(shuffled, by=["src"], n=100).collect()}
+    assert a == b
+    # growth stability: adding rows only ever displaces kept rows with
+    # lower-hash newcomers — kept set of the subset ⊇ overlap rule:
+    # every row kept from the FULL corpus that exists in the subset is
+    # also kept from the subset
+    sub = strat.filter(F.col("doc_id") % 3 != 0)
+    kept_sub = {r.doc_id for r in sample_per_key(sub, by=["src"], n=100).collect()}
+    sub_ids = {r.doc_id for r in sub.select("doc_id").collect()}
+    assert (a & sub_ids) <= kept_sub
