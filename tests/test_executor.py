@@ -262,6 +262,10 @@ def test_window_rownum_per_partition(spark, sf_dir, duck):
             }
         ],
         "select": ["l_orderkey", "l_linenumber", "seq"],
+        # deterministic sort BEFORE the limit so the kept 10k rows agree
+        # with the oracle at any scale factor (a bare LIMIT over >10k
+        # rows picks arbitrary rows on each engine)
+        "sort": ["l_orderkey", "l_linenumber"],
         "limit": 10000,
     }
     got = run_q(spark, sf_dir, q)
@@ -269,7 +273,7 @@ def test_window_rownum_per_partition(spark, sf_dir, duck):
         duck,
         """SELECT l_orderkey, l_linenumber,
                   row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS seq
-           FROM lineitem LIMIT 10000""",
+           FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
     )
     assert_same_rows(got, want)
 
@@ -283,20 +287,25 @@ def test_window_sliding_sum(spark, sf_dir, duck):
                 "value": "l_quantity",
                 "aggregate": "sum",
                 "edges": ["l_orderkey"],
-                "sort": ["l_linenumber"],
+                # qty+price tiebreak: synthetic lineitem has duplicate
+                # (orderkey, linenumber) rows at sf>=0.01, and a ROWS
+                # frame over an ambiguous order is engine-arbitrary
+                "sort": ["l_linenumber", "l_quantity", "l_extendedprice"],
                 "range": {"min": None, "max": 1},  # unbounded preceding .. current
             }
         ],
         "select": ["l_orderkey", "l_linenumber", "running_qty"],
+        "sort": ["l_orderkey", "l_linenumber"],
         "limit": 10000,
     }
     got = run_q(spark, sf_dir, q)
     want = duck_sorted(
         duck,
         """SELECT l_orderkey, l_linenumber,
-                  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  sum(l_quantity) OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_quantity, l_extendedprice
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
-           FROM lineitem LIMIT 10000""",
+           FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 10000""",
     )
     assert_same_rows(got, want, tol=1e-6)
 

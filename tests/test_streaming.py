@@ -113,6 +113,9 @@ def test_stateful_subbatch_continues_across_microbatches(spark, events_stream_di
 
 def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
     dest = str(tmp_path / "out")
+    n_events = spark.read.parquet(events_stream_dir).count()
+    # keep the sub-batch count bounded at any test scale factor
+    batch_spec = ["day", max(10, n_events // 30)]
     schema = spark.read.parquet(events_stream_dir).schema
     sdf = read_parquet_stream(spark, events_stream_dir, schema, max_files_per_trigger=1)
     writer = stream_extract(
@@ -120,13 +123,18 @@ def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
         destination=dest,
         fact_name="events",
         field="ts",
-        batch_spec=["day", 10],
+        batch_spec=batch_spec,
         start="2024-01-01",
         id_cols=("event_id",),
         checkpoint=str(tmp_path / "ckpt"),
     )
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    # availableNow terminates on its own once every file is processed;
+    # a fixed 180 s await truncated the output at larger test scale
+    # factors (thousands of 10-row sub-batch dirs), reading a half-done
+    # stream as a failure
+    q.awaitTermination(600)
+    assert not q.isActive, "stream did not drain in time"
 
     batch_dirs = [d for d in glob.glob(os.path.join(dest, "*")) if os.path.isdir(d)]
     assert batch_dirs, "no batch directories written"
@@ -140,7 +148,7 @@ def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
 
     # batch-key dirs match the batch-side counter assignment
     events = spark.read.parquet(events_stream_dir)
-    keyed = batch_key_columns(events, "ts", "2024-01-01", ["day", 10], tiebreak_cols=("event_id",))
+    keyed = batch_key_columns(events, "ts", "2024-01-01", batch_spec, tiebreak_cols=("event_id",))
     want_keys = {
         f"{r['__batch0__']}.{r['__batch1__']}"
         for r in keyed.select("__batch0__", "__batch1__").distinct().collect()
@@ -166,9 +174,9 @@ def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
     for k, n in per_dir.items():
         b0, b1 = (int(x) for x in k.split("."))
         if b1 < last_b1[b0]:
-            assert n == 10, (k, n)
+            assert n == batch_spec[1], (k, n)
         else:
-            assert n <= 10, (k, n)
+            assert n <= batch_spec[1], (k, n)
 
 
 def test_stream_exact_dedup_drops_rearrivals(spark, tmp_path):
