@@ -138,6 +138,8 @@ def sample_per_key(
         raise ValueError("sample_per_key requires at least one `by` key")
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if "__rn__" in df.columns:
+        raise ValueError("input already has a __rn__ column (reserved)")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*by).orderBy(

@@ -99,6 +99,7 @@ class PreparedCorpus:
 
     docs: DataFrame
     stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+    id_col: str = "doc_id"
 
     def funnel(self) -> dict[str, int]:
         """Row count at every stage boundary — a diagnostic that runs
@@ -106,13 +107,14 @@ class PreparedCorpus:
         on anything expensive)."""
         return {name: df.count() for name, df in self.stages}
 
-    def audit(self, id_col: str = "doc_id") -> DataFrame:
+    def audit(self, id_col: str | None = None) -> DataFrame:
         """(id_col, dropped_at) for every input doc that did NOT survive
         — the doc-level "why was this dropped" companion to ``funnel``:
         each row names the first stage whose output no longer contains
         the doc. Survivors are absent. Lazy; one anti-join per stage
         boundary (stages that drop nothing contribute empty legs), so
         cache the source before collecting this on a large corpus."""
+        id_col = id_col if id_col is not None else self.id_col
         out: DataFrame | None = None
         for (_, prev_df), (name, df) in zip(self.stages, self.stages[1:]):
             dropped = (
@@ -122,7 +124,14 @@ class PreparedCorpus:
             )
             out = dropped if out is None else out.unionByName(dropped)
         if out is None:
-            raise PipelineError("audit needs at least one configured stage")
+            # pass-through config: nothing was dropped — empty frame,
+            # same schema, so generic tooling needs no special case
+            src = self.stages[0][1]
+            return (
+                src.select(id_col)
+                .withColumn("dropped_at", F.lit(""))
+                .limit(0)
+            )
         return out
 
 
@@ -226,7 +235,7 @@ def prepare_corpus(
         out = out.withColumn(cfg.split_col, hash_split(F.col(cfg.id_col), dict(cfg.splits)))
         stages.append(("split", out))
 
-    return PreparedCorpus(docs=out, stages=stages)
+    return PreparedCorpus(docs=out, stages=stages, id_col=cfg.id_col)
 
 
 def prepare_corpus_stream(

@@ -258,22 +258,28 @@ def test_window_rownum_per_partition(spark, sf_dir, duck):
             {
                 "name": "seq",
                 "edges": ["l_orderkey"],
-                "sort": ["l_linenumber"],
+                # unique window sort: with duplicate (orderkey, linenumber)
+                # rows a limit cut inside a tie group would otherwise pair
+                # a kept row with a different engine-arbitrary seq
+                "sort": ["l_linenumber", "l_quantity", "l_extendedprice"],
             }
         ],
         "select": ["l_orderkey", "l_linenumber", "seq"],
-        # deterministic sort BEFORE the limit so the kept 10k rows agree
-        # with the oracle at any scale factor (a bare LIMIT over >10k
-        # rows picks arbitrary rows on each engine)
-        "sort": ["l_orderkey", "l_linenumber"],
+        # UNIQUE sort BEFORE the limit so the kept 10k rows agree with
+        # the oracle at any scale factor: a bare LIMIT picks arbitrary
+        # rows, and (orderkey, linenumber) alone is non-unique at
+        # sf>=0.01 so a cut inside a tie group would still diverge
+        "sort": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
         "limit": 10000,
     }
     got = run_q(spark, sf_dir, q)
     want = duck_sorted(
         duck,
         """SELECT l_orderkey, l_linenumber,
-                  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS seq
-           FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000""",
+                  row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_quantity, l_extendedprice) - 1 AS seq
+           FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           LIMIT 10000""",
     )
     assert_same_rows(got, want)
 
@@ -295,7 +301,7 @@ def test_window_sliding_sum(spark, sf_dir, duck):
             }
         ],
         "select": ["l_orderkey", "l_linenumber", "running_qty"],
-        "sort": ["l_orderkey", "l_linenumber"],
+        "sort": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
         "limit": 10000,
     }
     got = run_q(spark, sf_dir, q)

@@ -327,7 +327,7 @@ def test_index_dedup_stage(spark, docs, tmp_path):
     assert hits  # the corpus has cross-parity near-dups
 
 
-def test_audit_names_the_dropping_stage(spark, docs, tmp_path):
+def test_audit_names_the_dropping_stage(spark, docs):
     """audit() partitions the dropped docs exactly: every input doc is
     either in the final corpus or audited with the stage that dropped
     it, and each audited doc really is absent from that stage on."""
@@ -352,4 +352,7 @@ def test_audit_names_the_dropping_stage(spark, docs, tmp_path):
         ids_at_stage = {r.doc_id for r in stages[stage].select("doc_id").collect()}
         assert doc_id not in ids_at_stage
     # at least quality and one dedup stage actually dropped something
-    assert {"quality"} <= set(audit.values())
+    assert {"quality", "near_dedup"} <= set(audit.values())
+    # pass-through config: empty audit frame, not an error
+    empty = prepare_corpus(docs, CorpusConfig(exact=False)).audit()
+    assert empty.count() == 0 and set(empty.columns) == {"doc_id", "dropped_at"}
