@@ -284,6 +284,126 @@ def ivf_search_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m one-byte codes for
+# memory-bound ANN (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — the standard IVF companion).
+# Vectors are L2-NORMALIZED before codebook fit/encode so asymmetric
+# L2 ranking agrees with cosine ranking (||a-b||² = 2 - 2·cos on the
+# unit sphere); exact cosine re-ranks the ADC shortlist.
+
+
+def _normalize(vec: Column) -> Column:
+    n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = _SEED,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: split each (normalized) vector into ``m``
+    contiguous subvectors and run KMeans(k) independently in each
+    subspace (distributed Lloyd's, one fit per subspace over the same
+    cached projection). Returns codebooks[s][c] = centroid c of
+    subspace s. Storage after encoding: m bytes/vector at k<=256 —
+    a 32x compression of a 64-dim float vector."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    norm = df.select(_normalize(F.col(vec_col)).alias("v")).cache()
+    books = []
+    for s in range(m):
+        feats = norm.select(
+            array_to_vector(F.slice(F.col("v"), s * d + 1, d)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=20).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    norm.unpersist()
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], vec_col: str = "embedding") -> DataFrame:
+    """Add ``__pq__`` (array<int>, one code per subspace): nearest
+    centroid per subspace over the normalized vector — linear-size
+    Column algebra (array_position of array_min, the same anti-3^n
+    shape as the IVF assigner)."""
+    m, d = len(codebooks), len(codebooks[0][0])
+    v = _normalize(F.col(vec_col))
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        scores = F.array(
+            *[
+                F.lit(sum(x * x for x in c))
+                - F.lit(2.0) * F.aggregate(
+                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in codebooks[s]
+            ]
+        )
+        codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
+    return df.withColumn("__pq__", F.array(*codes))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query's per-subspace
+    distances to every centroid form an m x k lookup table (driver-side,
+    tiny); each row's approximate distance is m table lookups summed —
+    no per-row float math against the full vector. The ``shortlist``
+    best ADC rows are re-ranked with exact cosine. At corpus scale the
+    scan reads ONLY the m-byte codes (pass ``encoded=True`` over a
+    pq_encode'd table); the exact re-rank touches ``shortlist`` full
+    vectors."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    m, d = len(codebooks), len(codebooks[0][0])
+    lut = [
+        [
+            sum((q[s * d + j] - c[j]) ** 2 for j in range(d))
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
+    base = df if encoded else pq_encode(df, codebooks, vec_col)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__pq__"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda code, s: F.element_at(F.element_at(lut_lit, s), code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        base.select(F.col(id_col), F.col(vec_col), adc.alias("__adc__"))
+        .orderBy(F.col("__adc__").asc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    return _cosine_rerank(short, query_vec, k, id_col, vec_col)
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.45,
