@@ -27,9 +27,23 @@ extract/dedup); beyond-reference LLM-pipeline operator per SURVEY §6.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from mysql_to_s3_spark.operators.dedup import SHINGLE_K, shingles
+
+log = logging.getLogger(__name__)
+
+# conf-key fallback for contamination_pairs(broadcast_max_shingles=...).
+# Bench sides at or under this many exploded shingles broadcast (the
+# fast path — eval suites are MBs); above it the join degrades to a
+# plain shuffle instead of OOMing every executor. 32M hashed shingles
+# ≈ 256 MB of int64 keys — comfortably under a default 1 GiB executor
+# broadcast budget even with row overhead; string shingles are larger
+# per row, so the same count bound is the conservative one.
+BENCH_BROADCAST_CAP_CONF = "mysql_to_s3_spark.decontam.broadcastMaxShingles"
+DEFAULT_BENCH_BROADCAST_CAP = 32_000_000
 
 
 def contamination_pairs(
@@ -41,6 +55,7 @@ def contamination_pairs(
     bench_id_col: str = "doc_id",
     text_col: str = "text",
     hashed: bool = False,
+    broadcast_max_shingles: int | None = None,
 ) -> DataFrame:
     """(train_id, bench_id, overlap, overlap_frac) for every pair with
     round(overlap_frac, 6) >= threshold. ``overlap`` counts distinct
@@ -55,7 +70,14 @@ def contamination_pairs(
     comparison a long compare. A cross-doc hash collision can inflate an
     overlap count by ~1/|bench shingles|; at 64 bits that is ~1e-12 per
     screened pair — keep the exact string form only where results feed a
-    value-equality parity check."""
+    value-equality parity check.
+
+    ``broadcast_max_shingles`` (or the ``BENCH_BROADCAST_CAP_CONF``
+    session conf) guards the bench-side broadcast: one cheap count-agg
+    estimates the exploded bench shingle volume, and a bench side larger
+    than the cap falls back to a plain shuffle join (logged) instead of
+    broadcasting past executor memory — the valve for callers screening
+    corpus-vs-corpus through the ``hashed`` path."""
 
     def _sh(col):
         s = shingles(col, k)
@@ -69,10 +91,30 @@ def contamination_pairs(
         F.col(bench_id_col).alias("bench_id"), _sh(F.col(text_col)).alias("s")
     )
     bsh = bsets.select("bench_id", F.size("s").alias("n_bench"), F.explode("s").alias("shingle"))
+    if broadcast_max_shingles is None:
+        try:
+            raw = train.sparkSession.conf.get(BENCH_BROADCAST_CAP_CONF, None)
+        except Exception:
+            raw = None
+        broadcast_max_shingles = (
+            int(raw) if raw is not None else DEFAULT_BENCH_BROADCAST_CAP
+        )
+    n_bench_shingles = (
+        bsets.agg(F.coalesce(F.sum(F.size("s")), F.lit(0)).alias("n")).first()["n"]
+    )
+    if n_bench_shingles <= broadcast_max_shingles:
+        bsh = F.broadcast(bsh)
+    else:
+        log.warning(
+            "decontamination bench side has %d shingles (> cap %d): "
+            "falling back to a shuffle join instead of broadcasting",
+            n_bench_shingles,
+            broadcast_max_shingles,
+        )
     # shingle lists are array_distinct per doc, so count(*) per pair is
     # exactly the distinct shared-shingle count — no count_distinct Expand
     pairs = (
-        tsh.join(F.broadcast(bsh), "shingle")
+        tsh.join(bsh, "shingle")
         .filter(F.col("train_id") != F.col("bench_id"))
         .groupBy("train_id", "bench_id", "n_bench")
         .agg(F.count(F.lit(1)).alias("overlap"))
@@ -94,10 +136,12 @@ def decontaminate(
     bench_id_col: str = "doc_id",
     text_col: str = "text",
     hashed: bool = False,
+    broadcast_max_shingles: int | None = None,
 ) -> DataFrame:
     """Drop every contaminated doc from ``train`` — one left-anti join
     against the (small) contaminated-id set."""
     hits = contamination_pairs(
-        train, bench, threshold, k, train_id_col, bench_id_col, text_col, hashed
+        train, bench, threshold, k, train_id_col, bench_id_col, text_col,
+        hashed, broadcast_max_shingles,
     ).select(F.col("train_id").alias(train_id_col)).distinct()
     return train.join(hits, train_id_col, "left_anti")

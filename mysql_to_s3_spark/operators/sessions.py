@@ -24,6 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+# conf-key fallback for funnel_within(max_events_per_key=...) — the same
+# skew-valve contract as the snowflake child cap (snowflake.py:
+# CHILD_CAP_CONF). None/unset = unbounded (exact over every key).
+FUNNEL_EVENT_CAP_CONF = "mysql_to_s3_spark.funnel.eventCapPerKey"
+
 
 def sessionize(
     df: DataFrame,
@@ -122,6 +127,7 @@ def funnel_within(
     steps: list,
     within: str,
     ts_col: str = "ts",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Time-boxed funnel: converted iff SOME step-1 event starts a strict
     ordered completion of all steps with every later step inside
@@ -138,8 +144,14 @@ def funnel_within(
     argument). O(n² · k) worst case per key inside whole-stage codegen;
     per-key memory is the event array — the same bound the trimmed-stats
     aggregate carries, and the practical one for per-user event counts.
-    Cross-checked against a pure-Python reference implementation over
-    randomized corpora (hypothesis) in tests/test_sessions.py.
+    ``max_events_per_key`` (or the ``FUNNEL_EVENT_CAP_CONF`` session
+    conf) is the skew valve for keys where that bound fails: keep the
+    first cap events per key (ts order, step-mask tiebreak) and report
+    the per-key ``n_dropped`` count — a capped key's result is computed
+    over its earliest cap events, the truncation is visible, and no
+    single task holds an unbounded array. Cross-checked against a
+    pure-Python reference implementation over randomized corpora
+    (hypothesis) in tests/test_sessions.py.
     """
     if not by:
         raise ValueError("funnel_within requires at least one `by` key")
@@ -147,10 +159,42 @@ def funnel_within(
         raise ValueError("funnel_within requires at least one step predicate")
     k = len(steps)
     mask = F.array(*[F.coalesce(p.cast("boolean"), F.lit(False)) for p in steps])
+    if max_events_per_key is None:
+        try:
+            raw = df.sparkSession.conf.get(FUNNEL_EVENT_CAP_CONF, None)
+        except Exception:
+            raw = None
+        max_events_per_key = int(raw) if raw is not None else None
+    dropped = None
+    if max_events_per_key is not None:
+        # Skew valve (the snowflake child-cap contract): a bot/service key
+        # with millions of events must not become one unbounded
+        # collect_list task. Keep the FIRST cap events in (ts, step-mask)
+        # order via a spillable row_number window BEFORE the collect —
+        # both windows share the one partitionBy(by) exchange — and
+        # surface the per-key dropped count as `n_dropped` (0 = exact).
+        cap = int(max_events_per_key)
+        if cap < 1:
+            raise ValueError("max_events_per_key must be >= 1")
+        maskbits = None
+        for i in range(k):
+            bit = F.element_at(mask, i + 1).cast("long") * F.lit(2**i)
+            maskbits = bit if maskbits is None else maskbits + bit
+        wv = Window.partitionBy(*by).orderBy(F.col(ts_col).asc(), maskbits.asc())
+        wn = Window.partitionBy(*by)
+        df = (
+            df.withColumn("__fw_rn__", F.row_number().over(wv))
+            .withColumn("__fw_n__", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__fw_rn__") <= cap)
+        )
+        dropped = F.greatest(F.max("__fw_n__") - F.lit(cap), F.lit(0)).alias(
+            "n_dropped"
+        )
     arr = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("t"), mask.alias("m")))
     )
-    grouped = df.groupBy(*by).agg(arr.alias("__arr__"))
+    aggs = [arr.alias("__arr__")] + ([dropped] if dropped is not None else [])
+    grouped = df.groupBy(*by).agg(*aggs)
     win = F.expr(f"INTERVAL {within}")
 
     def completes(s):
@@ -176,6 +220,7 @@ def funnel_within(
         (F.size(completing) > 0).alias("converted"),
         # try_element_at: ANSI element_at throws on the empty array
         F.try_element_at(completing, F.lit(1))["t"].alias("start_ts"),
+        *([F.col("n_dropped")] if dropped is not None else []),
     )
 
 

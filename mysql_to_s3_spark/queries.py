@@ -1961,6 +1961,14 @@ _q(
 
 
 def _format_table_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged 3-leg result-shaping driver row (r5 merge of the former
+    format_cube_2d row — same format-roundtrip family, one driver slot;
+    the multi-leg pattern of edges_range_histogram). `table` =
+    list2table header/data round-trip; `cube1d` = 1-D cube with parts
+    re-emitted in declaration order and data['n'] a coordinate-indexed
+    vector; `cube2d` = 2-D cube with data['n'] a (edge0, edge1) matrix.
+    All flattened to (leg, k1, k2, n); table's n-key is k1/k2 the group
+    keys, cube1d has k2 NULL."""
     from mysql_to_s3_spark.plans.formats import run_formatted
 
     shaped = run_formatted(
@@ -1974,13 +1982,81 @@ def _format_table_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir=sf_dir,
     )
     assert shaped["meta"]["format"] == "table"
-    return spark.createDataFrame(shaped["data"], shaped["header"])
+    assert shaped["header"] == ["l_returnflag", "l_linestatus", "n"]
+    rows = [("table", r[0], r[1], r[2]) for r in shaped["data"]]
+    one = run_formatted(
+        {
+            "from": "customer",
+            "edges": [
+                {
+                    "name": "seg",
+                    "value": "c_mktsegment",
+                    "allowNulls": False,
+                    "domain": {"type": "set", "partitions": ["BUILDING", "AUTOMOBILE", "MACHINERY"]},
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            "format": "cube",
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    assert one["meta"]["format"] == "cube"
+    segs = [p["value"] for p in one["edges"][0]["domain"]["partitions"]]
+    rows += [("cube1d", s, None, one["data"]["n"][i]) for i, s in enumerate(segs)]
+    two = run_formatted(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "rf",
+                    "value": "l_returnflag",
+                    "allowNulls": False,
+                    "domain": {"type": "set", "partitions": ["A", "N", "R"]},
+                },
+                {
+                    "name": "ls",
+                    "value": "l_linestatus",
+                    "allowNulls": False,
+                    "domain": {"type": "set", "partitions": ["F", "O"]},
+                },
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            "format": "cube",
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    rfs = [p["value"] for p in two["edges"][0]["domain"]["partitions"]]
+    lss = [p["value"] for p in two["edges"][1]["domain"]["partitions"]]
+    rows += [
+        ("cube2d", rf, ls, two["data"]["n"][i][j])
+        for i, rf in enumerate(rfs)
+        for j, ls in enumerate(lss)
+    ]
+    return spark.createDataFrame(rows, "leg string, k1 string, k2 string, n bigint")
 
 
 _q(
     "format_table_roundtrip",
     _format_table_spark,
-    """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2""",
+    """WITH agg AS (SELECT l_returnflag AS k1, l_linestatus AS k2, count(*) AS n
+                    FROM lineitem
+                    WHERE l_returnflag IN ('A','N','R') AND l_linestatus IN ('F','O')
+                    GROUP BY 1, 2),
+            dense AS (SELECT k1, k2 FROM (VALUES ('A'),('N'),('R')) r(k1)
+                      CROSS JOIN (VALUES ('F'),('O')) l(k2))
+       SELECT 'table' AS leg, l_returnflag AS k1, l_linestatus AS k2, count(*) AS n
+       FROM lineitem GROUP BY 2, 3
+       UNION ALL
+       SELECT 'cube1d' AS leg, c_mktsegment AS k1, CAST(NULL AS VARCHAR) AS k2,
+              count(*) AS n
+       FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+       GROUP BY 2
+       UNION ALL
+       SELECT 'cube2d' AS leg, dense.k1 AS k1, dense.k2 AS k2,
+              CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+       FROM dense LEFT JOIN agg USING (k1, k2)""",
 )
 
 
@@ -2136,99 +2212,19 @@ _q(
 )
 
 
-def _format_cube2d_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged cube-format driver row. `cube1d` leg: parts are SORTED
-    (declaration order BUILDING/AUTOMOBILE/MACHINERY re-emitted in
-    declaration order per the reference contract) and data['n'] is a
-    vector indexed by part coordinate. `cube2d` leg: data['n'] is a
-    matrix indexed by (edge0, edge1). Both flattened back to
-    (leg, k1, k2, n) rows for the oracle compare; cube1d has k2 NULL."""
-    from mysql_to_s3_spark.plans.formats import run_formatted
-
-    one = run_formatted(
-        {
-            "from": "customer",
-            "edges": [
-                {
-                    "name": "seg",
-                    "value": "c_mktsegment",
-                    "allowNulls": False,
-                    "domain": {"type": "set", "partitions": ["BUILDING", "AUTOMOBILE", "MACHINERY"]},
-                }
-            ],
-            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-            "format": "cube",
-        },
-        spark=spark,
-        sf_dir=sf_dir,
-    )
-    assert one["meta"]["format"] == "cube"
-    segs = [p["value"] for p in one["edges"][0]["domain"]["partitions"]]
-    rows = [("cube1d", s, None, one["data"]["n"][i]) for i, s in enumerate(segs)]
-    two = run_formatted(
-        {
-            "from": "lineitem",
-            "edges": [
-                {
-                    "name": "rf",
-                    "value": "l_returnflag",
-                    "allowNulls": False,
-                    "domain": {"type": "set", "partitions": ["A", "N", "R"]},
-                },
-                {
-                    "name": "ls",
-                    "value": "l_linestatus",
-                    "allowNulls": False,
-                    "domain": {"type": "set", "partitions": ["F", "O"]},
-                },
-            ],
-            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-            "format": "cube",
-        },
-        spark=spark,
-        sf_dir=sf_dir,
-    )
-    rfs = [p["value"] for p in two["edges"][0]["domain"]["partitions"]]
-    lss = [p["value"] for p in two["edges"][1]["domain"]["partitions"]]
-    rows += [
-        ("cube2d", rf, ls, two["data"]["n"][i][j])
-        for i, rf in enumerate(rfs)
-        for j, ls in enumerate(lss)
-    ]
-    return spark.createDataFrame(rows, "leg string, k1 string, k2 string, n bigint")
-
-
-_q(
-    "format_cube_2d",
-    _format_cube2d_spark,
-    """WITH agg AS (SELECT l_returnflag AS k1, l_linestatus AS k2, count(*) AS n
-                    FROM lineitem
-                    WHERE l_returnflag IN ('A','N','R') AND l_linestatus IN ('F','O')
-                    GROUP BY 1, 2),
-            dense AS (SELECT k1, k2 FROM (VALUES ('A'),('N'),('R')) r(k1)
-                      CROSS JOIN (VALUES ('F'),('O')) l(k2))
-       SELECT 'cube1d' AS leg, c_mktsegment AS k1, CAST(NULL AS VARCHAR) AS k2,
-              count(*) AS n
-       FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
-       GROUP BY 2
-       UNION ALL
-       SELECT 'cube2d' AS leg, dense.k1 AS k1, dense.k2 AS k2,
-              CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-       FROM dense LEFT JOIN agg USING (k1, k2)""",
-)
-
-
 # ---------------------------------------------------------------------------
 # Driver ordering. The driver hard-verifies (rows + schema + value-hash vs
-# the DuckDB oracle) only the FIRST 50 catalog entries. As of round 4 the
+# the DuckDB oracle) only the FIRST 50 catalog entries. As of round 5 the
 # catalog IS exactly 50 entries — every formerly-out-of-window variant was
 # either a strict subset of a merged row (deleted) or folded in as a
 # tagged leg (edges_set_domain_dense, edges_time_week_dense,
-# edges_default_domain, window_running_sum, format_cube_2d,
+# edges_default_domain, window_running_sum, format_table_roundtrip,
 # counters_batch_keys each carry 2-4 legs) — so EVERY registered semantic
-# gets a hard driver row. DRIVER_ORDER lists all 50 in family order; the
-# local gate (tests/test_driver_contract.py) runs the identical oracle
-# compare over the same set.
+# gets a hard driver row, including the r4 temporal family (the cube row
+# was merged into format_table_roundtrip in r5 to free its slot).
+# DRIVER_ORDER lists all 50 in family order; the local gate
+# (tests/test_driver_contract.py) runs the identical oracle compare over
+# the same set.
 
 DRIVER_ORDER: list[str] = [
     # flagship + core setops
@@ -2288,12 +2284,14 @@ DRIVER_ORDER: list[str] = [
     "update_delete_container",
     "ingest_type_widening",
     # result shaping
-    "format_table_roundtrip",
-    "format_cube_2d",            # legs: sorted 1-D cube / 2-D matrix
+    "format_table_roundtrip",    # legs: table / sorted 1-D cube / 2-D matrix
     # incremental batch counters
     "counters_batch_keys",       # legs: day x 500 / calendar month x 400
     # ES typed-JSON wire format round-trip
     "typed_json_roundtrip",
+    # temporal analytics (beyond-reference): asof / interval / session /
+    # greedy funnel / time-boxed funnel legs
+    "temporal_events",
 ]
 
 
@@ -2356,29 +2354,39 @@ _q(
 
 
 def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged 4-leg temporal-analytics row over the events table —
-    beyond-reference operators (operators/joins.py, sessions.py), kept
-    OUTSIDE the driver's 50-entry window by design (DRIVER_ORDER covers
-    every reference semantic; this entry rides the identical local
-    oracle gate in tests/test_driver_contract.py):
+    """Tagged 5-leg temporal-analytics row over the events table —
+    beyond-reference operators (operators/joins.py, sessions.py), a
+    HARD driver row since r5 (slot freed by the format_table/cube merge):
 
-    - `asof`:   per purchase, latest prior signup value (ASOF JOIN)
+    - `asof`:   per purchase, latest prior signup value (ASOF JOIN;
+                deterministic under (user_id, ts) quote ties via
+                quote_tiebreak='sv', mirrored by a max() pre-agg in the
+                DuckDB oracle)
     - `range`:  each event resolved into its session interval
     - `sess`:   per-session rollup (start/end/n_events)
     - `funnel`: per-user greedy signup->click->purchase timestamps
+    - `fwin`:   time-boxed funnel (funnel_within, 3 days) — converted +
+                earliest completing start, vs a triple-self-join EXISTS
+                oracle
+
+    All five legs read ONE pooled scan of the events table
+    (cachepool.cache_scoped) instead of five parquet scans.
     """
     from pyspark.sql import functions as F
 
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
     from mysql_to_s3_spark.operators.joins import asof_join, interval_join
-    from mysql_to_s3_spark.operators.sessions import funnel, session_stats
+    from mysql_to_s3_spark.operators.sessions import funnel, funnel_within, session_stats
     from mysql_to_s3_spark.sources.registry import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = cache_scoped(load_table(spark, sf_dir, "events"), "temporal_events")
     probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     quote = ev.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", F.col("value").alias("sv")
     )
-    asof = asof_join(probe, quote, by=["user_id"], value_cols=["sv"]).select(
+    asof = asof_join(
+        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv"
+    ).select(
         F.lit("asof").alias("leg"),
         F.col("event_id").alias("a"),
         F.col("user_id").alias("b"),
@@ -2426,7 +2434,25 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step_3_ts").alias("t2"),
         F.col("converted").cast("double").alias("x"),
     )
-    return asof.unionByName(rng).unionByName(sessrow).unionByName(fn)
+    fw = funnel_within(
+        ev,
+        by=["user_id"],
+        steps=[F.col("event_type") == t for t in ("signup", "click", "purchase")],
+        within="3 days",
+    ).select(
+        F.lit("fwin").alias("leg"),
+        F.col("user_id").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("start_ts").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.col("converted").cast("double").alias("x"),
+    )
+    return (
+        asof.unionByName(rng)
+        .unionByName(sessrow)
+        .unionByName(fn)
+        .unionByName(fw)
+    )
 
 
 _SQL_SESS_CTE = """
@@ -2455,11 +2481,24 @@ _q(
     t2 AS (SELECT e.user_id, min(e.ts) AS s2 FROM events e JOIN t1 USING (user_id)
            WHERE e.event_type = 'click' AND e.ts > t1.s1 GROUP BY e.user_id),
     t3 AS (SELECT e.user_id, min(e.ts) AS s3 FROM events e JOIN t2 USING (user_id)
-           WHERE e.event_type = 'purchase' AND e.ts > t2.s2 GROUP BY e.user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.s2 GROUP BY e.user_id),
+    -- fwin: a signup s completes iff SOME ordered click/purchase chain
+    -- fits in (s.ts, s.ts + 3 days] (chain existence == greedy success);
+    -- earliest completing start per user
+    fcomp AS (
+      SELECT DISTINCT s.user_id, s.ts
+      FROM events s JOIN events c
+        ON c.user_id = s.user_id AND c.event_type = 'click' AND c.ts > s.ts
+      JOIN events p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= s.ts + INTERVAL 3 DAY
+      WHERE s.event_type = 'signup'),
+    fwin AS (SELECT user_id, min(ts) AS start_ts FROM fcomp GROUP BY 1)
     SELECT 'asof' AS leg, p.event_id AS a, p.user_id AS b, p.ts AS t1,
            NULL::TIMESTAMP AS t2, q.value::DOUBLE AS x
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') q
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'signup' GROUP BY 1, 2) q
       ON p.user_id = q.user_id AND p.ts >= q.ts
     UNION ALL
     SELECT 'range', e.event_id, s.sq, e.ts, NULL, NULL
@@ -2472,7 +2511,12 @@ _q(
            (t3.user_id IS NOT NULL)::INT::DOUBLE
     FROM (SELECT DISTINCT user_id FROM events) u
     LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
-    LEFT JOIN t3 USING (user_id)""",
+    LEFT JOIN t3 USING (user_id)
+    UNION ALL
+    SELECT 'fwin', u.user_id, NULL, fwin.start_ts, NULL,
+           (fwin.user_id IS NOT NULL)::INT::DOUBLE
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN fwin USING (user_id)""",
 )
 
 

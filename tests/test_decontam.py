@@ -117,3 +117,49 @@ def test_property_random_corpora_match_python_oracle(spark):
         assert got == _py_contamination(docs, bench, tau, 4)
 
     check()
+
+
+def test_broadcast_guard_fallback_same_result(spark, caplog):
+    """A bench side over the shingle cap degrades to a shuffle join
+    (logged) with the identical pair set — the OOM valve for oversized
+    benchmark sets / corpus-vs-corpus screening."""
+    import logging
+
+    train, bench = _frames(spark)
+    want = sorted(
+        map(tuple, contamination_pairs(train, bench, threshold=0.3, k=8).collect())
+    )
+    with caplog.at_level(logging.WARNING, logger="mysql_to_s3_spark.operators.decontam"):
+        got = sorted(
+            map(
+                tuple,
+                contamination_pairs(
+                    train, bench, threshold=0.3, k=8, broadcast_max_shingles=1
+                ).collect(),
+            )
+        )
+    assert got == want and len(got) == 2
+    assert any("falling back to a shuffle join" in r.message for r in caplog.records)
+
+
+def test_broadcast_guard_conf_key(spark, caplog):
+    """BENCH_BROADCAST_CAP_CONF gates the broadcast exactly like the
+    explicit parameter."""
+    import logging
+
+    from mysql_to_s3_spark.operators.decontam import BENCH_BROADCAST_CAP_CONF
+
+    train, bench = _frames(spark)
+    spark.conf.set(BENCH_BROADCAST_CAP_CONF, "1")
+    try:
+        with caplog.at_level(
+            logging.WARNING, logger="mysql_to_s3_spark.operators.decontam"
+        ):
+            ids = {
+                r.train_id
+                for r in contamination_pairs(train, bench, threshold=0.9, k=8).collect()
+            }
+    finally:
+        spark.conf.unset(BENCH_BROADCAST_CAP_CONF)
+    assert ids == {1}
+    assert any("falling back" in r.message for r in caplog.records)

@@ -257,3 +257,87 @@ def test_funnel_within_property_matches_python_reference(spark, events, win_min)
             break
     assert got.converted == (expect_start is not None)
     assert got.start_ts == expect_start
+
+
+def test_funnel_within_capped_golden(spark):
+    """Skew valve: a 100k-event key under a 1k cap — the funnel is
+    decided over the first 1k events (ts order), n_dropped reports the
+    truncation, and no task collects the full array."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.sessions import funnel_within
+
+    big = spark.range(100_000).select(
+        F.lit("big").alias("k"),
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("id"))).alias("ts"),
+        F.when(F.col("id") == 0, "A")
+        .when(F.col("id") == 1, "B")
+        .when(F.col("id") == 2, "C")
+        .otherwise("X")
+        .alias("e"),
+    )
+    small = spark.createDataFrame(
+        [("small", __import__("datetime").datetime(2024, 1, 1), "A")],
+        "k string, ts timestamp, e string",
+    )
+    out = {
+        r.k: r
+        for r in funnel_within(
+            big.unionByName(small),
+            by=["k"],
+            steps=[F.col("e") == s for s in ("A", "B", "C")],
+            within="1 hour",
+            max_events_per_key=1000,
+        ).collect()
+    }
+    assert out["big"].converted and out["big"].n_dropped == 99_000
+    assert out["big"].start_ts.second == 0
+    assert not out["small"].converted and out["small"].n_dropped == 0
+
+
+def test_funnel_within_cap_no_truncation_matches_uncapped(spark, sf_dir):
+    """A cap larger than any key's event count is a no-op apart from the
+    n_dropped=0 column — capped and exact paths agree on the real
+    events table at any test scale factor."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.sessions import funnel_within
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = [F.col("event_type") == t for t in ("signup", "click", "purchase")]
+    exact = {
+        r.user_id: (r.converted, r.start_ts)
+        for r in funnel_within(ev, by=["user_id"], steps=steps, within="3 days").collect()
+    }
+    capped = funnel_within(
+        ev, by=["user_id"], steps=steps, within="3 days",
+        max_events_per_key=10_000_000,
+    ).collect()
+    assert {r.user_id: (r.converted, r.start_ts) for r in capped} == exact
+    assert all(r.n_dropped == 0 for r in capped)
+
+
+def test_funnel_within_cap_via_conf(spark):
+    """FUNNEL_EVENT_CAP_CONF gates the valve exactly like the explicit
+    parameter (the snowflake CHILD_CAP_CONF contract)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.sessions import (
+        FUNNEL_EVENT_CAP_CONF,
+        funnel_within,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(minutes=i), e) for i, e in enumerate("ABCXX")]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, e string")
+    spark.conf.set(FUNNEL_EVENT_CAP_CONF, "3")
+    try:
+        r = funnel_within(
+            df, by=["k"], steps=[F.col("e") == s for s in ("A", "B", "C")],
+            within="1 hour",
+        ).first()
+    finally:
+        spark.conf.unset(FUNNEL_EVENT_CAP_CONF)
+    assert r.converted and r.n_dropped == 2
