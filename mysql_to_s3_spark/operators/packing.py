@@ -133,6 +133,19 @@ def pack_assignments(
     still strictly cheaper than exchanging the slim frame AND re-joining
     the payload by id.
     """
+    # the output schema owns these names; a keep_col (or id_col) that
+    # collides would produce duplicate/ambiguous columns and silently
+    # corrupt downstream shard output — fail clearly instead (the
+    # __rn__ guard contract from sampling.sample_per_key)
+    reserved = {"n_tokens", "bucket", "seq_no", "start_off"}
+    clash = (set(keep_cols) | {id_col}) & reserved
+    if clash:
+        raise ValueError(
+            f"keep_cols/id_col collide with pack_assignments output "
+            f"columns {sorted(clash)}; rename them before packing"
+        )
+    if id_col in keep_cols:
+        raise ValueError(f"id_col {id_col!r} must not be repeated in keep_cols")
     n = F.col(n_tokens_col) if n_tokens_col else token_count(F.col(text_col))
     base = (
         df.select(

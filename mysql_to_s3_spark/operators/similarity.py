@@ -29,6 +29,11 @@ N_HYPERPLANES = 8
 _SEED = 7
 
 
+class IvfIndexError(ValueError):
+    """Raised when an index write would silently corrupt a persisted
+    ANN index (e.g. appending under different centroids)."""
+
+
 def hyperplanes(dim: int = EMBED_DIM, n: int = N_HYPERPLANES, seed: int = _SEED) -> list[list[float]]:
     """Deterministic random hyperplanes (shared with the SQL oracle)."""
     rng = random.Random(seed)
@@ -240,8 +245,29 @@ def ivf_write_index(
     savings — a probe becomes a partition-pruned scan that never opens
     the other cells' files (asserted against the physical plan in
     tests/test_llm_ops.py). At 100 TB the vector table is the only big
-    artifact; the sidecar is centroids × dim doubles."""
+    artifact; the sidecar is centroids × dim doubles.
+
+    ``mode='append'`` is valid ONLY with the index's existing centroids:
+    cell ids must mean the same thing across increments, or every prior
+    vector's partition silently misaligns and partition-pruned searches
+    return wrong results with no error. The existing sidecar is read and
+    compared (the dedup-index meta-gate contract); a mismatch raises
+    IvfIndexError — refitting centroids means a NEW index (overwrite)."""
     spark = df.sparkSession
+    want = [[float(x) for x in c] for c in centroids]
+    if mode == "append":
+        try:
+            existing = ivf_read_centroids(spark, path)
+        except Exception:
+            existing = None  # first write to this path — nothing to guard
+        if existing is not None and existing != want:
+            raise IvfIndexError(
+                f"ivf_write_index(mode='append') at {path}: passed centroids "
+                "differ from the index's centroid sidecar; appending would "
+                "misalign every prior vector's __cell__ partition. Use the "
+                "stored centroids (ivf_read_centroids) for increments, or "
+                "overwrite to rebuild under new centroids."
+            )
     ivf_assign(df, centroids, vec_col).write.mode(mode).partitionBy("__cell__").parquet(
         path + "/vectors"
     )
@@ -304,6 +330,7 @@ def pq_fit(
     k: int = 16,
     vec_col: str = "embedding",
     seed: int = _SEED,
+    max_iter: int = 20,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks: split each (normalized) vector into ``m``
     contiguous subvectors and run KMeans(k) independently in each
@@ -324,7 +351,7 @@ def pq_fit(
         feats = norm.select(
             array_to_vector(F.slice(F.col("v"), s * d + 1, d)).alias("features")
         )
-        model = KMeans(k=k, seed=seed + s, maxIter=20).fit(feats)
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
     norm.unpersist()
     return books
@@ -334,12 +361,24 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], vec_col: str = 
     """Add ``__pq__`` (array<int>, one code per subspace): nearest
     centroid per subspace over the normalized vector — linear-size
     Column algebra (array_position of array_min, the same anti-3^n
-    shape as the IVF assigner)."""
+    shape as the IVF assigner).
+
+    Tree-size note: the normalized vector and each subspace slice are
+    materialized as intermediate projections FIRST, so each of the m·k
+    codeword dot products references a leaf column instead of embedding
+    the whole normalize subtree — inlining it made the analyzed plan
+    grow m·k-fold and planning alone took tens of seconds (the when-chain
+    serialization lesson from _nearest_cell, applied to projections)."""
     m, d = len(codebooks), len(codebooks[0][0])
-    v = _normalize(F.col(vec_col))
+    cols = df.columns
+    norm = df.withColumn("__pqn__", _normalize(F.col(vec_col)))
+    sliced = norm.select(
+        "*",
+        *[F.slice(F.col("__pqn__"), s * d + 1, d).alias(f"__pqs{s}__") for s in range(m)],
+    )
     codes = []
     for s in range(m):
-        sub = F.slice(v, s * d + 1, d)
+        sub = F.col(f"__pqs{s}__")
         scores = F.array(
             *[
                 F.lit(sum(x * x for x in c))
@@ -352,7 +391,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], vec_col: str = 
             ]
         )
         codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
-    return df.withColumn("__pq__", F.array(*codes))
+    return sliced.select(*cols, F.array(*codes).alias("__pq__"))
 
 
 def pq_topk(
@@ -364,15 +403,22 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encoded: bool = False,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query's per-subspace
     distances to every centroid form an m x k lookup table (driver-side,
     tiny); each row's approximate distance is m table lookups summed —
     no per-row float math against the full vector. The ``shortlist``
-    best ADC rows are re-ranked with exact cosine. At corpus scale the
-    scan reads ONLY the m-byte codes (pass ``encoded=True`` over a
-    pq_encode'd table); the exact re-rank touches ``shortlist`` full
-    vectors."""
+    best ADC rows are re-ranked with exact cosine.
+
+    The shortlist pass projects ONLY (id, ``__pq__``) — the TakeOrdered
+    scan carries m-byte codes, never full vectors (that is the whole
+    memory/IO point of PQ; plan-asserted in tests/test_llm_ops.py) —
+    then the ``shortlist`` winning ids broadcast-join back to the
+    full-vector side for the exact re-rank. Pass ``encoded=True`` over a
+    pq_encode'd table to skip re-encoding; ``vectors`` supplies the
+    full-vector table for the re-rank when ``df`` is a codes-only frame
+    (defaults to ``df`` itself)."""
     import math
 
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
@@ -396,12 +442,18 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    short = (
-        base.select(F.col(id_col), F.col(vec_col), adc.alias("__adc__"))
+    short_ids = (
+        base.select(F.col(id_col), adc.alias("__adc__"))
         .orderBy(F.col("__adc__").asc(), F.col(id_col))
         .limit(shortlist)
+        .select(id_col)
     )
-    return _cosine_rerank(short, query_vec, k, id_col, vec_col)
+    full = (vectors if vectors is not None else df).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    return _cosine_rerank(
+        full.join(F.broadcast(short_ids), id_col), query_vec, k, id_col, vec_col
+    )
 
 
 def embedding_dup_pairs_lsh(

@@ -284,3 +284,86 @@ def test_ngram_jaccard_exact_threshold_boundary_pair_kept(spark):
     df2 = spark.createDataFrame([(1, c), (2, d)], "doc_id long, text string")
     pairs2 = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df2, threshold=0.75).collect()}
     assert pairs2 == {(1, 2): 0.75}
+
+
+def test_ivf_append_requires_matching_centroids(spark, sf_dir, tmp_path):
+    """mode='append' under different centroids would silently misalign
+    every prior vector's __cell__ partition — it must raise; appending
+    under the stored centroids is the supported increment path."""
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") < 200)
+    rest = emb.filter(F.col("vec_id") >= 200)
+    centroids = similarity.ivf_fit(first, n_cells=4)
+    path = str(tmp_path / "ivf_app")
+    similarity.ivf_write_index(first, centroids, path)
+
+    refit = similarity.ivf_fit(rest, n_cells=4)
+    assert refit != centroids
+    with _pytest.raises(similarity.IvfIndexError, match="centroid"):
+        similarity.ivf_write_index(rest, refit, path, mode="append")
+
+    # the valid increment: stored centroids -> search equals one-shot build
+    stored = similarity.ivf_read_centroids(spark, path)
+    similarity.ivf_write_index(rest, stored, path, mode="append")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = similarity.ivf_search_index(spark, path, q, k=10, nprobe=4).collect()
+    want = similarity.ivf_topk(emb, q, centroids, k=10, nprobe=4).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [(r["vec_id"], r["cos"]) for r in want]
+
+
+def test_pq_topk_full_shortlist_recovers_exact(spark, sf_dir):
+    """With shortlist >= n the ADC pass is only a reorder — the exact
+    cosine re-rank must reproduce the brute-force top-k exactly."""
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = similarity.pq_fit(emb, m=4, k=8, max_iter=5)
+    assert len(books) == 4 and len(books[0]) == 8
+    n = emb.count()
+    got = similarity.pq_topk(emb, q, books, k=10, shortlist=n).collect()
+    want = similarity.topk_cosine(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [(r["vec_id"], r["cos"]) for r in want]
+
+
+def test_pq_shortlist_scan_reads_codes_not_vectors(spark, sf_dir):
+    """The PQ point: the shortlist TakeOrdered carries (id, ADC) only —
+    the full vector column must not appear in its output (it re-enters
+    only through the broadcast join back for the exact re-rank)."""
+    import re as _re
+
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = similarity.pq_fit(emb, m=4, k=8, max_iter=5)
+    enc = similarity.pq_encode(emb.select("vec_id", "embedding"), books).select(
+        "vec_id", "__pq__"
+    )
+    plan = (
+        similarity.pq_topk(
+            enc, q, books, k=10, shortlist=50, encoded=True,
+            vectors=emb.select("vec_id", "embedding"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    take = [ln for ln in plan.splitlines() if "TakeOrderedAndProject" in ln]
+    assert take and all("embedding" not in ln for ln in take), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=4, k=8, max_iter=5)
+    enc = similarity.pq_encode(emb, books)
+    bad = enc.filter(
+        (F.size("__pq__") != 4)
+        | F.exists("__pq__", lambda c: (c < 0) | (c >= 8))
+    ).count()
+    assert bad == 0

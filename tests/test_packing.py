@@ -96,3 +96,24 @@ def test_pack_oversized_doc_spans_alone(spark):
     rows = {r.doc_id: r for r in pack_assignments(docs, budget=100, n_buckets=1).collect()}
     assert rows[1].seq_no == 0  # big doc sorted first (n desc)
     assert rows[2].start_off == 500 and rows[2].seq_no == 5
+
+
+def test_pack_assignments_rejects_reserved_keep_cols(spark):
+    """A keep/id column named like a generated output column would
+    produce ambiguous duplicates and corrupt shard output silently —
+    it must fail loudly instead."""
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.operators.packing import pack_assignments
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 7)], "doc_id long, text string, bucket long"
+    )
+    with _pytest.raises(ValueError, match="bucket"):
+        pack_assignments(df, keep_cols=("bucket",))
+    with _pytest.raises(ValueError, match="id_col"):
+        pack_assignments(
+            df.withColumnRenamed("bucket", "n_tokens"), id_col="n_tokens"
+        )
+    with _pytest.raises(ValueError, match="repeated"):
+        pack_assignments(df.drop("bucket"), keep_cols=("doc_id",))
