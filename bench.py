@@ -74,8 +74,13 @@ def main() -> None:
     catalog.build("groupby_tpch_q1")(spark, sf_dir).collect()
 
     # min of two runs per query: measures the plan's cost, not transient
-    # host contention (single-run numbers showed 1.5-6x run-to-run noise)
+    # host contention (single-run numbers showed 1.5-6x run-to-run noise).
+    # engine_count_sec additionally times a driver-transfer-free count()
+    # per row — for result-heavy rows (counters at sf1 returns 2.5M rows)
+    # the collect number is transfer-bound and the count number is the
+    # engine's actual cost.
     times: dict[str, float] = {}
+    engine_counts: dict[str, float] = {}
     for name in HEADLINE:
         best = None
         for _ in range(2):
@@ -85,6 +90,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
+        t0 = time.perf_counter()
+        catalog.build(name)(spark, sf_dir).count()
+        engine_counts[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(times.values()), 4)
     print(
@@ -94,6 +102,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "engine_count_sec": engine_counts,
+                "protocol": (
+                    "per query: min-of-2 full collect() (reported) + one "
+                    "engine-side count() (driver-transfer-free). Host note: "
+                    "totals swing 36-70s with neighbor load — re-measure "
+                    "solo on a quiet host before chasing regressions."
+                ),
                 "sf": sf,
             }
         )

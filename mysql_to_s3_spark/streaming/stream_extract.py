@@ -396,6 +396,67 @@ def stream_near_dedup(
     )
 
 
+def adjudicate_near_flags(
+    flags: DataFrame,
+    texts: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BATCH adjudicator for ``stream_near_dedup`` flags — the other half
+    of the documented flag->adjudicate contract: the stream decides on
+    the bounded-state signature ESTIMATE; this re-verifies each flagged
+    (doc_id, matched_id) pair with the batch operator's EXACT round-6
+    Jaccard (dedup._verify_jaccard) over full shingle sets fetched from
+    ``texts`` (the batch-accessible corpus, e.g. the extract sink).
+    Output: (doc_id, matched_id, jaccard) for CONFIRMED pairs only.
+
+    Scale shape: the join touches only flagged ids (a stream's flag
+    volume, not the corpus) — two id-equi-joins against the corpus and
+    one shingle intersect per candidate."""
+    from mysql_to_s3_spark.operators.dedup import _shingle_sets, _verify_jaccard
+
+    cand = flags.select(
+        F.col("doc_id").alias("a"), F.col("matched_id").alias("b")
+    ).distinct()
+    sets = _shingle_sets(texts, id_col, text_col)
+    return _verify_jaccard(cand, sets, threshold).select(
+        F.col("a").alias("doc_id"),
+        F.col("b").alias("matched_id"),
+        "jaccard",
+    )
+
+
+def stream_near_dedup_reconciled(
+    sdf: DataFrame,
+    ts_col: str,
+    texts: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    lateness: str = "1 hour",
+    max_refs_per_bucket: int = 64,
+):
+    """``stream_near_dedup`` wired end-to-end to the batch adjudicator:
+    every micro-batch of in-stream flags is re-verified by
+    ``adjudicate_near_flags`` inside a ``foreachBatch`` step and only
+    CONFIRMED pairs append to ``out_path`` (parquet) — in-stream recall
+    from bounded signature state, batch-exact precision on the output.
+    Returns the DataStreamWriter (caller starts it)."""
+    flags = stream_near_dedup(
+        sdf, ts_col, text_col, id_col, threshold, lateness, max_refs_per_bucket
+    )
+
+    def reconcile(batch_df: DataFrame, epoch_id: int) -> None:
+        confirmed = adjudicate_near_flags(
+            batch_df, texts, threshold, id_col, text_col
+        )
+        confirmed.write.mode("append").parquet(out_path)
+
+    return flags.writeStream.foreachBatch(reconcile)
+
+
 def stream_decontaminate(
     sdf: DataFrame,
     bench_rows: list[tuple],

@@ -171,3 +171,51 @@ def test_index_screen_property_matches_batch(spark, tmp_path_factory, bases, dat
     fb = fps.filter(F.col("doc_id") >= split).select(F.col("doc_id").alias("ib"), "fp")
     fp_cross = {(r.ia, r.ib) for r in fa.join(fb, "fp").collect()}
     assert got == want | fp_cross
+
+
+def test_half_done_append_recovery(spark, corpus, split_point, tmp_path):
+    """The documented crash window: bands appended, docs append never
+    ran. Orphan band keys must be harmless (candidates with no doc row
+    drop out of the signature join), and simply RE-RUNNING the same
+    append must recover — duplicate band rows collapse in the
+    candidates' distinct, so the recovered index screens identically to
+    a cleanly-built one."""
+    from mysql_to_s3_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_N,
+        SHINGLE_K,
+        lsh_band_rows,
+    )
+    from mysql_to_s3_spark.operators.dedup_index import _doc_rows
+
+    a = corpus.filter(F.col("doc_id") < split_point)
+    b = corpus.filter(F.col("doc_id") >= split_point)
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    write_dedup_index(a, clean)
+    write_dedup_index(a, crashed)
+    kept = dedup_against_index(b, clean, threshold=0.9).localCheckpoint()
+
+    write_dedup_index(kept, clean, mode="append")
+    # simulate the crash on the twin: bands land, docs never do
+    docs = _doc_rows(kept, "doc_id", "text", MINHASH_N, SHINGLE_K).localCheckpoint()
+    lsh_band_rows(docs, MINHASH_N, MINHASH_BANDS).write.mode("append").parquet(
+        crashed + "/bands"
+    )
+
+    def pairs(path):
+        return {
+            (r.index_id, r.new_id, r.jaccard)
+            for r in dedup_index_pairs(b, path, threshold=0.9).collect()
+        }
+
+    # orphan band keys are inert: the crashed index screens exactly like
+    # an index holding only batch A
+    pre = str(tmp_path / "pre")
+    write_dedup_index(a, pre)
+    assert pairs(crashed) == pairs(pre)
+
+    # recovery = re-run the append verbatim
+    write_dedup_index(kept, crashed, mode="append")
+    assert pairs(crashed) == pairs(clean)
+    assert dedup_against_index(kept, crashed, threshold=0.9).count() == 0

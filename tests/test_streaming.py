@@ -311,3 +311,69 @@ def test_stream_decontaminate_drops_contaminated_docs(spark, tmp_path):
         r["doc_id"] for r in decontaminate(batch_docs, bench_df, threshold=0.5, k=13).collect()
     )
     assert batch_kept == kept
+
+
+def test_stream_near_dedup_reconciled_confirms_with_batch_jaccard(spark, tmp_path):
+    """The flag->adjudicate contract end-to-end: a near-dup arriving in a
+    LATER micro-batch is flagged in-stream (signature estimate) and
+    CONFIRMED by the foreachBatch batch adjudicator's exact Jaccard;
+    only confirmed pairs land in the output parquet."""
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        adjudicate_near_flags,
+        stream_near_dedup_reconciled,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the cat sat on the mat "
+        "watching the ships sail slowly over the calm evening sea"
+    )
+    near = base.replace("evening", "morning")
+    other = (
+        "completely different content about distributed query engines "
+        "and columnar execution with vectorized operators and shuffles "
+        "nothing in common with the fox or the rain or the mat at all"
+    )
+    src = str(tmp_path / "near_rec_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+            ).astype("datetime64[us]"),
+            "text": [base, other],
+        }
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 00:05:00"]).astype("datetime64[us]"),
+            "text": [near],
+        }
+    ).to_parquet(src + "/b.parquet")
+    t_a = os.path.getmtime(src + "/a.parquet")
+    os.utime(src + "/b.parquet", (t_a + 10, t_a + 10))
+
+    out = str(tmp_path / "confirmed")
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    corpus = spark.read.parquet(src)
+    q = (
+        stream_near_dedup_reconciled(sdf, "ts", corpus, out, threshold=0.9)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {(r.doc_id, r.matched_id) for r in rows} == {(3, 1)}
+    assert all(r.jaccard >= 0.9 for r in rows)
+
+    # the adjudicator is a real filter, not a rubber stamp: a spurious
+    # flag between unrelated docs is rejected by exact Jaccard
+    fake = spark.createDataFrame(
+        [(0, 2, 1, 0.95)], "band int, doc_id long, matched_id long, est double"
+    )
+    assert adjudicate_near_flags(fake, corpus, threshold=0.9).count() == 0
