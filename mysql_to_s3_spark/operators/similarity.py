@@ -456,6 +456,97 @@ def pq_topk(
     )
 
 
+def ivfpq_write_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """IVF-PQ persisted index (the standard large-scale ANN layout —
+    Jégou et al. 2011's IVFADC): vectors parquet PARTITIONED BY the
+    coarse cell id, each row additionally carrying its ``__pq__`` codes;
+    centroids AND codebooks as tiny sidecars. A search then composes the
+    two prunings Spark gives for free when the layout is declared
+    declaratively: partition pruning (only the probed cells' directories
+    open) and column pruning (the ADC shortlist scan reads ONLY
+    (id, codes) — the full vector column's pages are never fetched
+    until the shortlist re-rank). Append is gated on BOTH sidecars
+    matching, the ivf_write_index contract."""
+    spark = df.sparkSession
+    want_cent = [[float(x) for x in c] for c in centroids]
+    want_books = [[[float(x) for x in c] for c in book] for book in codebooks]
+    if mode == "append":
+        try:
+            have_cent = ivf_read_centroids(spark, path)
+            have_books = ivfpq_read_codebooks(spark, path)
+        except Exception:
+            have_cent = have_books = None  # first write — nothing to guard
+        if have_cent is not None and (have_cent != want_cent or have_books != want_books):
+            raise IvfIndexError(
+                f"ivfpq_write_index(mode='append') at {path}: centroids or "
+                "codebooks differ from the index sidecars; appending would "
+                "misalign prior vectors' cells or codes. Use the stored "
+                "sidecars for increments, or overwrite to rebuild."
+            )
+    pq_encode(ivf_assign(df, want_cent, vec_col), want_books, vec_col).write.mode(
+        mode
+    ).partitionBy("__cell__").parquet(path + "/vectors")
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(want_cent)],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    books = spark.createDataFrame(
+        [(s, c, cw) for s, book in enumerate(want_books) for c, cw in enumerate(book)],
+        "subspace int, code int, centroid array<double>",
+    )
+    books.coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def ivfpq_read_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(path + "/codebooks").orderBy("subspace", "code").collect()
+    m = max(r.subspace for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r.subspace].append([float(x) for x in r.centroid])
+    return books
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index: probe cell selection is
+    driver-side over the centroid sidecar; the ADC shortlist pass scans
+    ONLY (id, __pq__) of the probed partitions (partition + column
+    pruning, both plan-asserted in tests/test_llm_ops.py); the exact
+    cosine re-rank touches ``shortlist`` full vectors of those same
+    partitions via a broadcast id join."""
+    centroids = ivf_read_centroids(spark, path)
+    books = ivfpq_read_codebooks(spark, path)
+    probe = _nearest_cells(query_vec, centroids, nprobe)
+    probed = spark.read.parquet(path + "/vectors").filter(F.col("__cell__").isin(probe))
+    return pq_topk(
+        probed.select(F.col(id_col), F.col("__pq__")),
+        query_vec,
+        books,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        encoded=True,
+        vectors=probed.select(F.col(id_col), F.col(vec_col)),
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.45,

@@ -367,3 +367,71 @@ def test_pq_encode_codes_in_range(spark, sf_dir):
         | F.exists("__pq__", lambda c: (c < 0) | (c >= 8))
     ).count()
     assert bad == 0
+
+
+def test_ivfpq_index_search_matches_ivf_on_full_shortlist(spark, sf_dir, tmp_path):
+    """With shortlist >= probed-cell population the ADC pass is only a
+    reorder, so IVF-PQ search must equal the plain IVF search of the
+    same cells exactly; and the ADC scan must be both partition-pruned
+    (__cell__ IN-list) and column-pruned (__pq__ read, vector column
+    absent from the shortlist scan's schema)."""
+    import re as _re
+
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = similarity.ivf_fit(emb, n_cells=8)
+    books = similarity.pq_fit(emb, m=4, k=8, max_iter=5)
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_write_index(emb, centroids, books, path)
+
+    assert similarity.ivfpq_read_codebooks(spark, path) == [
+        [[float(x) for x in c] for c in book] for book in books
+    ]
+
+    n = emb.count()
+    got = similarity.ivfpq_search_index(
+        spark, path, q, k=10, nprobe=3, shortlist=n
+    ).collect()
+    want = similarity.ivf_search_index(spark, path, q, k=10, nprobe=3).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [(r["vec_id"], r["cos"]) for r in want]
+
+    plan = (
+        similarity.ivfpq_search_index(spark, path, q, k=10, nprobe=3, shortlist=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = _re.search(r"PartitionFilters: \[([^\]]*__cell__[^\]]*)\]", plan)
+    assert m, plan
+    take = [ln for ln in plan.splitlines() if "TakeOrderedAndProject" in ln]
+    assert take and all("embedding" not in ln for ln in take), plan
+    # the codes-only scan exists: some parquet scan reads __pq__ without
+    # the embedding column
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("__pq__" in ln and "embedding" not in ln for ln in scans), plan
+
+
+def test_ivfpq_append_guard(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 200)
+    b = emb.filter(F.col("vec_id") >= 200)
+    centroids = similarity.ivf_fit(a, n_cells=4)
+    books = similarity.pq_fit(a, m=4, k=8, max_iter=5)
+    path = str(tmp_path / "ivfpq_app")
+    similarity.ivfpq_write_index(a, centroids, books, path)
+
+    other_books = similarity.pq_fit(b, m=4, k=8, max_iter=5)
+    assert other_books != books
+    with _pytest.raises(similarity.IvfIndexError, match="codebooks"):
+        similarity.ivfpq_write_index(b, centroids, other_books, path, mode="append")
+
+    similarity.ivfpq_write_index(b, centroids, books, path, mode="append")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    n = emb.count()
+    got = similarity.ivfpq_search_index(spark, path, q, k=10, nprobe=4, shortlist=n).collect()
+    want = similarity.ivf_topk(emb, q, centroids, k=10, nprobe=4).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [(r["vec_id"], r["cos"]) for r in want]
