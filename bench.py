@@ -48,12 +48,16 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "similarity_ann_lsh",  # legs: exact topk / bucket probe / multiprobe
+    # quantized ANN: IVF probe + PQ ADC shortlist legs (KMeans/codebook
+    # fits are session-cached, so min-of-2 measures the search plans)
+    "similarity_ivf",
     "text_decontaminate",
     "multimodal_features",
     "text_chunk_pack",
     "typed_json_roundtrip",
     # beyond-reference temporal analytics: asof + interval join,
-    # sessionization, funnel (4 legs, one events scan family)
+    # sessionization, greedy + time-boxed funnel (5 legs, ONE pooled
+    # events scan via cachepool)
     "temporal_events",
 ]
 

@@ -41,12 +41,21 @@ def hyperplanes(dim: int = EMBED_DIM, n: int = N_HYPERPLANES, seed: int = _SEED)
 
 
 def _dot_lit(vec: Column, plane: list[float]) -> Column:
-    lit_arr = F.array(*[F.lit(float(x)) for x in plane])
+    # the literal array is ONE parsed SQL expression — building it as
+    # len(plane) F.lit calls costs a py4j round trip per element, which
+    # dominates query BUILD time when planes are stacked (see _dlit note)
+    lit_arr = F.expr("array(" + ",".join(_dlit(x) for x in plane) + ")")
     return F.aggregate(
         F.zip_with(vec, lit_arr, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _dlit(x: float) -> str:
+    """A float as a Spark SQL DOUBLE literal (CAST keeps scientific and
+    plain decimals alike exactly round-tripping through repr)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
@@ -161,28 +170,42 @@ def ivf_fit(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin_c ||v - c||^2: d(v,c) = |v|^2 - 2<v,c> + |c|^2; |v|^2 is common
-    to all cells, so argmin over (|c|^2 - 2<v,c>).
+def _nearest_cell_udf(centroids: list[list[float]]):
+    """argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2<v,c>) (|v|^2 is common
+    to all cells), as ONE (batch × d) @ (d × cells) numpy GEMM per Arrow
+    batch. Dense quantizer scoring is where the Column layer loses three
+    ways, all measured (SCALE.md): Column-object construction pays a
+    py4j round trip per node (~seconds at 16 cells × 64 dims), zip_with/
+    aggregate HOFs are interpreted per row, and a flat scalar
+    multiply-add chain blows the JVM 64 KB method limit so Janino FAILS
+    and the stage falls back to interpreted anyway. The vectorized Arrow
+    path is the honest scale design — the _sign_signature_udf /
+    blocked-GEMM precedent. np.argmin returns the FIRST minimum, the
+    array_position(array_min) tie semantics the previous Column form
+    had."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    Each cell's score appears exactly ONCE, inside an array literal —
-    an iterative when-chain (best = when(s < best, ...).otherwise(best))
-    re-embeds the previous best tree 3× per cell and the expression grows
-    3^n_cells; task serialization alone then takes minutes. array_min +
-    array_position keeps the tree linear in n_cells."""
-    scores = F.array(
-        *[
-            F.lit(sum(x * x for x in c)) - F.lit(2.0) * _dot_lit(vec, c)
-            for c in centroids
-        ]
-    )
-    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+    C = np.array(centroids, dtype=np.float64)  # (cells, d)
+    half = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell(vs):
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        scores = half[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return cell
 
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     """Add the inverted-file cell id. At corpus scale, write partitionBy
     ('__cell__') so probes become partition-pruned scans."""
-    return df.withColumn("__cell__", _nearest_cell(F.col(vec_col), centroids))
+    return df.withColumn("__cell__", _nearest_cell_udf(centroids)(F.col(vec_col)))
 
 
 def _nearest_cells(
@@ -359,39 +382,38 @@ def pq_fit(
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], vec_col: str = "embedding") -> DataFrame:
     """Add ``__pq__`` (array<int>, one code per subspace): nearest
-    centroid per subspace over the normalized vector — linear-size
-    Column algebra (array_position of array_min, the same anti-3^n
-    shape as the IVF assigner).
+    centroid per subspace over the L2-normalized vector, as ``m`` small
+    numpy GEMMs per Arrow batch (one per subspace) — the same
+    vectorized-quantizer rationale as ``_nearest_cell_udf``; the
+    Column-algebra forms of this scoring were measured to lose on py4j
+    construction, HOF interpretation, AND codegen method-size fallback
+    (SCALE.md). Zero-norm vectors encode against the unnormalized zero
+    vector instead of dividing by zero."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    Tree-size note: the normalized vector and each subspace slice are
-    materialized as intermediate projections FIRST, so each of the m·k
-    codeword dot products references a leaf column instead of embedding
-    the whole normalize subtree — inlining it made the analyzed plan
-    grow m·k-fold and planning alone took tens of seconds (the when-chain
-    serialization lesson from _nearest_cell, applied to projections)."""
     m, d = len(codebooks), len(codebooks[0][0])
-    cols = df.columns
-    norm = df.withColumn("__pqn__", _normalize(F.col(vec_col)))
-    sliced = norm.select(
-        "*",
-        *[F.slice(F.col("__pqn__"), s * d + 1, d).alias(f"__pqs{s}__") for s in range(m)],
-    )
-    codes = []
-    for s in range(m):
-        sub = F.col(f"__pqs{s}__")
-        scores = F.array(
-            *[
-                F.lit(sum(x * x for x in c))
-                - F.lit(2.0) * F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in codebooks[s]
-            ]
-        )
-        codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
-    return sliced.select(*cols, F.array(*codes).alias("__pq__"))
+    books = np.array(codebooks, dtype=np.float64)  # (m, k, d)
+    halves = (books * books).sum(axis=2)  # (m, k)
+
+    @pandas_udf("array<int>")
+    def codes(vs):
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        n = np.sqrt((M * M).sum(axis=1, keepdims=True))
+        n[n == 0.0] = 1.0
+        M = M / n
+        out = np.empty((M.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = M[:, s * d : (s + 1) * d]
+            scores = halves[s][None, :] - 2.0 * (sub @ books[s].T)
+            out[:, s] = np.argmin(scores, axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn("__pq__", codes(F.col(vec_col)))
 
 
 def pq_topk(
@@ -431,16 +453,19 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
     base = df if encoded else pq_encode(df, codebooks, vec_col)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("__pq__"),
-            F.sequence(F.lit(1), F.lit(m)),
-            lambda code, s: F.element_at(F.element_at(lut_lit, s), code + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one SQL-text expr (py4j chatter) of scalar lookups (codegen, not an
+    # interpreted HOF fold) — the pq_encode lessons applied to the scan
+    lut_sql = (
+        "array("
+        + ",".join("array(" + ",".join(_dlit(x) for x in row) + ")" for row in lut)
+        + ")"
+    )
+    adc = F.expr(
+        "+".join(
+            f"element_at(element_at({lut_sql},{s + 1}),element_at(__pq__,{s + 1})+1)"
+            for s in range(m)
+        )
     )
     short_ids = (
         base.select(F.col(id_col), adc.alias("__adc__"))
