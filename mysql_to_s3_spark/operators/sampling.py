@@ -180,3 +180,70 @@ def stratified_hash_sample_sql(
     else:
         cut = default_cut
     return f"SELECT * FROM {table} WHERE {b} < {cut}"
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: every row
+    gains (``shard``, ``pos``) — a content-stable permutation that a
+    trainer consumes shard-by-shard in pos order. The sort key is
+    md5(id:epoch), so different epochs give independent permutations
+    while the SAME epoch is reproducible bit-for-bit across runs,
+    repartitionings, and engines (SQL-replicable; epoch_shuffle_sql is
+    the oracle). Random ``df.orderBy(rand())`` gives none of that.
+
+    100 TB story: ONE hash exchange on the shard key plus an
+    executor-local sort per shard — no global sort, no driver state;
+    shard count scales with the corpus and skew is impossible by
+    construction (uniform md5 slots). This is the trainer-facing
+    companion of ``pack_assignments``: shuffle first, pack per shard.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    clash = {shard_col, pos_col, "__eh__"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with shuffle output {sorted(clash)}; "
+            "rename them or pass shard_col/pos_col"
+        )
+    from pyspark.sql import Window
+
+    # 12 hex chars = 48 bits: fits a BIGINT exactly in both engines and
+    # makes sort-key collisions (broken only by id) ~n²/2^48 rare
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(epoch)}"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(shard_col).orderBy(F.col("__eh__").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__eh__", h)
+        .withColumn(shard_col, F.pmod(F.col("__eh__"), F.lit(int(n_shards))).cast("int"))
+        .withColumn(pos_col, F.row_number().over(w) - 1)
+        .drop("__eh__")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL producing the identical (id, shard, pos) assignment."""
+    h = f"('0x' || substr(md5({id_col}::VARCHAR || ':{int(epoch)}'), 1, 12))::BIGINT"
+    return f"""
+      SELECT {id_col}, CAST(h % {int(n_shards)} AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY h % {int(n_shards)}
+                    ORDER BY h, {id_col}) - 1 AS INT) AS pos
+      FROM (SELECT {id_col}, {h} AS h FROM {table})"""

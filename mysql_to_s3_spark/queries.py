@@ -1827,15 +1827,19 @@ _q(
 
 
 def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged two-leg chunk/pack driver row (operators/packing.py):
-    `chunk` = sliding 64-token windows with 8-token overlap (per-chunk
-    md5 content witness), `pack` = deterministic offset packing of whole
-    docs into 2048-token sequences over 16 portable hash buckets.
-    Harmonized schema (leg, key1, key2, n_tokens, n_items, content_hash);
-    the pack leg's content_hash is NULL."""
+    """Tagged three-leg training-data-shaping driver row (operators/
+    packing.py + sampling.py): `chunk` = sliding 64-token windows with
+    8-token overlap (per-chunk md5 content witness), `pack` =
+    deterministic offset packing of whole docs into 2048-token sequences
+    over 16 portable hash buckets, `shuffle` (new r5) = content-stable
+    epoch-3 global shuffle into 8 shards — key1 = doc_id, key2 = the
+    doc's position in its shard, n_items carries the shard id, so the
+    hash compare binds the ENTIRE permutation. Harmonized schema
+    (leg, key1, key2, n_tokens, n_items, content_hash, fill_frac)."""
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.packing import chunk_documents, pack_stats
+    from mysql_to_s3_spark.operators.sampling import epoch_shuffle
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -1857,14 +1861,25 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("content_hash"),
         "fill_frac",
     )
-    return chunk.unionByName(pack)
+    shuf = epoch_shuffle(docs, epoch=3, n_shards=8).select(
+        F.lit("shuffle").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("key1"),
+        F.col("pos").cast("bigint").alias("key2"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.col("shard").cast("bigint").alias("n_items"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
+    return chunk.unionByName(pack).unionByName(shuf)
 
 
 def _chunk_pack_oracle() -> str:
     from mysql_to_s3_spark.operators.packing import chunk_documents_sql, pack_stats_sql
+    from mysql_to_s3_spark.operators.sampling import epoch_shuffle_sql
 
     chunk = chunk_documents_sql("documents", max_tokens=64, overlap=8)
     pack = pack_stats_sql("documents", budget=2048, n_buckets=16)
+    shuf = epoch_shuffle_sql("documents", epoch=3, n_shards=8)
     return f"""
       SELECT 'chunk' AS leg, CAST(doc_id AS BIGINT) AS key1, chunk_idx AS key2,
              n_tokens, CAST(1 AS BIGINT) AS n_items, content_hash,
@@ -1874,7 +1889,13 @@ def _chunk_pack_oracle() -> str:
       SELECT 'pack' AS leg, bucket AS key1, seq_no AS key2,
              tokens_total AS n_tokens, n_docs AS n_items,
              CAST(NULL AS VARCHAR) AS content_hash, fill_frac
-      FROM ({pack})"""
+      FROM ({pack})
+      UNION ALL
+      SELECT 'shuffle' AS leg, CAST(doc_id AS BIGINT) AS key1,
+             CAST(pos AS BIGINT) AS key2, CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(shard AS BIGINT) AS n_items,
+             CAST(NULL AS VARCHAR) AS content_hash, CAST(NULL AS DOUBLE) AS fill_frac
+      FROM ({shuf})"""
 
 
 _q("text_chunk_pack", _chunk_pack_spark, _chunk_pack_oracle())
@@ -2312,7 +2333,7 @@ DRIVER_ORDER: list[str] = [
     "text_quality",              # + language-ID leg (lang_guess)
     "text_winnow_fingerprint",
     "text_decontaminate",        # cross-corpus n-gram decontamination
-    "text_chunk_pack",           # legs: sliding-window chunking / sequence packing
+    "text_chunk_pack",           # legs: chunking / packing / epoch shuffle
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_ngram_jaccard",

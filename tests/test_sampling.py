@@ -178,3 +178,61 @@ def test_sample_per_key_caps_and_is_stable(spark, ids):
     kept_sub = {r.doc_id for r in sample_per_key(sub, by=["src"], n=100).collect()}
     sub_ids = {r.doc_id for r in sub.select("doc_id").collect()}
     assert (a & sub_ids) <= kept_sub
+
+
+def test_epoch_shuffle_is_a_permutation(spark, sf_dir):
+    """Every doc appears exactly once; positions are dense 0..n-1 within
+    each shard; the same epoch reproduces bit-for-bit and different
+    epochs give different permutations."""
+    from mysql_to_s3_spark.operators.sampling import epoch_shuffle
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = epoch_shuffle(docs, epoch=1, n_shards=4).select("doc_id", "shard", "pos")
+    rows = a.collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    again = {(r.doc_id, r.shard, r.pos) for r in
+             epoch_shuffle(docs, epoch=1, n_shards=4).select("doc_id", "shard", "pos").collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    other = {(r.doc_id, r.shard, r.pos) for r in
+             epoch_shuffle(docs, epoch=2, n_shards=4).select("doc_id", "shard", "pos").collect()}
+    assert other != again
+
+
+def test_epoch_shuffle_matches_duckdb(spark, sf_dir, duck):
+    from mysql_to_s3_spark.operators.sampling import epoch_shuffle, epoch_shuffle_sql
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.doc_id, r.shard, r.pos) for r in
+           epoch_shuffle(docs, epoch=7, n_shards=8).select("doc_id", "shard", "pos").collect()}
+    want = set(map(tuple, duck.execute(epoch_shuffle_sql("documents", 7, 8)).fetchall()))
+    assert got == want
+
+
+def test_epoch_shuffle_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, shard int")
+    with _pytest.raises(ValueError, match="shard"):
+        epoch_shuffle(df, epoch=1, n_shards=2)
+
+
+def test_epoch_shuffle_single_exchange(spark, sf_dir):
+    from mysql_to_s3_spark.operators.sampling import epoch_shuffle
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        epoch_shuffle(docs, epoch=1, n_shards=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
