@@ -244,3 +244,144 @@ def stream_session_stats(
         .groupBy(*by, F.session_window(F.col(ts_col), gap).alias("session"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def stream_funnel(
+    sdf: DataFrame,
+    by: list[str],
+    steps: list,
+    ts_col: str = "ts",
+    lateness: str = "1 hour",
+    max_buffer_per_key: int = 10_000,
+) -> DataFrame:
+    """Streaming greedy funnel — the streaming analog of ``funnel``:
+    per-key state advances through the ordered step predicates and a row
+    (by..., step_1_ts .. step_k_ts) is emitted the moment the LAST step
+    completes (append mode, exactly one completion per key).
+
+    Event-time correctness under reordering: arriving events BUFFER in
+    state; only events at or below the CURRENT WATERMARK are folded into
+    the greedy advance, in event-time order — so any arrival order
+    within the ``lateness`` horizon produces the batch operator's
+    greedy-by-event-time result (the same exchange argument; the fold is
+    incremental because greedy state is just (step, last_ts)). Events
+    above the watermark wait for the next trigger's flush.
+
+    State per key: (step, last_ts, step timestamps) plus the
+    sub-watermark buffer — bounded by events inside the lateness horizon
+    and hard-capped at ``max_buffer_per_key`` (a flooded key keeps the
+    EARLIEST buffered events: the greedy fold prefers earliest anyway,
+    so the cap degrades late-reordering tolerance, never memory — the
+    funnel_within valve contract). Completed keys keep a tombstone state
+    (step = k) until the watermark expires them, so later events cannot
+    restart the funnel. A key whose EventTimeTimeout fires (quiet past
+    the lateness horizon) folds its whole remaining buffer, emits any
+    completion, and drops its state — so a drained availableNow stream
+    emits funnels the final watermark can prove complete (standard
+    append-mode semantics, as in stream_session_stats).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not by:
+        raise ValueError("stream_funnel requires at least one `by` key")
+    if not steps:
+        raise ValueError("stream_funnel requires at least one step predicate")
+    k = len(steps)
+    ttl_secs = _fixed_seconds_lateness(lateness)
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    maskbits = None
+    for i, p in enumerate(steps):
+        bit = F.coalesce(p.cast("boolean"), F.lit(False)).cast("long") * F.lit(2**i)
+        maskbits = bit if maskbits is None else maskbits + bit
+    keyed = sdf.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col).alias("__ts__"),
+        maskbits.alias("__m__"),
+    ).withWatermark("__ts__", lateness)
+
+    key_fields = [sdf.schema[c] for c in by]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField(f"step_{i + 1}_ts", T.TimestampType()) for i in range(k)]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("step_us", T.ArrayType(T.LongType())),
+            T.StructField("buf_us", T.ArrayType(T.LongType())),
+            T.StructField("buf_m", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        import datetime as _dt
+
+        import pandas as pd
+
+        if state.exists:
+            step, step_us, buf_us, buf_m = state.get
+            step_us, buf_us, buf_m = list(step_us), list(buf_us), list(buf_m)
+        else:
+            step, step_us, buf_us, buf_m = 0, [], [], []
+        for pdf in pdfs:
+            for t, m in zip(pdf["__ts__"], pdf["__m__"]):
+                buf_us.append(int(t.value // 1000))
+                buf_m.append(int(m))
+        if len(buf_us) > max_buffer_per_key:
+            order = sorted(range(len(buf_us)), key=lambda i: (buf_us[i], buf_m[i]))
+            order = order[:max_buffer_per_key]
+            buf_us = [buf_us[i] for i in order]
+            buf_m = [buf_m[i] for i in order]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # on a timeout fire the horizon has passed: everything buffered is
+        # final — fold it all and drop the key instead of holding state
+        flush_all = state.hasTimedOut
+        ready = sorted(
+            ((t, m) for t, m in zip(buf_us, buf_m) if flush_all or t <= wm_us),
+            key=lambda e: (e[0], e[1]),
+        )
+        pending = [] if flush_all else [(t, m) for t, m in zip(buf_us, buf_m) if t > wm_us]
+        completed = None
+        for t, m in ready:
+            if step >= k:
+                break
+            if (m >> step) & 1 and (step == 0 or t > step_us[-1]):
+                step_us.append(t)
+                step += 1
+                if step == k:
+                    completed = list(step_us)
+        if flush_all:
+            state.remove()
+        else:
+            state.update(
+                (
+                    step,
+                    step_us,
+                    [t for t, _ in pending],
+                    [m for _, m in pending],
+                )
+            )
+            base = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp((base if base > 0 else 0) + ttl_secs * 1000)
+        if completed is not None:
+            row = {c: [v] for c, v in zip(by, key)}
+            for i, us in enumerate(completed):
+                row[f"step_{i + 1}_ts"] = [
+                    _dt.datetime.utcfromtimestamp(us / 1_000_000)
+                ]
+            yield pd.DataFrame(row)
+
+    return keyed.groupBy(*by).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _fixed_seconds_lateness(lateness: str) -> int:
+    from mysql_to_s3_spark.streaming.stream_extract import _fixed_seconds
+
+    try:
+        return _fixed_seconds(lateness)
+    except Exception:
+        return 3600

@@ -341,3 +341,81 @@ def test_funnel_within_cap_via_conf(spark):
     finally:
         spark.conf.unset(FUNNEL_EVENT_CAP_CONF)
     assert r.converted and r.n_dropped == 2
+
+
+def test_stream_funnel_completes_across_microbatches(spark, tmp_path):
+    """Streaming greedy funnel: steps arriving in three separate
+    micro-batches (one out of event-time order) complete once the
+    watermark passes them, emitting exactly the batch operator's
+    step timestamps; a non-converting key emits nothing."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.sessions import funnel, stream_funnel
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = str(tmp_path / "funnel_stream")
+    _os.makedirs(src, exist_ok=True)
+    # file a: u1's A and (out-of-order) C; u2 only A
+    pd.DataFrame(
+        {
+            "user": ["u1", "u1", "u2"],
+            "ts": pd.Series([ts(0), ts(10), ts(1)]).astype("datetime64[us]"),
+            "e": ["A", "C", "A"],
+        }
+    ).to_parquet(src + "/a.parquet")
+    # file b: u1's B (event-time BETWEEN the file-a events)
+    pd.DataFrame(
+        {
+            "user": ["u1"],
+            "ts": pd.Series([ts(5)]).astype("datetime64[us]"),
+            "e": ["B"],
+        }
+    ).to_parquet(src + "/b.parquet")
+    # file c: watermark pusher (far-future unrelated key)
+    pd.DataFrame(
+        {
+            "user": ["wm"],
+            "ts": pd.Series([ts(600)]).astype("datetime64[us]"),
+            "e": ["X"],
+        }
+    ).to_parquet(src + "/c.parquet")
+    t_a = _os.path.getmtime(src + "/a.parquet")
+    _os.utime(src + "/b.parquet", (t_a + 10, t_a + 10))
+    _os.utime(src + "/c.parquet", (t_a + 20, t_a + 20))
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    out = stream_funnel(
+        sdf,
+        by=["user"],
+        steps=[F.col("e") == s for s in ("A", "B", "C")],
+        lateness="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_stream").collect()
+    got = {r.user: (r.step_1_ts, r.step_2_ts, r.step_3_ts) for r in rows}
+    batch = {
+        r.user: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel(
+            spark.read.parquet(src).filter(F.col("user") == "u1"),
+            by=["user"],
+            steps=[F.col("e") == s for s in ("A", "B", "C")],
+        ).collect()
+    }
+    assert set(got) == {"u1"}  # u2 never converts, wm never matches step 1
+    assert got["u1"] == batch["u1"] == (ts(0), ts(5), ts(10))
