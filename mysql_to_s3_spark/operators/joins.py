@@ -196,3 +196,176 @@ def asof_join(
         *probe_cols,
         *[m.getField(c).alias(c) for c in value_cols],
     )
+
+
+def stream_asof_join(
+    sdf: DataFrame,
+    by: list[str],
+    probe_when,
+    quote_when,
+    value_cols: list[str],
+    ts_col: str = "ts",
+    probe_id_col: str | None = None,
+    lateness: str = "1 hour",
+    allow_exact_matches: bool = True,
+    max_buffer_per_key: int = 10_000,
+):
+    """Streaming as-of join over ONE unioned event stream — the
+    streaming analog of ``asof_join`` and the same design: the batch
+    operator already works on the union of probe and quote rows ordered
+    by (ts, side); here the per-key state buffers arrivals and folds
+    only watermark-proven rows in that exact order, so each probe row
+    emits the latest quote at-or-before it (strictly before with
+    ``allow_exact_matches=False``) regardless of arrival order within
+    the ``lateness`` horizon. ``probe_when`` / ``quote_when`` are Column
+    predicates classifying rows (e.g. ``F.col("event_type") ==
+    "purchase"``); rows matching neither are ignored.
+
+    Output: (by..., [probe_id], ts, asof_ts, value_cols...) — one row
+    per watermark-proven probe, emitted in append mode. Quote values
+    ride the state as a to_json string and are re-typed on the way out
+    with the quote side's own schema, so ``value_cols`` keep their
+    types without widening the state schema per caller.
+
+    State per key: the latest final quote (a probe never needs older
+    ones) plus the sub-watermark buffer, capped at
+    ``max_buffer_per_key`` (earliest kept — the funnel-valve contract).
+    A key quiet past the horizon flushes and drops its state on
+    EventTimeTimeout."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mysql_to_s3_spark.operators.sessions import _fixed_seconds_lateness
+
+    if not by:
+        raise JoinError("stream_asof_join requires at least one `by` key")
+    missing = {*value_cols} - set(sdf.columns)
+    if missing:
+        raise JoinError(f"stream lacks value columns: {sorted(missing)}")
+    ttl_secs = _fixed_seconds_lateness(lateness)
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    qv_schema = T.StructType([sdf.schema[c] for c in value_cols])
+    # side ordering at equal timestamps = exact-match semantics (the
+    # batch operator's __side__ trick): quote first -> visible at ==ts
+    quote_side, probe_side = (0, 1) if allow_exact_matches else (1, 0)
+    side = (
+        F.when(F.coalesce(quote_when.cast("boolean"), F.lit(False)), F.lit(quote_side))
+        .when(F.coalesce(probe_when.cast("boolean"), F.lit(False)), F.lit(probe_side))
+    )
+    pid = (
+        F.col(probe_id_col).cast("long")
+        if probe_id_col is not None
+        else F.lit(None).cast("long")
+    )
+    keyed = (
+        sdf.select(
+            *[F.col(c) for c in by],
+            F.col(ts_col).alias("__ts__"),
+            side.alias("__side__"),
+            pid.alias("__pid__"),
+            F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("__qv__"),
+        )
+        .filter(F.col("__side__").isNotNull())
+        .withWatermark("__ts__", lateness)
+    )
+
+    key_fields = [sdf.schema[c] for c in by]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("__pid__", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("asof_ts", T.TimestampType()),
+            T.StructField("__qv__", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("q_us", T.LongType()),
+            T.StructField("q_val", T.StringType()),
+            T.StructField("buf_us", T.ArrayType(T.LongType())),
+            T.StructField("buf_side", T.ArrayType(T.IntegerType())),
+            T.StructField("buf_pid", T.ArrayType(T.LongType())),
+            T.StructField("buf_val", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        import datetime as _dt
+
+        import pandas as pd
+
+        if state.exists:
+            q_us, q_val, buf_us, buf_side, buf_pid, buf_val = state.get
+            buf = list(zip(buf_us, buf_side, buf_pid, buf_val))
+        else:
+            q_us, q_val, buf = None, None, []
+        for pdf in pdfs:
+            for t, s, p, v in zip(
+                pdf["__ts__"], pdf["__side__"], pdf["__pid__"], pdf["__qv__"]
+            ):
+                buf.append(
+                    (
+                        int(t.value // 1000),
+                        int(s),
+                        None if pd.isna(p) else int(p),
+                        v,
+                    )
+                )
+        if len(buf) > max_buffer_per_key:
+            buf = sorted(buf, key=lambda e: (e[0], e[1]))[:max_buffer_per_key]
+        flush_all = state.hasTimedOut
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(
+            (e for e in buf if flush_all or e[0] <= wm_us),
+            key=lambda e: (e[0], e[1]),
+        )
+        pending = [] if flush_all else [e for e in buf if e[0] > wm_us]
+        out = []
+        for t, s, p, v in ready:
+            if s == quote_side:
+                # ties between quotes at one ts: LAST in fold order wins,
+                # matching the batch window's last() over (ts, side) order
+                q_us, q_val = t, v
+            else:
+                out.append((p, t, q_us, q_val))
+        if flush_all:
+            state.remove()
+        else:
+            state.update(
+                (
+                    q_us,
+                    q_val,
+                    [e[0] for e in pending],
+                    [e[1] for e in pending],
+                    [e[2] for e in pending],
+                    [e[3] for e in pending],
+                )
+            )
+            base = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp((base if base > 0 else 0) + ttl_secs * 1000)
+        if out:
+            def us2dt(us):
+                return None if us is None else _dt.datetime.utcfromtimestamp(us / 1_000_000)
+
+            row = {c: [k] * len(out) for c, k in zip(by, key)}
+            row["__pid__"] = [p for p, _, _, _ in out]
+            row["ts"] = [us2dt(t) for _, t, _, _ in out]
+            row["asof_ts"] = [us2dt(q) for _, _, q, _ in out]
+            row["__qv__"] = [v for _, _, _, v in out]
+            yield pd.DataFrame(row)
+
+    flags = keyed.groupBy(*by).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    parsed = flags.withColumn("__q__", F.from_json(F.col("__qv__"), qv_schema))
+    outcols = [*by]
+    if probe_id_col is not None:
+        outcols.append(F.col("__pid__").alias(probe_id_col))
+    return parsed.select(
+        *outcols,
+        "ts",
+        "asof_ts",
+        *[F.col("__q__")[c].alias(c) for c in value_cols],
+    )

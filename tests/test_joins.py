@@ -321,3 +321,100 @@ def test_interval_join_property_matches_duckdb(spark, probes, ivs, gran):
         ).fetchall()
     )
     assert got == want
+
+
+def test_stream_asof_join_matches_batch(spark, tmp_path):
+    """Streaming as-of over a unioned event stream equals the batch
+    asof_join on the same data, with quotes and probes arriving across
+    micro-batches and one quote arriving out of event-time order."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.joins import asof_join, stream_asof_join
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = str(tmp_path / "asof_stream")
+    _os.makedirs(src, exist_ok=True)
+    # file a: k1 quote@0 (v=1), k1 probe@10, k2 probe@3 (no quote ever)
+    pd.DataFrame(
+        {
+            "k": ["k1", "k1", "k2"],
+            "event_id": [1, 2, 3],
+            "ts": pd.Series([ts(0), ts(10), ts(3)]).astype("datetime64[us]"),
+            "e": ["q", "p", "p"],
+            "v": [1.0, None, None],
+        }
+    ).to_parquet(src + "/a.parquet")
+    # file b: k1 quote@5 (v=2, event-time BETWEEN file-a events) and probe@20
+    pd.DataFrame(
+        {
+            "k": ["k1", "k1"],
+            "event_id": [4, 5],
+            "ts": pd.Series([ts(5), ts(20)]).astype("datetime64[us]"),
+            "e": ["q", "p"],
+            "v": [2.0, None],
+        }
+    ).to_parquet(src + "/b.parquet")
+    # file c: watermark pusher
+    pd.DataFrame(
+        {
+            "k": ["wm"],
+            "event_id": [99],
+            "ts": pd.Series([ts(600)]).astype("datetime64[us]"),
+            "e": ["q"],
+            "v": [0.0],
+        }
+    ).to_parquet(src + "/c.parquet")
+    t_a = _os.path.getmtime(src + "/a.parquet")
+    _os.utime(src + "/b.parquet", (t_a + 10, t_a + 10))
+    _os.utime(src + "/c.parquet", (t_a + 20, t_a + 20))
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    out = stream_asof_join(
+        sdf,
+        by=["k"],
+        probe_when=F.col("e") == "p",
+        quote_when=F.col("e") == "q",
+        value_cols=["v"],
+        probe_id_col="event_id",
+        lateness="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.k, r.ts, r.asof_ts, r.v)
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+        if r.k != "wm"
+    }
+
+    all_rows = spark.read.parquet(src)
+    batch = asof_join(
+        all_rows.filter(F.col("e") == "p").select("k", "event_id", "ts"),
+        all_rows.filter(F.col("e") == "q").select("k", "ts", "v"),
+        by=["k"],
+        value_cols=["v"],
+    )
+    want = {r.event_id: (r.k, r.ts) for r in batch.collect()}
+    vals = {r.event_id: r.v for r in batch.collect()}
+    assert set(got) == set(want) == {2, 3, 5}
+    for eid in got:
+        assert (got[eid][0], got[eid][1]) == want[eid]
+        assert got[eid][3] == vals[eid]
+    # the out-of-order quote@5 is the as-of match for probe@10
+    assert got[2][2] == ts(5) and got[2][3] == 2.0
+    assert got[3][2] is None and got[3][3] is None  # k2: no quote
