@@ -369,3 +369,67 @@ def stream_asof_join(
         "asof_ts",
         *[F.col("__q__")[c].alias(c) for c in value_cols],
     )
+
+
+def stream_interval_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    by: list[str],
+    value_cols: list[str],
+    probe_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    lateness: str = "1 hour",
+    max_span: str = "24 hours",
+) -> DataFrame:
+    """Streaming point-in-interval join — here Spark's NATIVE
+    stream-stream inner join with a time-interval condition IS the right
+    operator, so this wrapper only supplies the correctness conditions
+    it needs and keeps the batch operator's semantics:
+
+    - both sides carry event-time watermarks (``lateness``), and
+    - the join condition bounds the probe's distance from the interval
+      START (``probe_ts <= start + max_span``) — without a two-sided
+      event-time bound Spark cannot compute a state watermark for the
+      interval side and buffers it FOREVER; ``max_span`` must be >= the
+      longest real interval (longer intervals lose matches past the
+      bound, the documented trade for bounded state).
+
+    Output: probe columns + ``value_cols`` from every interval of the
+    same ``by`` key containing ``probe_ts`` (inclusive ends, the batch
+    ``interval_join`` contract — verified side by side in
+    tests/test_joins.py).
+    """
+    from pyspark.sql import types as T
+
+    if not by:
+        raise JoinError("stream_interval_join requires at least one `by` key")
+    clash = set(value_cols) & set(probe.columns)
+    if clash:
+        raise JoinError(f"value_cols collide with probe columns: {sorted(clash)}")
+    # stream-stream joins need TIMESTAMP event time; NTZ is value-
+    # preserving to cast under the pinned-UTC session TZ (the
+    # stream_funnel / stream_session_stats convention)
+    if isinstance(probe.schema[probe_ts].dataType, T.TimestampNTZType):
+        probe = probe.withColumn(probe_ts, F.col(probe_ts).cast("timestamp"))
+    for col in (start_col, end_col):
+        if isinstance(intervals.schema[col].dataType, T.TimestampNTZType):
+            intervals = intervals.withColumn(col, F.col(col).cast("timestamp"))
+    p = probe.withWatermark(probe_ts, lateness)
+    iv = intervals.select(
+        *[F.col(c).alias(f"__i_{c}__") for c in by],
+        F.col(start_col).alias("__start__"),
+        F.col(end_col).alias("__end__"),
+        *[F.col(c) for c in value_cols],
+    ).withWatermark("__start__", lateness)
+    cond = None
+    for c in by:
+        eq = p[c] == F.col(f"__i_{c}__")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (p[probe_ts] >= F.col("__start__"))
+        & (p[probe_ts] <= F.col("__end__"))
+        & (p[probe_ts] <= F.col("__start__") + F.expr(f"INTERVAL {max_span}"))
+    )
+    return p.join(iv, cond, "inner").select(*probe.columns, *value_cols)

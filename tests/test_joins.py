@@ -418,3 +418,88 @@ def test_stream_asof_join_matches_batch(spark, tmp_path):
     # the out-of-order quote@5 is the as-of match for probe@10
     assert got[2][2] == ts(5) and got[2][3] == 2.0
     assert got[3][2] is None and got[3][3] is None  # k2: no quote
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Native stream-stream interval join (wrapped with the state-bound
+    conditions) equals the batch interval_join on the same data, with
+    probes and intervals arriving in separate micro-batches."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.joins import interval_join, stream_interval_join
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    psrc = str(tmp_path / "probe_stream")
+    isrc = str(tmp_path / "iv_stream")
+    _os.makedirs(psrc, exist_ok=True)
+    _os.makedirs(isrc, exist_ok=True)
+    pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "event_id": [1, 2, 3],
+            "ts": pd.Series([ts(5), ts(45), ts(5)]).astype("datetime64[us]"),
+        }
+    ).to_parquet(psrc + "/p1.parquet")
+    pd.DataFrame(
+        {
+            "k": ["a"],
+            "event_id": [4],
+            "ts": pd.Series([ts(12)]).astype("datetime64[us]"),
+        }
+    ).to_parquet(psrc + "/p2.parquet")
+    t_p = _os.path.getmtime(psrc + "/p1.parquet")
+    _os.utime(psrc + "/p2.parquet", (t_p + 10, t_p + 10))
+    pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "iv": [10, 11, 12],
+            "start": pd.Series([ts(0), ts(10), ts(40)]).astype("datetime64[us]"),
+            "end": pd.Series([ts(15), ts(20), ts(50)]).astype("datetime64[us]"),
+        }
+    ).to_parquet(isrc + "/i1.parquet")
+
+    ps = spark.read.parquet(psrc).schema
+    isch = spark.read.parquet(isrc).schema
+    out = stream_interval_join(
+        read_parquet_stream(spark, psrc, ps, max_files_per_trigger=1),
+        read_parquet_stream(spark, isrc, isch, max_files_per_trigger=1),
+        by=["k"],
+        value_cols=["iv"],
+        lateness="5 minutes",
+        max_span="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("iv_stream_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.iv)
+        for r in spark.sql("SELECT * FROM iv_stream_join").collect()
+    }
+    want = {
+        (r.event_id, r.iv)
+        for r in interval_join(
+            spark.read.parquet(psrc),
+            spark.read.parquet(isrc),
+            by=["k"],
+            value_cols=["iv"],
+            granularity_secs=600,
+        ).collect()
+    }
+    # probe 1 (a@5) -> iv 10; probe 4 (a@12) -> ivs 10 and 11; probe 2
+    # (a@45) and probe 3 (b@5) match nothing of their key
+    assert want == {(1, 10), (4, 10), (4, 11)}
+    assert got == want
