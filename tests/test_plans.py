@@ -136,3 +136,15 @@ def test_groupby_single_shuffle(spark, sf_dir):
     # one partial + one final HashAggregate around exactly one shuffle
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_temporal_events_legs_share_one_cached_scan(spark, sf_dir):
+    """The 5-leg temporal row must read the events table through the
+    pooled cache (cachepool.cache_scoped) — every leg's scan is an
+    InMemoryTableScan over ONE cached relation, not five parquet scans
+    (the r4->r5 2x win; see SCALE.md 'one pooled events scan')."""
+    from mysql_to_s3_spark import queries as catalog
+
+    df = catalog.build("temporal_events")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 5, plan[:2000]
