@@ -262,8 +262,10 @@ def prepare_corpus_stream(
     - near-dup is REJECTED here by design: bounded state cannot hold the
       shingle sets exact verification needs, so the streaming form
       (``streaming.stream_extract.stream_near_dedup``) only FLAGS
-      candidates — run it side-by-side and adjudicate in batch, per its
-      docstring, rather than silently dropping on an estimate.
+      candidates. Run ``stream_near_dedup_reconciled`` side-by-side —
+      it confirms each micro-batch of flags with the batch-exact
+      Jaccard via ``foreachBatch`` and appends only confirmed pairs —
+      rather than silently dropping on an estimate.
     """
     from mysql_to_s3_spark.streaming.stream_extract import (
         stream_decontaminate,
@@ -273,8 +275,9 @@ def prepare_corpus_stream(
     if cfg.near_dup is not None:
         raise PipelineError(
             "near_dup has no exact streaming form (signature state cannot "
-            "verify Jaccard); use streaming.stream_extract.stream_near_dedup "
-            "to flag candidates and adjudicate with the batch operator"
+            "verify Jaccard); run streaming.stream_extract."
+            "stream_near_dedup_reconciled side-by-side — it flags in-stream "
+            "and confirms each flag with the batch-exact adjudicator"
         )
     txt = F.col(cfg.text_col)
     out = sdf
