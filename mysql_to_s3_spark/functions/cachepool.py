@@ -56,6 +56,18 @@ def _fingerprint(df: DataFrame) -> object:
         return id(df)
 
 
+def _still_cached(df: DataFrame) -> bool:
+    """A pooled frame can lose its JVM cache registration out-of-band
+    (spark.catalog.clearCache(), an external unpersist of an equivalent
+    plan). Serving such a hit is correctness-safe but silently recomputes
+    on EVERY use — detect and re-cache instead."""
+    try:
+        sl = df.storageLevel
+        return bool(sl.useMemory or sl.useDisk or sl.useOffHeap)
+    except Exception:
+        return False
+
+
 def _unpersist(df: DataFrame) -> None:
     try:
         df.unpersist(blocking=False)
@@ -80,8 +92,10 @@ def cache_scoped(df: DataFrame, key: str) -> DataFrame:
     fp = _fingerprint(df)
     hit = plans.get(fp)
     if hit is not None:
-        plans.move_to_end(fp)
-        return hit
+        if _still_cached(hit):
+            plans.move_to_end(fp)
+            return hit
+        plans.pop(fp, None)  # stale (cache cleared externally): re-cache
     while len(plans) >= FAMILY_CAPACITY:
         _, evicted = plans.popitem(last=False)
         _unpersist(evicted)

@@ -45,3 +45,22 @@ def test_release_all_unpersists(spark):
     release_all()
     assert not c.is_cached
     assert cachepool._POOL == {}
+
+
+def test_external_clearcache_rehydrates_pool_hit(spark):
+    """spark.catalog.clearCache() wipes the JVM registration under a
+    pooled frame; the next cache_scoped for the same plan must detect
+    the stale hit and re-cache instead of serving a frame that silently
+    recomputes on every use (the test_plans ordering bug, generalized)."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    a = cache_scoped(df, "clearcache_probe")
+    a.count()
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    spark.catalog.clearCache()
+    assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+    b = cache_scoped(spark.range(100).withColumn("v", F.col("id") * 2), "clearcache_probe")
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk
