@@ -99,6 +99,25 @@ def main() -> None:
         engine_counts[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(times.values()), 4)
+    # The driver tails only the last ~2KB of stdout and parses the FINAL
+    # line as JSON (round-5 lesson: one mega-line overflowed the buffer and
+    # BENCH_r05 recorded parsed:null). So: supplementary engine-side counts
+    # + protocol go on their own EARLIER line, and the compact headline
+    # object is the last thing printed.
+    print(
+        json.dumps(
+            {
+                "metric": "engine_count_sec",
+                "queries": engine_counts,
+                "protocol": (
+                    "per query: min-of-2 full collect() (headline line) + "
+                    "one engine-side count() (driver-transfer-free, this "
+                    "line). Host note: totals swing 36-70s with neighbor "
+                    "load — re-measure solo before chasing regressions."
+                ),
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -106,13 +125,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "engine_count_sec": engine_counts,
-                "protocol": (
-                    "per query: min-of-2 full collect() (reported) + one "
-                    "engine-side count() (driver-transfer-free). Host note: "
-                    "totals swing 36-70s with neighbor load — re-measure "
-                    "solo on a quiet host before chasing regressions."
-                ),
                 "sf": sf,
             }
         )

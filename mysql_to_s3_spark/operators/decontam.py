@@ -56,6 +56,7 @@ def contamination_pairs(
     text_col: str = "text",
     hashed: bool = False,
     broadcast_max_shingles: int | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """(train_id, bench_id, overlap, overlap_frac) for every pair with
     round(overlap_frac, 6) >= threshold. ``overlap`` counts distinct
@@ -73,11 +74,17 @@ def contamination_pairs(
     value-equality parity check.
 
     ``broadcast_max_shingles`` (or the ``BENCH_BROADCAST_CAP_CONF``
-    session conf) guards the bench-side broadcast: one cheap count-agg
-    estimates the exploded bench shingle volume, and a bench side larger
+    session conf) guards the bench-side broadcast: a bench side larger
     than the cap falls back to a plain shuffle join (logged) instead of
     broadcasting past executor memory — the valve for callers screening
-    corpus-vs-corpus through the ``hashed`` path."""
+    corpus-vs-corpus through the ``hashed`` path. The size estimate is a
+    one-pass word-count upper bound over the bench text (a doc's shingle
+    count is at most its word count), NOT a second run of the shingling —
+    but it is still a Spark job at DataFrame-construction time. Callers
+    composing lazy pipelines who already know the answer can skip that
+    job entirely with ``broadcast=True`` (bench is an eval suite — always
+    small) or ``broadcast=False`` (corpus-vs-corpus — never broadcast);
+    ``broadcast=None`` keeps the guarded auto decision."""
 
     def _sh(col):
         s = shingles(col, k)
@@ -91,26 +98,33 @@ def contamination_pairs(
         F.col(bench_id_col).alias("bench_id"), _sh(F.col(text_col)).alias("s")
     )
     bsh = bsets.select("bench_id", F.size("s").alias("n_bench"), F.explode("s").alias("shingle"))
-    if broadcast_max_shingles is None:
-        try:
-            raw = train.sparkSession.conf.get(BENCH_BROADCAST_CAP_CONF, None)
-        except Exception:
-            raw = None
-        broadcast_max_shingles = (
-            int(raw) if raw is not None else DEFAULT_BENCH_BROADCAST_CAP
-        )
-    n_bench_shingles = (
-        bsets.agg(F.coalesce(F.sum(F.size("s")), F.lit(0)).alias("n")).first()["n"]
-    )
-    if n_bench_shingles <= broadcast_max_shingles:
+    if broadcast is None:
+        if broadcast_max_shingles is None:
+            try:
+                raw = train.sparkSession.conf.get(BENCH_BROADCAST_CAP_CONF, None)
+            except Exception:
+                raw = None
+            broadcast_max_shingles = (
+                int(raw) if raw is not None else DEFAULT_BENCH_BROADCAST_CAP
+            )
+        # upper bound on the exploded shingle count WITHOUT shingling
+        # twice: a doc's k-shingle count is at most its whitespace word
+        # count, and this scan is plain length arithmetic over bench text
+        n_bench_shingles = bench.agg(
+            F.coalesce(
+                F.sum(F.size(F.split(F.col(text_col), r"\s+"))), F.lit(0)
+            ).alias("n")
+        ).first()["n"]
+        broadcast = n_bench_shingles <= broadcast_max_shingles
+        if not broadcast:
+            log.warning(
+                "decontamination bench side has ~%d shingles (> cap %d): "
+                "falling back to a shuffle join instead of broadcasting",
+                n_bench_shingles,
+                broadcast_max_shingles,
+            )
+    if broadcast:
         bsh = F.broadcast(bsh)
-    else:
-        log.warning(
-            "decontamination bench side has %d shingles (> cap %d): "
-            "falling back to a shuffle join instead of broadcasting",
-            n_bench_shingles,
-            broadcast_max_shingles,
-        )
     # shingle lists are array_distinct per doc, so count(*) per pair is
     # exactly the distinct shared-shingle count — no count_distinct Expand
     pairs = (
@@ -137,11 +151,12 @@ def decontaminate(
     text_col: str = "text",
     hashed: bool = False,
     broadcast_max_shingles: int | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Drop every contaminated doc from ``train`` — one left-anti join
     against the (small) contaminated-id set."""
     hits = contamination_pairs(
         train, bench, threshold, k, train_id_col, bench_id_col, text_col,
-        hashed, broadcast_max_shingles,
+        hashed, broadcast_max_shingles, broadcast,
     ).select(F.col("train_id").alias(train_id_col)).distinct()
     return train.join(hits, train_id_col, "left_anti")

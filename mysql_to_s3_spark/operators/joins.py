@@ -222,7 +222,9 @@ def stream_asof_join(
     "purchase"``); rows matching neither are ignored.
 
     Output: (by..., [probe_id], ts, asof_ts, value_cols...) — one row
-    per watermark-proven probe, emitted in append mode. Quote values
+    per watermark-proven probe, emitted in append mode. ``probe_id_col``
+    must be an integral column (the state schema carries it as long);
+    a non-integral id raises ``JoinError`` rather than silently nulling. Quote values
     ride the state as a to_json string and are re-typed on the way out
     with the quote side's own schema, so ``value_cols`` keep their
     types without widening the state schema per caller.
@@ -253,11 +255,19 @@ def stream_asof_join(
         F.when(F.coalesce(quote_when.cast("boolean"), F.lit(False)), F.lit(quote_side))
         .when(F.coalesce(probe_when.cast("boolean"), F.lit(False)), F.lit(probe_side))
     )
-    pid = (
-        F.col(probe_id_col).cast("long")
-        if probe_id_col is not None
-        else F.lit(None).cast("long")
-    )
+    if probe_id_col is not None:
+        pid_type = sdf.schema[probe_id_col].dataType
+        if not isinstance(
+            pid_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise JoinError(
+                f"probe_id_col {probe_id_col!r} must be an integral type "
+                f"(state carries it as long); got {pid_type.simpleString()} — "
+                "cast or map it to an integral id upstream"
+            )
+        pid = F.col(probe_id_col).cast("long")
+    else:
+        pid = F.lit(None).cast("long")
     keyed = (
         sdf.select(
             *[F.col(c) for c in by],

@@ -257,7 +257,8 @@ def stream_funnel(
     """Streaming greedy funnel — the streaming analog of ``funnel``:
     per-key state advances through the ordered step predicates and a row
     (by..., step_1_ts .. step_k_ts) is emitted the moment the LAST step
-    completes (append mode, exactly one completion per key).
+    completes (append mode, one completion per key — see the tombstone
+    horizon caveat below).
 
     Event-time correctness under reordering: arriving events BUFFER in
     state; only events at or below the CURRENT WATERMARK are folded into
@@ -279,6 +280,16 @@ def stream_funnel(
     completion, and drops its state — so a drained availableNow stream
     emits funnels the final watermark can prove complete (standard
     append-mode semantics, as in stream_session_stats).
+
+    Uniqueness caveat: the one-completion-per-key guarantee holds only
+    within a lateness horizon of the completion. Once a completed key's
+    tombstone expires (the key stayed quiet past ``lateness``), its state
+    is gone — unbounded state for every key ever completed is exactly
+    what streaming cannot hold — so events arriving after that restart
+    the funnel at step 0 and the same key can emit a second completion.
+    Consumers needing per-key uniqueness across horizons should dedup
+    downstream on the key (e.g. ``dropDuplicates(by)`` on the sink table
+    or first-write-wins in the store).
     """
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -379,9 +390,21 @@ def stream_funnel(
 
 
 def _fixed_seconds_lateness(lateness: str) -> int:
-    from mysql_to_s3_spark.streaming.stream_extract import _fixed_seconds
+    """State TTL in seconds for a watermark ``lateness`` interval.
+
+    This MUST agree with the horizon Spark derives from the same string in
+    ``withWatermark`` — a shorter TTL expires state (funnel tombstones, the
+    as-of quote carry) while in-horizon events can still arrive, silently
+    producing duplicate completions / missed matches. So an interval we
+    can't parse as fixed seconds (calendar months, typos) is an error, not
+    a 3600-second guess."""
+    from mysql_to_s3_spark.streaming.stream_extract import StreamError, _fixed_seconds
 
     try:
         return _fixed_seconds(lateness)
-    except Exception:
-        return 3600
+    except Exception as exc:
+        raise StreamError(
+            f"lateness {lateness!r} is not a fixed-seconds interval; the "
+            "state TTL must match the watermark horizon exactly — use a "
+            "fixed interval such as '1 hour' or '30 days'"
+        ) from exc

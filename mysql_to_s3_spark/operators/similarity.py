@@ -279,10 +279,7 @@ def ivf_write_index(
     spark = df.sparkSession
     want = [[float(x) for x in c] for c in centroids]
     if mode == "append":
-        try:
-            existing = ivf_read_centroids(spark, path)
-        except Exception:
-            existing = None  # first write to this path — nothing to guard
+        existing = _sidecar_or_none(lambda: ivf_read_centroids(spark, path))
         if existing is not None and existing != want:
             raise IvfIndexError(
                 f"ivf_write_index(mode='append') at {path}: passed centroids "
@@ -303,6 +300,23 @@ def ivf_write_index(
         "cell int, centroid array<double>",
     )
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def _sidecar_or_none(read):
+    """Run a sidecar read; None ONLY when the path does not exist (the
+    genuine first-write case). Any other failure — permission, corrupt
+    footer, truncated file from a half-finished write — re-raises, so the
+    exact append guard built on the sidecar can't be bypassed by a
+    transient read error letting mismatched centroids/codebooks through."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return read()
+    except AnalysisException as exc:
+        err = exc.getErrorClass() if hasattr(exc, "getErrorClass") else None
+        if err == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
 
 
 def ivf_read_centroids(spark, path: str) -> list[list[float]]:
@@ -503,11 +517,12 @@ def ivfpq_write_index(
     want_cent = [[float(x) for x in c] for c in centroids]
     want_books = [[[float(x) for x in c] for c in book] for book in codebooks]
     if mode == "append":
-        try:
-            have_cent = ivf_read_centroids(spark, path)
-            have_books = ivfpq_read_codebooks(spark, path)
-        except Exception:
-            have_cent = have_books = None  # first write — nothing to guard
+        have_cent = _sidecar_or_none(lambda: ivf_read_centroids(spark, path))
+        have_books = (
+            _sidecar_or_none(lambda: ivfpq_read_codebooks(spark, path))
+            if have_cent is not None
+            else None
+        )
         if have_cent is not None and (have_cent != want_cent or have_books != want_books):
             raise IvfIndexError(
                 f"ivfpq_write_index(mode='append') at {path}: centroids or "

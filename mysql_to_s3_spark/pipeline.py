@@ -86,6 +86,12 @@ class CorpusConfig:
     strata_col: str = "lang"
     mixture_default_rate: float = 0.0
     decontam_threshold: float | None = None  # needs a bench frame
+    # True (default): bench is a fixed-size eval suite — broadcast it with
+    # no size-probe job, keeping the module's no-stage-triggers-a-job
+    # laziness contract. False: never broadcast (corpus-vs-corpus screen).
+    # None: let decontaminate() run its guarded size estimate (one job at
+    # plan-build time).
+    decontam_broadcast: bool | None = True
     redact: bool = False
     splits: Mapping[str, float] | None = None
     split_col: str = "split"
@@ -224,6 +230,7 @@ def prepare_corpus(
             train_id_col=cfg.id_col,
             text_col=cfg.text_col,
             hashed=True,  # scale default; parity tests pass hashed=False directly
+            broadcast=cfg.decontam_broadcast,
         )
         stages.append(("decontam", out))
 

@@ -511,10 +511,14 @@ _q(
 )
 
 # hosts the former groupby_two_keys aggregates (grouped avg/max) — the
-# two-key groupby shape itself is hash-verified by groupby_tpch_q1
-_q(
-    "groupby_expr_bucket",
-    _rounded({
+# two-key groupby shape itself is hash-verified by groupby_tpch_q1 — and,
+# since r6, the former groupby_null_key_kept row as the `nullkey` leg
+# (JX keeps the null group: null groupby coordinates are real rows),
+# freeing its driver slot for pipeline_prepare.
+def _groupby_bucket_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    bucket = _rounded({
         "from": "orders",
         "groupby": [{"name": "bucket", "value": {"floor": ["o_totalprice", 50000]}}],
         "select": [
@@ -522,11 +526,39 @@ _q(
             {"name": "avg_price", "value": "o_totalprice", "aggregate": "avg"},
             {"name": "max_price", "value": "o_totalprice", "aggregate": "max"},
         ],
-    }, ["avg_price"]),
+    }, ["avg_price"])(spark, sf_dir).select(
+        F.lit("bucket").alias("leg"),
+        F.col("bucket").cast("double").alias("key"),
+        F.col("n").cast("bigint").alias("n"),
+        "avg_price",
+        "max_price",
+    )
+    nullkey = _jx({
+        "from": "lineitem",
+        "groupby": [{"name": "flag_a", "value": _NULLY}],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    })(spark, sf_dir).select(
+        F.lit("nullkey").alias("leg"),
+        F.col("flag_a").cast("double").alias("key"),
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("avg_price"),
+        F.lit(None).cast("double").alias("max_price"),
+    )
+    return bucket.unionByName(nullkey)
+
+
+_q(
+    "groupby_expr_bucket",
+    _groupby_bucket_spark,
     # 2-arg JX floor is a NUMBER op -> DOUBLE on both sides
-    """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket, count(*) AS n,
-              round(avg(o_totalprice), 6) AS avg_price, max(o_totalprice) AS max_price
-       FROM orders GROUP BY 1""",
+    """SELECT 'bucket' AS leg, CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS key,
+              count(*) AS n, round(avg(o_totalprice), 6) AS avg_price,
+              max(o_totalprice) AS max_price
+       FROM orders GROUP BY 2
+       UNION ALL
+       SELECT 'nullkey', CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DOUBLE),
+              count(*), NULL, NULL
+       FROM lineitem GROUP BY 2""",
 )
 
 # -- edges + domains (§2.1, §2.7): DENSE output --
@@ -1807,17 +1839,9 @@ _q(
 )
 
 
-_q(
-    "groupby_null_key_kept",
-    {
-        "from": "lineitem",
-        "groupby": [{"name": "flag_a", "value": _NULLY}],
-        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
-    },
-    # JX keeps the null group (groupby null coordinates are real rows)
-    """SELECT CASE WHEN l_returnflag = 'A' THEN l_quantity END AS flag_a, count(*) AS n
-       FROM lineitem GROUP BY 1""",
-)
+# groupby_null_key_kept: merged into groupby_expr_bucket's `nullkey` leg
+# in round 6 (same groupby family, one driver slot — the advised
+# consolidation pattern); the freed slot hosts pipeline_prepare.
 
 # -- §2.7 edge range {min,max} span: merged into edges_range_histogram's
 # 'span' leg in round 4 (same dense-grid family, one driver slot) --
@@ -1899,6 +1923,117 @@ def _chunk_pack_oracle() -> str:
 
 
 _q("text_chunk_pack", _chunk_pack_spark, _chunk_pack_oracle())
+
+
+# -- flagship corpus-pipeline composition (pipeline.prepare_corpus) --
+
+_PIPE_CFG = dict(
+    min_quality=0.75,
+    languages=("en",),
+    exact=True,
+    near_dup="ngram",
+    near_threshold=0.9,
+    decontam_threshold=0.8,
+)
+
+
+def _pipeline_prepare_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end `prepare_corpus` (pipeline.py) as a 2-leg driver row —
+    the flagship composition under the hard oracle:
+
+    - `kept`:   every surviving doc with its deterministic split label —
+                quality gate (>=0.75) -> language gate (en) -> exact
+                dedup -> ngram near-dup cluster removal (0.9 Jaccard,
+                min-id keeper) -> benchmark decontamination (0.8
+                containment vs the text_decontaminate bench subset) ->
+                hash split. Binds every stage: one wrongly-dropped or
+                wrongly-kept doc anywhere breaks the hash.
+    - `funnel`: per-stage surviving-row counts (the PreparedCorpus.funnel
+                diagnostic, built lazily here), vs the oracle's counts of
+                the same CTE chain.
+
+    The oracle replicates each stage from the SAME module constants the
+    operators use (quality/langid exprs, fp, char-5 shingles, recursive-
+    CTE components, containment, hash_split_sql). The Spark side screens
+    with hashed (xxhash64) shingles — identical pair decisions to the
+    oracle's string shingles barring ~1e-12 64-bit collisions."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+    from mysql_to_s3_spark.sources.registry import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 3500))
+    cfg = CorpusConfig(splits=_SPLIT_FRACTIONS, **_PIPE_CFG)
+    prep = prepare_corpus(docs, cfg, bench=bench)
+    kept = prep.docs.select(
+        F.lit("kept").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("key"),
+        F.col("split").alias("tag"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    out = kept
+    for i, (name, sdf) in enumerate(prep.stages):
+        out = out.unionByName(
+            sdf.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+                F.lit("funnel").alias("leg"),
+                F.lit(i).cast("bigint").alias("key"),
+                F.lit(name).alias("tag"),
+                "n",
+            )
+        )
+    return out
+
+
+def _pipeline_prepare_oracle() -> str:
+    from mysql_to_s3_spark.operators.sampling import hash_split_sql
+
+    jac = (
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)"
+    )
+    q = _PIPE_CFG
+    return f"""
+    WITH RECURSIVE
+    tq AS ({_text_quality_sql()}),
+    q1 AS (SELECT d.doc_id, d.text FROM documents d JOIN tq USING (doc_id)
+           WHERE tq.quality >= {q["min_quality"]}),
+    q2 AS (SELECT q1.* FROM q1 JOIN tq USING (doc_id)
+           WHERE tq.lang_guess IN ('{q["languages"][0]}')),
+    ded AS (SELECT doc_id, text FROM
+              (SELECT *, min(doc_id) OVER (PARTITION BY {_SQL_FP}) AS keeper FROM q2)
+            WHERE doc_id = keeper),
+    sh AS (SELECT doc_id, {_sql_shingles(5)} AS s FROM ded),
+    ndpairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE {jac} >= {q["near_threshold"]}),
+    edges AS (SELECT a AS u, b AS v FROM ndpairs UNION SELECT b, a FROM ndpairs),
+    reach(u, v) AS (SELECT u, v FROM edges
+                    UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u),
+    nd AS (SELECT * FROM ded WHERE doc_id NOT IN
+             (SELECT doc_id FROM comp WHERE doc_id != component)),
+    bsh AS (SELECT doc_id AS bench_id, {_sql_shingles(5)} AS bs FROM documents
+            WHERE doc_id % 7 = 0 AND doc_id < 3500),
+    contam AS (SELECT DISTINCT t.doc_id
+               FROM (SELECT doc_id, s FROM sh WHERE doc_id IN (SELECT doc_id FROM nd)) t
+               JOIN bsh b ON t.doc_id != b.bench_id
+               WHERE round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6)
+                     >= {q["decontam_threshold"]}),
+    kept AS (SELECT doc_id FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+    SELECT 'kept' AS leg, doc_id AS key,
+           {hash_split_sql("doc_id", _SPLIT_FRACTIONS)} AS tag, CAST(1 AS BIGINT) AS n
+    FROM kept
+    UNION ALL SELECT 'funnel', 0, 'input',      count(*) FROM documents
+    UNION ALL SELECT 'funnel', 1, 'quality',    count(*) FROM q1
+    UNION ALL SELECT 'funnel', 2, 'language',   count(*) FROM q2
+    UNION ALL SELECT 'funnel', 3, 'exact_dedup', count(*) FROM ded
+    UNION ALL SELECT 'funnel', 4, 'near_dedup', count(*) FROM nd
+    UNION ALL SELECT 'funnel', 5, 'decontam',   count(*) FROM kept
+    UNION ALL SELECT 'funnel', 6, 'split',      count(*) FROM kept"""
+
+
+_q("pipeline_prepare", _pipeline_prepare_spark, _pipeline_prepare_oracle())
 
 # -- update / delete / ingest --
 
@@ -2312,8 +2447,7 @@ DRIVER_ORDER: list[str] = [
     "agg_group_union",           # + count_distinct, median/percentile/std, per-select default
     "agg_one_single_valued",     # + first/last/list
     # groupby
-    "groupby_expr_bucket",       # + grouped avg/max
-    "groupby_null_key_kept",
+    "groupby_expr_bucket",       # + grouped avg/max, null-key-kept leg
     # edges / domains
     "edges_set_domain_dense",    # legs: dense / nullbucket / multivalue words
     "edges_default_domain",      # legs: discovered 1-D / dense 2-D cross
@@ -2334,6 +2468,7 @@ DRIVER_ORDER: list[str] = [
     "text_winnow_fingerprint",
     "text_decontaminate",        # cross-corpus n-gram decontamination
     "text_chunk_pack",           # legs: chunking / packing / epoch shuffle
+    "pipeline_prepare",          # end-to-end prepare_corpus: kept+split / funnel
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_ngram_jaccard",

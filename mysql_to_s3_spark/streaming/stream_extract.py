@@ -297,7 +297,9 @@ def stream_near_dedup(
     r = n_hashes // bands
     margin = 4.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
     cutoff = threshold - margin
-    ttl_secs = _fixed_seconds(lateness) if lateness[0].isdigit() else 3600
+    from mysql_to_s3_spark.operators.sessions import _fixed_seconds_lateness
+
+    ttl_secs = _fixed_seconds_lateness(lateness)
 
     if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
         sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

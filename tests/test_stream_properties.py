@@ -1,0 +1,365 @@
+"""Property-based conformance for the streaming temporal quartet: on
+hypothesis-generated event corpora, with a RANDOM arrival permutation
+bounded by the lateness horizon and RANDOM micro-batch cuts, each
+streaming operator's drained output must equal its batch twin on the
+same data.
+
+Arrival model: events arrive sorted by ``ts + jitter`` where jitter is
+uniform in [0, 0.8 * lateness). Any inversion therefore spans less than
+0.8 * lateness of event time, so when an event arrives, the watermark
+(max prior arrival's ts - lateness) is still strictly below its ts —
+i.e. every permutation the generator produces is inside the horizon the
+operators promise to handle, and none of its events may be dropped as
+late. (When the whole corpus spans less than the lateness, EVERY
+permutation is in-horizon — the single-horizon funnel test exploits
+that for full shuffle freedom.) A far-future pusher row (key "wm",
+always the LAST file) drains the final watermark. Micro-batch cuts are
+a random partition of the arrival sequence into mtime-ordered files
+consumed with maxFilesPerTrigger=1.
+
+Timestamps are globally UNIQUE integer minutes, so the batch twins are
+tie-free and deterministic. The batch twins are themselves
+DuckDB-oracle-checked (test_properties.py, the temporal_events driver
+row), so equality here chains the streaming operators to the same
+ground truth.
+"""
+
+import datetime as dt
+import itertools
+import os
+import random
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+T0 = dt.datetime(2024, 1, 1)
+LATENESS_MIN = 60  # operators run with lateness="60 minutes"
+JITTER_MAX = 0.8 * LATENESS_MIN
+_ids = itertools.count()
+
+
+def _ts(minute: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=float(minute))
+
+
+def _write_arrival_files(
+    base: str,
+    rows: list[dict],
+    rng: random.Random,
+    pusher: dict,
+    jitter_sort: bool = True,
+) -> None:
+    """Arrange ``rows`` in jitter-bounded arrival order (or keep the
+    caller's order with ``jitter_sort=False`` when any order is legal),
+    cut into random micro-batch files (mtime-ordered so the file source
+    replays them deterministically), and append the watermark pusher as
+    its own final file. Chunks are sliced from ONE full DataFrame so
+    every file carries identical column dtypes (an all-null chunk of a
+    float column stays float64, not pyarrow's null type)."""
+    if jitter_sort:
+        rows = sorted(
+            rows, key=lambda r: r["_minute"] + rng.uniform(0, JITTER_MAX)
+        )
+    full = pd.DataFrame(rows + [pusher]).drop(columns=["_minute"])
+    for c in full.columns:
+        if pd.api.types.is_datetime64_any_dtype(full[c]):
+            full[c] = full[c].astype("datetime64[us]")
+    n = len(rows)
+    n_cuts = min(rng.randint(0, 4), n - 1) if n > 1 else 0
+    cuts = sorted(rng.sample(range(1, n), n_cuts))
+    bounds = [0] + cuts + [n, n + 1]  # pusher is its own final file
+    os.makedirs(base, exist_ok=True)
+    t_base = None
+    for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
+        path = f"{base}/f{i:03d}.parquet"
+        full.iloc[a:b].to_parquet(path)
+        if t_base is None:
+            t_base = os.path.getmtime(path)
+        os.utime(path, (t_base + 10 * i, t_base + 10 * i))
+
+
+def _drain(out):
+    name = f"prop_sink_{next(_ids)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return out.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def _corpus(draw, kinds, n_keys, lo, hi, min_size, max_size):
+    """Unique integer minutes -> (key, kind) assignments + a seeded rng
+    for everything non-hypothesis (arrival jitter, cuts, key choice)."""
+    minutes = draw(
+        st.sets(st.integers(lo, hi), min_size=min_size, max_size=max_size)
+    )
+    rng = random.Random(draw(st.integers(0, 2**31)))
+    rows = [
+        {"k": f"k{rng.randrange(n_keys)}", "e": rng.choice(kinds), "_minute": m}
+        for m in sorted(minutes)
+    ]
+    return rows, rng
+
+
+# ---------------------------------------------------------------- as-of
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_asof_join_matches_batch(spark, tmp_path, data):
+    """Any in-horizon arrival order + any micro-batch cuts: every
+    watermark-proven probe gets exactly the batch as-of quote, across a
+    corpus spanning multiple lateness horizons (incremental folds)."""
+    from mysql_to_s3_spark.operators.joins import asof_join, stream_asof_join
+
+    rows, rng = _corpus(data.draw, ["p", "q"], n_keys=3, lo=0, hi=300,
+                        min_size=4, max_size=24)
+    for i, r in enumerate(rows):
+        r["event_id"] = i
+        r["ts"] = _ts(r["_minute"])
+        r["v"] = float(i) if r["e"] == "q" else None
+    pusher = {"k": "wm", "e": "q", "event_id": 9_999, "ts": _ts(10_000),
+              "v": 0.0, "_minute": 10_000}
+    src = str(tmp_path / f"asof_{next(_ids)}")
+    _write_arrival_files(src, rows, rng, pusher)
+
+    schema = spark.read.parquet(src).schema
+    out = stream_asof_join(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"],
+        probe_when=F.col("e") == "p",
+        quote_when=F.col("e") == "q",
+        value_cols=["v"],
+        probe_id_col="event_id",
+        lateness=f"{LATENESS_MIN} minutes",
+    )
+    got = {
+        r.event_id: (r.k, r.ts, r.asof_ts, r.v)
+        for r in _drain(out)
+        if r.k != "wm"
+    }
+
+    all_rows = spark.read.parquet(src).filter(F.col("k") != "wm")
+    want = {
+        r.event_id: (r.k, r.ts, r.v)
+        for r in asof_join(
+            all_rows.filter(F.col("e") == "p").select("k", "event_id", "ts"),
+            all_rows.filter(F.col("e") == "q").select("k", "ts", "v"),
+            by=["k"],
+            value_cols=["v"],
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for eid, (k, ts, asof_ts, v) in got.items():
+        assert (k, ts, v) == want[eid]
+        # quotes always carry a value, so a match <=> both fields present
+        assert (asof_ts is None) == (v is None)
+        if asof_ts is not None:
+            assert asof_ts <= ts
+
+
+# ---------------------------------------------------------------- funnel
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_funnel_single_horizon_exact(spark, tmp_path, data):
+    """Corpus span < lateness: EVERY arrival permutation is in-horizon,
+    and the drained stream equals the batch funnel's converted keys
+    exactly — one row per completed key, batch step timestamps, no
+    duplicates (the tombstone horizon cannot expire mid-corpus)."""
+    from mysql_to_s3_spark.operators.sessions import funnel, stream_funnel
+
+    rows, rng = _corpus(data.draw, ["A", "B", "C"], n_keys=3, lo=0,
+                        hi=LATENESS_MIN - 10, min_size=3, max_size=20)
+    rng.shuffle(rows)  # arbitrary order is legal inside one horizon
+    for r in rows:
+        r["ts"] = _ts(r["_minute"])
+    pusher = {"k": "wm", "e": "X", "ts": _ts(10_000), "_minute": 10_000}
+    src = str(tmp_path / f"funl1_{next(_ids)}")
+    _write_arrival_files(src, rows, rng, pusher, jitter_sort=False)
+
+    schema = spark.read.parquet(src).schema
+    steps = [F.col("e") == s for s in ("A", "B", "C")]
+    out = stream_funnel(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"], steps=steps, lateness=f"{LATENESS_MIN} minutes",
+    )
+    emitted = [r for r in _drain(out) if r.k != "wm"]
+    got = {r.k: (r.step_1_ts, r.step_2_ts, r.step_3_ts) for r in emitted}
+    assert len(emitted) == len(got), "duplicate completion inside one horizon"
+
+    want = {
+        r.k: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel(
+            spark.read.parquet(src).filter(F.col("k") != "wm"),
+            by=["k"], steps=steps,
+        ).filter(F.col("converted")).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_funnel_multi_horizon_first_completion(spark, tmp_path, data):
+    """Corpus spanning several horizons with jitter-bounded arrival:
+    each key's FIRST emitted completion equals the batch greedy funnel
+    (incremental event-time-order folding == global greedy). Uniqueness
+    beyond the tombstone horizon is documentedly weaker — sessions.py
+    stream_funnel docstring — so later re-completions are tolerated,
+    but the first must be the greedy-earliest one."""
+    from mysql_to_s3_spark.operators.sessions import funnel, stream_funnel
+
+    rows, rng = _corpus(data.draw, ["A", "B", "C"], n_keys=3, lo=0, hi=360,
+                        min_size=4, max_size=24)
+    for r in rows:
+        r["ts"] = _ts(r["_minute"])
+    pusher = {"k": "wm", "e": "X", "ts": _ts(10_000), "_minute": 10_000}
+    src = str(tmp_path / f"funlN_{next(_ids)}")
+    _write_arrival_files(src, rows, rng, pusher)
+
+    schema = spark.read.parquet(src).schema
+    steps = [F.col("e") == s for s in ("A", "B", "C")]
+    out = stream_funnel(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"], steps=steps, lateness=f"{LATENESS_MIN} minutes",
+    )
+    emitted = [r for r in _drain(out) if r.k != "wm"]
+    first = {}
+    for r in sorted(emitted, key=lambda r: r.step_3_ts):
+        first.setdefault(r.k, (r.step_1_ts, r.step_2_ts, r.step_3_ts))
+
+    want = {
+        r.k: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel(
+            spark.read.parquet(src).filter(F.col("k") != "wm"),
+            by=["k"], steps=steps,
+        ).filter(F.col("converted")).collect()
+    }
+    assert first == want
+
+
+# ---------------------------------------------------------------- sessions
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_sessions_match_batch(spark, tmp_path, data):
+    """Drained session_window stream == batch session_stats on
+    (key, session_start, n_events). Native end = last event + gap while
+    batch end = last event ts, so ends are excluded; the gap is a
+    non-whole-minute 1170 s so integer-minute events never land exactly
+    ON the gap boundary (where the two implementations' merge rules
+    could legitimately differ)."""
+    from mysql_to_s3_spark.operators.sessions import (
+        session_stats,
+        stream_session_stats,
+    )
+
+    rows, rng = _corpus(data.draw, ["e"], n_keys=3, lo=0, hi=360,
+                        min_size=3, max_size=24)
+    for r in rows:
+        r["ts"] = _ts(r["_minute"])
+    pusher = {"k": "wm", "e": "e", "ts": _ts(10_000), "_minute": 10_000}
+    src = str(tmp_path / f"sess_{next(_ids)}")
+    _write_arrival_files(src, rows, rng, pusher)
+
+    schema = spark.read.parquet(src).schema
+    out = stream_session_stats(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"], gap="1170 seconds", lateness=f"{LATENESS_MIN} minutes",
+    )
+    got = {
+        (r.k, r.session.start, r.n_events)
+        for r in _drain(out)
+        if r.k != "wm"
+    }
+    want = {
+        (r.k, r.session_start, r.n_events)
+        for r in session_stats(
+            spark.read.parquet(src).filter(F.col("k") != "wm"),
+            by=["k"], gap="1170 seconds",
+        ).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------- interval
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_interval_join_matches_batch(spark, tmp_path, data):
+    """Both sides independently permuted (in-horizon) and cut: the
+    drained native stream-stream join == batch interval_join pairs."""
+    from mysql_to_s3_spark.operators.joins import interval_join, stream_interval_join
+
+    probe_rows, rng = _corpus(data.draw, ["p"], n_keys=3, lo=0, hi=240,
+                              min_size=2, max_size=12)
+    for i, r in enumerate(probe_rows):
+        r.pop("e")
+        r["event_id"] = i
+        r["ts"] = _ts(r["_minute"])
+    iv_minutes = sorted(
+        data.draw(st.sets(st.integers(0, 240), min_size=1, max_size=8))
+    )
+    iv_rows = [
+        {
+            "k": f"k{rng.randrange(3)}",
+            "iv": 100 + j,
+            "start": _ts(m),
+            "end": _ts(m + rng.randint(0, 90)),
+            "_minute": m,
+        }
+        for j, m in enumerate(iv_minutes)
+    ]
+    p_push = {"k": "wm", "event_id": 9_999, "ts": _ts(10_000), "_minute": 10_000}
+    i_push = {"k": "wm", "iv": 9_999, "start": _ts(10_000),
+              "end": _ts(10_001), "_minute": 10_000}
+    psrc = str(tmp_path / f"ivp_{next(_ids)}")
+    isrc = str(tmp_path / f"ivi_{next(_ids)}")
+    _write_arrival_files(psrc, probe_rows, rng, p_push)
+    _write_arrival_files(isrc, iv_rows, rng, i_push)
+
+    out = stream_interval_join(
+        read_parquet_stream(
+            spark, psrc, spark.read.parquet(psrc).schema, max_files_per_trigger=1
+        ),
+        read_parquet_stream(
+            spark, isrc, spark.read.parquet(isrc).schema, max_files_per_trigger=1
+        ),
+        by=["k"],
+        value_cols=["iv"],
+        lateness=f"{LATENESS_MIN} minutes",
+        max_span="2 hours",
+    )
+    got = {(r.event_id, r.iv) for r in _drain(out) if r.k != "wm"}
+    want = {
+        (r.event_id, r.iv)
+        for r in interval_join(
+            spark.read.parquet(psrc).filter(F.col("k") != "wm"),
+            spark.read.parquet(isrc).filter(F.col("k") != "wm"),
+            by=["k"],
+            value_cols=["iv"],
+            granularity_secs=1800,
+        ).collect()
+    }
+    assert got == want
