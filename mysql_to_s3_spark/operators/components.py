@@ -40,7 +40,11 @@ operator per SURVEY §6.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger(__name__)
 
 
 class ComponentsError(ValueError):
@@ -52,6 +56,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, component) for every node that appears in ``pairs``.
 
@@ -65,6 +70,14 @@ def connected_components(
     ``max_iter`` is a convergence backstop: pointer jumping needs
     ~log2(longest chain) rounds, so 30 covers any graph that fits in an
     exabyte. Hitting it raises rather than returning a wrong answer.
+
+    ``stats``: pass a dict to receive ``{"rounds": n}`` — the number of
+    label-propagation rounds actually run (the convergence round, where
+    the checksum repeats, included). The iteration is driver-side, so
+    this is exact observability for the O(log n) claim: star-dominated
+    near-dup graphs should report 2-3, a chain of length L ~ log2(L)+2.
+    The iteration cost IS the job count (one job per round), so this is
+    also the number the per-run SCALE.md entries record.
     """
     e = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
@@ -80,7 +93,7 @@ def connected_components(
         "node", F.col("node").alias("comp")
     )
     prev_sum = None
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         # 1. neighbor-min: pull min(comp) across each node's neighbors.
         #    Join on v (edges are pre-partitioned by v), partial-agg min
         #    on u — map-side combine keeps the shuffle linear in |E|.
@@ -124,6 +137,9 @@ def connected_components(
         # sum over zero rows is NULL: an empty pair graph (no edges above
         # threshold, or only self-pairs) is converged immediately
         if cur is None or (prev_sum is not None and cur == prev_sum):
+            if stats is not None:
+                stats["rounds"] = rounds
+            log.info("connected_components converged in %d rounds", rounds)
             return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
         prev_sum = cur
     raise ComponentsError(f"connected_components did not converge in {max_iter} rounds")

@@ -328,11 +328,28 @@ def write_training_shards(
     text_col: str = "text",
     mode: str = "overwrite",
     extra_cols: tuple[str, ...] = (),
-) -> None:
+) -> DataFrame:
     """Pack the corpus into token-budget sequences and write one JSON
     line per document, sharded so each output partition holds complete
     sequences: (bucket, seq_no, start_off, n_tokens, doc) ordered by
     offset within the sequence.
+
+    Returns the PACK-STAGE DROP AUDIT: a lazy ``(id_col, dropped_at =
+    'pack_empty')`` frame of the docs the packer's zero-token filter
+    removed (pack_assignments drops them — no training signal, and they
+    would alias onto whatever sequence the offset cursor is at). This is
+    the same shape as ``PreparedCorpus.audit()``, so the shard write's
+    only silent truncation point composes into the per-doc drop story::
+
+        prep = prepare_corpus(docs, cfg, bench=bench)
+        pack_dropped = write_training_shards(prep.docs, path)
+        full_audit = prep.audit().unionByName(pack_dropped)
+
+    and every input doc is then accounted for exactly once across
+    {survivors in the shards} + {full_audit}. Nothing else in this
+    writer drops rows. The frame is lazy — collecting it re-tokenizes
+    only the dropped docs' texts (a count-style scan), no job runs if
+    the caller ignores it.
 
     Partitioned by the pack bucket — the same uniform hash slots the
     offset packer uses — so a training reader streams one file per
@@ -376,4 +393,14 @@ def write_training_shards(
         .write.mode(mode)
         .partitionBy("bucket")
         .json(path)
+    )
+    # the mirror of pack_assignments' `n_tokens > 0` keep-filter: docs
+    # with zero (or null) token count are the writer's one drop point
+    from mysql_to_s3_spark.operators.packing import token_count
+
+    return (
+        # null-safe negation: a null text tokenizes to null, which the
+        # packer's `> 0` filter also drops — it must land in the audit
+        df.filter(~F.coalesce(token_count(F.col(text_col)) > 0, F.lit(False)))
+        .select(F.col(id_col), F.lit("pack_empty").alias("dropped_at"))
     )

@@ -1585,7 +1585,7 @@ def _fit_cached(spark: SparkSession, sf_dir: str, kind: str, fit):
 
 
 def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged 2-leg quantized-ANN driver row, both legs checked against
+    """Tagged 3-leg quantized-ANN driver row, every leg checked against
     the EXACT top-k SQL oracle:
 
     - `ivf`: probe breadth (nprobe=12 of 16 cells) is sized so the
@@ -1596,6 +1596,15 @@ def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       32x vector compression) -> shortlist=200 -> exact cosine re-rank;
       the shortlist deterministically contains the true top-10 here
       (verified at cpus 8 and 32, sf0.001 and sf0.01).
+    - `ivfpq`: the PERSISTED composition (the standard IVFADC layout) —
+      write the index to a temp dir IN-ROW (vectors parquet partitioned
+      by coarse cell + both sidecars, the typed_json_roundtrip temp-dir
+      pattern), then search it via ``ivfpq_search_index``: partition
+      pruning to the probed cells x column pruning to (id, codes) for
+      the ADC pass, exact re-rank after. Same knobs as the in-memory
+      legs, so containment composes: the probed cells hold the true
+      top-10 (ivf leg's guarantee) and restricting the ADC ranking to
+      those cells only improves the true top-10's shortlist ranks.
 
     Honest regime note: the synthetic embeddings are isotropic — the
     worst case for both quantizers (cosine neighbors spread across
@@ -1603,9 +1612,19 @@ def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit high. On real clustered embeddings the operating points are
     nprobe ~2-4 of sqrt(n) cells and shortlist ~100 of millions, same
     code paths."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.similarity import ivf_fit, ivf_topk, pq_fit, pq_topk
+    from mysql_to_s3_spark.operators.similarity import (
+        ivf_fit,
+        ivf_topk,
+        ivfpq_search_index,
+        ivfpq_write_index,
+        pq_fit,
+        pq_topk,
+    )
     from mysql_to_s3_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1621,7 +1640,16 @@ def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = pq_topk(base, qv, books, k=10, shortlist=200).select(
         F.lit("pq").alias("leg"), "vec_id", "cos"
     )
-    return ivf.unionByName(pq)
+    # persisted leg: full write -> search round-trip every invocation
+    # (the write IS the measured work; a fresh temp dir per call keeps
+    # repeated driver/bench runs honest and isolated)
+    idx = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    shutil.rmtree(idx, ignore_errors=True)
+    ivfpq_write_index(base, centroids, books, idx)
+    ivfpq = ivfpq_search_index(
+        spark, idx, qv, k=10, nprobe=12, shortlist=200
+    ).select(F.lit("ivfpq").alias("leg"), "vec_id", "cos")
+    return ivf.unionByName(pq).unionByName(ivfpq)
 
 
 _q(
@@ -1630,7 +1658,9 @@ _q(
     f"""WITH ex AS ({_SQL_EXACT_TOPK})
         SELECT 'ivf' AS leg, vec_id, cos FROM ex
         UNION ALL
-        SELECT 'pq' AS leg, vec_id, cos FROM ex""",
+        SELECT 'pq' AS leg, vec_id, cos FROM ex
+        UNION ALL
+        SELECT 'ivfpq' AS leg, vec_id, cos FROM ex""",
 )
 _q(
     "multimodal_features",

@@ -105,3 +105,33 @@ def test_empty_and_self_loop_only_graphs(spark):
     assert connected_components(loops).collect() == []
     docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id: long, text: string")
     assert sorted(r.doc_id for r in dedup_by_components(docs, empty).collect()) == [1, 2]
+
+
+def test_round_count_observability(spark, sf_dir):
+    """stats['rounds'] makes the O(log n) claim observable. Shapes:
+    a star converges in <=3 rounds (min-label's best case), a 256-chain
+    in <=log2(256)+3, and the DRIVER CORPUS pair graph (the exact pairs
+    dedup_cluster_components runs on) in <=4 — the SCALE.md number."""
+    from mysql_to_s3_spark.operators.dedup import ngram_jaccard_pairs
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    star = spark.createDataFrame(
+        [(5000, 5000 + i) for i in range(1, 101)], "a: long, b: long"
+    )
+    s: dict = {}
+    connected_components(star, stats=s).collect()
+    assert s["rounds"] <= 3
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1256)], "a: long, b: long"
+    )
+    s = {}
+    connected_components(chain, max_iter=12, stats=s).collect()
+    assert s["rounds"] <= 11  # log2(256) + 3
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
+    )
+    s = {}
+    connected_components(pairs, stats=s).collect()
+    assert s["rounds"] <= 4, f"driver corpus took {s['rounds']} rounds"

@@ -356,3 +356,45 @@ def test_audit_names_the_dropping_stage(spark, docs):
     # pass-through config: empty audit frame, not an error
     empty = prepare_corpus(docs, CorpusConfig(exact=False)).audit()
     assert empty.count() == 0 and set(empty.columns) == {"doc_id", "dropped_at"}
+
+
+def test_pack_drop_audit_contract(spark, docs, tmp_path):
+    """The shard writer's ONE silent truncation point — pack's
+    zero-token drop — is returned as an audit frame composable with
+    PreparedCorpus.audit(): every input doc is accounted for exactly
+    once across {written to shards} + {pipeline audit} + {pack audit},
+    including empty-text and null-text docs that survive the pipeline
+    stages but carry no tokens."""
+    src = (
+        docs.limit(50)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(9_000_001, ""), (9_000_002, "   "), (9_000_003, None)],
+                "doc_id: long, text: string",
+            )
+        )
+    )
+    # no quality gate: the token-less docs must REACH the pack stage
+    prep = prepare_corpus(src, CorpusConfig(exact=True))
+    out = str(tmp_path / "audited_pack")
+    pack_dropped = write_training_shards(prep.docs, out, budget=256, n_buckets=4)
+
+    written_ids = {
+        json.loads(r["doc"])["doc_id"]
+        for f in glob.glob(os.path.join(out, "bucket=*", "part-*"))
+        for r in map(json.loads, open(f))
+        for r in [r]
+    }
+    full_audit = prep.audit().unionByName(pack_dropped).collect()
+    audit_ids = [r.doc_id for r in full_audit]
+    assert len(audit_ids) == len(set(audit_ids)), "doc audited twice"
+    all_ids = {r.doc_id for r in src.select("doc_id").collect()}
+    assert written_ids | set(audit_ids) == all_ids
+    assert written_ids & set(audit_ids) == set()
+    by_reason = {r.doc_id: r.dropped_at for r in full_audit}
+    assert by_reason[9_000_001] == "pack_empty"
+    # the whitespace doc exact-dedups against the empty doc (fingerprints
+    # normalize whitespace; min-id keeper) — visible at the EARLIER stage
+    assert by_reason[9_000_002] == "exact_dedup"
+    assert by_reason[9_000_003] == "pack_empty"
