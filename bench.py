@@ -54,6 +54,10 @@ HEADLINE = [
     "text_decontaminate",
     "multimodal_features",
     "text_chunk_pack",
+    # r6: the end-to-end prepare_corpus composition (quality -> language
+    # -> exact dedup -> ngram near-dup clusters -> decontam -> split) —
+    # NEW row vs the r5 29-row set; cross-round totals exclude it
+    "pipeline_prepare",
     "typed_json_roundtrip",
     # beyond-reference temporal analytics: asof + interval join,
     # sessionization, greedy + time-boxed funnel (5 legs, ONE pooled

@@ -1337,19 +1337,27 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from mysql_to_s3_spark.operators.lm import unigram_logprob
     from mysql_to_s3_spark.operators.sampling import hash_split
     from mysql_to_s3_spark.operators.text import language_id, quality_score
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # hosts the language-ID leg (former text_langid row) and the
-    # deterministic train/val/test hash-split — all shuffle-free per-doc
-    # Column algebra over the same scan
-    return docs.select(
+    # hosts the language-ID leg (former text_langid row), the
+    # deterministic train/val/test hash-split — shuffle-free per-doc
+    # Column algebra over the same scan — and, since r6, the CCNet-style
+    # unigram-LM perplexity leg (operators/lm.py, self-fit add-alpha
+    # model, exact JVM join mode; the zero-shuffle Arrow broadcast mode
+    # is unit-verified equal in tests/test_lm.py)
+    lm = unigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
+    base = docs.select(
         F.col("doc_id"),
         quality_score(F.col("text")).alias("quality"),
         language_id(F.col("text")).alias("lang_guess"),
         hash_split(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
+    )
+    return base.join(lm, "doc_id", "left").withColumn(
+        "lm_logprob", F.round(F.col("lm_logprob"), 6)
     )
 
 
@@ -1381,8 +1389,26 @@ def _text_quality_sql() -> str:
     FROM documents"""
 
 
+def _text_quality_row_sql() -> str:
+    """The driver row's oracle: the base quality/langid/split columns
+    plus the unigram-LM leg — DuckDB recomputes the identical self-fit
+    add-alpha model (operators/lm.py docstring formula: T = total
+    occurrences, V = vocab rows, alpha = 1)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS w
+      FROM documents),
+    cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    st AS (SELECT sum(n)::DOUBLE AS tot, count(*)::DOUBLE AS v FROM cnt),
+    lm AS (SELECT t.doc_id, avg(log2((c.n + 1.0) / (st.tot + 1.0 * (st.v + 1)))) AS lp
+           FROM toks t JOIN cnt c USING (w) CROSS JOIN st GROUP BY t.doc_id)
+    SELECT q.*, round(lm.lp, 6) AS lm_logprob
+    FROM ({_text_quality_sql()}) q LEFT JOIN lm USING (doc_id)"""
+
+
 _q("text_stats", _text_stats_spark, _text_stats_sql())
-_q("text_quality", _text_quality_spark, _text_quality_sql())  # + lang_guess leg
+# + lang_guess leg + unigram-LM perplexity leg (r6)
+_q("text_quality", _text_quality_spark, _text_quality_row_sql())
 
 
 def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,11 @@ SKIP = {
     "dedup_minhash_lsh": "all-pairs oracle >15 min at sf0.1",
     "dedup_cluster_components": "all-pairs + recursive-CTE closure oracle >15 min at sf0.1",
     "text_decontaminate": "oracle >300 s at sf0.1",
+    "pipeline_prepare": (
+        "composition oracle embeds the all-pairs Jaccard join + "
+        "recursive-CTE closure + all-pairs containment — each "
+        "individually intractable at sf0.1 (see the rows above)"
+    ),
 }
 
 
