@@ -135,31 +135,176 @@ def unigram_logprob(
         )
         return docs.select(id_col).join(scored, id_col, "left")
     if mode == "arrow":
+        score = unigram_scorer(counts, alpha=alpha, spark=docs.sparkSession)
+        return docs.select(F.col(id_col), score(F.col(text_col)).alias(out_col))
+    raise LmError(f"unknown mode {mode!r}; expected 'join' or 'arrow'")
+
+
+def unigram_scorer(counts, *, alpha: float = 1.0, spark=None):
+    """Materialize the add-alpha unigram model once and return a
+    ``Column -> Column`` scorer (a broadcast-dict Arrow ``pandas_udf``).
+    Because the result is a plain per-row column expression, it gates a
+    STREAMING frame too (`prepare_corpus_stream`'s lm stage) — scoring
+    commutes with micro-batching and needs no join or state.
+
+    ``counts``: a (token, n) DataFrame (collected here — one job) or a
+    plain list of (token, n) tuples (e.g. a pretrained model shipped
+    with the job config — no job at all)."""
+    import math
+    import re
+
+    # module-level pandas import would make every lm import pay the
+    # pandas startup; the UDF type-hint resolution instead needs pd
+    # visible in the function's globals at decoration time
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if alpha <= 0:
+        raise LmError("alpha must be positive (it is the OOV probability floor)")
+    if isinstance(counts, DataFrame):
+        spark = spark or counts.sparkSession
+        rows = [(r.token, r.n) for r in counts.collect()]
+    else:
+        rows = [(t, int(n)) for t, n in counts]
+        if spark is None:
+            raise LmError("pass spark= when counts is a plain list")
+    total = float(sum(n for _, n in rows))
+    v = float(len(rows))
+    denom = total + alpha * (v + 1)
+    lut = {t: math.log2((n + alpha) / denom) for t, n in rows}
+    oov = math.log2(alpha / denom)
+    bc = spark.sparkContext.broadcast((lut, oov))
+    # re.ASCII: Python's unicode \w would tokenize non-ASCII text
+    # differently from the JVM/RE2 ASCII word class the join mode
+    # and the DuckDB oracle use
+    tok_re = re.compile(TOKEN_RE, re.ASCII)
+
+    @pandas_udf("double")
+    def _score(s: pd.Series) -> pd.Series:
+        lut_, oov_ = bc.value
+
+        def one(txt):
+            if txt is None:
+                return None
+            tl = tok_re.findall(txt.lower())
+            if not tl:
+                return None
+            return float(sum(lut_.get(t, oov_) for t in tl) / len(tl))
+
+        return s.map(one)
+
+    return _score
+
+
+# ---------------------------------------------------------------- bigram
+
+BOS = "<s>"  # sentence-start context for each doc's first token
+
+
+def _doc_pairs(text: Column) -> Column:
+    """array<struct{prev, token}> of consecutive-token pairs, the first
+    token conditioned on BOS — built entirely in the array domain (zip
+    of the BOS-prepended list against the list), so pair construction
+    never needs a per-doc window/lag shuffle."""
+    t = _doc_tokens(text)
+    prevs = F.slice(F.concat(F.array(F.lit(BOS)), t), 1, F.size(t))
+    return F.arrays_zip(prevs.alias("prev"), t.alias("token"))
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(prev, token, n) consecutive-pair counts over the corpus — the
+    bigram fit. One shuffle over the token stream (same cost shape as
+    the unigram fit, wider key). BOS rows carry each doc's first token."""
+    return (
+        docs.select(F.explode(_doc_pairs(F.col(text_col))).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.token").alias("token"))
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    bi: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    mode: str = "join",
+    out_col: str = "lm2_logprob",
+) -> DataFrame:
+    """(id_col, out_col): mean per-token CONDITIONAL log2-probability
+    under the add-alpha bigram model in ``bi`` (default: self-fit).
+    With C(prev) = total pairs seen in context prev and V = distinct
+    target tokens in ``bi``,
+
+        logp(w | prev) = log2((n(prev,w) + alpha) / (C(prev) + alpha * (V + 1)))
+
+    an unseen pair in a seen context gets the alpha floor over that
+    context's denominator; a wholly unseen context degenerates to
+    log2(1 / (V + 1)). Token-free docs score null. A doc's first token
+    is conditioned on the per-doc ``BOS`` context.
+
+    ``mode="join"``: lazy JVM path — explode pairs, broadcast-join the
+    pair counts and the per-context totals (both aggregated frames,
+    vocabulary-bounded), one per-doc re-agg shuffle. ``mode="arrow"``:
+    zero-shuffle broadcast-dict path; collects ``bi`` at build time, so
+    bound the model first at web scale (e.g. filter ``bi`` to pairs with
+    n >= k — the standard count-pruning that keeps KenLM models small)."""
+    if alpha <= 0:
+        raise LmError("alpha must be positive (it is the unseen-pair floor)")
+    if bi is None:
+        bi = bigram_counts(docs, text_col)
+    if mode == "join":
+        ctx = bi.groupBy("prev").agg(F.sum("n").alias("__cn__"))
+        stats = bi.agg(F.count_distinct("token").cast("double").alias("__v__"))
+        pairs = docs.select(
+            F.col(id_col), F.explode(_doc_pairs(F.col(text_col))).alias("p")
+        ).select(
+            F.col(id_col),
+            F.col("p.prev").alias("prev"),
+            F.col("p.token").alias("token"),
+        )
+        denom = (
+            F.coalesce(F.col("__cn__"), F.lit(0)).cast("double")
+            + F.lit(alpha) * (F.col("__v__") + 1)
+        )
+        scored = (
+            pairs.join(F.broadcast(bi), ["prev", "token"], "left")
+            .join(F.broadcast(ctx), "prev", "left")
+            .crossJoin(F.broadcast(stats))
+            .groupBy(id_col)
+            .agg(
+                F.avg(
+                    F.log2((F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha)) / denom)
+                ).alias(out_col)
+            )
+        )
+        return docs.select(id_col).join(scored, id_col, "left")
+    if mode == "arrow":
         import math
         import re
 
-        # module-level pandas import would make every lm import pay the
-        # pandas startup; the UDF type-hint resolution instead needs pd
-        # visible in the function's globals at decoration time
         global pd
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        rows = counts.collect()
-        total = float(sum(r.n for r in rows))
-        v = float(len(rows))
-        denom = total + alpha * (v + 1)
-        lut = {r.token: math.log2((r.n + alpha) / denom) for r in rows}
-        oov = math.log2(alpha / denom)
-        bc = docs.sparkSession.sparkContext.broadcast((lut, oov))
-        # re.ASCII: Python's unicode \w would tokenize non-ASCII text
-        # differently from the JVM/RE2 ASCII word class the join mode
-        # and the DuckDB oracle use
+        rows = bi.collect()
+        v = float(len({r.token for r in rows}))
+        ctx_tot: dict[str, float] = {}
+        for r in rows:
+            ctx_tot[r.prev] = ctx_tot.get(r.prev, 0.0) + r.n
+        denom = {p: c + alpha * (v + 1) for p, c in ctx_tot.items()}
+        lp = {(r.prev, r.token): math.log2((r.n + alpha) / denom[r.prev]) for r in rows}
+        floor = {p: math.log2(alpha / d) for p, d in denom.items()}
+        unseen_ctx = math.log2(1.0 / (v + 1))
+        bc = docs.sparkSession.sparkContext.broadcast((lp, floor, unseen_ctx))
         tok_re = re.compile(TOKEN_RE, re.ASCII)
 
         @pandas_udf("double")
-        def _score(s: pd.Series) -> pd.Series:
-            lut_, oov_ = bc.value
+        def _score2(s: pd.Series) -> pd.Series:
+            lp_, floor_, unseen_ = bc.value
 
             def one(txt):
                 if txt is None:
@@ -167,9 +312,17 @@ def unigram_logprob(
                 tl = tok_re.findall(txt.lower())
                 if not tl:
                     return None
-                return float(sum(lut_.get(t, oov_) for t in tl) / len(tl))
+                tot = 0.0
+                prev = BOS
+                for t in tl:
+                    val = lp_.get((prev, t))
+                    if val is None:
+                        val = floor_.get(prev, unseen_)
+                    tot += val
+                    prev = t
+                return tot / len(tl)
 
             return s.map(one)
 
-        return docs.select(F.col(id_col), _score(F.col(text_col)).alias(out_col))
+        return docs.select(F.col(id_col), _score2(F.col(text_col)).alias(out_col))
     raise LmError(f"unknown mode {mode!r}; expected 'join' or 'arrow'")

@@ -77,6 +77,13 @@ class CorpusConfig:
     text_col: str = "text"
     min_quality: float | None = None
     languages: tuple[str, ...] | None = None
+    # CCNet-style perplexity gate: drop docs whose mean per-token unigram
+    # log2-prob falls below this (operators/lm.py). The model comes from
+    # prepare_corpus's `lm_counts` (batch: a lazy (token, n) frame;
+    # self-fit on the gated corpus when omitted) or prepare_corpus_stream's
+    # `lm_rows` (a pretrained model is REQUIRED there — a stream cannot
+    # self-fit). Token-free docs fail the gate (null score).
+    min_lm_logprob: float | None = None
     exact: bool = True
     near_dup: str | None = None  # None | "minhash" | "ngram" | "simhash"
     near_threshold: float = 0.9
@@ -162,6 +169,7 @@ def prepare_corpus(
     docs: DataFrame,
     cfg: CorpusConfig = CorpusConfig(),
     bench: DataFrame | None = None,
+    lm_counts: DataFrame | None = None,
 ) -> PreparedCorpus:
     """Compose the configured stages into one lazy plan over ``docs``.
 
@@ -180,6 +188,21 @@ def prepare_corpus(
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
         stages.append(("language", out))
+
+    if cfg.min_lm_logprob is not None:
+        # after the language gate (CCNet fits per language), before the
+        # dedup shuffles; join mode keeps the no-job laziness contract
+        # whether the model is self-fit or supplied
+        from mysql_to_s3_spark.operators.lm import unigram_logprob
+
+        score = unigram_logprob(
+            out, lm_counts, id_col=cfg.id_col, text_col=cfg.text_col, mode="join"
+        )
+        keep = score.filter(
+            F.col("lm_logprob") >= F.lit(float(cfg.min_lm_logprob))
+        ).select(cfg.id_col)
+        out = out.join(keep, cfg.id_col, "left_semi")
+        stages.append(("lm", out))
 
     if cfg.exact:
         keepers = exact_dedup(out, cfg.id_col, cfg.text_col).select(
@@ -251,6 +274,7 @@ def prepare_corpus_stream(
     ts_col: str = "ts",
     bench_rows: list[tuple] | None = None,
     lateness: str = "1 hour",
+    lm_rows: list[tuple] | None = None,
 ) -> DataFrame:
     """Streaming analog of ``prepare_corpus`` over a readStream frame.
 
@@ -292,6 +316,20 @@ def prepare_corpus_stream(
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
+    if cfg.min_lm_logprob is not None:
+        # the scorer is a broadcast-dict Column expression: per-row,
+        # stateless, commutes with micro-batching — but the model must
+        # be PRETRAINED (lm_rows): a stream cannot self-fit its corpus
+        from mysql_to_s3_spark.operators.lm import unigram_scorer
+
+        if lm_rows is None:
+            raise PipelineError(
+                "min_lm_logprob set but no lm_rows given: a streaming gate "
+                "needs a pretrained (token, n) model — fit one in batch "
+                "with operators.lm.unigram_counts"
+            )
+        score = unigram_scorer(lm_rows, spark=sdf.sparkSession)
+        out = out.filter(score(txt) >= F.lit(float(cfg.min_lm_logprob)))
     if cfg.exact:
         out = stream_exact_dedup(out, ts_col, cfg.text_col, lateness)
     if cfg.mixture_rates is not None:

@@ -88,3 +88,104 @@ def test_bad_args(spark, tiny):
         unigram_logprob(tiny, alpha=0.0)
     with pytest.raises(LmError):
         unigram_logprob(tiny, mode="nope")
+
+
+# ---------------------------------------------------------------- bigram
+
+
+def test_bigram_hand_computed(spark):
+    # doc: "a b a b" -> pairs (<s>,a) (a,b) (b,a) (a,b)
+    # bi: (<s>,a):1 (a,b):2 (b,a):1 ; V = |{a,b}| = 2
+    # C(<s>)=1 C(a)=2 C(b)=1 ; denom(ctx) = C + 1*(2+1) = C+3
+    from mysql_to_s3_spark.operators.lm import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id: long, text: string")
+    want = (
+        math.log2(2 / 4)        # <s> a
+        + math.log2(3 / 5)      # a b
+        + math.log2(2 / 4)      # b a
+        + math.log2(3 / 5)      # a b
+    ) / 4
+    for mode in ("join", "arrow"):
+        got = bigram_logprob(docs, mode=mode).collect()[0].lm2_logprob
+        assert got == pytest.approx(want, abs=1e-12), mode
+
+
+def test_bigram_unseen_pair_and_context(spark):
+    from mysql_to_s3_spark.operators.lm import bigram_counts, bigram_logprob
+
+    ref = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    bi = bigram_counts(ref)  # (<s>,a):1 (a,b):1 ; V=2 ; C(<s>)=1 C(a)=1
+    # target "a a": pair (<s>,a) seen -> log2(2/4); pair (a,a) unseen in
+    # seen context a -> log2(1/4)
+    t1 = spark.createDataFrame([(9, "a a")], "doc_id: long, text: string")
+    # target "z z": (<s>,z) unseen pair in seen ctx <s> -> log2(1/4);
+    # (z,z) wholly unseen ctx -> log2(1/(V+1)) = log2(1/3)
+    t2 = spark.createDataFrame([(8, "z z")], "doc_id: long, text: string")
+    w1 = (math.log2(2 / 4) + math.log2(1 / 4)) / 2
+    w2 = (math.log2(1 / 4) + math.log2(1 / 3)) / 2
+    for mode in ("join", "arrow"):
+        g1 = bigram_logprob(t1, bi, mode=mode).collect()[0].lm2_logprob
+        g2 = bigram_logprob(t2, bi, mode=mode).collect()[0].lm2_logprob
+        assert g1 == pytest.approx(w1, abs=1e-12), mode
+        assert g2 == pytest.approx(w2, abs=1e-12), mode
+
+
+def test_bigram_matches_duckdb_oracle(spark, sf_dir):
+    """Self-fit bigram scores on the real corpus vs a DuckDB replica of
+    the same model (pair construction via BOS-prepended list zip)."""
+    import duckdb
+
+    from mysql_to_s3_spark.operators.lm import bigram_logprob
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    got = {
+        r.doc_id: r.lm2_logprob
+        for r in bigram_logprob(docs, mode="join").collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_arrow", docs.toPandas())
+    sql = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+|[^\w\s]') AS t
+      FROM docs_arrow),
+    pairs AS (
+      SELECT doc_id, list_prepend('<s>', t)[i] AS prev, t[i] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+    bi AS (SELECT prev, w, count(*) AS n FROM pairs GROUP BY prev, w),
+    ctx AS (SELECT prev, sum(n) AS cn FROM bi GROUP BY prev),
+    st AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM bi),
+    sc AS (SELECT p.doc_id,
+                  avg(log2((coalesce(b.n, 0) + 1.0) / (c.cn + 1.0 * (st.v + 1)))) AS lp
+           FROM pairs p
+           LEFT JOIN bi b ON p.prev = b.prev AND p.w = b.w
+           JOIN ctx c ON p.prev = c.prev
+           CROSS JOIN st
+           GROUP BY p.doc_id)
+    SELECT d.doc_id, sc.lp FROM toks d LEFT JOIN sc USING (doc_id)"""
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for k in got:
+        if want[k] is None:
+            assert got[k] is None, k
+        else:
+            assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+def test_lm_join_mode_plan_is_broadcast(spark, sf_dir):
+    """The join-mode scoring plan must broadcast the model frames —
+    the token stream itself must never shuffle for the joins (only the
+    per-doc re-agg exchanges)."""
+    import re as _re
+
+    from mysql_to_s3_spark.operators.lm import bigram_logprob
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for frame in (unigram_logprob(docs), bigram_logprob(docs)):
+        plan = frame._sc._jvm.PythonSQLUtils.explainString(
+            frame._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan

@@ -398,3 +398,67 @@ def test_pack_drop_audit_contract(spark, docs, tmp_path):
     # normalize whitespace; min-id keeper) — visible at the EARLIER stage
     assert by_reason[9_000_002] == "exact_dedup"
     assert by_reason[9_000_003] == "pack_empty"
+
+
+def test_lm_gate_batch_and_stream_agree(spark, tmp_path):
+    """The perplexity gate drops the same docs in batch (lazy join mode,
+    self-fit or supplied counts) and in streaming (pretrained broadcast
+    scorer): a gibberish doc scores far below the corpus-typical docs
+    under a model fit on typical text; the stream REQUIRES lm_rows."""
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.lm import unigram_counts, unigram_logprob
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    typical = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog rests under the brown tree",
+        "a quick fox and the brown dog play in the sun",
+    ]
+    weird = "zxqj vvkpw qqzzt xjvkq wwpqz"
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(typical)] + [(9, weird), (10, "")],
+        "doc_id: long, text: string",
+    )
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(typical)], "doc_id: long, text: string"
+    )
+    cnt = unigram_counts(ref)
+    scores = {
+        r.doc_id: r.lm_logprob
+        for r in unigram_logprob(docs, cnt, mode="join").collect()
+    }
+    # threshold between the typical docs' scores and the gibberish doc's
+    cut = (max(scores[9], -1e9) + min(scores[i + 1] for i in range(3))) / 2
+    cfg = CorpusConfig(min_lm_logprob=cut, exact=False)
+    prep = prepare_corpus(docs, cfg, lm_counts=cnt)
+    assert {r.doc_id for r in prep.docs.collect()} == {1, 2, 3}
+    # the token-free doc fails the gate and is audited at the lm stage
+    audit = {r.doc_id: r.dropped_at for r in prep.audit().collect()}
+    assert audit == {9: "lm", 10: "lm"}
+
+    src = str(tmp_path / "lm_stream")
+    _os.makedirs(src, exist_ok=True)
+    pdf = docs.toPandas()
+    pdf["ts"] = pd.Timestamp("2024-01-01").as_unit("us")
+    pdf.to_parquet(src + "/a.parquet")
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema)
+    lm_rows = [(r.token, r.n) for r in cnt.collect()]
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts", lm_rows=lm_rows)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM lm_stream").collect()}
+    assert got == {1, 2, 3}
+
+    with pytest.raises(PipelineError, match="lm_rows"):
+        prepare_corpus_stream(sdf, cfg, ts_col="ts")
