@@ -359,10 +359,12 @@ def stream_near_dedup(
             mat = np.frombuffer(packed, dtype=np.int64).reshape(len(ids), n_hashes) if ids else np.empty((0, n_hashes), dtype=np.int64)
         else:
             ids, mat = [], np.empty((0, n_hashes), dtype=np.int64)
+        max_ts_ms = 0
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["__ts__", "__id__"])
+            max_ts_ms = max(max_ts_ms, int(pdf["__ts__"].max().value // 1_000_000))
             out_doc, out_match, out_est = [], [], []
             for did, s in zip(pdf["__id__"].to_numpy(), pdf["__sig__"].to_numpy()):
                 sv = np.asarray(s, dtype=np.int64)
@@ -388,9 +390,14 @@ def stream_near_dedup(
                     }
                 )
         state.update((ids, mat.tobytes()))
-        # expire this bucket's references once the watermark passes TTL
-        wm = state.getCurrentWatermarkMs()
-        base = wm if wm > 0 else 0
+        # expire this bucket's references once the watermark passes TTL.
+        # Base: the watermark, or — in the query's FIRST batch, where
+        # getCurrentWatermarkMs() is still 0 — this batch's max event
+        # time. A 1970-epoch base arms the timeout BELOW the first real
+        # watermark, wiping batch-0 buckets at the next batch: a near-dup
+        # of a batch-0 reference then goes unflagged (caught by the fold
+        # property test in tests/test_stream_properties.py).
+        base = max(state.getCurrentWatermarkMs(), max_ts_ms)
         state.setTimeoutTimestamp(base + ttl_secs * 1000)
 
     return banded.groupBy("band", "bucket").applyInPandasWithState(

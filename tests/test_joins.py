@@ -503,3 +503,73 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     # (a@45) and probe 3 (b@5) match nothing of their key
     assert want == {(1, 10), (4, 10), (4, 11)}
     assert got == want
+
+
+def test_stream_asof_first_batch_state_survives_quiet_batches(spark, tmp_path):
+    """Regression: state created in the query's FIRST micro-batch (when
+    getCurrentWatermarkMs() is still 0) must not expire at the next
+    batch. A quote arrives in batch 0; batch 1 touches only another key
+    (advancing the watermark past the 1970-epoch timeout the old code
+    armed); the probe in batch 2 must still match the batch-0 quote."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.joins import stream_asof_join
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = str(tmp_path / "asof_quiet")
+    _os.makedirs(src, exist_ok=True)
+    frames = [
+        # batch 0: k1's quote only
+        pd.DataFrame({"k": ["k1"], "event_id": [1], "ts": [ts(0)],
+                      "e": ["q"], "v": [7.0]}),
+        # batch 1: unrelated key only — k1 gets NOTHING this batch
+        pd.DataFrame({"k": ["k2"], "event_id": [2], "ts": [ts(5)],
+                      "e": ["q"], "v": [1.0]}),
+        # batch 2: k1's probe (in-horizon: ts 8 > watermark 5-60)
+        pd.DataFrame({"k": ["k1"], "event_id": [3], "ts": [ts(8)],
+                      "e": ["p"], "v": [None]}),
+        # batch 3: watermark pusher drains everything
+        pd.DataFrame({"k": ["wm"], "event_id": [9], "ts": [ts(600)],
+                      "e": ["q"], "v": [0.0]}),
+    ]
+    t_base = None
+    for i, f in enumerate(frames):
+        f["ts"] = f["ts"].astype("datetime64[us]")
+        p = f"{src}/f{i}.parquet"
+        f.to_parquet(p)
+        t_base = t_base or _os.path.getmtime(p)
+        _os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+    out = stream_asof_join(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"],
+        probe_when=F.col("e") == "p",
+        quote_when=F.col("e") == "q",
+        value_cols=["v"],
+        probe_id_col="event_id",
+        lateness="60 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_quiet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.asof_ts, r.v)
+        for r in spark.sql("SELECT * FROM asof_quiet").collect()
+        if r.k == "k1"
+    }
+    assert got == {3: (ts(0), 7.0)}

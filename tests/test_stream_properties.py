@@ -363,3 +363,120 @@ def test_prop_stream_interval_join_matches_batch(spark, tmp_path, data):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------- near-dedup
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_near_dedup_matches_simulated_fold(spark, tmp_path, data):
+    """stream_near_dedup's flags are an exact deterministic function of
+    (signatures, per-bucket arrival order): one doc per micro-batch, any
+    in-horizon arrival order, flags must equal a batch-side simulation
+    of the documented fold — same banded (band, bucket) grouping built
+    with the module's own signature expressions, per-bucket argmax-est
+    vs the cutoff, refs appended in order, cap slicing. This pins the
+    streaming operator to the batch minhash machinery bit-for-bit
+    (margin semantics and all), not just to hand-picked examples."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_N,
+        _base_hashes,
+        _minhash_columns,
+        shingles,
+    )
+    from mysql_to_s3_spark.streaming.stream_extract import stream_near_dedup
+
+    pool = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    templates = [
+        " ".join(pool[(i * 7 + j) % len(pool)] for j in range(40))
+        for i in range(3)
+    ]
+    n_docs = data.draw(st.integers(4, 10))
+    rng = random.Random(data.draw(st.integers(0, 2**31)))
+    docs = []
+    for i in range(n_docs):
+        w = templates[rng.randrange(len(templates))].split()
+        for _ in range(rng.randrange(4)):  # 0-3 word edits -> real near-dups
+            w[rng.randrange(len(w))] = rng.choice(pool)
+        docs.append({"doc_id": i, "text": " ".join(w),
+                     "_minute": i, "ts": _ts(i)})
+    rng.shuffle(docs)  # single-horizon: any arrival order is legal
+    pusher = {"doc_id": 9_999, "text": "zz qq vv pp kk", "ts": _ts(10_000),
+              "_minute": 10_000}
+    src = str(tmp_path / f"nd_{next(_ids)}")
+    os.makedirs(src, exist_ok=True)
+    arrival = docs + [pusher]
+    full = pd.DataFrame(arrival).drop(columns=["_minute"])
+    full["ts"] = full["ts"].astype("datetime64[us]")
+    t_base = None
+    for i in range(len(full)):  # ONE doc per file -> per-doc micro-batches
+        p = f"{src}/f{i:03d}.parquet"
+        full.iloc[i:i + 1].to_parquet(p)
+        t_base = t_base or os.path.getmtime(p)
+        os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    threshold = 0.7
+    schema = spark.read.parquet(src).schema
+    out = stream_near_dedup(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        "ts", "text", "doc_id", threshold=threshold, lateness="60 minutes",
+    )
+    got = {
+        (r.band, r.doc_id, r.matched_id, r.est) for r in _drain(out)
+    }
+
+    # batch-side replica of the banded signature frame (same expressions)
+    n_hashes, bands = MINHASH_N, MINHASH_BANDS
+    r_rows = n_hashes // bands
+    cutoff = threshold - 4.0 * (threshold * (1 - threshold) / n_hashes) ** 0.5
+    sig = F.array(*_minhash_columns(_base_hashes(shingles(F.col("text"))), n_hashes))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("__sig__", b * r_rows + j + 1) for j in range(r_rows)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    rows = (
+        spark.read.parquet(src)
+        .select(F.col("doc_id"), sig.alias("__sig__"))
+        .withColumn("__bb__", F.explode(F.array(*band_structs)))
+        .select(
+            F.col("__bb__.band").alias("band"),
+            F.col("__bb__.bucket").alias("bucket"),
+            "doc_id",
+            "__sig__",
+        )
+        .collect()
+    )
+    pos = {d["doc_id"]: i for i, d in enumerate(arrival)}
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault((r.band, r.bucket), []).append(r)
+    want = set()
+    for (band, _), members in by_bucket.items():
+        members.sort(key=lambda r: pos[r.doc_id])
+        ids, mat = [], []
+        for r in members:
+            sv = np.asarray(r["__sig__"], dtype=np.int64)
+            if ids:
+                ests = (np.asarray(mat) == sv).mean(axis=1)
+                j = int(np.argmax(ests))
+                if ests[j] >= cutoff:
+                    want.add((band, r.doc_id, ids[j], round(float(ests[j]), 6)))
+            ids.append(r.doc_id)
+            mat.append(sv)
+            # cap slicing (never binds at this corpus size, kept for parity)
+            if len(ids) > 64:
+                ids, mat = ids[-64:], mat[-64:]
+    assert got == want
