@@ -480,3 +480,58 @@ def test_prop_stream_near_dedup_matches_simulated_fold(spark, tmp_path, data):
             if len(ids) > 64:
                 ids, mat = ids[-64:], mat[-64:]
     assert got == want
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_exact_dedup_one_survivor_per_fingerprint(spark, tmp_path, data):
+    """Any in-horizon arrival order + random cuts: exactly ONE survivor
+    per distinct normalized-text fingerprint, survivors are real corpus
+    rows, and every fingerprint is represented (nothing in-horizon is
+    dropped entirely). Which duplicate survives is first-arrival —
+    deliberately not asserted beyond membership, since within a
+    micro-batch the keeper among same-fp rows is unspecified."""
+    from mysql_to_s3_spark.operators.text import fingerprint
+    from mysql_to_s3_spark.streaming.stream_extract import stream_exact_dedup
+
+    texts = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    rows, rng = _corpus(data.draw, ["x"], n_keys=1, lo=0, hi=40,
+                        min_size=3, max_size=18)
+    for i, r in enumerate(rows):
+        r.pop("e"); r.pop("k")
+        r["doc_id"] = i
+        # duplicates by construction: few distinct texts, many rows
+        r["text"] = texts[rng.randrange(len(texts))]
+        r["ts"] = _ts(r["_minute"])
+    rng.shuffle(rows)  # single horizon: any order is legal
+    pusher = {"doc_id": 9_999, "text": "watermark pusher unique text",
+              "ts": _ts(10_000), "_minute": 10_000}
+    src = str(tmp_path / f"xd_{next(_ids)}")
+    _write_arrival_files(src, rows, rng, pusher, jitter_sort=False)
+
+    schema = spark.read.parquet(src).schema
+    out = stream_exact_dedup(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        "ts", "text", lateness="60 minutes",
+    )
+    kept = [r for r in _drain(out) if r.doc_id != 9_999]
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    want_fps = {
+        r.fp for r in spark.read.parquet(src)
+        .filter(F.col("doc_id") != 9_999)
+        .select(fingerprint(F.col("text")).alias("fp")).distinct().collect()
+    }
+    got_fps = [
+        r.fp for r in spark.createDataFrame(
+            [(k.doc_id, k.text) for k in kept], "doc_id: long, text: string"
+        ).select(fingerprint(F.col("text")).alias("fp")).collect()
+    ]
+    assert len(got_fps) == len(set(got_fps)), "a fingerprint survived twice"
+    assert set(got_fps) == want_fps
+    for k in kept:  # survivors are genuine corpus rows
+        assert by_id[k.doc_id] == k.text
