@@ -78,13 +78,16 @@ def contamination_pairs(
     than the cap falls back to a plain shuffle join (logged) instead of
     broadcasting past executor memory — the valve for callers screening
     corpus-vs-corpus through the ``hashed`` path. The size estimate is a
-    one-pass word-count upper bound over the bench text (a doc's shingle
-    count is at most its word count), NOT a second run of the shingling —
-    but it is still a Spark job at DataFrame-construction time. Callers
-    composing lazy pipelines who already know the answer can skip that
-    job entirely with ``broadcast=True`` (bench is an eval suite — always
-    small) or ``broadcast=False`` (corpus-vs-corpus — never broadcast);
-    ``broadcast=None`` keeps the guarded auto decision."""
+    one-pass CHARACTER-length sum over the bench text — a true upper
+    bound on the exploded count, since ``shingles`` emits at most
+    length(text) distinct character k-grams per doc — NOT a second run
+    of the shingling; it is still one cheap Spark job at
+    DataFrame-construction time. Callers composing lazy pipelines who
+    already know the answer can skip that job entirely with
+    ``broadcast=True`` (bench is a fixed-size eval suite) or
+    ``broadcast=False`` (corpus-vs-corpus — never broadcast);
+    ``broadcast=None`` (the default everywhere) keeps the guarded auto
+    decision."""
 
     def _sh(col):
         s = shingles(col, k)
@@ -108,12 +111,12 @@ def contamination_pairs(
                 int(raw) if raw is not None else DEFAULT_BENCH_BROADCAST_CAP
             )
         # upper bound on the exploded shingle count WITHOUT shingling
-        # twice: a doc's k-shingle count is at most its whitespace word
-        # count, and this scan is plain length arithmetic over bench text
+        # twice: shingles() emits character k-grams, at most
+        # length(text) distinct per doc (a word count would UNDERcount
+        # by ~avg word length and defeat the OOM valve) — this scan is
+        # plain length arithmetic over the bench text
         n_bench_shingles = bench.agg(
-            F.coalesce(
-                F.sum(F.size(F.split(F.col(text_col), r"\s+"))), F.lit(0)
-            ).alias("n")
+            F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).alias("n")
         ).first()["n"]
         broadcast = n_bench_shingles <= broadcast_max_shingles
         if not broadcast:

@@ -353,17 +353,11 @@ def stream_asof_join(
                     [e[3] for e in pending],
                 )
             )
-            # TTL base: the watermark, or — in the query's FIRST batch,
-            # where getCurrentWatermarkMs() is still 0 — the key's own
-            # max buffered event time. A 1970-epoch base arms the
-            # timeout BELOW the first real watermark: batch-0 state then
-            # expires at the next batch (premature flush — probes emit
-            # before in-horizon quotes arrive). Found by the near-dedup
-            # fold property test; same fix in sessions/stream_extract.
-            base = state.getCurrentWatermarkMs()
-            if buf:
-                base = max(base, max(e[0] for e in buf) // 1000)
-            state.setTimeoutTimestamp(base + ttl_secs * 1000)
+            from mysql_to_s3_spark.streaming.stream_extract import arm_event_ttl
+
+            arm_event_ttl(
+                state, ttl_secs, max(e[0] for e in buf) // 1000 if buf else 0
+            )
         if out:
             def us2dt(us):
                 return None if us is None else _dt.datetime.utcfromtimestamp(us / 1_000_000)

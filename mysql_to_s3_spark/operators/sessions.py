@@ -374,17 +374,10 @@ def stream_funnel(
                     [m for _, m in pending],
                 )
             )
-            # TTL base: the watermark, or — in the query's FIRST batch,
-            # where getCurrentWatermarkMs() is still 0 — the key's own
-            # max buffered event time. A 1970-epoch base would arm the
-            # timeout BELOW the first real watermark, expiring batch-0
-            # state at the next batch and silently flushing early (found
-            # by the stream_near_dedup fold property test; same pattern
-            # fixed in joins.stream_asof_join and stream_near_dedup).
-            base = state.getCurrentWatermarkMs()
-            if buf_us or step_us:
-                base = max(base, max([*buf_us, *step_us]) // 1000)
-            state.setTimeoutTimestamp(base + ttl_secs * 1000)
+            from mysql_to_s3_spark.streaming.stream_extract import arm_event_ttl
+
+            all_us = [*buf_us, *step_us]
+            arm_event_ttl(state, ttl_secs, max(all_us) // 1000 if all_us else 0)
         if completed is not None:
             row = {c: [v] for c, v in zip(by, key)}
             for i, us in enumerate(completed):

@@ -280,6 +280,8 @@ def ivf_write_index(
     want = [[float(x) for x in c] for c in centroids]
     if mode == "append":
         existing = _sidecar_or_none(lambda: ivf_read_centroids(spark, path))
+        if existing is None:
+            _guard_half_written(spark, path, "ivf_write_index")
         if existing is not None and existing != want:
             raise IvfIndexError(
                 f"ivf_write_index(mode='append') at {path}: passed centroids "
@@ -305,9 +307,11 @@ def ivf_write_index(
 def _sidecar_or_none(read):
     """Run a sidecar read; None ONLY when the path does not exist (the
     genuine first-write case). Any other failure — permission, corrupt
-    footer, truncated file from a half-finished write — re-raises, so the
-    exact append guard built on the sidecar can't be bypassed by a
-    transient read error letting mismatched centroids/codebooks through."""
+    footer, truncated file — re-raises, so the exact append guard built
+    on the sidecar can't be bypassed by a transient read error letting
+    mismatched centroids/codebooks through. Callers must ALSO check that
+    the index is not half-written (vectors present, sidecar absent) —
+    see ``_guard_half_written``."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -317,6 +321,28 @@ def _sidecar_or_none(read):
         if err == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc):
             return None
         raise
+
+
+def _guard_half_written(spark, path: str, what: str) -> None:
+    """An append whose sidecar probe came back path-not-found is a first
+    write ONLY if the vectors payload is absent too. The common
+    half-finished write (job died between the vectors write and the
+    sidecar write) leaves vectors WITHOUT a sidecar — indistinguishable
+    from first-write by the sidecar probe alone, and appending refit
+    (different) centroids/codebooks next to those orphaned vectors is
+    exactly the silent misalignment the guard exists to prevent."""
+
+    def _probe():
+        spark.read.parquet(path + "/vectors")
+        return True
+
+    if _sidecar_or_none(_probe):
+        raise IvfIndexError(
+            f"{what}(mode='append') at {path}: vectors exist but the "
+            "sidecar is missing — a previous write died half-way. The "
+            "existing vectors' cell/code assignment is unverifiable; "
+            "rebuild with mode='overwrite'."
+        )
 
 
 def ivf_read_centroids(spark, path: str) -> list[list[float]]:
@@ -523,6 +549,14 @@ def ivfpq_write_index(
             if have_cent is not None
             else None
         )
+        if have_cent is None or (have_cent is not None and have_books is None):
+            _guard_half_written(spark, path, "ivfpq_write_index")
+        if have_cent is not None and have_books is None:
+            raise IvfIndexError(
+                f"ivfpq_write_index(mode='append') at {path}: the centroid "
+                "sidecar exists but the codebook sidecar is missing — a "
+                "previous write died half-way; rebuild with mode='overwrite'."
+            )
         if have_cent is not None and (have_cent != want_cent or have_books != want_books):
             raise IvfIndexError(
                 f"ivfpq_write_index(mode='append') at {path}: centroids or "

@@ -93,12 +93,13 @@ class CorpusConfig:
     strata_col: str = "lang"
     mixture_default_rate: float = 0.0
     decontam_threshold: float | None = None  # needs a bench frame
-    # True (default): bench is a fixed-size eval suite — broadcast it with
-    # no size-probe job, keeping the module's no-stage-triggers-a-job
-    # laziness contract. False: never broadcast (corpus-vs-corpus screen).
-    # None: let decontaminate() run its guarded size estimate (one job at
-    # plan-build time).
-    decontam_broadcast: bool | None = True
+    # None (default): decontaminate() runs its guarded size estimate —
+    # one cheap length-sum job at plan-build time, the only exception to
+    # the module's no-stage-triggers-a-job laziness contract, kept
+    # because the executor-OOM valve must stay armed BY DEFAULT. True:
+    # skip the probe and broadcast (caller asserts the bench is a
+    # fixed-size eval suite). False: never broadcast (corpus-vs-corpus).
+    decontam_broadcast: bool | None = None
     redact: bool = False
     splits: Mapping[str, float] | None = None
     split_col: str = "split"

@@ -1673,9 +1673,15 @@ def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs per query at scale) rather than re-paying the one-time index
     # build 3x per row (measured: 10.8 s/row with per-call writes)
     def _write():
+        import atexit
+
         idx = tempfile.mkdtemp(prefix="ivfpq_idx_")
         shutil.rmtree(idx, ignore_errors=True)
         ivfpq_write_index(base, centroids, books, idx)
+        # _FIT_CACHE has no eviction hook and mkdtemp dirs outlive the
+        # process — without this, every bench/driver session leaves a
+        # full copy of the embeddings table under /tmp
+        atexit.register(shutil.rmtree, idx, ignore_errors=True)
         return idx
 
     idx = _fit_cached(spark, sf_dir, "ivfpq_idx", _write)

@@ -56,6 +56,23 @@ def read_parquet_stream(
     return reader.parquet(path)
 
 
+def arm_event_ttl(state, ttl_secs: int, max_event_ms: int) -> None:
+    """Arm an ``EventTimeTimeout`` at ``max(watermark, the key's max
+    event time) + ttl`` — THE one correct way to set a state TTL in the
+    stateful folds (stream_asof_join, stream_funnel, stream_near_dedup).
+
+    Why the max: in the query's FIRST micro-batch
+    ``getCurrentWatermarkMs()`` is still 0, so a watermark-only base
+    arms the timeout at epoch-1970 + ttl — below any real watermark —
+    and batch-0 state expires at the next batch unless the key happens
+    to receive data (premature flush; found by the stream_near_dedup
+    fold property test, round 6). Using the key's own max event time as
+    the floor also preserves TTL semantics in later batches: the
+    timeout can only move OUTWARD from the watermark."""
+    base = max(state.getCurrentWatermarkMs(), int(max_event_ms))
+    state.setTimeoutTimestamp(base + ttl_secs * 1000)
+
+
 def _fixed_seconds(duration: str) -> int:
     dur = parse_duration(duration)
     if dur["months"]:
@@ -390,15 +407,9 @@ def stream_near_dedup(
                     }
                 )
         state.update((ids, mat.tobytes()))
-        # expire this bucket's references once the watermark passes TTL.
-        # Base: the watermark, or — in the query's FIRST batch, where
-        # getCurrentWatermarkMs() is still 0 — this batch's max event
-        # time. A 1970-epoch base arms the timeout BELOW the first real
-        # watermark, wiping batch-0 buckets at the next batch: a near-dup
-        # of a batch-0 reference then goes unflagged (caught by the fold
-        # property test in tests/test_stream_properties.py).
-        base = max(state.getCurrentWatermarkMs(), max_ts_ms)
-        state.setTimeoutTimestamp(base + ttl_secs * 1000)
+        # expire this bucket's references once the watermark passes TTL
+        # (arm_event_ttl handles the first-batch watermark==0 case)
+        arm_event_ttl(state, ttl_secs, max_ts_ms)
 
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         flag, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout

@@ -527,25 +527,26 @@ def test_stream_asof_first_batch_state_survives_quiet_batches(spark, tmp_path):
 
     src = str(tmp_path / "asof_quiet")
     _os.makedirs(src, exist_ok=True)
-    frames = [
-        # batch 0: k1's quote only
-        pd.DataFrame({"k": ["k1"], "event_id": [1], "ts": [ts(0)],
-                      "e": ["q"], "v": [7.0]}),
-        # batch 1: unrelated key only — k1 gets NOTHING this batch
-        pd.DataFrame({"k": ["k2"], "event_id": [2], "ts": [ts(5)],
-                      "e": ["q"], "v": [1.0]}),
-        # batch 2: k1's probe (in-horizon: ts 8 > watermark 5-60)
-        pd.DataFrame({"k": ["k1"], "event_id": [3], "ts": [ts(8)],
-                      "e": ["p"], "v": [None]}),
-        # batch 3: watermark pusher drains everything
-        pd.DataFrame({"k": ["wm"], "event_id": [9], "ts": [ts(600)],
-                      "e": ["q"], "v": [0.0]}),
-    ]
+    # one dtype-stable frame sliced per micro-batch (an all-None chunk of
+    # a float column must stay float64, not pyarrow's null type — the
+    # _write_arrival_files discipline from test_stream_properties.py):
+    # batch 0: k1's quote only; batch 1: unrelated key only — k1 gets
+    # NOTHING (advancing the watermark past the 1970-epoch timeout the
+    # old code armed); batch 2: k1's probe (in-horizon: 8 > 5-60);
+    # batch 3: watermark pusher drains everything.
+    full = pd.DataFrame(
+        {
+            "k": ["k1", "k2", "k1", "wm"],
+            "event_id": [1, 2, 3, 9],
+            "ts": pd.Series([ts(0), ts(5), ts(8), ts(600)]).astype("datetime64[us]"),
+            "e": ["q", "q", "p", "q"],
+            "v": [7.0, 1.0, None, 0.0],
+        }
+    )
     t_base = None
-    for i, f in enumerate(frames):
-        f["ts"] = f["ts"].astype("datetime64[us]")
+    for i in range(len(full)):
         p = f"{src}/f{i}.parquet"
-        f.to_parquet(p)
+        full.iloc[i:i + 1].to_parquet(p)
         t_base = t_base or _os.path.getmtime(p)
         _os.utime(p, (t_base + 10 * i, t_base + 10 * i))
 

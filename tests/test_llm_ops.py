@@ -435,3 +435,41 @@ def test_ivfpq_append_guard(spark, sf_dir, tmp_path):
     got = similarity.ivfpq_search_index(spark, path, q, k=10, nprobe=4, shortlist=n).collect()
     want = similarity.ivf_topk(emb, q, centroids, k=10, nprobe=4).collect()
     assert [(r["vec_id"], r["cos"]) for r in got] == [(r["vec_id"], r["cos"]) for r in want]
+
+
+def test_ivf_append_rejects_half_written_index(spark, sf_dir, tmp_path):
+    """A job that died between the vectors write and the sidecar write
+    leaves vectors WITHOUT a sidecar — indistinguishable from first
+    write by the sidecar probe alone. Appending refit centroids next to
+    those orphaned vectors would silently misalign the index, so both
+    writers must refuse (mode='overwrite' is the rebuild path)."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators import similarity
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    centroids = similarity.ivf_fit(emb, n_cells=4)
+    path = str(tmp_path / "ivf_half")
+    similarity.ivf_write_index(emb, centroids, path)
+    shutil.rmtree(path + "/centroids")  # simulate the half-finished write
+    with _pytest.raises(similarity.IvfIndexError, match="half-way"):
+        similarity.ivf_write_index(emb, centroids, path, mode="append")
+    # overwrite rebuilds cleanly
+    similarity.ivf_write_index(emb, centroids, path, mode="overwrite")
+    assert similarity.ivf_read_centroids(spark, path) == [
+        [float(x) for x in c] for c in centroids
+    ]
+
+    books = similarity.pq_fit(emb, m=8, k=16, max_iter=5)
+    p2 = str(tmp_path / "ivfpq_half")
+    similarity.ivfpq_write_index(emb, centroids, books, p2)
+    shutil.rmtree(p2 + "/codebooks")  # died between the two sidecars
+    with _pytest.raises(similarity.IvfIndexError, match="half-way"):
+        similarity.ivfpq_write_index(emb, centroids, books, p2, mode="append")
+    shutil.rmtree(p2 + "/centroids")  # died right after the vectors
+    with _pytest.raises(similarity.IvfIndexError, match="half-way"):
+        similarity.ivfpq_write_index(emb, centroids, books, p2, mode="append")

@@ -50,7 +50,8 @@ def test_hand_computed_model(spark, tiny):
 def test_modes_agree_on_corpus(spark, sf_dir):
     from mysql_to_s3_spark.sources.registry import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(300).select("doc_id", "text")
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300).select("doc_id", "text").cache())
     j = {r.doc_id: r.lm_logprob for r in unigram_logprob(docs, mode="join").collect()}
     a = {r.doc_id: r.lm_logprob for r in unigram_logprob(docs, mode="arrow").collect()}
     assert set(j) == set(a) and j
@@ -139,7 +140,8 @@ def test_bigram_matches_duckdb_oracle(spark, sf_dir):
     from mysql_to_s3_spark.operators.lm import bigram_logprob
     from mysql_to_s3_spark.sources.registry import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(200).select("doc_id", "text").cache())
     got = {
         r.doc_id: r.lm2_logprob
         for r in bigram_logprob(docs, mode="join").collect()
