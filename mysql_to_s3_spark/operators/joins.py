@@ -41,10 +41,14 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     granularity_secs: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval join: every (probe row, interval) pair with the
     same ``by`` key and ``start <= probe_ts <= end`` (inclusive) — as a
-    bucketized EQUI-join, never a range cross join.
+    bucketized EQUI-join, never a range cross join. ``how="left"`` keeps
+    probe rows contained in NO interval with null ``value_cols`` — safe
+    here precisely because a probe row occupies exactly ONE bucket, so
+    the outer side never fans out from the bucketing itself.
 
     Mechanics: each interval explodes to the fixed-width time buckets it
     overlaps (``explode(sequence(floor(start/g), floor(end/g)))`` — the
@@ -69,6 +73,8 @@ def interval_join(
     g = int(granularity_secs)
     if g <= 0:
         raise JoinError("granularity_secs must be positive")
+    if how not in ("inner", "left"):
+        raise JoinError(f"how must be inner|left, got {how!r}")
     b_start = F.floor(F.unix_timestamp(F.col(start_col)) / g)
     b_end = F.floor(F.unix_timestamp(F.col(end_col)) / g)
     iv = intervals.select(
@@ -91,7 +97,7 @@ def interval_join(
         & (F.col(probe_ts) >= F.col("__start__"))
         & (F.col(probe_ts) <= F.col("__end__"))
     )
-    return p.join(iv, cond, "inner").select(*probe.columns, *value_cols)
+    return p.join(iv, cond, how).select(*probe.columns, *value_cols)
 
 
 def asof_join(
@@ -104,21 +110,35 @@ def asof_join(
     tolerance: str | None = None,
     allow_exact_matches: bool = True,
     quote_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join (backward): every probe row, plus ``value_cols``
-    from the latest quote row with ``quote_ts <= probe_ts`` (strictly
-    ``<`` when ``allow_exact_matches=False``) and the same ``by`` key;
-    null when no quote precedes.
+    """Left as-of join: every probe row, plus ``value_cols`` from the
+    as-of quote row with the same ``by`` key — the full pandas
+    ``merge_asof`` direction contract:
 
-    ``tolerance`` (an INTERVAL literal like ``'2 hours'``) nulls out
-    matches older than ``probe_ts - tolerance`` — the pandas
-    ``merge_asof`` contract. ``quote_tiebreak`` makes the winner among
-    equal-timestamp quotes deterministic (highest tiebreak wins);
-    without it, ties follow window order within the key.
+    - ``backward`` (default): the LATEST quote with ``quote_ts <=
+      probe_ts`` (strictly ``<`` when ``allow_exact_matches=False``);
+    - ``forward``: the EARLIEST quote with ``quote_ts >= probe_ts``
+      (strictly ``>`` without exact matches) — the same one-shuffle
+      union/window plan with the time ordering reversed;
+    - ``nearest``: whichever of the two is closer in time, ties to the
+      backward one (the pandas convention). Two window passes over the
+      same union frame — same partitioning, so Catalyst plans ONE
+      exchange with two sorts.
+
+    Null when no qualifying quote exists. ``tolerance`` (an INTERVAL
+    literal like ``'2 hours'``) nulls out matches farther than that
+    from ``probe_ts`` on the match's own side. ``quote_tiebreak`` makes
+    the winner among equal-timestamp quotes deterministic (highest
+    tiebreak wins); without it, ties follow window order within the key.
 
     ``by`` must be non-empty: a keyless as-of is a single global window
     task — at scale, bucket time first (edges time domain) or add a key.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise JoinError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if not by:
         raise JoinError("asof_join requires at least one `by` key (a keyless "
                         "as-of join is one global window task)")
@@ -173,12 +193,45 @@ def asof_join(
         F.lit(None).cast(q.schema["__q__"].dataType).alias("__q__"),
         *[F.col(c).alias(f"__p_{c}__") for c in probe_cols],
     )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__t__").asc(), F.col("__side__").asc(), F.col("__tb__").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(F.col("__q__"), True).over(w)
+    def _w(t_order):
+        return (
+            Window.partitionBy(*by)
+            .orderBy(t_order, F.col("__side__").asc(), F.col("__tb__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    # backward walks time ascending (last preceding quote wins); forward
+    # walks it DESCENDING, so "last" is the earliest following quote —
+    # the side/tiebreak ordering is direction-independent
+    m_back = F.last(F.col("__q__"), True).over(_w(F.col("__t__").asc()))
+    m_fwd = F.last(F.col("__q__"), True).over(_w(F.col("__t__").desc()))
+
+    def _tol(m, side):
+        if tolerance is None:
+            return m
+        iv = F.expr(f"INTERVAL {tolerance}")
+        ok = (
+            m.getField("__asof_ts__") >= F.col("__t__") - iv
+            if side == "backward"
+            else m.getField("__asof_ts__") <= F.col("__t__") + iv
+        )
+        return F.when(ok, m)
+
+    if direction == "backward":
+        matched = _tol(m_back, "backward")
+    elif direction == "forward":
+        matched = _tol(m_fwd, "forward")
+    else:
+        mb, mf = _tol(m_back, "backward"), _tol(m_fwd, "forward")
+        d_b = F.col("__t__").cast("double") - mb.getField("__asof_ts__").cast("double")
+        d_f = mf.getField("__asof_ts__").cast("double") - F.col("__t__").cast("double")
+        # ties (d_f == d_b) take the backward match — pandas convention
+        matched = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(d_f < d_b, mf)
+            .otherwise(mb)
+        )
     is_probe = F.col("__side__") == probe_side
     out = q.unionByName(p).select(
         *[F.col(f"__p_{c}__").alias(c) for c in probe_cols],
@@ -187,11 +240,6 @@ def asof_join(
         F.col("__t__"),
     ).filter(F.col("__side__") == probe_side)
     m: Column = F.col("__m__")
-    if tolerance is not None:
-        m = F.when(
-            F.col("__m__.__asof_ts__") >= F.col("__t__") - F.expr(f"INTERVAL {tolerance}"),
-            F.col("__m__"),
-        )
     return out.select(
         *probe_cols,
         *[m.getField(c).alias(c) for c in value_cols],

@@ -574,3 +574,145 @@ def test_stream_asof_first_batch_state_survives_quiet_batches(spark, tmp_path):
         if r.k == "k1"
     }
     assert got == {3: (ts(0), 7.0)}
+
+
+@given(
+    st.lists(_probe_row, min_size=1, max_size=15),
+    st.lists(_quote_row, min_size=0, max_size=15),
+    st.booleans(),
+    st.sampled_from(["forward", "nearest"]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_asof_direction_property_matches_duckdb(spark, probes, quotes, exact, direction):
+    """forward / nearest directions vs a correlated-subquery DuckDB
+    oracle spelling out the pandas merge_asof contract (nearest ties ->
+    backward; equal-ts quote winner pinned by max-v tiebreak)."""
+    import datetime as dt
+
+    import duckdb as _dd
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return None if m is None else t0 + dt.timedelta(minutes=m)
+
+    pdf = [(i, k, ts(m)) for i, (k, m) in enumerate(probes)]
+    qdf = [(k, ts(m), float(v)) for (k, m, v) in quotes]
+    probe = spark.createDataFrame(pdf, "id long, k string, ts timestamp")
+    quote = spark.createDataFrame(qdf, "k string, ts timestamp, v double")
+    got = {
+        r.id: (None if r.v is None else round(r.v, 6))
+        for r in asof_join(
+            probe, quote, by=["k"], value_cols=["v"], allow_exact_matches=exact,
+            quote_tiebreak="v", direction=direction,
+        ).collect()
+    }
+    con = _dd.connect()
+    con.execute("CREATE TABLE p (id BIGINT, k VARCHAR, ts TIMESTAMP)")
+    con.execute("CREATE TABLE q0 (k VARCHAR, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", pdf)
+    if qdf:
+        con.executemany("INSERT INTO q0 VALUES (?, ?, ?)", qdf)
+    con.execute(
+        """CREATE TABLE q AS SELECT k, ts, max(v) AS v FROM q0
+           WHERE k IS NOT NULL AND ts IS NOT NULL GROUP BY k, ts"""
+    )
+    ge, le = (">=", "<=") if exact else (">", "<")
+    back = f"""(SELECT q.v FROM q WHERE q.k = p.k AND p.ts {ge} q.ts
+                ORDER BY q.ts DESC LIMIT 1)"""
+    fwd = f"""(SELECT q.v FROM q WHERE q.k = p.k AND p.ts {le} q.ts
+               ORDER BY q.ts ASC LIMIT 1)"""
+    back_ts = f"""(SELECT q.ts FROM q WHERE q.k = p.k AND p.ts {ge} q.ts
+                   ORDER BY q.ts DESC LIMIT 1)"""
+    fwd_ts = f"""(SELECT q.ts FROM q WHERE q.k = p.k AND p.ts {le} q.ts
+                  ORDER BY q.ts ASC LIMIT 1)"""
+    if direction == "forward":
+        sel = fwd
+    else:
+        sel = f"""CASE
+            WHEN {back_ts} IS NULL THEN {fwd}
+            WHEN {fwd_ts} IS NULL THEN {back}
+            WHEN (epoch({fwd_ts}) - epoch(p.ts)) < (epoch(p.ts) - epoch({back_ts}))
+                 THEN {fwd}
+            ELSE {back} END"""
+    want = {
+        i: (None if v is None else round(v, 6))
+        for i, v in con.execute(f"SELECT p.id, {sel} FROM p").fetchall()
+    }
+    assert got == want
+
+
+def test_asof_forward_is_backward_under_time_reversal(spark):
+    """Duality: forward(probe, quote) on numeric event times equals
+    backward on the negated times — pins the direction machinery to the
+    already-oracle-verified backward path with no SQL at all."""
+    import random as _random
+
+    rng = _random.Random(20260814)
+    probes = [(i, f"k{rng.randrange(3)}", float(rng.randrange(200)))
+              for i in range(40)]
+    quotes = [(f"k{rng.randrange(3)}", float(rng.randrange(200)), float(i))
+              for i in range(40)]
+    p = spark.createDataFrame(probes, "id long, k string, ts double")
+    q = spark.createDataFrame(quotes, "k string, ts double, v double")
+    for exact in (True, False):
+        fwd = {
+            r.id: r.v
+            for r in asof_join(p, q, by=["k"], value_cols=["v"],
+                               allow_exact_matches=exact, quote_tiebreak="v",
+                               direction="forward").collect()
+        }
+        pn = p.withColumn("ts", -F.col("ts"))
+        qn = q.withColumn("ts", -F.col("ts"))
+        back = {
+            r.id: r.v
+            for r in asof_join(pn, qn, by=["k"], value_cols=["v"],
+                               allow_exact_matches=exact, quote_tiebreak="v",
+                               direction="backward").collect()
+        }
+        assert fwd == back, exact
+
+
+def test_asof_direction_validation_and_nearest_tie(spark):
+    with pytest.raises(JoinError, match="direction"):
+        asof_join(
+            spark.range(1).withColumn("k", F.lit("a")).withColumn("ts", F.lit(1.0)),
+            spark.range(1).withColumn("k", F.lit("a")).withColumn("ts", F.lit(1.0)).withColumn("v", F.lit(2.0)),
+            by=["k"], value_cols=["v"], direction="sideways",
+        )
+    # equidistant quotes: nearest takes the BACKWARD one (pandas tie rule)
+    p = spark.createDataFrame([(1, "a", 10.0)], "id long, k string, ts double")
+    q = spark.createDataFrame(
+        [("a", 7.0, 100.0), ("a", 13.0, 200.0)], "k string, ts double, v double"
+    )
+    r = asof_join(p, q, by=["k"], value_cols=["v"], direction="nearest").collect()
+    assert r[0].v == 100.0
+
+
+def test_interval_join_left_keeps_uncontained_probes(spark, duck):
+    import datetime as dt
+
+    from mysql_to_s3_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    probe = spark.createDataFrame(
+        [(1, "a", ts(5)), (2, "a", ts(500)), (3, "b", ts(5))],
+        "id long, k string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("a", 90, ts(0), ts(10))], "k string, iv long, start timestamp, end timestamp"
+    )
+    got = {
+        (r.id, r.iv)
+        for r in interval_join(
+            probe, ivs, by=["k"], value_cols=["iv"], how="left",
+            granularity_secs=600,
+        ).collect()
+    }
+    assert got == {(1, 90), (2, None), (3, None)}
+    with pytest.raises(JoinError, match="how"):
+        interval_join(probe, ivs, by=["k"], value_cols=["iv"], how="full")
