@@ -29,8 +29,15 @@ Stage-order rationale (each choice is load-bearing at 100 TB):
 - the split label is a pure function of the doc id (`hash_split`), so
   it commutes with every stage and is assigned at the end for free.
 
-Laziness contract: ``prepare_corpus`` builds ONE unexecuted plan; no
-stage triggers a job. The optional ``funnel`` diagnostic is the only
+Laziness contract: ``prepare_corpus`` builds ONE unexecuted plan, with
+two spelled-out exceptions that DO run jobs at plan-build time:
+``near_dup`` clustering (the pointer-jumping convergence loop is
+driver-side iteration — one job per round — because an
+until-convergence algorithm cannot be expressed as a single Catalyst
+plan), and the decontamination broadcast-size probe when
+``decontam_broadcast=None`` (one cheap length-sum — the price of
+keeping the OOM valve armed by default). Every other stage is pure
+plan construction. The optional ``funnel`` diagnostic is the only
 thing that runs per-stage actions — one count-job per stage, each
 re-deriving its prefix from the source, so cache the source (or the
 heaviest boundary) before calling it on anything expensive.
