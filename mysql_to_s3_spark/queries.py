@@ -2642,6 +2642,9 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 deterministic under (user_id, ts) quote ties via
                 quote_tiebreak='sv', mirrored by a max() pre-agg in the
                 DuckDB oracle)
+    - `asoff`:  the FORWARD direction (r6): per purchase, the earliest
+                following signup value — DuckDB's ASOF JOIN with the
+                inequality flipped (`p.ts <= q.ts`)
     - `range`:  each event resolved into its session interval
     - `sess`:   per-session rollup (start/end/n_events)
     - `funnel`: per-user greedy signup->click->purchase timestamps
@@ -2668,6 +2671,17 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv"
     ).select(
         F.lit("asof").alias("leg"),
+        F.col("event_id").alias("a"),
+        F.col("user_id").alias("b"),
+        F.col("ts").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.col("sv").cast("double").alias("x"),
+    )
+    asoff = asof_join(
+        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv",
+        direction="forward",
+    ).select(
+        F.lit("asoff").alias("leg"),
         F.col("event_id").alias("a"),
         F.col("user_id").alias("b"),
         F.col("ts").alias("t1"),
@@ -2728,7 +2742,8 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("converted").cast("double").alias("x"),
     )
     return (
-        asof.unionByName(rng)
+        asof.unionByName(asoff)
+        .unionByName(rng)
         .unionByName(sessrow)
         .unionByName(fn)
         .unionByName(fw)
@@ -2780,6 +2795,12 @@ _q(
     ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
                     WHERE event_type = 'signup' GROUP BY 1, 2) q
       ON p.user_id = q.user_id AND p.ts >= q.ts
+    UNION ALL
+    SELECT 'asoff' AS leg, p.event_id, p.user_id, p.ts, NULL, q.value::DOUBLE
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'signup' GROUP BY 1, 2) q
+      ON p.user_id = q.user_id AND p.ts <= q.ts
     UNION ALL
     SELECT 'range', e.event_id, s.sq, e.ts, NULL, NULL
     FROM events e JOIN sess s
