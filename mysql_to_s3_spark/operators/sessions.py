@@ -410,3 +410,155 @@ def _fixed_seconds_lateness(lateness: str) -> int:
             "state TTL must match the watermark horizon exactly — use a "
             "fixed interval such as '1 hour' or '30 days'"
         ) from exc
+
+
+def stream_funnel_within(
+    sdf: DataFrame,
+    by: list[str],
+    steps: list,
+    within: str,
+    ts_col: str = "ts",
+    lateness: str = "1 hour",
+    max_buffer_per_key: int = 10_000,
+) -> DataFrame:
+    """Streaming TIME-BOXED funnel — the streaming analog of
+    ``funnel_within``: a row (by..., start_ts) is emitted for a key's
+    EARLIEST step-1 event that begins a strict ordered completion of all
+    steps with every later step at most ``within`` after that start
+    (greedy-per-start, exact for a fixed start — the batch operator's
+    semantics).
+
+    Decidability is what makes this streamable with bounded state: a
+    candidate start ``s`` is judged only once the watermark passes
+    ``s + within`` — every event that could sit in its window is then
+    final — and starts are judged in event-time order, so the first
+    success is THE earliest completing start. A start that fails is
+    never revisited (its window can no longer change), and the buffer
+    prunes to events newer than ``watermark - within``: an older event
+    can serve neither as an undecided start nor inside an undecided
+    start's window. State per key is therefore bounded by the events in
+    a ``within + lateness`` horizon, hard-capped at
+    ``max_buffer_per_key`` (earliest kept — the operator prefers
+    earliest starts anyway, so a flood degrades late-reordering
+    tolerance, never memory). Completed keys hold a tombstone until the
+    TTL expires them (the stream_funnel uniqueness caveat applies across
+    horizons). An EventTimeTimeout (key quiet past ``lateness``) judges
+    every remaining start against the now-final buffer, emits any
+    completion, and drops the state.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        _fixed_seconds,
+        arm_event_ttl,
+    )
+
+    if not by:
+        raise ValueError("stream_funnel_within requires at least one `by` key")
+    if len(steps) < 2:
+        raise ValueError("stream_funnel_within requires at least two steps")
+    k = len(steps)
+    ttl_secs = _fixed_seconds_lateness(lateness)
+    within_us = _fixed_seconds(within) * 1_000_000
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    maskbits = None
+    for i, p in enumerate(steps):
+        bit = F.coalesce(p.cast("boolean"), F.lit(False)).cast("long") * F.lit(2**i)
+        maskbits = bit if maskbits is None else maskbits + bit
+    keyed = sdf.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col).alias("__ts__"),
+        maskbits.alias("__m__"),
+    ).withWatermark("__ts__", lateness)
+
+    key_fields = [sdf.schema[c] for c in by]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("start_ts", T.TimestampType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("done", T.IntegerType()),
+            T.StructField("buf_us", T.ArrayType(T.LongType())),
+            T.StructField("buf_m", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        import datetime as _dt
+
+        import pandas as pd
+
+        if state.exists:
+            done, buf_us, buf_m = state.get
+            buf_us, buf_m = list(buf_us), list(buf_m)
+        else:
+            done, buf_us, buf_m = 0, [], []
+        for pdf in pdfs:
+            for t, m in zip(pdf["__ts__"], pdf["__m__"]):
+                buf_us.append(int(t.value // 1000))
+                buf_m.append(int(m))
+        flush_all = state.hasTimedOut
+        if done:
+            # tombstone: swallow events until the TTL drops the key
+            if flush_all:
+                state.remove()
+            else:
+                state.update((1, [], []))
+                arm_event_ttl(
+                    state, ttl_secs, max(buf_us) // 1000 if buf_us else 0
+                )
+            return
+        if len(buf_us) > max_buffer_per_key:
+            order = sorted(range(len(buf_us)), key=lambda i: (buf_us[i], buf_m[i]))
+            order = order[:max_buffer_per_key]
+            buf_us = [buf_us[i] for i in order]
+            buf_m = [buf_m[i] for i in order]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        events = sorted(zip(buf_us, buf_m))
+        start_hit = None
+        for s, m in events:
+            if not (m & 1):
+                continue
+            if not flush_all and s + within_us > wm_us:
+                break  # this and all later starts are not yet decidable
+            # greedy chain from this start: earliest next step, strictly
+            # increasing ts, bounded by the start's window
+            prev = s
+            step = 1
+            for t, mm in events:
+                if step >= k:
+                    break
+                if t > prev and t <= s + within_us and (mm >> step) & 1:
+                    prev = t
+                    step += 1
+            if step >= k:
+                start_hit = s
+                break
+        if start_hit is not None:
+            done = 1
+            buf_us, buf_m = [], []
+        elif not flush_all:
+            # prune decided-failed starts and spent chain fodder: only
+            # events newer than wm - within can matter from here on
+            keep = [
+                (t, m) for t, m in events if t + within_us > wm_us
+            ]
+            buf_us = [t for t, _ in keep]
+            buf_m = [m for _, m in keep]
+        if flush_all:
+            # quiet past the horizon: whatever was decidable just was
+            state.remove()
+        else:
+            state.update((done, buf_us, buf_m))
+            mx = max(buf_us) // 1000 if buf_us else (start_hit or 0) // 1000
+            arm_event_ttl(state, ttl_secs, mx)
+        if start_hit is not None:
+            row = {c: [v] for c, v in zip(by, key)}
+            row["start_ts"] = [_dt.datetime.utcfromtimestamp(start_hit / 1_000_000)]
+            yield pd.DataFrame(row)
+
+    return keyed.groupBy(*by).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

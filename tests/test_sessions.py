@@ -419,3 +419,82 @@ def test_stream_funnel_completes_across_microbatches(spark, tmp_path):
     }
     assert set(got) == {"u1"}  # u2 never converts, wm never matches step 1
     assert got["u1"] == batch["u1"] == (ts(0), ts(5), ts(10))
+
+
+def test_stream_funnel_within_decides_starts_in_order(spark, tmp_path):
+    """Time-boxed streaming funnel: the earliest start whose window
+    fails (purchase lands outside `within`) is rejected for good, and a
+    later start completing inside its window emits — equal to the batch
+    funnel_within — with events arriving out of order across
+    micro-batches. A never-converting key emits nothing."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.sessions import funnel_within, stream_funnel_within
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # u1: signup@0 fails (purchase@70 > 0+60) but signup@30 completes
+    # (click@45, purchase@70 <= 90); u2 has no purchase at all
+    rows = [
+        ("u1", ts(0), "signup"), ("u1", ts(10), "click"),
+        ("u1", ts(30), "signup"), ("u1", ts(45), "click"),
+        ("u1", ts(70), "purchase"),
+        ("u2", ts(5), "signup"), ("u2", ts(6), "click"),
+    ]
+    full = pd.DataFrame(rows, columns=["user", "ts", "e"])
+    full["ts"] = full["ts"].astype("datetime64[us]")
+    # arrival: scrambled (purchase and the second signup arrive FIRST),
+    # then the rest, then the watermark pusher
+    order = [4, 2, 0, 5, 1, 3, 6]
+    full = pd.concat(
+        [full.iloc[order], pd.DataFrame(
+            {"user": ["wm"], "ts": [pd.Timestamp(ts(10_000)).as_unit("us")],
+             "e": ["x"]})],
+        ignore_index=True,
+    )
+    # concat can upcast mixed datetime units to ns, which this session
+    # reads as LongType (nanosAsLong) — pin microseconds
+    full["ts"] = full["ts"].astype("datetime64[us]")
+    src = str(tmp_path / "fwin_stream")
+    _os.makedirs(src, exist_ok=True)
+    cuts = [(0, 2), (2, 5), (5, 7), (7, 8)]
+    t_base = None
+    for i, (a, b) in enumerate(cuts):
+        p = f"{src}/f{i}.parquet"
+        full.iloc[a:b].to_parquet(p)
+        t_base = t_base or _os.path.getmtime(p)
+        _os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+    steps = [F.col("e") == s for s in ("signup", "click", "purchase")]
+    out = stream_funnel_within(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        by=["user"], steps=steps, within="60 minutes", lateness="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fwin_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user: r.start_ts
+        for r in spark.sql("SELECT * FROM fwin_stream").collect()
+        if r.user != "wm"
+    }
+    batch = {
+        r.user: r.start_ts
+        for r in funnel_within(
+            spark.read.parquet(src).filter(F.col("user") != "wm"),
+            by=["user"], steps=steps, within="60 minutes",
+        ).filter(F.col("converted")).collect()
+    }
+    assert got == batch == {"u1": ts(30)}

@@ -109,6 +109,35 @@ def _corpus(draw, kinds, n_keys, lo, hi, min_size, max_size):
     return rows, rng
 
 
+def _banded_corpus(draw, kinds, n_keys, band_width, band_stride,
+                   min_size, max_size):
+    """Multi-horizon corpus where each KEY's events sit in one time band
+    narrower than the lateness. The watermark still sweeps the full
+    span (incremental folds, early keys decided mid-stream), but no key
+    ever goes quiet for more than ``band_width`` while still having
+    in-horizon events pending — so the stateful folds' EventTimeTimeout
+    (the DOCUMENTED quiet-key flush, which legitimately diverges from
+    an all-data batch run when a chain/quote spans a
+    longer-than-lateness per-key gap) cannot fire mid-key, and strict
+    batch equality is the right assertion. Timestamps stay globally
+    unique (the band map is injective)."""
+    assert band_width < LATENESS_MIN <= band_stride
+    minutes = draw(
+        st.sets(st.integers(0, band_width * n_keys - 1),
+                min_size=min_size, max_size=max_size)
+    )
+    rng = random.Random(draw(st.integers(0, 2**31)))
+    rows = [
+        {
+            "k": f"k{m // band_width}",
+            "e": rng.choice(kinds),
+            "_minute": (m // band_width) * band_stride + (m % band_width),
+        }
+        for m in sorted(minutes)
+    ]
+    return rows, rng
+
+
 # ---------------------------------------------------------------- as-of
 
 
@@ -119,11 +148,14 @@ def _corpus(draw, kinds, n_keys, lo, hi, min_size, max_size):
 def test_prop_stream_asof_join_matches_batch(spark, tmp_path, data):
     """Any in-horizon arrival order + any micro-batch cuts: every
     watermark-proven probe gets exactly the batch as-of quote, across a
-    corpus spanning multiple lateness horizons (incremental folds)."""
+    corpus spanning multiple lateness horizons (incremental folds; one
+    sub-lateness band per key so the quiet-key timeout — a documented
+    divergence — never fires mid-key)."""
     from mysql_to_s3_spark.operators.joins import asof_join, stream_asof_join
 
-    rows, rng = _corpus(data.draw, ["p", "q"], n_keys=3, lo=0, hi=300,
-                        min_size=4, max_size=24)
+    rows, rng = _banded_corpus(data.draw, ["p", "q"], n_keys=3,
+                               band_width=48, band_stride=120,
+                               min_size=4, max_size=24)
     for i, r in enumerate(rows):
         r["event_id"] = i
         r["ts"] = _ts(r["_minute"])
@@ -224,8 +256,9 @@ def test_prop_stream_funnel_multi_horizon_first_completion(spark, tmp_path, data
     but the first must be the greedy-earliest one."""
     from mysql_to_s3_spark.operators.sessions import funnel, stream_funnel
 
-    rows, rng = _corpus(data.draw, ["A", "B", "C"], n_keys=3, lo=0, hi=360,
-                        min_size=4, max_size=24)
+    rows, rng = _banded_corpus(data.draw, ["A", "B", "C"], n_keys=3,
+                               band_width=48, band_stride=120,
+                               min_size=4, max_size=24)
     for r in rows:
         r["ts"] = _ts(r["_minute"])
     pusher = {"k": "wm", "e": "X", "ts": _ts(10_000), "_minute": 10_000}
@@ -535,3 +568,53 @@ def test_prop_stream_exact_dedup_one_survivor_per_fingerprint(spark, tmp_path, d
     assert set(got_fps) == want_fps
     for k in kept:  # survivors are genuine corpus rows
         assert by_id[k.doc_id] == k.text
+
+
+# ----------------------------------------------------------- fwin funnel
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_funnel_within_matches_batch(spark, tmp_path, data):
+    """Time-boxed streaming funnel across multiple horizons with
+    jitter-bounded arrival: each key's first emission (min start_ts)
+    equals the batch funnel_within's earliest completing start, and
+    keys the batch says never convert emit nothing before a possible
+    tombstone-expiry restart (so: emitted keys ⊆ batch-converted keys
+    plus restart re-completions, min start equality on the batch set)."""
+    from mysql_to_s3_spark.operators.sessions import (
+        funnel_within,
+        stream_funnel_within,
+    )
+
+    rows, rng = _banded_corpus(data.draw, ["A", "B", "C"], n_keys=3,
+                               band_width=48, band_stride=120,
+                               min_size=4, max_size=24)
+    for r in rows:
+        r["ts"] = _ts(r["_minute"])
+    pusher = {"k": "wm", "e": "X", "ts": _ts(10_000), "_minute": 10_000}
+    src = str(tmp_path / f"fwin_{next(_ids)}")
+    _write_arrival_files(src, rows, rng, pusher)
+
+    schema = spark.read.parquet(src).schema
+    steps = [F.col("e") == s for s in ("A", "B", "C")]
+    out = stream_funnel_within(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"], steps=steps, within="90 minutes",
+        lateness=f"{LATENESS_MIN} minutes",
+    )
+    emitted = [r for r in _drain(out) if r.k != "wm"]
+    first = {}
+    for r in sorted(emitted, key=lambda r: r.start_ts):
+        first.setdefault(r.k, r.start_ts)
+
+    want = {
+        r.k: r.start_ts
+        for r in funnel_within(
+            spark.read.parquet(src).filter(F.col("k") != "wm"),
+            by=["k"], steps=steps, within="90 minutes",
+        ).filter(F.col("converted")).collect()
+    }
+    assert first == want
