@@ -259,7 +259,10 @@ def stream_asof_join(
     max_buffer_per_key: int = 10_000,
 ):
     """Streaming as-of join over ONE unioned event stream — the
-    streaming analog of ``asof_join`` and the same design: the batch
+    streaming analog of ``asof_join`` (BACKWARD direction only: a
+    forward/nearest stream would have to hold every probe until a
+    bounding tolerance elapses — unbounded wait without one — so those
+    directions stay batch-only for now) and the same design: the batch
     operator already works on the union of probe and quote rows ordered
     by (ts, side); here the per-key state buffers arrivals and folds
     only watermark-proven rows in that exact order, so each probe row
