@@ -259,10 +259,10 @@ def stream_asof_join(
     max_buffer_per_key: int = 10_000,
 ):
     """Streaming as-of join over ONE unioned event stream — the
-    streaming analog of ``asof_join`` (BACKWARD direction only: a
-    forward/nearest stream would have to hold every probe until a
-    bounding tolerance elapses — unbounded wait without one — so those
-    directions stay batch-only for now) and the same design: the batch
+    streaming analog of ``asof_join`` (BACKWARD direction; the forward
+    direction needs a bounding tolerance to be streamable — see
+    ``stream_asof_join_forward``; nearest stays batch-only) and the
+    same design: the batch
     operator already works on the union of probe and quote rows ordered
     by (ts, side); here the per-key state buffers arrivals and folds
     only watermark-proven rows in that exact order, so each probe row
@@ -497,3 +497,198 @@ def stream_interval_join(
         & (p[probe_ts] <= F.col("__start__") + F.expr(f"INTERVAL {max_span}"))
     )
     return p.join(iv, cond, "inner").select(*probe.columns, *value_cols)
+
+
+def stream_asof_join_forward(
+    sdf: DataFrame,
+    by: list[str],
+    probe_when,
+    quote_when,
+    value_cols: list[str],
+    tolerance: str,
+    ts_col: str = "ts",
+    probe_id_col: str | None = None,
+    lateness: str = "1 hour",
+    allow_exact_matches: bool = True,
+    max_buffer_per_key: int = 10_000,
+):
+    """Streaming FORWARD as-of join — the streaming analog of
+    ``asof_join(direction="forward")``. A forward match waits for a
+    quote that has not happened yet, so a stream can only offer it with
+    a BOUNDING ``tolerance`` (required): each probe is decided once the
+    watermark passes ``probe_ts + tolerance`` — every quote that could
+    match (``quote_ts`` in [probe_ts, probe_ts + tolerance], strict
+    left edge without exact matches) is then final — and emits the
+    EARLIEST such quote's values, or nulls when none exists. This is
+    the same decidability design as ``stream_funnel_within`` (judge
+    when the window is provably complete, never revisit).
+
+    Output and plumbing mirror ``stream_asof_join``: (by...,
+    [probe_id], ts, asof_ts, value_cols...), append mode, quote values
+    as re-typed JSON, integral ``probe_id_col`` enforced. Ties among
+    equal-earliest quotes break on the serialized value (max wins) for
+    determinism under any arrival order. State per key: undecided
+    probes + quotes newer than ``watermark - tolerance`` (an older
+    quote can no longer match any undecided probe), hard-capped at
+    ``max_buffer_per_key`` (earliest kept); quiet keys decide
+    everything buffered and drop on EventTimeTimeout via
+    ``arm_event_ttl``.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mysql_to_s3_spark.operators.sessions import _fixed_seconds_lateness
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        _fixed_seconds,
+        arm_event_ttl,
+    )
+
+    if not by:
+        raise JoinError("stream_asof_join_forward requires at least one `by` key")
+    missing = {*value_cols} - set(sdf.columns)
+    if missing:
+        raise JoinError(f"stream lacks value columns: {sorted(missing)}")
+    ttl_secs = _fixed_seconds_lateness(lateness)
+    tol_us = _fixed_seconds(tolerance) * 1_000_000
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    qv_schema = T.StructType([sdf.schema[c] for c in value_cols])
+    QUOTE, PROBE = 0, 1
+    side = (
+        F.when(F.coalesce(quote_when.cast("boolean"), F.lit(False)), F.lit(QUOTE))
+        .when(F.coalesce(probe_when.cast("boolean"), F.lit(False)), F.lit(PROBE))
+    )
+    if probe_id_col is not None:
+        pid_type = sdf.schema[probe_id_col].dataType
+        if not isinstance(
+            pid_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise JoinError(
+                f"probe_id_col {probe_id_col!r} must be an integral type "
+                f"(state carries it as long); got {pid_type.simpleString()}"
+            )
+        pid = F.col(probe_id_col).cast("long")
+    else:
+        pid = F.lit(None).cast("long")
+    keyed = (
+        sdf.select(
+            *[F.col(c) for c in by],
+            F.col(ts_col).alias("__ts__"),
+            side.alias("__side__"),
+            pid.alias("__pid__"),
+            F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("__qv__"),
+        )
+        .filter(F.col("__side__").isNotNull())
+        .withWatermark("__ts__", lateness)
+    )
+
+    key_fields = [sdf.schema[c] for c in by]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("__pid__", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("asof_ts", T.TimestampType()),
+            T.StructField("__qv__", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("buf_us", T.ArrayType(T.LongType())),
+            T.StructField("buf_side", T.ArrayType(T.IntegerType())),
+            T.StructField("buf_pid", T.ArrayType(T.LongType())),
+            T.StructField("buf_val", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        import datetime as _dt
+
+        import pandas as pd
+
+        if state.exists:
+            b_us, b_side, b_pid, b_val = state.get
+            buf = list(zip(b_us, b_side, b_pid, b_val))
+        else:
+            buf = []
+        for pdf in pdfs:
+            for t, s, p, v in zip(
+                pdf["__ts__"], pdf["__side__"], pdf["__pid__"], pdf["__qv__"]
+            ):
+                buf.append(
+                    (
+                        int(t.value // 1000),
+                        int(s),
+                        None if pd.isna(p) else int(p),
+                        v,
+                    )
+                )
+        if len(buf) > max_buffer_per_key:
+            buf = sorted(buf, key=lambda e: (e[0], e[1]))[:max_buffer_per_key]
+        flush_all = state.hasTimedOut
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort(key=lambda e: (e[0], e[1]))
+        quotes = [e for e in buf if e[1] == QUOTE]
+        out = []
+        pending = []
+        for e in buf:
+            if e[1] != PROBE:
+                continue
+            t = e[0]
+            if not flush_all and t + tol_us > wm_us:
+                pending.append(e)
+                continue
+            best = None
+            for q in quotes:
+                lo_ok = q[0] >= t if allow_exact_matches else q[0] > t
+                if not lo_ok or q[0] > t + tol_us:
+                    continue
+                # quotes are ts-sorted: the first window hit is earliest;
+                # scan its ts-ties for the max-serialized-value winner
+                if best is None:
+                    best = q
+                elif q[0] == best[0] and (q[3] or "") > (best[3] or ""):
+                    best = q
+                elif q[0] > best[0]:
+                    break
+            out.append((e[2], t, best[0] if best else None, best[3] if best else None))
+        if flush_all:
+            state.remove()
+        else:
+            keep_quotes = [q for q in quotes if q[0] + tol_us > wm_us]
+            nxt = keep_quotes + pending
+            state.update(
+                (
+                    [e[0] for e in nxt],
+                    [e[1] for e in nxt],
+                    [e[2] for e in nxt],
+                    [e[3] for e in nxt],
+                )
+            )
+            arm_event_ttl(
+                state, ttl_secs, max((e[0] for e in buf), default=0) // 1000
+            )
+        if out:
+            def us2dt(us):
+                return None if us is None else _dt.datetime.utcfromtimestamp(us / 1_000_000)
+
+            row = {c: [k] * len(out) for c, k in zip(by, key)}
+            row["__pid__"] = [p for p, _, _, _ in out]
+            row["ts"] = [us2dt(t) for _, t, _, _ in out]
+            row["asof_ts"] = [us2dt(q) for _, _, q, _ in out]
+            row["__qv__"] = [v for _, _, _, v in out]
+            yield pd.DataFrame(row)
+
+    flags = keyed.groupBy(*by).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    parsed = flags.withColumn("__q__", F.from_json(F.col("__qv__"), qv_schema))
+    outcols = [*by]
+    if probe_id_col is not None:
+        outcols.append(F.col("__pid__").alias(probe_id_col))
+    return parsed.select(
+        *outcols,
+        "ts",
+        "asof_ts",
+        *[F.col("__q__")[c].alias(c) for c in value_cols],
+    )

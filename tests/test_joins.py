@@ -716,3 +716,73 @@ def test_interval_join_left_keeps_uncontained_probes(spark, duck):
     assert got == {(1, 90), (2, None), (3, None)}
     with pytest.raises(JoinError, match="how"):
         interval_join(probe, ivs, by=["k"], value_cols=["iv"], how="full")
+
+
+def test_stream_asof_forward_bounded_by_tolerance(spark, tmp_path):
+    """Forward streaming as-of: a probe emits the EARLIEST following
+    quote inside [ts, ts+tolerance] once the watermark proves the
+    window complete; no quote in-window -> nulls; the quote arriving in
+    a LATER micro-batch than its probe still matches."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.joins import stream_asof_join_forward
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # probe@10: quotes @5 (before: no), @12 (in window: MATCH), @14
+    # (in window but later), @20 (outside tol=5) ; probe@30: none in
+    # [30, 35] -> nulls
+    full = pd.DataFrame(
+        {
+            "k": ["k1"] * 6 + ["wm"],
+            "event_id": [1, 2, 3, 4, 5, 6, 9],
+            "ts": pd.Series(
+                [ts(10), ts(5), ts(12), ts(14), ts(20), ts(30), ts(600)]
+            ).astype("datetime64[us]"),
+            "e": ["p", "q", "q", "q", "q", "p", "q"],
+            "v": [None, 5.0, 12.0, 14.0, 20.0, None, 0.0],
+        }
+    )
+    src = str(tmp_path / "fwd_stream")
+    _os.makedirs(src, exist_ok=True)
+    # probe first, its matching quote in a LATER batch, then the rest
+    cuts = [(0, 2), (2, 4), (4, 6), (6, 7)]
+    t_base = None
+    for i, (a, b) in enumerate(cuts):
+        p = f"{src}/f{i}.parquet"
+        full.iloc[a:b].to_parquet(p)
+        t_base = t_base or _os.path.getmtime(p)
+        _os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+    out = stream_asof_join_forward(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"],
+        probe_when=F.col("e") == "p",
+        quote_when=F.col("e") == "q",
+        value_cols=["v"],
+        tolerance="5 minutes",
+        probe_id_col="event_id",
+        lateness="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fwd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.asof_ts, r.v)
+        for r in spark.sql("SELECT * FROM fwd_stream").collect()
+        if r.k == "k1"
+    }
+    assert got == {1: (ts(12), 12.0), 6: (None, None)}

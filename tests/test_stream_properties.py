@@ -618,3 +618,65 @@ def test_prop_stream_funnel_within_matches_batch(spark, tmp_path, data):
         ).filter(F.col("converted")).collect()
     }
     assert first == want
+
+
+# ------------------------------------------------------- forward as-of
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_asof_forward_matches_batch(spark, tmp_path, data):
+    """Forward streaming as-of (tolerance-bounded) == batch
+    asof_join(direction='forward', tolerance=...) under any in-horizon
+    arrival order and micro-batch cuts (banded corpus: the quiet-key
+    flush never fires mid-key). Globally unique timestamps mean no
+    equal-ts quote ties, so the tie rules of the two implementations
+    never engage."""
+    from mysql_to_s3_spark.operators.joins import (
+        asof_join,
+        stream_asof_join_forward,
+    )
+
+    rows, rng = _banded_corpus(data.draw, ["p", "q"], n_keys=3,
+                               band_width=48, band_stride=120,
+                               min_size=4, max_size=24)
+    for i, r in enumerate(rows):
+        r["event_id"] = i
+        r["ts"] = _ts(r["_minute"])
+        r["v"] = float(i) if r["e"] == "q" else None
+    pusher = {"k": "wm", "e": "q", "event_id": 9_999, "ts": _ts(10_000),
+              "v": 0.0, "_minute": 10_000}
+    src = str(tmp_path / f"fasof_{next(_ids)}")
+    _write_arrival_files(src, rows, rng, pusher)
+
+    schema = spark.read.parquet(src).schema
+    out = stream_asof_join_forward(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"],
+        probe_when=F.col("e") == "p",
+        quote_when=F.col("e") == "q",
+        value_cols=["v"],
+        tolerance="30 minutes",
+        probe_id_col="event_id",
+        lateness=f"{LATENESS_MIN} minutes",
+    )
+    got = {
+        r.event_id: (r.k, r.ts, r.v)
+        for r in _drain(out)
+        if r.k != "wm"
+    }
+    all_rows = spark.read.parquet(src).filter(F.col("k") != "wm")
+    want = {
+        r.event_id: (r.k, r.ts, r.v)
+        for r in asof_join(
+            all_rows.filter(F.col("e") == "p").select("k", "event_id", "ts"),
+            all_rows.filter(F.col("e") == "q").select("k", "ts", "v"),
+            by=["k"],
+            value_cols=["v"],
+            direction="forward",
+            tolerance="30 minutes",
+        ).collect()
+    }
+    assert got == want
