@@ -222,9 +222,22 @@ def asof_join(
     elif direction == "forward":
         matched = _tol(m_fwd, "forward")
     else:
+        from pyspark.sql import types as T
+
+        def _num(c, dtype):
+            # TIMESTAMP_NTZ cannot cast straight to DOUBLE; the session
+            # TZ is pinned UTC so the intermediate TIMESTAMP cast is
+            # value-preserving (the session_stats duration idiom).
+            # Plain timestamps and numeric event times cast directly.
+            if isinstance(dtype, T.TimestampNTZType):
+                return c.cast("timestamp").cast("double")
+            return c.cast("double")
+
+        qt = quote.schema[quote_ts].dataType
+        pt = probe.schema[probe_ts].dataType
         mb, mf = _tol(m_back, "backward"), _tol(m_fwd, "forward")
-        d_b = F.col("__t__").cast("double") - mb.getField("__asof_ts__").cast("double")
-        d_f = mf.getField("__asof_ts__").cast("double") - F.col("__t__").cast("double")
+        d_b = _num(F.col("__t__"), pt) - _num(mb.getField("__asof_ts__"), qt)
+        d_f = _num(mf.getField("__asof_ts__"), qt) - _num(F.col("__t__"), pt)
         # ties (d_f == d_b) take the backward match — pandas convention
         matched = (
             F.when(mb.isNull(), mf)
@@ -511,6 +524,7 @@ def stream_asof_join_forward(
     lateness: str = "1 hour",
     allow_exact_matches: bool = True,
     max_buffer_per_key: int = 10_000,
+    direction: str = "forward",
 ):
     """Streaming FORWARD as-of join — the streaming analog of
     ``asof_join(direction="forward")``. A forward match waits for a
@@ -533,7 +547,22 @@ def stream_asof_join_forward(
     ``max_buffer_per_key`` (earliest kept); quiet keys decide
     everything buffered and drop on EventTimeTimeout via
     ``arm_event_ttl``.
+
+    ``direction="nearest"`` completes the tolerance-bounded streaming
+    trio: the probe is still decided at ``ts + tolerance`` (by then
+    BOTH candidate windows are final — the backward one ended at the
+    probe itself), and emits whichever of the latest-preceding /
+    earliest-following in-tolerance quotes is closer, ties to backward
+    (the batch ``asof_join(direction="nearest")`` convention). The
+    quote-retention bound widens to ``watermark - 2*tolerance`` (an
+    undecided probe may still need a quote up to ``tolerance`` BEHIND
+    it).
     """
+    if direction not in ("forward", "nearest"):
+        raise JoinError(
+            f"direction must be forward|nearest, got {direction!r} "
+            "(backward is stream_asof_join)"
+        )
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -651,11 +680,27 @@ def stream_asof_join_forward(
                     best = q
                 elif q[0] > best[0]:
                     break
+            if direction == "nearest":
+                back = None
+                for q in quotes:
+                    hi_ok = q[0] <= t if allow_exact_matches else q[0] < t
+                    if not hi_ok or q[0] < t - tol_us:
+                        continue
+                    # latest preceding wins; ts-ties by max serialized value
+                    if back is None or q[0] > back[0]:
+                        back = q
+                    elif q[0] == back[0] and (q[3] or "") > (back[3] or ""):
+                        back = q
+                if back is not None and (
+                    best is None or (t - back[0]) <= (best[0] - t)
+                ):
+                    best = back  # closer, or tie -> backward
             out.append((e[2], t, best[0] if best else None, best[3] if best else None))
         if flush_all:
             state.remove()
         else:
-            keep_quotes = [q for q in quotes if q[0] + tol_us > wm_us]
+            keep_horizon = 2 * tol_us if direction == "nearest" else tol_us
+            keep_quotes = [q for q in quotes if q[0] + keep_horizon > wm_us]
             nxt = keep_quotes + pending
             state.update(
                 (

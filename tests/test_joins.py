@@ -786,3 +786,72 @@ def test_stream_asof_forward_bounded_by_tolerance(spark, tmp_path):
         if r.k == "k1"
     }
     assert got == {1: (ts(12), 12.0), 6: (None, None)}
+
+
+def test_stream_asof_nearest_picks_closer_ties_backward(spark, tmp_path):
+    """direction='nearest' on the tolerance-bounded stream: closer side
+    wins; equidistant -> backward (batch convention)."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.joins import stream_asof_join_forward
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # probe@10: quotes @7 (d=3 back) vs @12 (d=2 fwd) -> 12
+    # probe@30: quotes @28 (d=2 back) vs @32 (d=2 fwd) -> tie -> 28
+    # probe@60: only @70 (d=10 > tol 5) -> nulls
+    full = pd.DataFrame(
+        {
+            "k": ["k1"] * 8 + ["wm"],
+            "event_id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+            "ts": pd.Series(
+                [ts(10), ts(7), ts(12), ts(30), ts(28), ts(32), ts(60), ts(70),
+                 ts(600)]
+            ).astype("datetime64[us]"),
+            "e": ["p", "q", "q", "p", "q", "q", "p", "q", "q"],
+            "v": [None, 7.0, 12.0, None, 28.0, 32.0, None, 70.0, 0.0],
+        }
+    )
+    src = str(tmp_path / "nearest_stream")
+    _os.makedirs(src, exist_ok=True)
+    cuts = [(0, 3), (3, 6), (6, 8), (8, 9)]
+    t_base = None
+    for i, (a, b) in enumerate(cuts):
+        p = f"{src}/f{i}.parquet"
+        full.iloc[a:b].to_parquet(p)
+        t_base = t_base or _os.path.getmtime(p)
+        _os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+    out = stream_asof_join_forward(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        by=["k"],
+        probe_when=F.col("e") == "p",
+        quote_when=F.col("e") == "q",
+        value_cols=["v"],
+        tolerance="5 minutes",
+        probe_id_col="event_id",
+        lateness="30 minutes",
+        direction="nearest",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nearest_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.v
+        for r in spark.sql("SELECT * FROM nearest_stream").collect()
+        if r.k == "k1"
+    }
+    assert got == {1: 12.0, 4: 28.0, 7: None}

@@ -628,8 +628,8 @@ def test_prop_stream_funnel_within_matches_batch(spark, tmp_path, data):
                                  HealthCheck.function_scoped_fixture])
 @given(data=st.data())
 def test_prop_stream_asof_forward_matches_batch(spark, tmp_path, data):
-    """Forward streaming as-of (tolerance-bounded) == batch
-    asof_join(direction='forward', tolerance=...) under any in-horizon
+    """Forward/nearest streaming as-of (tolerance-bounded) == batch
+    asof_join(same direction, tolerance=...) under any in-horizon
     arrival order and micro-batch cuts (banded corpus: the quiet-key
     flush never fires mid-key). Globally unique timestamps mean no
     equal-ts quote ties, so the tie rules of the two implementations
@@ -639,6 +639,7 @@ def test_prop_stream_asof_forward_matches_batch(spark, tmp_path, data):
         stream_asof_join_forward,
     )
 
+    direction = data.draw(st.sampled_from(["forward", "nearest"]))
     rows, rng = _banded_corpus(data.draw, ["p", "q"], n_keys=3,
                                band_width=48, band_stride=120,
                                min_size=4, max_size=24)
@@ -661,6 +662,7 @@ def test_prop_stream_asof_forward_matches_batch(spark, tmp_path, data):
         tolerance="30 minutes",
         probe_id_col="event_id",
         lateness=f"{LATENESS_MIN} minutes",
+        direction=direction,
     )
     got = {
         r.event_id: (r.k, r.ts, r.v)
@@ -675,7 +677,7 @@ def test_prop_stream_asof_forward_matches_batch(spark, tmp_path, data):
             all_rows.filter(F.col("e") == "q").select("k", "ts", "v"),
             by=["k"],
             value_cols=["v"],
-            direction="forward",
+            direction=direction,
             tolerance="30 minutes",
         ).collect()
     }
