@@ -1337,7 +1337,7 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from mysql_to_s3_spark.operators.lm import unigram_logprob
+    from mysql_to_s3_spark.operators.lm import bigram_logprob, unigram_logprob
     from mysql_to_s3_spark.operators.sampling import hash_split
     from mysql_to_s3_spark.operators.text import language_id, quality_score
     from mysql_to_s3_spark.sources.registry import load_table, spread
@@ -1350,14 +1350,18 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model, exact JVM join mode; the zero-shuffle Arrow broadcast mode
     # is unit-verified equal in tests/test_lm.py)
     lm = unigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
+    lm2 = bigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
     base = docs.select(
         F.col("doc_id"),
         quality_score(F.col("text")).alias("quality"),
         language_id(F.col("text")).alias("lang_guess"),
         hash_split(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
     )
-    return base.join(lm, "doc_id", "left").withColumn(
-        "lm_logprob", F.round(F.col("lm_logprob"), 6)
+    return (
+        base.join(lm, "doc_id", "left")
+        .join(lm2, "doc_id", "left")
+        .withColumn("lm_logprob", F.round(F.col("lm_logprob"), 6))
+        .withColumn("lm2_logprob", F.round(F.col("lm2_logprob"), 6))
     )
 
 
@@ -1391,23 +1395,40 @@ def _text_quality_sql() -> str:
 
 def _text_quality_row_sql() -> str:
     """The driver row's oracle: the base quality/langid/split columns
-    plus the unigram-LM leg — DuckDB recomputes the identical self-fit
-    add-alpha model (operators/lm.py docstring formula: T = total
-    occurrences, V = vocab rows, alpha = 1)."""
+    plus the unigram- and bigram-LM legs — DuckDB recomputes the
+    identical self-fit add-alpha models (operators/lm.py docstring
+    formulas: unigram T/V over token occurrences; bigram per-context
+    totals C(prev) over BOS-prefixed consecutive pairs, V = distinct
+    target tokens, alpha = 1)."""
     return f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS w
+    WITH tl AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+|[^\\w\\s]') AS t
       FROM documents),
+    toks AS (SELECT doc_id, unnest(t) AS w FROM tl),
     cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
     st AS (SELECT sum(n)::DOUBLE AS tot, count(*)::DOUBLE AS v FROM cnt),
     lm AS (SELECT t.doc_id, avg(log2((c.n + 1.0) / (st.tot + 1.0 * (st.v + 1)))) AS lp
-           FROM toks t JOIN cnt c USING (w) CROSS JOIN st GROUP BY t.doc_id)
-    SELECT q.*, round(lm.lp, 6) AS lm_logprob
-    FROM ({_text_quality_sql()}) q LEFT JOIN lm USING (doc_id)"""
+           FROM toks t JOIN cnt c USING (w) CROSS JOIN st GROUP BY t.doc_id),
+    pairs AS (
+      SELECT doc_id, list_prepend('<s>', t)[i] AS prev, t[i] AS w
+      FROM tl, unnest(range(1, len(t) + 1)) AS r(i)),
+    bi AS (SELECT prev, w, count(*) AS n FROM pairs GROUP BY prev, w),
+    ctx AS (SELECT prev, sum(n) AS cn FROM bi GROUP BY prev),
+    st2 AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM bi),
+    lm2 AS (SELECT p.doc_id,
+                   avg(log2((coalesce(b.n, 0) + 1.0) / (c.cn + 1.0 * (st2.v + 1)))) AS lp2
+            FROM pairs p
+            LEFT JOIN bi b ON p.prev = b.prev AND p.w = b.w
+            JOIN ctx c ON p.prev = c.prev
+            CROSS JOIN st2
+            GROUP BY p.doc_id)
+    SELECT q.*, round(lm.lp, 6) AS lm_logprob, round(lm2.lp2, 6) AS lm2_logprob
+    FROM ({_text_quality_sql()}) q
+    LEFT JOIN lm USING (doc_id) LEFT JOIN lm2 USING (doc_id)"""
 
 
 _q("text_stats", _text_stats_spark, _text_stats_sql())
-# + lang_guess leg + unigram-LM perplexity leg (r6)
+# + lang_guess leg + unigram- and bigram-LM perplexity legs (r6)
 _q("text_quality", _text_quality_spark, _text_quality_row_sql())
 
 
