@@ -246,9 +246,15 @@ def bigram_logprob(
     log2(1 / (V + 1)). Token-free docs score null. A doc's first token
     is conditioned on the per-doc ``BOS`` context.
 
-    ``mode="join"``: lazy JVM path — explode pairs, broadcast-join the
-    pair counts and the per-context totals (both aggregated frames,
-    vocabulary-bounded), one per-doc re-agg shuffle. ``mode="arrow"``:
+    ``mode="join"``: lazy JVM path — explode pairs, join the pair
+    counts and broadcast-join the per-context totals, one per-doc
+    re-agg shuffle. The context-total and vocab frames are
+    vocabulary-bounded and safely broadcast-hinted; the PAIR table is
+    not (it grows toward V² with the corpus), so it carries no
+    broadcast hint — AQE broadcasts it at runtime while it is small
+    and degrades to a shuffle join at web scale instead of an OOM,
+    the same valve shape as ``decontam.contamination_pairs``.
+    ``mode="arrow"``:
     zero-shuffle broadcast-dict path; collects ``bi`` at build time, so
     bound the model first at web scale (e.g. filter ``bi`` to pairs with
     n >= k — the standard count-pruning that keeps KenLM models small)."""
@@ -271,7 +277,7 @@ def bigram_logprob(
             + F.lit(alpha) * (F.col("__v__") + 1)
         )
         scored = (
-            pairs.join(F.broadcast(bi), ["prev", "token"], "left")
+            pairs.join(bi, ["prev", "token"], "left")
             .join(F.broadcast(ctx), "prev", "left")
             .crossJoin(F.broadcast(stats))
             .groupBy(id_col)
