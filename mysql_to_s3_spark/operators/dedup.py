@@ -483,3 +483,145 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup: cross-doc span duplication + line-level boilerplate
+# ---------------------------------------------------------------------------
+
+SPAN_SEP = "\x1f"  # unit-separator joins span tokens; cannot occur in a token
+
+
+def token_span_keys(col: Column, k: int = 5) -> Column:
+    """array<string> of md5 keys, one per k-token window (stride 1) of the
+    lowercased BPE-ish token stream of ``col``.
+
+    The key is ``md5(token_i || US || ... || token_{i+k-1})`` — md5 because
+    it is (a) portable (identical in Spark and DuckDB, so the oracle can
+    replicate the key exactly) and (b) a FIXED 32-byte shuffle key, vs a
+    raw k-token span string that averages ~8k bytes of shuffle per window
+    at k=50. Docs shorter than k tokens yield an empty array.
+    """
+    t = F.regexp_extract_all(F.lower(col), F.lit(r"\w+|[^\w\s]"), 0)
+    n = F.size(t) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice(t, i, k), SPAN_SEP)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_span_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc cross-corpus span-duplication signal — the Spark form of the
+    exact-substring dedup measure of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): the
+    fraction of a doc's k-token windows whose content also appears in at
+    least ``min_docs - 1`` OTHER docs.
+
+    Output: (id_col, n_spans, n_dup_spans, dup_frac) for every input doc;
+    docs with fewer than k tokens have n_spans = 0 and dup_frac null.
+
+    100 TB story — three shuffles, all on reduced frames:
+      1. the exploded (span_key, doc) stream partial-aggregates to one row
+         per (span_key, doc) with its in-doc window count (map-side
+         combine eats in-doc repetition before the exchange);
+      2. distinct-doc counts per span_key are a window count over that
+         reduced frame (one exchange on the 32-byte key — never the span
+         text itself);
+      3. the per-doc roll-up is a count-sum re-agg on the doc id.
+    No join carries document text; nothing is all-pairs.
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_span_keys(F.col(text_col), k)).alias("s"),
+    )
+    per_span_doc = spans.groupBy("s", "id").agg(F.count(F.lit(1)).alias("w"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    flagged = per_span_doc.withColumn("__nd__", nd)
+    rolled = flagged.groupBy("id").agg(
+        F.sum("w").alias("n_spans"),
+        F.sum(F.when(F.col("__nd__") >= min_docs, F.col("w")).otherwise(F.lit(0))).alias(
+            "n_dup_spans"
+        ),
+    )
+    return ids.join(rolled, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        ).alias("dup_frac"),
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Line-level boilerplate removal — the CCNet / RefinedWeb paragraph
+    dedup gate (Wenzek et al. 2020 arXiv:1911.00359 §3.2; Penedo et al.
+    2023 arXiv:2306.01116): drop every line whose trimmed content appears
+    in MORE than ``max_docs`` distinct docs (nav bars, cookie banners,
+    license footers), keep the rest in original order.
+
+    Output: (id_col, out_col, n_lines, n_dropped) for every input doc.
+    Whitespace-only lines are structural, never boilerplate candidates:
+    they are always kept and never counted toward a line's doc frequency.
+
+    100 TB story: lines shuffle once on the md5 of their trimmed content
+    to learn doc frequency (distinct agg, partial-combined), join back by
+    that fixed-width key, and reassemble with one exchange on the doc id
+    (sort_array over an in-doc collect_list — bounded by a single doc's
+    line count, the same per-key bound the snowflake child collect uses).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__blank__", F.trim(F.col("line")) == "")
+    keyed = lines.withColumn("key", F.md5(F.trim(F.col("line"))))
+    freq = (
+        keyed.filter(~F.col("__blank__"))
+        .groupBy("key")
+        .agg(F.count_distinct("id").alias("__nd__"))
+    )
+    judged = keyed.join(freq, "key", "left").withColumn(
+        "__keep__", F.col("__blank__") | (F.coalesce(F.col("__nd__"), F.lit(1)) <= max_docs)
+    )
+    rebuilt = judged.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__keep__"), F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("__keep__"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col(out_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+        )
+    )

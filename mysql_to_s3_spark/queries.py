@@ -1438,17 +1438,47 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.operators.text import kgram_rolling_hashes, winnow_from_hashes
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
+    from mysql_to_s3_spark.operators.dedup import (
+        duplicated_span_fraction,
+        strip_boilerplate_lines,
+    )
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     # materialize the O(n*k) hash array once; winnowing then references a
     # column, not an expression Catalyst would re-expand per window
     hashed = docs.select("doc_id", kgram_rolling_hashes(F.col("text"), k=5).alias("__hs__"))
     fps = winnow_from_hashes(F.col("__hs__"), window=4)
-    return hashed.select(
+    base = hashed.select(
         F.col("doc_id"),
         F.size(fps).alias("n_fp"),
         F.element_at(fps, 1).alias("fp_min"),
         F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("fp_sum"),
     )
+    # leg: cross-doc duplicated-span fraction (Lee et al. exact-substring
+    # signal, k=5 token windows, md5 span keys)
+    spanf = duplicated_span_fraction(docs, k=5, min_docs=2)
+    # leg: line-level boilerplate removal over a DERIVED multi-line view
+    # (docs are single-line token streams, so "lines" = aligned 10-token
+    # chunks — deterministic in both engines; planted near-dup docs share
+    # aligned chunks, so the gate really fires on this corpus)
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+|[^\w\s]"), 0)
+    nl = F.greatest(F.ceil(F.size(t) / F.lit(10.0)).cast("int"), F.lit(1))
+    text2 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * F.lit(10) + F.lit(1), 10), " "),
+        ),
+        "\n",
+    )
+    bl = strip_boilerplate_lines(
+        docs.select("doc_id", text2.alias("text")), max_docs=1
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("bl_md5"),
+        F.col("n_lines").alias("bl_lines"),
+        F.col("n_dropped").alias("bl_dropped"),
+    )
+    return base.join(spanf, "doc_id").join(bl, "doc_id")
 
 
 _q(
@@ -1467,12 +1497,45 @@ _q(
          SELECT doc_id,
                 list_sort(list_distinct(list_transform(range(1, greatest(len(hs) - 3, 0) + 1),
                   p -> list_min(hs[p:p+3])))) AS fps
-         FROM h)
-       SELECT doc_id,
+         FROM h),
+       tl AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '\\w+|[^\\w\\s]') AS t
+         FROM documents),
+       sp AS (
+         SELECT doc_id, md5(list_aggregate(t[i:i+4], 'string_agg', chr(31))) AS s
+         FROM tl, unnest(range(1, greatest(len(t) - 5 + 1, 0) + 1)) r(i)),
+       pd AS (SELECT s, doc_id, count(*) AS w2 FROM sp GROUP BY s, doc_id),
+       ff AS (SELECT *, count(*) OVER (PARTITION BY s) AS nd FROM pd),
+       sr AS (SELECT doc_id, sum(w2) AS n_spans,
+                     sum(CASE WHEN nd >= 2 THEN w2 ELSE 0 END) AS n_dup
+              FROM ff GROUP BY doc_id),
+       ln AS (
+         SELECT doc_id, i AS pos,
+                list_aggregate(t[(i-1)*10+1:i*10], 'string_agg', ' ') AS line
+         FROM tl,
+              unnest(range(1, greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1) + 1)) r(i)),
+       lf AS (SELECT trim(line) AS tl_, count(DISTINCT doc_id) AS nd
+              FROM ln WHERE trim(line) <> '' GROUP BY 1),
+       lj AS (SELECT ln.doc_id, ln.pos, ln.line,
+                     (trim(ln.line) = '' OR coalesce(lf.nd, 1) <= 1) AS keep
+              FROM ln LEFT JOIN lf ON trim(ln.line) = lf.tl_),
+       br AS (SELECT doc_id,
+                     md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                                             chr(10) ORDER BY pos), '')) AS bl_md5,
+                     count(*) AS bl_lines,
+                     sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS bl_dropped
+              FROM lj GROUP BY doc_id)
+       SELECT w.doc_id,
               CAST(len(fps) AS INT) AS n_fp,
               fps[1] AS fp_min,
-              CAST(list_sum(fps) AS BIGINT) AS fp_sum
-       FROM w""",
+              CAST(list_sum(fps) AS BIGINT) AS fp_sum,
+              CAST(coalesce(sr.n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(coalesce(sr.n_dup, 0) AS BIGINT) AS n_dup_spans,
+              CASE WHEN sr.n_spans > 0 THEN round(sr.n_dup / sr.n_spans, 6) END AS dup_frac,
+              br.bl_md5,
+              CAST(br.bl_lines AS BIGINT) AS bl_lines,
+              CAST(br.bl_dropped AS BIGINT) AS bl_dropped
+       FROM w JOIN sr USING (doc_id) JOIN br USING (doc_id)""",
 )
 _q(
     "dedup_exact",

@@ -1,0 +1,154 @@
+"""Sub-document dedup: cross-doc duplicated-span fraction (Lee et al.
+2022 exact-substring signal) and CCNet/RefinedWeb-style line-level
+boilerplate removal — `operators/dedup.py` tail section.
+
+Both operators are also driver-hash-verified as legs of the
+`text_winnow_fingerprint` row (queries.py) against a DuckDB replica;
+these tests pin the operator-level contracts on hand-built corpora
+where the expected answer is enumerable by eye.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.dedup import (
+    duplicated_span_fraction,
+    strip_boilerplate_lines,
+    token_span_keys,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_span_keys_count_and_short_doc(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c"), (3, "x")])
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(token_span_keys(F.col("text"), k=5)).alias("n")
+        ).collect()
+    }
+    # 6 tokens -> 2 windows of 5; 3 tokens -> 0; 1 token -> 0
+    assert out == {1: 2, 2: 0, 3: 0}
+
+
+def test_span_keys_case_insensitive(spark):
+    df = _docs(spark, [(1, "Foo Bar Baz"), (2, "foo bar baz")])
+    a, b = (
+        df.orderBy("doc_id")
+        .select(token_span_keys(F.col("text"), k=3).alias("k"))
+        .collect()
+    )
+    assert a["k"] == b["k"] and len(a["k"]) == 1
+
+
+def test_duplicated_span_fraction_hand_corpus(spark):
+    # docs 1 and 2 share the run "p q r s t"; doc 3 is disjoint; doc 4 is
+    # too short for any window
+    df = _docs(
+        spark,
+        [
+            (1, "p q r s t u v"),   # windows: pqrst qrstu rstuv
+            (2, "z p q r s t"),     # windows: zpqrs pqrst
+            (3, "m n o m n o m"),   # 3 windows, none shared across docs
+            (4, "a b"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+        for r in duplicated_span_fraction(df, k=5).collect()
+    }
+    assert out[1] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[2] == (2, 1, pytest.approx(0.5, abs=1e-6))
+    assert out[3] == (3, 0, 0.0)
+    assert out[4] == (0, 0, None)
+
+
+def test_duplicated_span_fraction_in_doc_repeat_not_dup(spark):
+    # the same span repeated WITHIN one doc is not cross-doc duplication
+    df = _docs(spark, [(1, "a b c a b c a b c"), (2, "x y z w v u")])
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicated_span_fraction(df, k=3).collect()
+    }
+    assert out[1] == (7, 0)
+    assert out[2] == (4, 0)
+
+
+def test_duplicated_span_fraction_min_docs(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "a b c")])
+    frac2 = {
+        r["doc_id"]: r["dup_frac"]
+        for r in duplicated_span_fraction(df, k=3, min_docs=2).collect()
+    }
+    frac4 = {
+        r["doc_id"]: r["dup_frac"]
+        for r in duplicated_span_fraction(df, k=3, min_docs=4).collect()
+    }
+    assert frac2 == {1: 1.0, 2: 1.0, 3: 1.0}
+    assert frac4 == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_strip_boilerplate_basic(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "keep me\nshared footer\nunique a"),
+            (2, "shared footer\nunique b"),
+            (3, "unique c\n\nshared footer"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(df, max_docs=1).collect()}
+    assert out[1]["clean_text"] == "keep me\nunique a"
+    assert out[2]["clean_text"] == "unique b"
+    # the blank line is structural and survives
+    assert out[3]["clean_text"] == "unique c\n"
+    assert [out[i]["n_dropped"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["n_lines"] for i in (1, 2, 3)] == [3, 2, 3]
+
+
+def test_strip_boilerplate_trim_normalization(spark):
+    # the SAME content with different surrounding whitespace is one line
+    # for frequency purposes, but the kept text is untouched
+    df = _docs(spark, [(1, "  footer  \nmine"), (2, "footer\nyours")])
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(df, max_docs=1).collect()}
+    assert out[1]["clean_text"] == "mine"
+    assert out[2]["clean_text"] == "yours"
+
+
+def test_strip_boilerplate_max_docs_threshold(spark):
+    df = _docs(spark, [(1, "x\na"), (2, "x\nb"), (3, "x\nc")])
+    keep2 = {r["doc_id"]: r for r in strip_boilerplate_lines(df, max_docs=3).collect()}
+    drop2 = {r["doc_id"]: r for r in strip_boilerplate_lines(df, max_docs=2).collect()}
+    assert keep2[1]["clean_text"] == "x\na" and keep2[1]["n_dropped"] == 0
+    assert drop2[1]["clean_text"] == "a" and drop2[1]["n_dropped"] == 1
+
+
+def test_strip_boilerplate_all_dropped_and_in_doc_repeat(spark):
+    # doc 3 is nothing but boilerplate -> empty string, not null; a line
+    # repeated within ONE doc only is not boilerplate
+    df = _docs(spark, [(1, "same\nsame"), (2, "promo"), (3, "promo")])
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(df, max_docs=1).collect()}
+    assert out[1]["clean_text"] == "same\nsame" and out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
+
+
+def test_strip_boilerplate_order_preserved(spark):
+    lines = [f"line {i}" for i in range(20)]
+    df = _docs(spark, [(1, "\n".join(lines)), (2, "line 7\nline 3")])
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(df, max_docs=1).collect()}
+    kept = [l for l in lines if l not in ("line 7", "line 3")]
+    assert out[1]["clean_text"] == "\n".join(kept)
+
+
+def test_span_and_line_plans_have_no_cross_join(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e g")])
+    for out in (
+        duplicated_span_fraction(df, k=5),
+        strip_boilerplate_lines(df),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
