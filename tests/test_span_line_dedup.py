@@ -152,3 +152,100 @@ def test_span_and_line_plans_have_no_cross_join(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property conformance vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TOK = _re.compile(r"\w+|[^\w\s]", _re.ASCII)
+_VOCAB = ["a", "b", "c", "dd", "ee"]
+
+
+def _py_span_fraction(rows, k, min_docs):
+    spans = {}  # key -> set(doc)
+    per_doc = {}
+    for doc_id, text in rows:
+        t = _TOK.findall(text.lower())
+        wins = [tuple(t[i : i + k]) for i in range(len(t) - k + 1)]
+        per_doc[doc_id] = wins
+        for w in wins:
+            spans.setdefault(w, set()).add(doc_id)
+    out = {}
+    for doc_id, wins in per_doc.items():
+        dup = sum(1 for w in wins if len(spans[w]) >= min_docs)
+        out[doc_id] = (
+            len(wins),
+            dup,
+            round(dup / len(wins), 6) if wins else None,
+        )
+    return out
+
+
+def _py_strip_lines(rows, max_docs):
+    freq = {}  # trimmed line -> set(doc)
+    for doc_id, text in rows:
+        for ln in text.split("\n"):
+            if ln.strip():
+                freq.setdefault(ln.strip(), set()).add(doc_id)
+    out = {}
+    for doc_id, text in rows:
+        kept, dropped = [], 0
+        for ln in text.split("\n"):
+            if not ln.strip() or len(freq.get(ln.strip(), ())) <= max_docs:
+                kept.append(ln)
+            else:
+                dropped += 1
+        out[doc_id] = ("\n".join(kept), len(text.split("\n")), dropped)
+    return out
+
+
+_doc_text = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join)
+_line_text = st.lists(
+    st.sampled_from(["promo", "nav bar", "real content", "  promo  ", ""]),
+    min_size=1,
+    max_size=6,
+).map("\n".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=8),
+    k=st.integers(min_value=2, max_value=4),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+def test_prop_span_fraction_matches_python(spark, texts, k, min_docs):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+        for r in duplicated_span_fraction(df, k=k, min_docs=min_docs).collect()
+    }
+    want = _py_span_fraction(rows, k, min_docs)
+    for d in want:
+        g, w = got[d], want[d]
+        assert g[0] == w[0] and g[1] == w[1], (d, g, w)
+        if w[2] is None:
+            assert g[2] is None
+        else:
+            assert abs(g[2] - w[2]) < 1e-9
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(_line_text, min_size=1, max_size=8),
+    max_docs=st.integers(min_value=1, max_value=3),
+)
+def test_prop_strip_lines_matches_python(spark, texts, max_docs):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_dropped"])
+        for r in strip_boilerplate_lines(df, max_docs=max_docs).collect()
+    }
+    assert got == _py_strip_lines(rows, max_docs)
