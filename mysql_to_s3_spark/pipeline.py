@@ -7,17 +7,25 @@ module gives the beyond-reference corpus operators (SURVEY §2 item 8)
 the same shape — a user declares WHAT the corpus should satisfy and the
 engine composes the verified operators into one lazy DataFrame plan:
 
-    quality gate -> language gate -> exact dedup -> near-dup cluster
-    removal -> persisted-index screen (incremental ingest) -> mixture
-    weighting (stratified downsample) -> benchmark decontamination ->
-    PII redaction -> deterministic split -> (chunk ->) token-budget
-    packed shard write
+    (line-boilerplate strip ->) quality gate -> language gate ->
+    (LM perplexity gate ->) exact dedup -> near-dup cluster
+    removal -> persisted-index screen (incremental ingest) ->
+    (duplicated-span gate ->) mixture weighting (stratified
+    downsample) -> benchmark decontamination -> PII redaction ->
+    deterministic split -> (chunk ->) token-budget packed shard write
 
 Stage-order rationale (each choice is load-bearing at 100 TB):
 
 - cheap per-row gates (quality, language) run FIRST — they are
   shuffle-free Column algebra pushed against the scan, so every later
-  shuffle (dedup, decontam) sees only surviving rows;
+  shuffle (dedup, decontam) sees only surviving rows. The one
+  exception: ``strip_boilerplate`` (CCNet line dedup) rewrites text
+  BEFORE the gates when enabled, because the published order removes
+  nav-bar/footer lines before any quality or LM signal is computed —
+  a doc that is 80% cookie banner should be judged on its 20%;
+- the duplicated-span gate (Lee et al. exact-substring signal) runs
+  after doc-level dedup so a doc is not penalized for spans shared
+  only with its own already-removed duplicates;
 - dedup runs on the ORIGINAL text, before redaction: redaction can
   collapse two genuinely different docs into one string (same template,
   different emails), which would over-delete; near-dup clustering keeps
@@ -91,9 +99,24 @@ class CorpusConfig:
     # `lm_rows` (a pretrained model is REQUIRED there — a stream cannot
     # self-fit). Token-free docs fail the gate (null score).
     min_lm_logprob: float | None = None
+    # CCNet/RefinedWeb line-level boilerplate removal: rewrite every doc
+    # with lines shared by more than ``boilerplate_max_docs`` docs removed.
+    # Runs FIRST when enabled (the published order: line dedup precedes
+    # scoring so nav bars / footers never pollute quality or LM signals) —
+    # the one deliberate exception to the cheap-gates-first layout, and
+    # priced accordingly (two extra exchanges on md5 line keys).
+    strip_boilerplate: bool = False
+    boilerplate_max_docs: int = 1
     exact: bool = True
     near_dup: str | None = None  # None | "minhash" | "ngram" | "simhash"
     near_threshold: float = 0.9
+    # Lee et al. 2022 exact-substring signal: drop docs whose fraction of
+    # k-token windows duplicated across >= span_min_docs surviving docs
+    # exceeds this cap. Runs AFTER doc-level dedup so a doc is never
+    # penalized for overlap with an already-removed duplicate.
+    max_dup_span_frac: float | None = None
+    span_k: int = 5
+    span_min_docs: int = 2
     max_hamming: int = 3  # simhash only
     index_path: str | None = None  # screen against a persisted dedup index
     mixture_rates: Mapping[str, float] | None = None  # stratum -> keep rate
@@ -190,6 +213,21 @@ def prepare_corpus(
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     out = docs
 
+    if cfg.strip_boilerplate:
+        from mysql_to_s3_spark.operators.dedup import strip_boilerplate_lines
+
+        cleaned = strip_boilerplate_lines(
+            out,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            max_docs=cfg.boilerplate_max_docs,
+        )
+        out = out.drop(cfg.text_col).join(
+            cleaned.select(cfg.id_col, F.col("clean_text").alias(cfg.text_col)),
+            cfg.id_col,
+        )
+        stages.append(("boilerplate", out))
+
     if cfg.min_quality is not None:
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
         stages.append(("quality", out))
@@ -238,6 +276,23 @@ def prepare_corpus(
             text_col=cfg.text_col,
         )
         stages.append(("index_dedup", out))
+
+    if cfg.max_dup_span_frac is not None:
+        from mysql_to_s3_spark.operators.dedup import duplicated_span_fraction
+
+        spanf = duplicated_span_fraction(
+            out,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            k=cfg.span_k,
+            min_docs=cfg.span_min_docs,
+        )
+        keep = spanf.filter(
+            F.col("dup_frac").isNull()
+            | (F.col("dup_frac") <= F.lit(float(cfg.max_dup_span_frac)))
+        ).select(cfg.id_col)
+        out = out.join(keep, cfg.id_col, "left_semi")
+        stages.append(("span_dedup", out))
 
     if cfg.mixture_rates is not None:
         # after dedup (rates are per UNIQUE doc, the published convention)
@@ -304,7 +359,11 @@ def prepare_corpus_stream(
       candidates. Run ``stream_near_dedup_reconciled`` side-by-side —
       it confirms each micro-batch of flags with the batch-exact
       Jaccard via ``foreachBatch`` and appends only confirmed pairs —
-      rather than silently dropping on an estimate.
+      rather than silently dropping on an estimate;
+    - ``strip_boilerplate`` / ``max_dup_span_frac`` are REJECTED: both
+      need corpus-global line/span document frequencies no bounded
+      stream state can hold exactly — run them in batch over the
+      landed corpus.
     """
     from mysql_to_s3_spark.streaming.stream_extract import (
         stream_decontaminate,
@@ -317,6 +376,15 @@ def prepare_corpus_stream(
             "verify Jaccard); run streaming.stream_extract."
             "stream_near_dedup_reconciled side-by-side — it flags in-stream "
             "and confirms each flag with the batch-exact adjudicator"
+        )
+    if cfg.strip_boilerplate or cfg.max_dup_span_frac is not None:
+        raise PipelineError(
+            "strip_boilerplate / max_dup_span_frac need CORPUS-GLOBAL "
+            "line/span document frequencies — a stream sees neither past "
+            "nor future docs, so any bounded-state form would silently "
+            "under-count. Run them in batch (prepare_corpus) over the "
+            "landed corpus, or periodically refresh a frequency table and "
+            "gate with it explicitly"
         )
     txt = F.col(cfg.text_col)
     out = sdf

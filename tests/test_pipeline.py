@@ -462,3 +462,65 @@ def test_lm_gate_batch_and_stream_agree(spark, tmp_path):
 
     with pytest.raises(PipelineError, match="lm_rows"):
         prepare_corpus_stream(sdf, cfg, ts_col="ts")
+
+
+def test_boilerplate_stage_rewrites_before_gates(spark):
+    """strip_boilerplate runs FIRST: the shared footer is removed before
+    quality scoring, so a doc judged on its real content survives a gate
+    its boilerplate-padded form would fail differently."""
+    footer = "! ! ! ! ! ! ! ! ! !"  # pure punctuation: tanks quality
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today\n" + footer, "en"),
+        (2, "a second real document with the usual words in it\n" + footer, "en"),
+        (3, footer, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    prepared = prepare_corpus(
+        df,
+        CorpusConfig(strip_boilerplate=True, min_quality=0.5, exact=False),
+    )
+    names = [n for n, _ in prepared.stages]
+    assert names[:3] == ["input", "boilerplate", "quality"]
+    out = {r["doc_id"]: r["text"] for r in prepared.docs.collect()}
+    assert set(out) == {1, 2}
+    assert footer not in out[1] and footer not in out[2]
+    # doc 3 was nothing but boilerplate -> emptied -> failed quality;
+    # the audit pins the drop on the quality stage, not the rewrite
+    audit = {r["doc_id"]: r["dropped_at"] for r in prepared.audit().collect()}
+    assert audit == {3: "quality"}
+
+
+def test_span_gate_drops_heavy_overlap_after_dedup(spark):
+    """max_dup_span_frac runs after exact dedup: a doc overlapping only
+    its own exact duplicate is NOT penalized once the dup is gone."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    doc1 = base + " lambda mu nu xi omicron pi rho sigma"  # 16 tokens
+    rows = [
+        (1, doc1, "en"),
+        (2, doc1, "en"),  # exact duplicate of 1 -> removed by exact dedup
+        (3, "unrelated words entirely fresh content here now", "en"),
+        (4, base + " iota kappa", "en"),  # mostly the shared run
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    prepared = prepare_corpus(
+        df,
+        CorpusConfig(exact=True, max_dup_span_frac=0.5, span_k=5),
+    )
+    kept = {r["doc_id"] for r in prepared.docs.select("doc_id").collect()}
+    # doc 1 survives exact dedup (min id) and the gate: only the 4
+    # base-run windows of its 12 are shared (0.333 <= 0.5). The gate is
+    # SYMMETRIC — doc 4 is 4-of-6 shared (0.667 > 0.5) and is dropped
+    # even though doc 1 keeps the run: this is a boilerplate-heaviness
+    # filter, not a keep-one-per-cluster dedup (that is near_dup's job).
+    assert kept == {1, 3}
+    audit = {r["doc_id"]: r["dropped_at"] for r in prepared.audit().collect()}
+    assert audit[2] == "exact_dedup" and audit[4] == "span_dedup"
+
+
+def test_prepare_corpus_stream_rejects_corpus_global_stages(spark):
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+
+    with pytest.raises(PipelineError, match="CORPUS-GLOBAL"):
+        prepare_corpus_stream(None, CorpusConfig(strip_boilerplate=True))
+    with pytest.raises(PipelineError, match="CORPUS-GLOBAL"):
+        prepare_corpus_stream(None, CorpusConfig(max_dup_span_frac=0.2))
