@@ -823,3 +823,116 @@ def embedding_dup_pairs_blocked(
             )
 
     return block_pairs.mapInPandas(gemm, out_schema)
+
+
+# -- semantic dedup (SemDeDup) -------------------------------------------
+
+
+class SemDedupError(ValueError):
+    """Raised when a semantic-dedup cell exceeds the pairwise-work cap."""
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.45,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    cell_expr: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_size: int = 200_000,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus in embedding space, compare
+    pairs ONLY within a cluster (dense pairwise cosine — one numpy GEMM
+    per cell group), and for every duplicate pair keep the
+    LEAST-centroid-similar member (the paper's keep rule: prefer the
+    example farthest from its cluster's center of mass; exact ties break
+    to the lower id). Complements ``embedding_dup_pairs_lsh``: LSH bands
+    answer "which pairs are near-identical", SemDeDup answers "which docs
+    do I drop", with candidate generation bounded by cluster size instead
+    of band-collision luck.
+
+    Assignment is pluggable: ``cell_expr`` (any deterministic integer
+    Column, e.g. a sign-pattern bucket — the oracle-replicable form) or
+    nearest-``centroids`` L2 (default: ``ivf_fit``-trained distributed
+    KMeans — the production path). The centroid used by the keep rule is
+    always the cell's member MEAN, recomputed inside the kernel, so both
+    assignment modes share identical dedup semantics.
+
+    Returns one row per DROPPED doc ``(id, cell, centroid_sim)``;
+    survivors are ``df`` anti-joined on ``id``. Cosines and centroid
+    similarities are rounded to 6 decimals BEFORE every comparison (the
+    cross-engine double-math discipline, see ``dedup.cosine``).
+
+    100 TB story: one hash exchange on the cell id; pairwise work is
+    sum(cell^2), bounded by ``max_cell_size`` (raises ``SemDedupError`` —
+    the skew-valve contract: truncation is never silent) and tuned by
+    ``n_cells``; the dense kernel is Arrow-batched numpy per the measured
+    dense-kernel findings in SCALE.md, never per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if cell_expr is not None:
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            cell_expr.cast("int").alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+    else:
+        if centroids is None:
+            centroids = ivf_fit(df, n_cells=n_cells, vec_col=vec_col)
+        assigned = ivf_assign(df, centroids, vec_col=vec_col).select(
+            F.col(id_col).alias("id"),
+            F.col("__cell__").cast("int").alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+
+    thr = float(threshold)
+    cap = int(max_cell_size)
+    empty = pd.DataFrame(
+        {
+            "id": pd.Series(dtype="int64"),
+            "cell": pd.Series(dtype="int32"),
+            "centroid_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > cap:
+            raise SemDedupError(
+                f"semantic_dedup cell {int(pdf['cell'].iloc[0])} holds {n} "
+                f"vectors (> max_cell_size={cap}); pairwise work is n^2 — "
+                "raise n_cells (finer clustering) or max_cell_size explicitly"
+            )
+        if n < 2:
+            return empty
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        c = V.mean(axis=0)
+        cn = np.linalg.norm(c)
+        csim = np.round(U @ (c / (cn if cn > 0.0 else 1.0)), 6)
+        S = np.round(U @ U.T, 6)
+        np.fill_diagonal(S, -2.0)  # a doc never duplicates itself
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, csim))  # keep-rank: (centroid_sim, id) asc
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        drop = ((S >= thr) & (rank[None, :] < rank[:, None])).any(axis=1)
+        if not drop.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id": ids[drop],
+                "cell": np.full(int(drop.sum()), pdf["cell"].iloc[0], dtype="int32"),
+                "centroid_sim": csim[drop],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        lambda pdf: dedup_cell(pdf), "id long, cell int, centroid_sim double"
+    )

@@ -1286,16 +1286,74 @@ def _dedup_simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+_SEM_PLANES_SEED = 562  # hyperplanes(dim=64, n=3) — 8 deterministic cells
+
+
 def _dedup_embedding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered form is the banded-LSH scale path (ONE band-key
-    self-join, candidates-only verify); the oracle stays the exact
-    all-pairs SQL — (p=4, T=28) seeded planes deterministically cover
-    every true pair at sf0.001/0.01/0.1 (measured; see
-    similarity.embedding_dup_pairs_lsh docstring)."""
-    from mysql_to_s3_spark.operators.similarity import embedding_dup_pairs_lsh
+    """Tagged two-leg embedding-dedup row. `pair` leg: the banded-LSH
+    scale path (ONE band-key self-join, candidates-only verify); oracle =
+    exact all-pairs SQL — (p=4, T=28) seeded planes deterministically
+    cover every true pair at sf0.001/0.01/0.1 (measured; see
+    similarity.embedding_dup_pairs_lsh docstring). `sem` leg (r6):
+    SemDeDup drop decisions (similarity.semantic_dedup) under a
+    deterministic 3-plane sign-bucket assignment so the oracle replicates
+    the cells exactly; the within-cell pairwise + keep-least-centroid-
+    similar semantics are the hash-verified surface (the trained-KMeans
+    assignment is the production default, unit-tested)."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.similarity import (
+        _dot_lit,
+        embedding_dup_pairs_lsh,
+        hyperplanes,
+        semantic_dedup,
+    )
     from mysql_to_s3_spark.sources.registry import load_table
 
-    return embedding_dup_pairs_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs_lsh(emb, threshold=0.45).select(
+        F.lit("pair").alias("leg"), "a", "b", "cos"
+    )
+    planes = hyperplanes(dim=64, n=3, seed=_SEM_PLANES_SEED)
+    cell = None
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_lit(F.col("embedding"), p) > 0, F.lit(2 ** (2 - i))).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    dropped = semantic_dedup(emb, threshold=0.45, cell_expr=cell).select(
+        F.lit("sem").alias("leg"),
+        F.col("id").alias("a"),
+        F.col("cell").cast("long").alias("b"),
+        F.col("centroid_sim").alias("cos"),
+    )
+    return pairs.unionByName(dropped)
+
+
+def _sem_dedup_sql() -> str:
+    """DuckDB replica of the `sem` leg: same 3 seeded planes -> integer
+    cell, per-cell mean centroid, 6dp-rounded cosines, drop x iff a
+    within-cell duplicate y ranks keep-better ((csim, id) lexicographic
+    ascending = kept preferentially)."""
+    from mysql_to_s3_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n=3, seed=_SEM_PLANES_SEED)
+    cell = " + ".join(
+        f"(CASE WHEN {_sql_plane_dot('embedding', p)} > 0 THEN {2 ** (2 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    asn AS (SELECT vec_id, embedding, ({cell}) AS cell FROM embeddings),
+    cent AS (SELECT cell, i, avg(embedding[i]::DOUBLE) AS m
+             FROM asn CROSS JOIN range(1, 65) r(i) GROUP BY cell, i),
+    centv AS (SELECT cell, list(m ORDER BY i) AS c FROM cent GROUP BY cell),
+    cs AS (SELECT a.vec_id, a.cell, a.embedding,
+                  round({_sql_cosine('a.embedding', 'cv.c')}, 6) AS csim
+           FROM asn a JOIN centv cv USING (cell)),
+    sem_drops AS (
+      SELECT x.vec_id, x.cell, x.csim
+      FROM cs x JOIN cs y ON y.cell = x.cell AND y.vec_id != x.vec_id
+        AND round({_sql_cosine('x.embedding', 'y.embedding')}, 6) >= 0.45
+        AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+      GROUP BY x.vec_id, x.cell, x.csim)"""
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1627,10 +1685,14 @@ _q("dedup_simhash", _dedup_simhash_spark, _simhash_sql())
 _q(
     "dedup_embedding_cosine",
     _dedup_embedding_spark,
-    f"""SELECT a.vec_id AS a, b.vec_id AS b,
+    f"""WITH {_sem_dedup_sql()}
+        SELECT 'pair' AS leg, a.vec_id AS a, b.vec_id AS b,
                round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.45""",
+        WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.45
+        UNION ALL
+        SELECT 'sem' AS leg, vec_id AS a, cell::BIGINT AS b, csim AS cos
+        FROM sem_drops""",
 )
 _SQL_EXACT_TOPK = f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qe')}, 6) AS cos

@@ -473,3 +473,58 @@ def test_ivf_append_rejects_half_written_index(spark, sf_dir, tmp_path):
     shutil.rmtree(p2 + "/centroids")  # died right after the vectors
     with _pytest.raises(similarity.IvfIndexError, match="half-way"):
         similarity.ivfpq_write_index(emb, centroids, books, p2, mode="append")
+
+
+# -- semantic dedup (SemDeDup, similarity.semantic_dedup) ----------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_dedup_keep_rule_least_centroid_similar(spark):
+    # one cell, a near-identical pair + two outliers: exactly one of the
+    # pair drops, and it is the member MORE similar to the cell mean
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.1, 0.0]),
+    ]
+    out = similarity.semantic_dedup(
+        _vecs(spark, rows), threshold=0.99, cell_expr=F.lit(0)
+    ).collect()
+    assert len(out) == 1 and out[0]["id"] in (1, 2)
+    # the survivor of the pair is the one with LOWER centroid similarity:
+    # recompute both csims and check the dropped one ranks keep-worse
+    import numpy as np
+
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    U = V / np.linalg.norm(V, axis=1)[:, None]
+    c = V.mean(axis=0)
+    csim = np.round(U @ (c / np.linalg.norm(c)), 6)
+    kept, dropped = (2, 1) if out[0]["id"] == 1 else (1, 2)
+    assert (csim[dropped - 1], dropped) > (csim[kept - 1], kept)
+
+
+def test_semantic_dedup_trained_kmeans_path_deterministic(spark, sf_dir):
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    d1 = similarity.semantic_dedup(emb, threshold=0.45, n_cells=4).collect()
+    d2 = similarity.semantic_dedup(emb, threshold=0.45, n_cells=4).collect()
+    got1 = sorted((r["id"], r["cell"], r["centroid_sim"]) for r in d1)
+    got2 = sorted((r["id"], r["cell"], r["centroid_sim"]) for r in d2)
+    assert got1 == got2  # seeded KMeans => reproducible drop set
+    ids = [r["id"] for r in d1]
+    assert len(ids) == len(set(ids)) and set(ids) <= all_ids
+    assert 0 < len(ids) < len(all_ids)  # drops something, keeps something
+
+
+def test_semantic_dedup_cell_cap_raises(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    with pytest.raises(Exception, match="max_cell_size"):
+        similarity.semantic_dedup(
+            _vecs(spark, rows), cell_expr=F.lit(0), max_cell_size=3
+        ).collect()
