@@ -457,15 +457,23 @@ _q(
 )
 
 # Scale path of the moments half of agg_scalar_stats: percentile via KLL
-# sketch (percentile_approx) and cardinality via HLL
-# (approx_count_distinct), switched by the query-level "approx" flag. No
-# oracle — approx values are within-tolerance, not exactly reproducible;
-# the exact form above is the correctness row, this is the 100 TB
-# recommendation and the bench entry that prices the exact/approx split.
-# In-window as a rows-only driver check.
-_q(
-    "agg_scalar_moments_approx",
-    _rounded({
+# sketch (percentile_approx, accuracy 10_000 => rank error 1e-4) and
+# cardinality via HLL (approx_count_distinct, default rsd 5%), switched by
+# the query-level "approx" flag. Hard-verified since r6 by a BOUNDED-ERROR
+# contract: sketch values can't be reproduced exactly, so the row compares
+# them IN-ROW against the exact aggregates (a second tiny agg over the
+# same scan) and emits the tolerance VERDICTS — which the DuckDB oracle
+# reproduces as literal TRUEs next to the exact-matching moment columns.
+# A sketch drifting outside its published error bound flips a boolean and
+# fails the value hash; the former rows-only check proved only that the
+# query ran.
+def _agg_moments_approx_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.executor import run
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    df = run({
         "from": "lineitem",
         "approx": True,
         "select": [
@@ -477,8 +485,36 @@ _q(
             {"name": "m2", "value": "l_discount", "aggregate": "s2"},
             {"name": "any_qty", "value": "l_quantity", "aggregate": "exists"},
         ],
-    }, ["vr", "p90", "m1", "m2"]),
-    None,
+    }, spark=spark, sf_dir=sf_dir)
+    exact = load_table(spark, sf_dir, "lineitem").agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("p90x"),
+        F.countDistinct("l_returnflag").alias("cardx"),
+    )
+    # tolerances: 2% value error for the rank-1e-4 KLL p90 (generous —
+    # rank error maps to far less value error on a smooth price column),
+    # max(1, 5%) absolute for the rsd-5% HLL count
+    return df.crossJoin(exact).select(
+        F.round("vr", 6).alias("vr"),
+        F.col("m0"),
+        F.round("m1", 6).alias("m1"),
+        F.round("m2", 6).alias("m2"),
+        F.col("any_qty"),
+        (F.abs(F.col("p90") - F.col("p90x")) <= 0.02 * F.abs(F.col("p90x"))).alias("p90_ok"),
+        (F.abs(F.col("card") - F.col("cardx"))
+         <= F.greatest(F.lit(1.0), 0.05 * F.col("cardx"))).alias("card_ok"),
+    )
+
+
+_q(
+    "agg_scalar_moments_approx",
+    _agg_moments_approx_spark,
+    """SELECT round(var_pop(l_discount), 6) AS vr,
+              CAST(count(l_discount) AS DOUBLE) AS m0,
+              round(sum(l_discount), 6) AS m1,
+              round(sum(l_discount * l_discount), 6) AS m2,
+              count(l_quantity) > 0 AS any_qty,
+              TRUE AS p90_ok, TRUE AS card_ok
+       FROM lineitem""",
 )
 
 
