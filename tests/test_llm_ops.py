@@ -528,3 +528,81 @@ def test_semantic_dedup_cell_cap_raises(spark):
         similarity.semantic_dedup(
             _vecs(spark, rows), cell_expr=F.lit(0), max_cell_size=3
         ).collect()
+
+
+def _semantic_dedup_reference(rows, threshold, n_mod):
+    """Pure-numpy replica of semantic_dedup's semantics: cells = id %
+    n_mod, per-cell mean centroid, 6dp-rounded cosines, drop x iff a
+    within-cell >=threshold partner ranks keep-better ((csim, id) asc)."""
+    import numpy as np
+
+    by_cell = {}
+    for vid, vec in rows:
+        by_cell.setdefault(vid % n_mod, []).append((vid, vec))
+    dropped = {}
+    for cell, members in by_cell.items():
+        if len(members) < 2:
+            continue
+        ids = np.array([m[0] for m in members], dtype=np.int64)
+        V = np.stack([np.asarray(m[1], dtype=np.float32) for m in members]).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        c = V.mean(axis=0)
+        cn = np.linalg.norm(c)
+        csim = np.round(U @ (c / (cn if cn > 0.0 else 1.0)), 6)
+        S = np.round(U @ U.T, 6)
+        np.fill_diagonal(S, -2.0)
+        order = np.lexsort((ids, csim))
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = np.arange(len(ids))
+        drop = ((S >= threshold) & (rank[None, :] < rank[:, None])).any(axis=1)
+        for i in np.nonzero(drop)[0]:
+            dropped[int(ids[i])] = (cell, float(csim[i]))
+    return dropped
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.lists(
+                    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+                    min_size=4,
+                    max_size=4,
+                ),
+            ),
+            min_size=2,
+            max_size=30,
+            unique_by=lambda r: r[0],
+        ),
+        threshold=st.sampled_from([0.3, 0.7, 0.95]),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    def test_semantic_dedup_matches_numpy_reference(spark, rows, threshold):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id bigint, embedding array<float>",
+        )
+        got = {
+            r["id"]: (r["cell"], r["centroid_sim"])
+            for r in similarity.semantic_dedup(
+                df, threshold=threshold, cell_expr=F.col("vec_id") % 3
+            ).collect()
+        }
+        want = _semantic_dedup_reference(rows, threshold, 3)
+        assert set(got) == set(want)
+        for vid in want:
+            assert got[vid][0] == want[vid][0]
+            assert abs(got[vid][1] - want[vid][1]) <= 1e-9
