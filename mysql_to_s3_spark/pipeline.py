@@ -10,9 +10,10 @@ engine composes the verified operators into one lazy DataFrame plan:
     (line-boilerplate strip ->) quality gate -> language gate ->
     (LM perplexity gate ->) exact dedup -> near-dup cluster
     removal -> persisted-index screen (incremental ingest) ->
-    (duplicated-span gate ->) mixture weighting (stratified
-    downsample) -> benchmark decontamination -> PII redaction ->
-    deterministic split -> (chunk ->) token-budget packed shard write
+    (duplicated-span gate ->) (SemDeDup semantic dedup ->) mixture
+    weighting (stratified downsample) -> benchmark decontamination ->
+    PII redaction -> deterministic split -> (chunk ->) token-budget
+    packed shard write
 
 Stage-order rationale (each choice is load-bearing at 100 TB):
 
@@ -26,6 +27,10 @@ Stage-order rationale (each choice is load-bearing at 100 TB):
 - the duplicated-span gate (Lee et al. exact-substring signal) runs
   after doc-level dedup so a doc is not penalized for spans shared
   only with its own already-removed duplicates;
+- SemDeDup semantic dedup (embedding-space paraphrase removal) runs
+  after every text-space dedup — its within-cluster pairwise work
+  scales with survivors, and rates/decontam downstream then see one
+  copy per MEANING, not per string;
 - dedup runs on the ORIGINAL text, before redaction: redaction can
   collapse two genuinely different docs into one string (same template,
   different emails), which would over-delete; near-dup clustering keeps
@@ -42,10 +47,12 @@ two spelled-out exceptions that DO run jobs at plan-build time:
 ``near_dup`` clustering (the pointer-jumping convergence loop is
 driver-side iteration — one job per round — because an
 until-convergence algorithm cannot be expressed as a single Catalyst
-plan), and the decontamination broadcast-size probe when
+plan), the decontamination broadcast-size probe when
 ``decontam_broadcast=None`` (one cheap length-sum — the price of
-keeping the OOM valve armed by default). Every other stage is pure
-plan construction. The optional ``funnel`` diagnostic is the only
+keeping the OOM valve armed by default), and the SemDeDup KMeans fit
+when ``semantic_threshold`` is set without caller-supplied
+``semantic_centroids`` (pass pre-fit centroids to stay lazy). Every
+other stage is pure plan construction. The optional ``funnel`` diagnostic is the only
 thing that runs per-stage actions — one count-job per stage, each
 re-deriving its prefix from the source, so cache the source (or the
 heaviest boundary) before calling it on anything expensive.
@@ -118,6 +125,19 @@ class CorpusConfig:
     span_k: int = 5
     span_min_docs: int = 2
     max_hamming: int = 3  # simhash only
+    # SemDeDup semantic dedup (operators/similarity.semantic_dedup) over
+    # an embedding column RIDING the docs frame: within each embedding
+    # cluster, drop the more-centroid-similar member of every cosine
+    # >= semantic_threshold pair. Complements the text-space near_dup
+    # stage (paraphrases dedup here, not there); runs after the
+    # text-space dedups. Centroids come from prepare_corpus's
+    # ``semantic_centroids`` (fit in batch with similarity.ivf_fit);
+    # when omitted, the fit runs at plan-BUILD time — a spelled-out
+    # laziness exception, same contract as the decontam probe.
+    semantic_threshold: float | None = None
+    embedding_col: str = "embedding"
+    semantic_cells: int = 64
+    semantic_max_cell: int = 200_000
     index_path: str | None = None  # screen against a persisted dedup index
     mixture_rates: Mapping[str, float] | None = None  # stratum -> keep rate
     strata_col: str = "lang"
@@ -201,11 +221,16 @@ def prepare_corpus(
     cfg: CorpusConfig = CorpusConfig(),
     bench: DataFrame | None = None,
     lm_counts: DataFrame | None = None,
+    semantic_centroids: list[list[float]] | None = None,
 ) -> PreparedCorpus:
     """Compose the configured stages into one lazy plan over ``docs``.
 
     ``bench`` is the held-out evaluation suite for decontamination —
-    required iff ``cfg.decontam_threshold`` is set. The returned frame
+    required iff ``cfg.decontam_threshold`` is set.
+    ``semantic_centroids`` (pre-fit cluster centers, see
+    ``similarity.ivf_fit``) feeds the SemDeDup stage when
+    ``cfg.semantic_threshold`` is set; omitted, the fit runs at
+    plan-build time. The returned frame
     keeps the input schema (plus ``cfg.split_col`` when splits are
     configured, with the text column redacted in place when
     ``cfg.redact``)."""
@@ -293,6 +318,33 @@ def prepare_corpus(
         ).select(cfg.id_col)
         out = out.join(keep, cfg.id_col, "left_semi")
         stages.append(("span_dedup", out))
+
+    if cfg.semantic_threshold is not None:
+        from mysql_to_s3_spark.operators.similarity import ivf_fit, semantic_dedup
+
+        if cfg.embedding_col not in out.columns:
+            raise PipelineError(
+                f"semantic_threshold set but docs has no {cfg.embedding_col!r} "
+                "column; join your embeddings onto the corpus first (or set "
+                "cfg.embedding_col)"
+            )
+        cents = semantic_centroids
+        if cents is None:
+            # plan-build-time fit (distributed KMeans) — documented
+            # laziness exception; pass semantic_centroids to avoid it
+            cents = ivf_fit(out, n_cells=cfg.semantic_cells, vec_col=cfg.embedding_col)
+        sem_drops = semantic_dedup(
+            out,
+            threshold=cfg.semantic_threshold,
+            centroids=[list(c) for c in cents],
+            vec_col=cfg.embedding_col,
+            id_col=cfg.id_col,
+            max_cell_size=cfg.semantic_max_cell,
+        )
+        out = out.join(
+            sem_drops.select(F.col("id").alias(cfg.id_col)), cfg.id_col, "left_anti"
+        )
+        stages.append(("semantic_dedup", out))
 
     if cfg.mixture_rates is not None:
         # after dedup (rates are per UNIQUE doc, the published convention)
@@ -385,6 +437,13 @@ def prepare_corpus_stream(
             "under-count. Run them in batch (prepare_corpus) over the "
             "landed corpus, or periodically refresh a frequency table and "
             "gate with it explicitly"
+        )
+    if cfg.semantic_threshold is not None:
+        raise PipelineError(
+            "semantic_threshold (SemDeDup) needs within-CLUSTER pairwise "
+            "cosine over the whole corpus — cluster membership is global "
+            "state a stream cannot hold exactly. Run it in batch "
+            "(prepare_corpus) over the landed corpus"
         )
     txt = F.col(cfg.text_col)
     out = sdf

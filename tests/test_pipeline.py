@@ -524,3 +524,47 @@ def test_prepare_corpus_stream_rejects_corpus_global_stages(spark):
         prepare_corpus_stream(None, CorpusConfig(strip_boilerplate=True))
     with pytest.raises(PipelineError, match="CORPUS-GLOBAL"):
         prepare_corpus_stream(None, CorpusConfig(max_dup_span_frac=0.2))
+
+
+# -- SemDeDup stage ------------------------------------------------------
+
+
+def _emb_docs(spark):
+    # two semantically-identical docs (1, 2) with distinct text, one
+    # distant doc (3); embeddings ride the corpus frame
+    rows = [
+        (1, "alpha beta gamma words", [1.0, 0.0, 0.0, 0.0]),
+        (2, "totally different words", [0.999, 0.01, 0.0, 0.0]),
+        (3, "third doc entirely", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, embedding array<float>"
+    )
+
+
+def test_prepare_corpus_semantic_dedup_stage(spark):
+    docs = _emb_docs(spark)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    prep = prepare_corpus(
+        docs,
+        CorpusConfig(exact=False, semantic_threshold=0.99),
+        semantic_centroids=cents,
+    )
+    kept = {r["doc_id"] for r in prep.docs.collect()}
+    assert 3 in kept and len(kept & {1, 2}) == 1
+    audit = {r["doc_id"]: r["dropped_at"] for r in prep.audit().collect()}
+    (dropped,) = {1, 2} - kept
+    assert audit == {dropped: "semantic_dedup"}
+
+
+def test_prepare_corpus_semantic_requires_embedding_col(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(PipelineError, match="embedding"):
+        prepare_corpus(docs, CorpusConfig(exact=False, semantic_threshold=0.9))
+
+
+def test_prepare_corpus_stream_rejects_semantic(spark):
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+
+    with pytest.raises(PipelineError, match="SemDeDup"):
+        prepare_corpus_stream(None, CorpusConfig(semantic_threshold=0.9))
