@@ -2758,19 +2758,47 @@ DRIVER_ORDER: list[str] = [
 
 
 def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES typed-JSON wire format (sinks/typed_json.py): write docs as
-    typed JSON lines through the distributed mapInPandas sink, read the
-    lines back, untype, and emit the scalar fields — a full
-    encode->decode round-trip under the driver's value compare."""
+    """Tagged 2-leg sink round-trip row — both legs write through a
+    distributed mapInPandas sink to a temp dir IN-ROW, read the lines
+    back, and emit scalars under the driver's value compare:
+
+    - `typed`: ES typed-JSON wire format (sinks/typed_json.py) —
+      encode -> decode, scalar fields compared verbatim.
+    - `jsonl` (r6): the plain JSON-lines extract sink
+      (sinks/json_sink.py — the reference's S3 document path,
+      extract.py:240-242 / elasticsearch.py:939-986 parity). The leg
+      hard-verifies the scrub semantics cross-engine: null AND ""
+      both drop their key (`xs` null exactly when the oracle CASE
+      says so), a 1-element array collapses to its scalar while a
+      2-element array stays a list (`shape` == 'str/list2'), a
+      whole-valued float is minimized to an int on the wire (`xl`),
+      and the etl lineage envelope survives verbatim (`etl_id`)."""
     import json as _json
     import tempfile
 
     from pyspark.sql import functions as F
 
+    from mysql_to_s3_spark.sinks.json_sink import etl_envelope, write_json_lines
     from mysql_to_s3_spark.sinks.typed_json import untyped, write_typed_json_lines
     from mysql_to_s3_spark.sources.registry import load_table
 
+    import pyspark.sql.types as T
+
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    schema = T.StructType(
+        [
+            T.StructField("leg", T.StringType()),
+            T.StructField("ok", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("xs", T.StringType()),
+            T.StructField("shape", T.StringType()),
+            T.StructField("xl", T.LongType()),
+            T.StructField("etl_id", T.LongType()),
+        ]
+    )
+
+    # --- typed leg -------------------------------------------------------
     df = orders.select(
         F.struct(
             F.col("o_orderkey").alias("ok"),
@@ -2780,38 +2808,97 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="typed_json_")
     write_typed_json_lines(df, out, "fact")
-    lines = spark.read.text(out)
 
-    def parse(batches):
+    def parse_typed(batches):
         import pandas as pd
 
         for pdf in batches:
             docs = [untyped(_json.loads(v)) for v in pdf["value"]]
             yield pd.DataFrame(
                 {
+                    "leg": ["typed"] * len(docs),
                     "ok": [d["ok"] for d in docs],
                     "status": [d["status"] for d in docs],
                     "price": [d["price"] for d in docs],
+                    "xs": [None] * len(docs),
+                    "shape": [None] * len(docs),
+                    "xl": [None] * len(docs),
+                    "etl_id": [None] * len(docs),
                 }
             )
 
-    import pyspark.sql.types as T
+    typed = spark.read.text(out).mapInPandas(parse_typed, schema)
 
-    schema = T.StructType(
-        [
-            T.StructField("ok", T.LongType()),
-            T.StructField("status", T.StringType()),
-            T.StructField("price", T.DoubleType()),
-        ]
+    # --- jsonl leg: scrub + collapse + minimize + etl envelope -----------
+    jdf = orders.select(
+        F.struct(
+            F.col("o_orderkey").alias("ok"),
+            # null (ok%3=0) and "" (ok%3=1) must BOTH scrub to key-absent
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string"))
+            .when(F.col("o_orderkey") % 3 == 1, F.lit(""))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("cmt"),
+            F.array(F.col("o_orderpriority")).alias("tags"),
+            F.array(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("tags2"),
+            # whole-valued double -> wire int (mo_json minimal numbers)
+            F.floor(F.col("o_totalprice")).cast("double").alias("xi"),
+        ).alias("fact")
     )
-    return lines.mapInPandas(parse, schema).orderBy("ok")
+    jout = tempfile.mkdtemp(prefix="jsonl_sink_")
+    write_json_lines(
+        jdf, jout, "fact", etl=etl_envelope(7, source={"table": "orders"})
+    )
+
+    def parse_jsonl(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for v in pdf["value"]:
+                w = _json.loads(v)
+                d = w["fact"]
+                t, t2, xi = d.get("tags"), d.get("tags2"), d.get("xi")
+                rows.append(
+                    {
+                        "leg": "jsonl",
+                        "ok": d["ok"],
+                        "status": None,
+                        "price": None,
+                        "xs": d.get("cmt"),
+                        "shape": (
+                            ("str" if isinstance(t, str) else type(t).__name__)
+                            + "/"
+                            + (
+                                f"list{len(t2)}"
+                                if isinstance(t2, list)
+                                else type(t2).__name__
+                            )
+                        ),
+                        # the wire must carry an int, not 1234.0
+                        "xl": xi if isinstance(xi, int) else None,
+                        "etl_id": w["etl"]["id"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    jsonl = spark.read.text(jout).mapInPandas(parse_jsonl, schema)
+    return typed.unionByName(jsonl).orderBy("leg", "ok")
 
 
 _q(
     "typed_json_roundtrip",
     _typed_json_roundtrip_spark,
-    """SELECT o_orderkey AS ok, o_orderstatus AS status, o_totalprice AS price
-       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""",
+    """SELECT 'typed' AS leg, o_orderkey AS ok, o_orderstatus AS status,
+              o_totalprice AS price, CAST(NULL AS VARCHAR) AS xs,
+              CAST(NULL AS VARCHAR) AS shape, CAST(NULL AS BIGINT) AS xl,
+              CAST(NULL AS BIGINT) AS etl_id
+       FROM orders WHERE o_orderkey < 100
+       UNION ALL
+       SELECT 'jsonl', o_orderkey, NULL, NULL,
+              CASE WHEN o_orderkey % 3 <= 1 THEN NULL ELSE o_orderstatus END,
+              'str/list2', CAST(floor(o_totalprice) AS BIGINT), 7
+       FROM orders WHERE o_orderkey < 100
+       ORDER BY leg, ok""",
 )
 
 
