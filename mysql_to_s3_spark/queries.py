@@ -2362,6 +2362,17 @@ def _agg_one_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "last_name", "value": "n_name", "aggregate": "last"},
                 {"name": "members", "value": "c_custkey", "aggregate": "list"},
                 {"name": "n", "value": ".", "aggregate": "count"},
+                # per-select `default` (executor._agg_column): max over a
+                # conditional that is null for every row in SOME groups
+                # (9900 sits near the acctbal ceiling: ~half the groups fire the default at sf0.01) — those groups
+                # must emit -1, not null (reference Column.aggregate
+                # default semantics)
+                {
+                    "name": "top_bal",
+                    "value": {"when": {"gt": {"c_acctbal": 9900}}, "then": "c_acctbal"},
+                    "aggregate": "max",
+                    "default": -1,
+                },
             ],
         },
         spark=spark,
@@ -2376,7 +2387,9 @@ _q(
     """SELECT c.c_nationkey, any_value(n.n_name) AS nation_name,
               any_value(n.n_name) AS first_name, any_value(n.n_name) AS last_name,
               array_to_string(list_sort(list(c.c_custkey)), '|') AS members,
-              count(*) AS n
+              count(*) AS n,
+              COALESCE(max(CASE WHEN c.c_acctbal > 9900 THEN c.c_acctbal END), -1)
+                  AS top_bal
        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
        GROUP BY 1""",
 )
