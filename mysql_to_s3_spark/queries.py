@@ -2785,7 +2785,14 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       says so), a 1-element array collapses to its scalar while a
       2-element array stays a list (`shape` == 'str/list2'), a
       whole-valued float is minimized to an int on the wire (`xl`),
-      and the etl lineage envelope survives verbatim (`etl_id`)."""
+      and the etl lineage envelope survives verbatim (`etl_id`).
+    - `esbulk_a` / `esbulk_d` (r6): the ES `_bulk` NDJSON body
+      (sinks/es_bulk.py write_bulk_lines — reference
+      elasticsearch.py:281-321). One bulk body written in-row, read
+      back line-by-line: every action line's `_id` lands in
+      `esbulk_a` (the multiset must equal the order keys — each doc
+      got exactly one action line) and every typed doc line untypes
+      back to its scalars in `esbulk_d`."""
     import json as _json
     import tempfile
 
@@ -2895,7 +2902,46 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     jsonl = spark.read.text(jout).mapInPandas(parse_jsonl, schema)
-    return typed.unionByName(jsonl).orderBy("leg", "ok")
+
+    # --- esbulk legs: action/doc NDJSON pairs ----------------------------
+    from mysql_to_s3_spark.sinks.es_bulk import write_bulk_lines
+
+    bdf = orders.select(
+        F.struct(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("fact"),
+        F.col("o_orderkey").alias("__id__"),
+    )
+    bout = tempfile.mkdtemp(prefix="es_bulk_")
+    write_bulk_lines(bdf, bout, "fact", typed=True)
+
+    def parse_bulk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for v in pdf["value"]:
+                d = _json.loads(v)
+                if set(d) == {"index"}:  # action line
+                    rows.append(
+                        {"leg": "esbulk_a", "ok": d["index"]["_id"]}
+                    )
+                else:
+                    u = untyped(d)
+                    rows.append(
+                        {
+                            "leg": "esbulk_d",
+                            "ok": u["ok"],
+                            "status": u["status"],
+                            "price": u["price"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    esbulk = spark.read.text(bout).mapInPandas(parse_bulk, schema)
+    return typed.unionByName(jsonl).unionByName(esbulk).orderBy("leg", "ok")
 
 
 _q(
@@ -2910,6 +2956,13 @@ _q(
        SELECT 'jsonl', o_orderkey, NULL, NULL,
               CASE WHEN o_orderkey % 3 <= 1 THEN NULL ELSE o_orderstatus END,
               'str/list2', CAST(floor(o_totalprice) AS BIGINT), 7
+       FROM orders WHERE o_orderkey < 100
+       UNION ALL
+       SELECT 'esbulk_a', o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL
+       FROM orders WHERE o_orderkey < 100
+       UNION ALL
+       SELECT 'esbulk_d', o_orderkey, o_orderstatus, o_totalprice,
+              NULL, NULL, NULL, NULL
        FROM orders WHERE o_orderkey < 100
        ORDER BY leg, ok""",
 )
