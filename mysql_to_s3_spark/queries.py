@@ -1916,7 +1916,12 @@ def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 extract 0 new batches (extract.py:94-110 [start_point,
                 first_value] contract).
     - `notify`: the per-batch SQS-analog hook fired exactly
-                ceil(n/25) times (extract.py:244-251)."""
+                ceil(n/25) times (extract.py:244-251).
+    - `ref`:    reference_only=['customer.c_name'] inlining (reference
+                snowflake_schema.py reference columns): the dim struct
+                prunes to exactly {id, reference col} — n_items carries
+                the surviving field COUNT (must be 2) and cname the
+                inlined reference value."""
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -2033,6 +2038,20 @@ def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     ext = spark.read.text(f"{out_dir}/*").mapInPandas(parse_ext, schema)
+
+    cfg_ref = SnowflakeConfig(fact_table="orders", reference_only=["customer.c_name"])
+    plan_ref = build_plan(meta, rels, cfg_ref)
+    rdocs = doc_frame(tables, plan_ref, cfg_ref, ids=list(range(100)))
+    ref_width = len(rdocs.schema["orders"].dataType["o_custkey"].dataType.fields)
+    ref_leg = rdocs.select(
+        F.lit("ref").alias("leg"),
+        F.col("__id__").cast("bigint").alias("okey"),
+        F.col("orders.o_custkey.c_name").alias("cname"),
+        F.lit(ref_width).cast("bigint").alias("n_items"),
+        F.lit(None).cast("double").alias("total_qty"),
+        F.lit(None).cast("string").alias("etl_key"),
+    )
+
     summary = spark.createDataFrame(
         [
             ("resume", None, None, n_resumed, None, None),
@@ -2040,7 +2059,12 @@ def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
-    return doc_leg.unionByName(ext).unionByName(summary).orderBy("leg", "okey")
+    return (
+        doc_leg.unionByName(ext)
+        .unionByName(ref_leg)
+        .unionByName(summary)
+        .orderBy("leg", "okey")
+    )
 
 
 _q(
@@ -2065,6 +2089,8 @@ _q(
        SELECT 'ext', base.okey, base.cname, base.n_items, base.total_qty,
               '0.' || CAST(k.b1 AS VARCHAR)
        FROM base JOIN k ON k.o_orderkey = base.okey
+       UNION ALL
+       SELECT 'ref', base.okey, base.cname, 2, NULL, NULL FROM base
        UNION ALL
        SELECT 'resume', NULL, NULL, 0, NULL, NULL
        UNION ALL
