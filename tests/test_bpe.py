@@ -187,6 +187,41 @@ def test_bpe_encode_and_token_count(spark):
             assert got_n[did] == len(toks)
 
 
+def test_bpe_token_count_feeds_pack_sequences(spark):
+    """The documented composition: bpe_token_count -> pack_sequences via
+    n_tokens_col — packing budgets then reflect the MODEL tokenizer, and
+    every seq's token total respects the budget."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.packing import pack_assignments
+
+    df = _corpus_df(spark).filter(F.col("text").isNotNull())
+    model = bpe_train(df, n_merges=10)
+    sized = bpe_token_count(df, model)
+    packed = pack_assignments(
+        sized, id_col="doc_id", n_tokens_col="n_bpe_tokens", budget=20, n_buckets=2
+    )
+    rows = packed.collect()
+    by_id = {r["doc_id"]: r["n_bpe_tokens"] for r in sized.collect()}
+    assert len(rows) == len(by_id)  # nothing dropped (all docs non-empty)
+    for r in rows:
+        # packing consumed the BPE length, not the regex token count
+        assert r["n_tokens"] == by_id[r["doc_id"]]
+        assert r["seq_no"] == r["start_off"] // 20
+    # offset cursor is gap-free per bucket
+    import collections
+
+    per_bucket = collections.defaultdict(list)
+    for r in rows:
+        per_bucket[r["bucket"]].append(r)
+    for rs in per_bucket.values():
+        rs.sort(key=lambda r: r["start_off"])
+        cursor = 0
+        for r in rs:
+            assert r["start_off"] == cursor
+            cursor += r["n_tokens"]
+
+
 def test_bpe_token_count_on_documents_table(spark, sf_dir):
     """End-to-end on the real documents table: counts are positive,
     bounded below by the char length / max-token-len heuristic being
