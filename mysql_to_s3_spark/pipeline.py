@@ -501,6 +501,7 @@ def write_training_shards(
     text_col: str = "text",
     mode: str = "overwrite",
     extra_cols: tuple[str, ...] = (),
+    manifest: bool = False,
 ) -> DataFrame:
     """Pack the corpus into token-budget sequences and write one JSON
     line per document, sharded so each output partition holds complete
@@ -567,6 +568,10 @@ def write_training_shards(
         .partitionBy("bucket")
         .json(path)
     )
+    if manifest:
+        # a receipt for the committed files (underscore-named, so Spark's
+        # file index skips it on read) — verify_shards() diffs against it
+        write_shard_manifest(df.sparkSession, path)
     # the mirror of pack_assignments' `n_tokens > 0` keep-filter: docs
     # with zero (or null) token count are the writer's one drop point
     from mysql_to_s3_spark.operators.packing import token_count
@@ -577,3 +582,93 @@ def write_training_shards(
         df.filter(~F.coalesce(token_count(F.col(text_col)) > 0, F.lit(False)))
         .select(F.col(id_col), F.lit("pack_empty").alias("dropped_at"))
     )
+
+
+# ---------------------------------------------------------------------------
+# shard manifest + integrity verification
+
+_SHARD_SCHEMA = (
+    "seq_no bigint, start_off bigint, n_tokens bigint, doc string"
+)
+MANIFEST_NAME = "_manifest.json"
+
+
+def _shard_stats(spark, path: str) -> list[dict]:
+    """Per-bucket stats of the training shards ON DISK: (bucket, n_docs,
+    n_seqs, tokens_total, sig). ``sig`` is an order-independent 64-bit
+    bit_xor over xxhash64(seq_no, start_off, n_tokens, doc) — it covers
+    both the packing metadata and the payload line, so a flipped byte,
+    a truncated file, or a re-pack all change it. XOR cancels only when
+    an IDENTICAL (seq_no, start_off, n_tokens, doc) row appears twice —
+    impossible within one pack (start_off is a strict cursor), and the
+    paired n_docs count catches whole-row duplication across buckets.
+
+    Reading with an explicit schema (never inference) keeps this a
+    single pass over the files; bucket comes back from the partition
+    directories.
+
+    Why not rely on filesystem checksums: Hadoop's LocalFileSystem keeps
+    .crc sidecars, but object stores (where 100 TB of shards actually
+    live) do not, and a re-upload/partial-sync replaces files with new,
+    internally-consistent bytes no transport checksum flags. The
+    manifest is a CONTENT receipt, independent of the storage layer."""
+    df = spark.read.schema(_SHARD_SCHEMA).json(path)
+    rows = (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("seq_no").alias("n_seqs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.expr("bit_xor(xxhash64(seq_no, start_off, n_tokens, doc))").alias("sig"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    return [
+        {
+            "bucket": int(r["bucket"]),
+            "n_docs": int(r["n_docs"]),
+            "n_seqs": int(r["n_seqs"]),
+            "tokens_total": int(r["tokens_total"]),
+            "sig": int(r["sig"]),
+        }
+        for r in rows
+    ]
+
+
+def write_shard_manifest(spark, path: str) -> list[dict]:
+    """Compute shard stats from the files just written and store them as
+    ``<path>/_manifest.json`` (driver-side: the manifest is n_buckets
+    rows — 32 by default — regardless of corpus size). Returns the
+    stats. Reading back what hit the DISK (not the pre-write frame)
+    makes the manifest a receipt for the committed files themselves."""
+    import json as _json
+    import os as _os
+
+    stats = _shard_stats(spark, path)
+    with open(_os.path.join(path, MANIFEST_NAME), "w") as f:
+        _json.dump({"buckets": stats}, f, sort_keys=True)
+    return stats
+
+
+def verify_shards(spark, path: str) -> list[dict]:
+    """Re-read the shards and diff against the stored manifest. Returns
+    a list of mismatch records (empty == intact): one per bucket whose
+    stats changed, vanished, or appeared, with both sides attached —
+    the post-transfer / pre-training integrity gate."""
+    import json as _json
+    import os as _os
+
+    mpath = _os.path.join(path, MANIFEST_NAME)
+    if not _os.path.exists(mpath):
+        raise PipelineError(f"no {MANIFEST_NAME} under {path}; write one first")
+    with open(mpath) as f:
+        want = {b["bucket"]: b for b in _json.load(f)["buckets"]}
+    got = {b["bucket"]: b for b in _shard_stats(spark, path)}
+    out = []
+    for bucket in sorted(set(want) | set(got)):
+        if want.get(bucket) != got.get(bucket):
+            out.append(
+                {"bucket": bucket, "expected": want.get(bucket), "found": got.get(bucket)}
+            )
+    return out

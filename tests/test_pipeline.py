@@ -568,3 +568,88 @@ def test_prepare_corpus_stream_rejects_semantic(spark):
 
     with pytest.raises(PipelineError, match="SemDeDup"):
         prepare_corpus_stream(None, CorpusConfig(semantic_threshold=0.9))
+
+
+# ---------------------------------------------------------------------------
+# shard manifest + integrity verification
+
+
+def test_shard_manifest_roundtrip_and_tamper(spark, docs, tmp_path):
+    """manifest=True writes a per-bucket receipt; verify_shards is empty
+    on intact files and flags exactly the tampered bucket on a byte
+    flip, an appended row, or a deleted shard file."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from mysql_to_s3_spark.pipeline import (
+        MANIFEST_NAME,
+        verify_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "packed_m")
+    write_training_shards(
+        docs.limit(120), out, budget=256, n_buckets=4, manifest=True
+    )
+    mpath = _os.path.join(out, MANIFEST_NAME)
+    assert _os.path.exists(mpath)
+    stats = _json.load(open(mpath))["buckets"]
+    assert {b["bucket"] for b in stats} <= {0, 1, 2, 3}
+    assert sum(b["n_docs"] for b in stats) == 120
+    assert all(b["tokens_total"] > 0 for b in stats)
+
+    # intact -> no mismatches
+    assert verify_shards(spark, out) == []
+
+    files = sorted(_glob.glob(_os.path.join(out, "bucket=*", "part-*")))
+    assert files
+    victim = files[0]
+    vbucket = int(_os.path.basename(_os.path.dirname(victim)).split("=")[1])
+
+    # drop Hadoop's local-FS .crc sidecars: they exist only on local
+    # disk (an object store has none) and would mask the tamper with a
+    # ChecksumException before the manifest gate ever sees the data
+    for crc in _glob.glob(_os.path.join(out, "bucket=*", ".*.crc")):
+        _os.remove(crc)
+
+    # 1) append a forged row -> n_docs and sig change for that bucket
+    original = open(victim).read()
+    forged = _json.loads(original.splitlines()[0])
+    forged["start_off"] = forged["start_off"] + 10_000_000
+    with open(victim, "a") as f:
+        f.write(_json.dumps(forged) + "\n")
+    bad = verify_shards(spark, out)
+    assert [m["bucket"] for m in bad] == [vbucket]
+    assert bad[0]["found"]["n_docs"] == bad[0]["expected"]["n_docs"] + 1
+
+    # 2) restore, then flip payload bytes only (same row count) -> sig-only
+    with open(victim, "w") as f:
+        f.write(original)
+    assert verify_shards(spark, out) == []
+    rec = _json.loads(original.splitlines()[0])
+    rec["doc"] = rec["doc"][:-1] + ("X" if not rec["doc"].endswith("X") else "Y")
+    lines = original.splitlines()
+    lines[0] = _json.dumps(rec)
+    with open(victim, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    bad = verify_shards(spark, out)
+    assert [m["bucket"] for m in bad] == [vbucket]
+    assert bad[0]["found"]["n_docs"] == bad[0]["expected"]["n_docs"]
+    assert bad[0]["found"]["sig"] != bad[0]["expected"]["sig"]
+
+    # 3) delete the file -> bucket shrinks or vanishes, still flagged
+    _os.remove(victim)
+    bad = verify_shards(spark, out)
+    assert vbucket in {m["bucket"] for m in bad}
+
+
+def test_verify_shards_requires_manifest(spark, docs, tmp_path):
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.pipeline import PipelineError, verify_shards, write_training_shards
+
+    out = str(tmp_path / "packed_nm")
+    write_training_shards(docs.limit(30), out, budget=256, n_buckets=2)
+    with _pytest.raises(PipelineError):
+        verify_shards(spark, out)
