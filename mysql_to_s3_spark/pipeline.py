@@ -153,6 +153,15 @@ class CorpusConfig:
     redact: bool = False
     splits: Mapping[str, float] | None = None
     split_col: str = "split"
+    # model-based classifier gate (operators/classifier.py — the
+    # fastText-shaped learned filter): keep docs whose predicted label
+    # is in classifier_accept with probability >= classifier_min_score.
+    # The fitted TextClassifier arrives as prepare_corpus's
+    # ``classifier`` argument (models are not config literals, same
+    # contract as lm_counts / semantic_centroids). Scoring is a
+    # row-wise JVM transform — shuffle-free, streaming-safe.
+    classifier_accept: tuple[str, ...] | None = None
+    classifier_min_score: float = 0.0
 
 
 @dataclass
@@ -222,6 +231,7 @@ def prepare_corpus(
     bench: DataFrame | None = None,
     lm_counts: DataFrame | None = None,
     semantic_centroids: list[list[float]] | None = None,
+    classifier=None,
 ) -> PreparedCorpus:
     """Compose the configured stages into one lazy plan over ``docs``.
 
@@ -259,6 +269,26 @@ def prepare_corpus(
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
         stages.append(("language", out))
+
+    if cfg.classifier_accept is not None:
+        # after the heuristic gates (cheapest first), before the LM gate
+        # and every shuffle — same per-row cost shape, higher fidelity
+        from mysql_to_s3_spark.operators.classifier import classifier_gate
+
+        if classifier is None:
+            raise PipelineError(
+                "classifier_accept set but no classifier given: fit one "
+                "with operators.classifier.train_text_classifier (or "
+                "TextClassifier.load a persisted one)"
+            )
+        out = classifier_gate(
+            out,
+            classifier,
+            accept=tuple(cfg.classifier_accept),
+            min_score=cfg.classifier_min_score,
+            text_col=cfg.text_col,
+        )
+        stages.append(("classifier", out))
 
     if cfg.min_lm_logprob is not None:
         # after the language gate (CCNet fits per language), before the
@@ -390,6 +420,7 @@ def prepare_corpus_stream(
     bench_rows: list[tuple] | None = None,
     lateness: str = "1 hour",
     lm_rows: list[tuple] | None = None,
+    classifier=None,
 ) -> DataFrame:
     """Streaming analog of ``prepare_corpus`` over a readStream frame.
 
@@ -451,6 +482,24 @@ def prepare_corpus_stream(
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
+    if cfg.classifier_accept is not None:
+        # row-wise JVM transform: stateless, commutes with micro-batching;
+        # the model must be pretrained — a stream cannot self-fit
+        from mysql_to_s3_spark.operators.classifier import classifier_gate
+
+        if classifier is None:
+            raise PipelineError(
+                "classifier_accept set but no classifier given: a streaming "
+                "gate needs a pretrained TextClassifier — fit one in batch "
+                "with operators.classifier.train_text_classifier"
+            )
+        out = classifier_gate(
+            out,
+            classifier,
+            accept=tuple(cfg.classifier_accept),
+            min_score=cfg.classifier_min_score,
+            text_col=cfg.text_col,
+        )
     if cfg.min_lm_logprob is not None:
         # the scorer is a broadcast-dict Column expression: per-row,
         # stateless, commutes with micro-batching — but the model must

@@ -653,3 +653,93 @@ def test_verify_shards_requires_manifest(spark, docs, tmp_path):
     write_training_shards(docs.limit(30), out, budget=256, n_buckets=2)
     with _pytest.raises(PipelineError):
         verify_shards(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# model-based classifier gate in the pipeline
+
+
+def test_prepare_corpus_classifier_stage(spark):
+    """classifier_accept gates through the fitted model; drops land in
+    the audit under 'classifier'; missing model raises."""
+    from mysql_to_s3_spark.operators.classifier import train_text_classifier
+    from mysql_to_s3_spark.pipeline import PipelineError, prepare_corpus
+
+    good = [
+        "the committee published a thorough report on regional water quality",
+        "researchers measured the effect of irrigation on crop yield over time",
+        "the library catalog lists every volume acquired since the founding",
+    ]
+    spam = [
+        "click here buy now cheap pills best price click click buy buy",
+        "winner winner free prize claim now click here free free prize",
+        "cheap deals buy now limited offer click buy cheap cheap deals",
+    ]
+    labeled = spark.createDataFrame(
+        [(i, t, "good") for i, t in enumerate(good)]
+        + [(100 + i, t, "spam") for i, t in enumerate(spam)],
+        "doc_id bigint, text string, label string",
+    )
+    clf = train_text_classifier(labeled, "label", n_features=1 << 12)
+
+    corpus = labeled.drop("label")
+    cfg = CorpusConfig(classifier_accept=("good",), classifier_min_score=0.5, exact=False)
+    prep = prepare_corpus(corpus, cfg, classifier=clf)
+    assert {r["doc_id"] for r in prep.docs.collect()} == {0, 1, 2}
+    audit = {r["doc_id"]: r["dropped_at"] for r in prep.audit().collect()}
+    assert audit == {100: "classifier", 101: "classifier", 102: "classifier"}
+    assert [n for n, _ in prep.stages] == ["input", "classifier"]
+
+    with pytest.raises(PipelineError):
+        prepare_corpus(corpus, cfg)  # no model supplied
+
+
+def test_prepare_corpus_stream_classifier_gate(spark, tmp_path):
+    """The same model gates a readStream frame (row-wise JVM transform
+    commutes with micro-batching); missing model raises."""
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.classifier import train_text_classifier
+    from mysql_to_s3_spark.pipeline import PipelineError, prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    good = "the committee published a thorough report on regional water quality"
+    spam = "click here buy now cheap pills best price click click buy buy"
+    labeled = spark.createDataFrame(
+        [(1, good, "good"), (2, spam, "spam"),
+         (3, "researchers measured the effect of irrigation on crops", "good"),
+         (4, "winner winner free prize claim now click here free prize", "spam")],
+        "doc_id bigint, text string, label string",
+    )
+    clf = train_text_classifier(labeled, "label", n_features=1 << 12)
+
+    src = str(tmp_path / "cls_stream_src")
+    _os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+            ).astype("datetime64[us]"),
+            "text": [good, spam],
+        }
+    ).to_parquet(src + "/a.parquet")
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    cfg = CorpusConfig(classifier_accept=("good",), exact=False)
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts", classifier=clf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cls_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM cls_stream").collect()}
+    assert got == {10}
+
+    with pytest.raises(PipelineError):
+        prepare_corpus_stream(sdf, cfg, ts_col="ts")
