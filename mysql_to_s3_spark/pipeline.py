@@ -427,9 +427,10 @@ def prepare_corpus_stream(
     Stage mapping (same CorpusConfig, same order, same semantics where a
     bounded-state streaming form exists):
 
-    - quality / language gates, mixture sampling, redaction, split:
-      pure per-row Column algebra — commutes with micro-batching,
-      applied UNCHANGED;
+    - quality / language gates, the classifier gate (a pretrained
+      TextClassifier — row-wise JVM transform), mixture sampling,
+      redaction, split: pure per-row operators — commute with
+      micro-batching, applied UNCHANGED;
     - exact dedup -> ``stream_exact_dedup`` (dropDuplicatesWithinWatermark
       on the fingerprint: first arrival wins, state bounded by the
       watermark horizon) — note the batch keeper is min-id, the stream
@@ -721,3 +722,32 @@ def verify_shards(spark, path: str) -> list[dict]:
                 {"bucket": bucket, "expected": want.get(bucket), "found": got.get(bucket)}
             )
     return out
+
+
+def read_training_sequences(spark, path: str) -> DataFrame:
+    """Consumer side of ``write_training_shards``: reconstruct packed
+    sequences from the shard files as (bucket, seq_no, docs, n_docs,
+    tokens_total), with ``docs`` the array of doc JSON strings in
+    start_off order — what a training loader concatenates (with its EOS
+    policy) into one sample.
+
+    One shuffle (groupBy the sequence key) regardless of how Spark
+    splits the files; correctness never depends on file-to-partition
+    alignment. A loader that streams files directly can skip even that:
+    each bucket file is already (seq_no, start_off)-sorted — this
+    reader is the DISTRIBUTED consumer (re-tokenization jobs, sequence
+    audits, export to another format)."""
+    df = spark.read.schema(_SHARD_SCHEMA).json(path)
+    return (
+        df.groupBy("bucket", "seq_no")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("start_off", "doc"))
+                ),
+                lambda s: s["doc"],
+            ).alias("docs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        )
+    )

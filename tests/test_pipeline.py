@@ -743,3 +743,41 @@ def test_prepare_corpus_stream_classifier_gate(spark, tmp_path):
 
     with pytest.raises(PipelineError):
         prepare_corpus_stream(sdf, cfg, ts_col="ts")
+
+
+def test_read_training_sequences_matches_pack_stats(spark, docs, tmp_path):
+    """The reconstructed sequences agree with pack_stats exactly, and
+    each sequence's docs come back in start_off order."""
+    import json as _json
+
+    from mysql_to_s3_spark.operators.packing import pack_assignments, pack_stats
+    from mysql_to_s3_spark.pipeline import read_training_sequences
+
+    src = docs.limit(150).cache()
+    out = str(tmp_path / "packed_r")
+    write_training_shards(src, out, budget=256, n_buckets=4)
+
+    seqs = read_training_sequences(spark, out)
+    got = {
+        (r["bucket"], r["seq_no"]): (r["n_docs"], r["tokens_total"], r["docs"])
+        for r in seqs.collect()
+    }
+    want = {
+        (r["bucket"], r["seq_no"]): (r["n_docs"], r["tokens_total"])
+        for r in pack_stats(src, budget=256, n_buckets=4).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tot) in want.items():
+        gn, gtot, gdocs = got[k]
+        assert (gn, gtot) == (n, tot)
+        assert len(gdocs) == n
+
+    # per-sequence doc order == start_off order from the packer
+    asg = pack_assignments(src, budget=256, n_buckets=4).collect()
+    order = {}
+    for r in sorted(asg, key=lambda r: (r["bucket"], r["seq_no"], r["start_off"])):
+        order.setdefault((r["bucket"], r["seq_no"]), []).append(r["doc_id"])
+    for k, (_, _, gdocs) in got.items():
+        ids = [_json.loads(d)["doc_id"] for d in gdocs]
+        assert ids == order[k], k
+    src.unpersist()
