@@ -140,6 +140,12 @@ def _transform(df: DataFrame, clf: TextClassifier, text_col: str | None):
     so the model sees a ''-coalesced copy while the caller's column is
     restored verbatim afterwards (callers null the OUTPUTS via
     ``__cls_orig__``)."""
+    clash = set(df.columns) & ({*_TMP, "__cls_label__", "__cls_orig__"})
+    if clash:
+        raise ClassifierError(
+            f"columns {sorted(clash)} collide with classifier internals; "
+            "rename them before scoring"
+        )
     tc = text_col or clf.text_col
     if tc != clf.text_col:
         if clf.text_col in df.columns:

@@ -154,3 +154,9 @@ def test_bad_columns_raise(labeled):
         train_text_classifier(labeled, "missing_label")
     with pytest.raises(ClassifierError):
         train_text_classifier(labeled, "label", text_col="missing_text")
+
+
+def test_internal_column_clash_raises(labeled, clf):
+    bad = labeled.withColumn("__cls_orig__", F.lit("x"))
+    with pytest.raises(ClassifierError, match="internals"):
+        classify(bad, clf)
