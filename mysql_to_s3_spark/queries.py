@@ -1940,7 +1940,16 @@ def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_frame,
     )
 
-    tables = {name: load_table(spark, sf_dir, name) for name in ("orders", "customer", "lineitem")}
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+
+    # ONE pooled scan per table across the doc/ext/ref legs (each
+    # assembles its own snowflake joins over the same three inputs)
+    tables = {
+        name: cache_scoped(
+            load_table(spark, sf_dir, name), f"snowflake_denormalize:{name}"
+        )
+        for name in ("orders", "customer", "lineitem")
+    }
     meta = [
         TableMeta("orders", tables["orders"].columns, ["o_orderkey"]),
         TableMeta("customer", tables["customer"].columns, ["c_custkey"]),
