@@ -55,6 +55,27 @@ class BpeModel:
         is unbounded — this is the MERGED symbol set)."""
         return {a + b for a, b in self.merges}
 
+    def save(self, path: str) -> None:
+        """One JSON file: the ordered merge list IS the model."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {"merges": [list(m) for m in self.merges], "coverage": self.coverage},
+                f,
+            )
+
+    @staticmethod
+    def load(path: str) -> "BpeModel":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return BpeModel(
+            merges=tuple((a, b) for a, b in d["merges"]),
+            coverage=float(d["coverage"]),
+        )
+
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over the corpus — the one distributed pass BPE needs.

@@ -236,3 +236,14 @@ def test_bpe_token_count_on_documents_table(spark, sf_dir):
     for r in joined:
         assert r["n"] >= 1
         assert r["m"] >= r["n"]  # fewer merges -> more (or equal) tokens
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    model = BpeModel(
+        merges=bpe_train_counts([("low", 5), ("newest", 6)], 6), coverage=0.97
+    )
+    p = str(tmp_path / "bpe.json")
+    model.save(p)
+    back = BpeModel.load(p)
+    assert back == model
+    assert back.ranks() == model.ranks()
