@@ -1942,13 +1942,27 @@ def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql_to_s3_spark.functions.cachepool import cache_scoped
 
-    # ONE pooled scan per table across the doc/ext/ref legs (each
-    # assembles its own snowflake joins over the same three inputs)
+    # ONE pooled scan of each FACT-SIDE input across the doc/ext/ref legs
+    # (every leg works on order keys < 100, so the pooled frames carry
+    # that filter — keep it in sync with the ids=range(100) below).
+    # Pooling the PRE-FILTERED frame, not the bare scan, is load-bearing:
+    # Spark's CacheManager substitutes a cached plan into ANY query whose
+    # subtree matches it, so caching a bare full-table scan here would
+    # silently replace other queries' parquet scans session-wide and
+    # destroy their filter/column pushdown (observed: the pushdown plan
+    # assertions in tests/test_plans.py fail when this row runs first).
+    # customer stays unpooled — its keys are unbounded and it is a small
+    # broadcast dim anyway.
     tables = {
-        name: cache_scoped(
-            load_table(spark, sf_dir, name), f"snowflake_denormalize:{name}"
-        )
-        for name in ("orders", "customer", "lineitem")
+        "orders": cache_scoped(
+            load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100),
+            "snowflake_denormalize:orders",
+        ),
+        "customer": load_table(spark, sf_dir, "customer"),
+        "lineitem": cache_scoped(
+            load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100),
+            "snowflake_denormalize:lineitem",
+        ),
     }
     meta = [
         TableMeta("orders", tables["orders"].columns, ["o_orderkey"]),
