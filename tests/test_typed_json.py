@@ -188,3 +188,75 @@ def test_write_bulk_lines_roundtrip(spark, tmp_path):
     # scrub dropped the "" field on even ids, kept "x" on odd ids
     assert docs[2] == {"k": 2, "s": "v2"}
     assert docs[3] == {"k": 3, "s": "v3", "scrubme": "x"}
+
+
+# ---------------------------------------------------------------------------
+# scrub: property tests over random nested documents (the fixed-shape
+# cases are driver-hash-verified in the typed_json_roundtrip jsonl leg)
+
+
+import hypothesis.strategies as hst
+from hypothesis import given, settings
+
+from mysql_to_s3_spark.sinks.json_sink import scrub
+
+_scalars = hst.one_of(
+    hst.none(),
+    hst.booleans(),
+    hst.integers(min_value=-10**9, max_value=10**9),
+    hst.floats(allow_nan=True, allow_infinity=False),
+    hst.text(max_size=6),
+)
+_docs = hst.recursive(
+    _scalars,
+    lambda inner: hst.one_of(
+        hst.lists(inner, max_size=4),
+        hst.dictionaries(hst.text(max_size=4), inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+def _violates(v):
+    """True if v contains anything scrub promises to remove."""
+    if v is None or v == "":
+        return True
+    if isinstance(v, float) and (v != v or v.is_integer()):
+        return True  # NaN, or un-minimized whole float
+    if isinstance(v, dict):
+        return not v or any(_violates(x) for x in v.values())
+    if isinstance(v, list):
+        return len(v) <= 1 or any(_violates(x) for x in v)
+    return False
+
+
+@settings(max_examples=200, deadline=None)
+@given(_docs)
+def test_scrub_output_is_clean_and_idempotent(doc):
+    out = scrub(doc)
+    # clean: no null/''/NaN/empty containers/1-element lists/whole floats
+    assert out is None or not _violates(out)
+    # idempotent: scrubbing a scrubbed doc changes nothing
+    assert scrub(out) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_docs)
+def test_scrub_preserves_surviving_scalars(doc):
+    """Every scalar in the output appears in the input (scrub never
+    invents or mutates values beyond int-minimizing whole floats)."""
+
+    def leaves(v):
+        if isinstance(v, dict):
+            for x in v.values():
+                yield from leaves(x)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                yield from leaves(x)
+        elif v is not None:
+            yield v
+
+    src = list(leaves(doc))
+    for leaf in leaves(scrub(doc)):
+        # an int may come from minimizing float n.0
+        assert leaf in src or (isinstance(leaf, int) and float(leaf) in src)
