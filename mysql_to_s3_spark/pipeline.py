@@ -162,6 +162,13 @@ class CorpusConfig:
     # row-wise JVM transform — shuffle-free, streaming-safe.
     classifier_accept: tuple[str, ...] | None = None
     classifier_min_score: float = 0.0
+    # 'label': keep docs whose PREDICTED label is in classifier_accept
+    # with probability >= classifier_min_score (argmax idiom).
+    # 'probability': classifier_accept must name exactly ONE label; keep
+    # docs with P(that label) >= classifier_min_score even when another
+    # label wins the argmax — the GPT-3 quality-classifier idiom
+    # (filter on P(looks-like-reference-corpus) at a chosen threshold).
+    classifier_mode: str = "label"
 
 
 @dataclass
@@ -225,6 +232,43 @@ def _near_dup_pairs(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return pairs.select("a", "b")
 
 
+def _apply_classifier_gate(out: DataFrame, cfg: CorpusConfig, classifier) -> DataFrame:
+    """Shared batch/stream classifier stage — both modes are row-wise
+    JVM transforms (zero shuffles, streaming-safe)."""
+    from mysql_to_s3_spark.operators.classifier import (
+        classifier_gate,
+        label_probability,
+    )
+
+    if cfg.classifier_mode == "label":
+        return classifier_gate(
+            out,
+            classifier,
+            accept=tuple(cfg.classifier_accept),
+            min_score=cfg.classifier_min_score,
+            text_col=cfg.text_col,
+        )
+    if cfg.classifier_mode == "probability":
+        if len(cfg.classifier_accept) != 1:
+            raise PipelineError(
+                "classifier_mode='probability' gates on ONE label's "
+                f"probability; classifier_accept has {len(cfg.classifier_accept)}"
+            )
+        scored = label_probability(
+            out,
+            classifier,
+            cfg.classifier_accept[0],
+            text_col=cfg.text_col,
+            out_col="__cls_p__",
+        )
+        return scored.filter(
+            F.col("__cls_p__") >= F.lit(float(cfg.classifier_min_score))
+        ).drop("__cls_p__")
+    raise PipelineError(
+        f"classifier_mode must be 'label' or 'probability', got {cfg.classifier_mode!r}"
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     cfg: CorpusConfig = CorpusConfig(),
@@ -273,21 +317,13 @@ def prepare_corpus(
     if cfg.classifier_accept is not None:
         # after the heuristic gates (cheapest first), before the LM gate
         # and every shuffle — same per-row cost shape, higher fidelity
-        from mysql_to_s3_spark.operators.classifier import classifier_gate
-
         if classifier is None:
             raise PipelineError(
                 "classifier_accept set but no classifier given: fit one "
                 "with operators.classifier.train_text_classifier (or "
                 "TextClassifier.load a persisted one)"
             )
-        out = classifier_gate(
-            out,
-            classifier,
-            accept=tuple(cfg.classifier_accept),
-            min_score=cfg.classifier_min_score,
-            text_col=cfg.text_col,
-        )
+        out = _apply_classifier_gate(out, cfg, classifier)
         stages.append(("classifier", out))
 
     if cfg.min_lm_logprob is not None:
@@ -486,21 +522,13 @@ def prepare_corpus_stream(
     if cfg.classifier_accept is not None:
         # row-wise JVM transform: stateless, commutes with micro-batching;
         # the model must be pretrained — a stream cannot self-fit
-        from mysql_to_s3_spark.operators.classifier import classifier_gate
-
         if classifier is None:
             raise PipelineError(
                 "classifier_accept set but no classifier given: a streaming "
                 "gate needs a pretrained TextClassifier — fit one in batch "
                 "with operators.classifier.train_text_classifier"
             )
-        out = classifier_gate(
-            out,
-            classifier,
-            accept=tuple(cfg.classifier_accept),
-            min_score=cfg.classifier_min_score,
-            text_col=cfg.text_col,
-        )
+        out = _apply_classifier_gate(out, cfg, classifier)
     if cfg.min_lm_logprob is not None:
         # the scorer is a broadcast-dict Column expression: per-row,
         # stateless, commutes with micro-batching — but the model must

@@ -781,3 +781,70 @@ def test_read_training_sequences_matches_pack_stats(spark, docs, tmp_path):
         ids = [_json.loads(d)["doc_id"] for d in gdocs]
         assert ids == order[k], k
     src.unpersist()
+
+
+def test_classifier_probability_mode(spark):
+    """GPT-3 idiom: gate on P(one label) >= t even when another label
+    wins the argmax; exactly-one-accept enforced; bad mode rejected."""
+    from mysql_to_s3_spark.operators.classifier import (
+        label_probability,
+        train_text_classifier,
+    )
+    from mysql_to_s3_spark.pipeline import PipelineError, prepare_corpus
+
+    good = [
+        "the committee published a thorough report on regional water quality",
+        "researchers measured the effect of irrigation on crop yield over time",
+    ]
+    spam = [
+        "click here buy now cheap pills best price click click buy buy",
+        "winner winner free prize claim now click here free free prize",
+    ]
+    mixed = "the committee report click here buy now cheap offer on water quality"
+    labeled = spark.createDataFrame(
+        [(i, t, "good") for i, t in enumerate(good)]
+        + [(100 + i, t, "spam") for i, t in enumerate(spam)],
+        "doc_id bigint, text string, label string",
+    )
+    clf = train_text_classifier(labeled, "label", n_features=1 << 12)
+    corpus = labeled.drop("label").union(
+        spark.createDataFrame([(50, mixed)], "doc_id bigint, text string")
+    )
+    # pick a threshold below the mixed doc's P(good): probability mode
+    # must keep it regardless of which label wins the argmax
+    p_mixed = (
+        label_probability(corpus, clf, "good", out_col="p")
+        .filter(F.col("doc_id") == 50)
+        .first()["p"]
+    )
+    t = max(0.0, p_mixed - 0.05)
+    cfg = CorpusConfig(
+        classifier_accept=("good",),
+        classifier_min_score=t,
+        classifier_mode="probability",
+        exact=False,
+    )
+    kept = {
+        r["doc_id"]
+        for r in prepare_corpus(corpus, cfg, classifier=clf).docs.collect()
+    }
+    assert 50 in kept and {0, 1} <= kept
+
+    with pytest.raises(PipelineError, match="ONE label"):
+        prepare_corpus(
+            corpus,
+            CorpusConfig(
+                classifier_accept=("good", "spam"),
+                classifier_mode="probability",
+                exact=False,
+            ),
+            classifier=clf,
+        ).docs.count()
+    with pytest.raises(PipelineError, match="classifier_mode"):
+        prepare_corpus(
+            corpus,
+            CorpusConfig(
+                classifier_accept=("good",), classifier_mode="nope", exact=False
+            ),
+            classifier=clf,
+        ).docs.count()
