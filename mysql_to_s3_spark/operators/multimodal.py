@@ -142,3 +142,136 @@ def binary_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# distributed media stages (round 6): the ROW-EXPANDING frame-sample and
+# the 1->1 resize as real mapInPandas plumbing. The decode kernels are
+# injectable: the default raises the honest environment error INSIDE the
+# executor; tests inject deterministic fakes so the schema, the 1->N
+# Arrow batch shape, the ordering contract, and the partition behavior
+# are exercised end-to-end without any media library.
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def fake_frame_decoder(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic stand-in for a real frame grab: 16 bytes that
+    depend on (payload, timestamp) only — lets tests pin exact output
+    without ffmpeg. Swap for an av/ffmpeg-backed callable in production."""
+    return hashlib.md5(bytes(payload) + str(int(ts_ms)).encode()).digest()
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    decoder=None,
+) -> DataFrame:
+    """Distributed video frame sampling: one (payload, media_meta) row
+    becomes ceil(duration_ms / every_ms) frame rows (ts 0, every_ms,
+    2*every_ms, ... < duration_ms; rows with null/zero duration emit
+    nothing). ``decoder(payload, ts_ms) -> bytes`` extracts one frame;
+    the default raises the environment NotImplementedError in the
+    executor — inject a real av/ffmpeg grab in production, or
+    ``fake_frame_decoder`` to exercise the plumbing.
+
+    Scale shape: mapInPandas streams Arrow batches and EXPANDS rows
+    (1 video -> N frames) without a shuffle or an explode of
+    materialized frame arrays — frames never exist as one giant array
+    column. Size-bucket upstream (repartitionByRange on a length
+    column) so a batch of long videos fits executor memory."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    grab = decoder or (lambda payload, ts: frame_sample(payload, every_ms))
+
+    def _expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                dur = rec["duration_ms"]
+                if dur is None or pd.isna(dur) or dur <= 0:
+                    continue
+                payload = rec["payload"]
+                for i, ts in enumerate(range(0, int(dur), int(every_ms))):
+                    rows.append(
+                        {
+                            "doc_id": rec["doc_id"],
+                            "frame_idx": i,
+                            "ts_ms": ts,
+                            "frame": grab(payload, ts),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    slim = df.select(
+        "doc_id", "payload", F.col("media_meta.duration_ms").alias("duration_ms")
+    )
+    return slim.mapInPandas(_expand, FRAME_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer=None,
+) -> DataFrame:
+    """Distributed 1->1 image resize: replaces ``payload`` with the
+    resized bytes and stamps the new width/height into ``media_meta``.
+    ``resizer(payload, w, h) -> bytes`` defaults to the PIL-gated
+    ``resize_image`` (raises the environment NotImplementedError when
+    no imaging library exists); inject a fake to test the plumbing."""
+    rz = resizer or resize_image
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(lambda b: rz(b, width, height)),
+                    "kind": pdf["kind"],
+                    "mime": pdf["mime"],
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    # meta fields ride THROUGH the Arrow stage (a join-back on doc_id
+    # would add a shuffle to a purely per-row transform)
+    slim = df.select(
+        "doc_id",
+        "payload",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+    return slim.mapInPandas(_resize, out_schema).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("kind"),
+            F.col("mime"),
+            F.lit(int(width)).alias("width"),
+            F.lit(int(height)).alias("height"),
+            F.col("duration_ms"),
+        ).alias("media_meta"),
+    )

@@ -606,3 +606,78 @@ if _HAVE_HYP:
         for vid in want:
             assert got[vid][0] == want[vid][0]
             assert abs(got[vid][1] - want[vid][1]) <= 1e-9
+
+
+# ---------------------------------------------------------------------------
+# distributed media stages: frame sampling (1->N) and resize (1->1)
+
+
+def _media_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, duration_ms bigint"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
+def test_sample_frames_expands_rows_deterministically(spark):
+    import pytest as _pytest
+
+    df = _media_df(
+        spark,
+        [
+            (1, bytearray(b"videoA"), 3500),  # 4 frames: 0,1000,2000,3000
+            (2, bytearray(b"videoB"), 1000),  # 1 frame: 0
+            (3, bytearray(b"videoC"), None),  # no duration -> no frames
+            (4, bytearray(b"videoD"), 0),     # zero duration -> no frames
+        ],
+    )
+    out = multimodal.sample_frames(
+        df, every_ms=1000, decoder=multimodal.fake_frame_decoder
+    )
+    rows = sorted(
+        ((r["doc_id"], r["frame_idx"], r["ts_ms"], bytes(r["frame"])) for r in out.collect())
+    )
+    assert [(d, i, t) for d, i, t, _ in rows] == [
+        (1, 0, 0), (1, 1, 1000), (1, 2, 2000), (1, 3, 3000), (2, 0, 0),
+    ]
+    # frames are the deterministic fake: md5(payload + ts)
+    import hashlib
+
+    for d, _, t, frame in rows:
+        payload = {1: b"videoA", 2: b"videoB"}[d]
+        assert frame == hashlib.md5(payload + str(t).encode()).digest()
+
+    with _pytest.raises(ValueError):
+        multimodal.sample_frames(df, every_ms=0)
+
+    # the default decoder raises the honest environment error in-executor
+    with _pytest.raises(Exception, match="frame sampling"):
+        multimodal.sample_frames(df, every_ms=1000).collect()
+
+
+def test_resize_images_plumbing_no_shuffle(spark):
+    def fake_resize(payload, w, h):
+        return bytes(payload)[:4] + f"@{w}x{h}".encode()
+
+    df = _media_df(spark, [(1, bytearray(b"imgpayload"), 7000), (2, bytearray(b"x"), None)])
+    out = multimodal.resize_images(df, 64, 32, resizer=fake_resize)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert bytes(got[1]["payload"]) == b"imgp@64x32"
+    m = got[1]["media_meta"]
+    assert (m["width"], m["height"]) == (64, 32)
+    assert (m["kind"], m["mime"], m["duration_ms"]) == ("video", "video/fake", 7000)
+    assert got[2]["media_meta"]["duration_ms"] is None
+    # per-row transform: no Exchange in the plan (meta rides the stage)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
