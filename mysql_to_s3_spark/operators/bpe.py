@@ -157,6 +157,8 @@ def bpe_train(
     too far below 1.0 (the cap is visible, never silent)."""
     if n_merges < 1:
         raise BpeError(f"n_merges must be >= 1, got {n_merges}")
+    if max_words < 1:
+        raise BpeError(f"max_words must be >= 1, got {max_words}")
     wc = word_counts(df, text_col=text_col)
     top = wc.orderBy(F.col("n").desc(), F.col("word")).limit(int(max_words)).collect()
     total = wc.agg(F.sum("n")).first()[0] or 0

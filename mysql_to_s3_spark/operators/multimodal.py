@@ -173,6 +173,7 @@ def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,
     decoder=None,
+    max_frames_per_video: int = 100_000,
 ) -> DataFrame:
     """Distributed video frame sampling: one (payload, media_meta) row
     becomes ceil(duration_ms / every_ms) frame rows (ts 0, every_ms,
@@ -186,9 +187,13 @@ def sample_frames(
     (1 video -> N frames) without a shuffle or an explode of
     materialized frame arrays — frames never exist as one giant array
     column. Size-bucket upstream (repartitionByRange on a length
-    column) so a batch of long videos fits executor memory."""
+    column) so a batch of long videos fits executor memory;
+    ``max_frames_per_video`` refuses (loudly) any single video whose
+    expansion would blow the per-batch row budget."""
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
+    if max_frames_per_video <= 0:
+        raise ValueError(f"max_frames_per_video must be positive, got {max_frames_per_video}")
     grab = decoder or (lambda payload, ts: frame_sample(payload, every_ms))
 
     def _expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -200,6 +205,16 @@ def sample_frames(
                 dur = rec["duration_ms"]
                 if dur is None or pd.isna(dur) or dur <= 0:
                     continue
+                n_frames = -(-int(dur) // int(every_ms))
+                if n_frames > max_frames_per_video:
+                    # a 10-hour video at every_ms=1 would emit 36M rows
+                    # inside ONE pandas batch — refuse loudly instead of
+                    # OOMing the executor or silently truncating
+                    raise ValueError(
+                        f"doc {rec['doc_id']}: {n_frames} frames exceeds "
+                        f"max_frames_per_video={max_frames_per_video}; raise the "
+                        "cap or sample coarser (every_ms)"
+                    )
                 payload = rec["payload"]
                 for i, ts in enumerate(range(0, int(dur), int(every_ms))):
                     rows.append(

@@ -254,6 +254,11 @@ def _apply_classifier_gate(out: DataFrame, cfg: CorpusConfig, classifier) -> Dat
                 "classifier_mode='probability' gates on ONE label's "
                 f"probability; classifier_accept has {len(cfg.classifier_accept)}"
             )
+        if "__cls_p__" in out.columns:
+            raise PipelineError(
+                "column __cls_p__ collides with the probability gate's "
+                "internal score column; rename it before this stage"
+            )
         scored = label_probability(
             out,
             classifier,

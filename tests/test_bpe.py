@@ -247,3 +247,8 @@ def test_model_save_load_roundtrip(tmp_path):
     back = BpeModel.load(p)
     assert back == model
     assert back.ranks() == model.ranks()
+
+
+def test_bpe_train_rejects_bad_max_words(spark):
+    with pytest.raises(BpeError):
+        bpe_train(_corpus_df(spark), n_merges=5, max_words=0)

@@ -681,3 +681,21 @@ def test_resize_images_plumbing_no_shuffle(spark):
     # per-row transform: no Exchange in the plan (meta rides the stage)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_sample_frames_refuses_frame_bombs(spark):
+    import pytest as _pytest
+
+    df = _media_df(spark, [(1, bytearray(b"longvideo"), 10_000_000)])
+    with _pytest.raises(Exception, match="max_frames_per_video"):
+        multimodal.sample_frames(
+            df, every_ms=1, decoder=multimodal.fake_frame_decoder
+        ).collect()
+    # raising the cap makes the same input legal
+    n = multimodal.sample_frames(
+        df,
+        every_ms=100_000,
+        decoder=multimodal.fake_frame_decoder,
+        max_frames_per_video=200,
+    ).count()
+    assert n == 100

@@ -848,3 +848,23 @@ def test_classifier_probability_mode(spark):
             ),
             classifier=clf,
         ).docs.count()
+
+
+def test_probability_gate_rejects_cls_p_collision(spark):
+    from mysql_to_s3_spark.operators.classifier import train_text_classifier
+    from mysql_to_s3_spark.pipeline import PipelineError, prepare_corpus
+
+    labeled = spark.createDataFrame(
+        [(1, "plain words here", "good"), (2, "click buy now", "spam")],
+        "doc_id bigint, text string, label string",
+    )
+    clf = train_text_classifier(labeled, "label", n_features=1 << 10, max_iter=5)
+    corpus = labeled.drop("label").withColumn("__cls_p__", F.lit(1.0))
+    with pytest.raises(PipelineError, match="__cls_p__"):
+        prepare_corpus(
+            corpus,
+            CorpusConfig(
+                classifier_accept=("good",), classifier_mode="probability", exact=False
+            ),
+            classifier=clf,
+        ).docs.count()
