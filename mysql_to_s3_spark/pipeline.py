@@ -585,11 +585,16 @@ def write_training_shards(
     mode: str = "overwrite",
     extra_cols: tuple[str, ...] = (),
     manifest: bool = False,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Pack the corpus into token-budget sequences and write one JSON
     line per document, sharded so each output partition holds complete
     sequences: (bucket, seq_no, start_off, n_tokens, doc) ordered by
     offset within the sequence.
+
+    ``n_tokens_col`` passes a precomputed length column to the packer
+    (e.g. ``bpe_token_count`` output for model-true budgets); lengths
+    default to the regex token count of ``text_col``.
 
     Returns the PACK-STAGE DROP AUDIT: a lazy ``(id_col, dropped_at =
     'pack_empty')`` frame of the docs the packer's zero-token filter
@@ -634,6 +639,7 @@ def write_training_shards(
         df,
         id_col=id_col,
         text_col=text_col,
+        n_tokens_col=n_tokens_col,
         budget=budget,
         n_buckets=n_buckets,
         keep_cols=tuple(keep),
@@ -656,13 +662,15 @@ def write_training_shards(
         # file index skips it on read) — verify_shards() diffs against it
         write_shard_manifest(df.sparkSession, path)
     # the mirror of pack_assignments' `n_tokens > 0` keep-filter: docs
-    # with zero (or null) token count are the writer's one drop point
+    # with zero (or null) token count are the writer's one drop point —
+    # measured on the SAME length source the packer used
     from mysql_to_s3_spark.operators.packing import token_count
 
+    n = F.col(n_tokens_col) if n_tokens_col else token_count(F.col(text_col))
     return (
-        # null-safe negation: a null text tokenizes to null, which the
-        # packer's `> 0` filter also drops — it must land in the audit
-        df.filter(~F.coalesce(token_count(F.col(text_col)) > 0, F.lit(False)))
+        # null-safe negation: a null text/count tokenizes to null, which
+        # the packer's `> 0` filter also drops — it must land in the audit
+        df.filter(~F.coalesce(n > 0, F.lit(False)))
         .select(F.col(id_col), F.lit("pack_empty").alias("dropped_at"))
     )
 

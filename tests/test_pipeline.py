@@ -868,3 +868,40 @@ def test_probability_gate_rejects_cls_p_collision(spark):
             ),
             classifier=clf,
         ).docs.count()
+
+
+def test_write_training_shards_with_bpe_lengths(spark, docs, tmp_path):
+    """n_tokens_col pass-through: shards pack on the BPE length and the
+    pack-empty audit mirrors the same length source."""
+    import json as _json
+
+    from mysql_to_s3_spark.operators.bpe import bpe_token_count, bpe_train
+    from mysql_to_s3_spark.operators.packing import pack_assignments
+
+    src = docs.limit(80).select("doc_id", "text")
+    model = bpe_train(src, n_merges=20, max_words=5000)
+    sized = bpe_token_count(src, model).unionByName(
+        spark.createDataFrame([(999_001, None, None)], sized_schema := "doc_id bigint, text string, n_bpe_tokens bigint")
+    )
+    out = str(tmp_path / "packed_bpe")
+    audit = write_training_shards(
+        sized, out, budget=128, n_buckets=2, n_tokens_col="n_bpe_tokens"
+    )
+    assert {(r["doc_id"], r["dropped_at"]) for r in audit.collect()} == {
+        (999_001, "pack_empty")
+    }
+    import glob as _glob
+    import os as _os
+
+    got = {}
+    for f in _glob.glob(_os.path.join(out, "bucket=*", "part-*")):
+        for line in open(f):
+            r = _json.loads(line)
+            got[_json.loads(r["doc"])["doc_id"]] = r["n_tokens"]
+    want = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_assignments(
+            sized, n_tokens_col="n_bpe_tokens", budget=128, n_buckets=2
+        ).collect()
+    }
+    assert got == want  # shards carry the BPE lengths, not regex counts
