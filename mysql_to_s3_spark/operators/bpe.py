@@ -39,6 +39,15 @@ class BpeError(ValueError):
     """Raised on invalid BPE training/encoding inputs."""
 
 
+def _active_session():
+    from pyspark.sql import SparkSession
+
+    try:
+        return SparkSession.getActiveSession()
+    except Exception:
+        return None
+
+
 @dataclass(frozen=True)
 class BpeModel:
     """Ordered merge list + the token-mass fraction the training table
@@ -56,21 +65,36 @@ class BpeModel:
         return {a + b for a, b in self.merges}
 
     def save(self, path: str) -> None:
-        """One JSON file: the ordered merge list IS the model."""
+        """One JSON file: the ordered merge list IS the model. Goes
+        through the Hadoop FileSystem API when a Spark session is
+        active (s3a://... works); plain local I/O otherwise."""
         import json
 
-        with open(path, "w") as f:
-            json.dump(
-                {"merges": [list(m) for m in self.merges], "coverage": self.coverage},
-                f,
-            )
+        payload = json.dumps(
+            {"merges": [list(m) for m in self.merges], "coverage": self.coverage}
+        )
+        spark = _active_session()
+        if spark is not None:
+            from mysql_to_s3_spark.functions.fsio import write_text
+
+            write_text(spark, path, payload)
+        else:
+            with open(path, "w") as f:
+                f.write(payload)
 
     @staticmethod
     def load(path: str) -> "BpeModel":
         import json
 
-        with open(path) as f:
-            d = json.load(f)
+        spark = _active_session()
+        if spark is not None:
+            from mysql_to_s3_spark.functions.fsio import read_text
+
+            raw = read_text(spark, path)
+        else:
+            with open(path) as f:
+                raw = f.read()
+        d = json.loads(raw)
         return BpeModel(
             merges=tuple((a, b) for a, b in d["merges"]),
             coverage=float(d["coverage"]),

@@ -52,25 +52,35 @@ class TextClassifier:
     text_col: str
 
     def save(self, path: str) -> None:
-        """Persist: MLlib-native model dir + a labels sidecar."""
+        """Persist: MLlib-native model dir + a labels sidecar. Both go
+        through the Hadoop FileSystem API, so s3a://... works."""
         import json
-        import os
 
-        self.model.write().overwrite().save(os.path.join(path, "model"))
-        with open(os.path.join(path, "labels.json"), "w") as f:
-            json.dump({"labels": list(self.labels), "text_col": self.text_col}, f)
+        from pyspark.sql import SparkSession
+
+        from mysql_to_s3_spark.functions.fsio import write_text
+
+        self.model.write().overwrite().save(path.rstrip("/") + "/model")
+        write_text(
+            SparkSession.active(),
+            path.rstrip("/") + "/labels.json",
+            json.dumps({"labels": list(self.labels), "text_col": self.text_col}),
+        )
 
     @staticmethod
     def load(path: str) -> "TextClassifier":
         import json
-        import os
 
         from pyspark.ml import PipelineModel
+        from pyspark.sql import SparkSession
 
-        with open(os.path.join(path, "labels.json")) as f:
-            meta = json.load(f)
+        from mysql_to_s3_spark.functions.fsio import read_text
+
+        meta = json.loads(
+            read_text(SparkSession.active(), path.rstrip("/") + "/labels.json")
+        )
         return TextClassifier(
-            model=PipelineModel.load(os.path.join(path, "model")),
+            model=PipelineModel.load(path.rstrip("/") + "/model"),
             labels=tuple(meta["labels"]),
             text_col=meta["text_col"],
         )

@@ -732,13 +732,18 @@ def write_shard_manifest(spark, path: str) -> list[dict]:
     ``<path>/_manifest.json`` (driver-side: the manifest is n_buckets
     rows — 32 by default — regardless of corpus size). Returns the
     stats. Reading back what hit the DISK (not the pre-write frame)
-    makes the manifest a receipt for the committed files themselves."""
+    makes the manifest a receipt for the committed files themselves.
+    Written through the Hadoop FileSystem API, so the receipt lands next
+    to the shards on s3a://... and hdfs://... paths too."""
     import json as _json
-    import os as _os
+
+    from mysql_to_s3_spark.functions.fsio import write_text
 
     stats = _shard_stats(spark, path)
-    with open(_os.path.join(path, MANIFEST_NAME), "w") as f:
-        _json.dump({"buckets": stats}, f, sort_keys=True)
+    write_text(
+        spark, path.rstrip("/") + "/" + MANIFEST_NAME,
+        _json.dumps({"buckets": stats}, sort_keys=True),
+    )
     return stats
 
 
@@ -748,13 +753,13 @@ def verify_shards(spark, path: str) -> list[dict]:
     stats changed, vanished, or appeared, with both sides attached —
     the post-transfer / pre-training integrity gate."""
     import json as _json
-    import os as _os
 
-    mpath = _os.path.join(path, MANIFEST_NAME)
-    if not _os.path.exists(mpath):
+    from mysql_to_s3_spark.functions.fsio import exists, read_text
+
+    mpath = path.rstrip("/") + "/" + MANIFEST_NAME
+    if not exists(spark, mpath):
         raise PipelineError(f"no {MANIFEST_NAME} under {path}; write one first")
-    with open(mpath) as f:
-        want = {b["bucket"]: b for b in _json.load(f)["buckets"]}
+    want = {b["bucket"]: b for b in _json.loads(read_text(spark, mpath))["buckets"]}
     got = {b["bucket"]: b for b in _shard_stats(spark, path)}
     out = []
     for bucket in sorted(set(want) | set(got)):
