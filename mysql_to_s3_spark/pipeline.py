@@ -797,3 +797,43 @@ def read_training_sequences(spark, path: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("tokens_total"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that STRADDLE
+    splits — documents the eval split shares (above ``threshold``
+    Jaccard) with training data. A clean prepare_corpus run should
+    return an empty frame (near-dup removal keeps one doc per cluster
+    BEFORE the split, so no cluster can span splits); a non-empty
+    result means dedup was skipped, thresholded looser than this
+    audit, or the split was applied to un-deduped data.
+
+    Output: (a, b, split_a, split_b, jaccard), a < b, split_a !=
+    split_b. Cost shape: the banded MinHash-LSH pair scan (never
+    all-pairs) + two joins to attach labels."""
+    from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
+
+    if split_col not in df.columns:
+        raise PipelineError(f"split column {split_col!r} not in {df.columns}")
+    pairs = minhash_lsh_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    labels = df.select(F.col(id_col), F.col(split_col))
+    return (
+        pairs.join(
+            labels.select(F.col(id_col).alias("a"), F.col(split_col).alias("split_a")),
+            "a",
+        )
+        .join(
+            labels.select(F.col(id_col).alias("b"), F.col(split_col).alias("split_b")),
+            "b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+    )

@@ -905,3 +905,36 @@ def test_write_training_shards_with_bpe_lengths(spark, docs, tmp_path):
         ).collect()
     }
     assert got == want  # shards carry the BPE lengths, not regex counts
+
+
+def test_split_leakage_audit(spark, docs):
+    """A prepare_corpus run (near-dup removal BEFORE split) is leak-free;
+    splitting an un-deduped corpus with planted cross-split dups is not."""
+    from mysql_to_s3_spark.operators.sampling import hash_split
+    from mysql_to_s3_spark.pipeline import PipelineError, split_leakage
+
+    cfg = CorpusConfig(
+        exact=True, near_dup="minhash", near_threshold=0.8,
+        splits={"train": 0.5, "val": 0.5},
+    )
+    clean = prepare_corpus(docs.limit(300), cfg).docs
+    assert split_leakage(clean, threshold=0.8).count() == 0
+
+    # plant exact duplicates with ids chosen to land in DIFFERENT splits
+    base = docs.limit(50).select("doc_id", "text")
+    rates = {"train": 0.5, "val": 0.5}
+    labeled = base.withColumn("split", hash_split(F.col("doc_id"), rates))
+    twins = (
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("split", hash_split(F.col("doc_id"), rates))
+    )
+    leaky = labeled.unionByName(twins)
+    got = split_leakage(leaky, threshold=0.9)
+    rows = got.collect()
+    assert rows, "planted cross-split duplicates must be reported"
+    for r in rows:
+        assert r["split_a"] != r["split_b"]
+        assert r["jaccard"] >= 0.9
+
+    with pytest.raises(PipelineError, match="split"):
+        split_leakage(base)
