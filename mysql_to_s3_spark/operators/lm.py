@@ -59,6 +59,35 @@ class LmError(ValueError):
     pass
 
 
+# Driver-OOM valve for the Arrow modes: the broadcast-dict paths COLLECT
+# the model at plan-build, and an unbounded self-fit on a web-scale
+# corpus is an unbounded driver transfer. Same shape as decontam.py's
+# BENCH_BROADCAST_CAP_CONF — measure cheaply, refuse above a conf cap
+# instead of trusting a docstring.
+LM_COLLECT_CAP_CONF = "mysql_to_s3_spark.lm.collectCap"
+DEFAULT_LM_COLLECT_CAP = 2_000_000
+
+
+def _collect_capped(df: DataFrame, what: str, hint: str) -> list:
+    """Collect a model frame with the OOM valve armed: fetch at most
+    cap+1 rows (ONE job — LIMIT short-circuits, no separate count, and
+    the driver transfer is bounded by the cap even when the model is
+    huge) and refuse oversized models with the fix spelled out."""
+    try:
+        raw = df.sparkSession.conf.get(LM_COLLECT_CAP_CONF, None)
+    except Exception:
+        raw = None
+    cap = int(raw) if raw is not None else DEFAULT_LM_COLLECT_CAP
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise LmError(
+            f"{what} exceeds {cap} rows; collecting it risks a driver OOM "
+            f"— {hint}, use mode='join' (never collects), or raise "
+            f"{LM_COLLECT_CAP_CONF}"
+        )
+    return rows
+
+
 def _doc_tokens(text: Column) -> Column:
     return tokens(F.lower(text))
 
@@ -109,7 +138,9 @@ def unigram_logprob(
     ``mode="join"``: exact JVM path (explode -> broadcast join ->
     per-doc agg), fully lazy. ``mode="arrow"``: zero-shuffle broadcast-
     dict path for web-scale corpora; collects ``counts`` at build time
-    (bound it with ``unigram_counts(vocab_size=...)``)."""
+    behind the ``LM_COLLECT_CAP_CONF`` valve (an uncapped model raises
+    instead of OOMing the driver — bound it with
+    ``unigram_counts(vocab_size=...)``)."""
     if alpha <= 0:
         raise LmError("alpha must be positive (it is the OOV probability floor)")
     if counts is None:
@@ -164,7 +195,14 @@ def unigram_scorer(counts, *, alpha: float = 1.0, spark=None):
         raise LmError("alpha must be positive (it is the OOV probability floor)")
     if isinstance(counts, DataFrame):
         spark = spark or counts.sparkSession
-        rows = [(r.token, r.n) for r in counts.collect()]
+        rows = [
+            (r.token, r.n)
+            for r in _collect_capped(
+                counts,
+                "unigram model",
+                "cap it with unigram_counts(vocab_size=...)",
+            )
+        ]
     else:
         rows = [(t, int(n)) for t, n in counts]
         if spark is None:
@@ -255,9 +293,11 @@ def bigram_logprob(
     and degrades to a shuffle join at web scale instead of an OOM,
     the same valve shape as ``decontam.contamination_pairs``.
     ``mode="arrow"``:
-    zero-shuffle broadcast-dict path; collects ``bi`` at build time, so
-    bound the model first at web scale (e.g. filter ``bi`` to pairs with
-    n >= k — the standard count-pruning that keeps KenLM models small)."""
+    zero-shuffle broadcast-dict path; collects ``bi`` at build time
+    behind the ``LM_COLLECT_CAP_CONF`` valve (an uncapped model raises
+    instead of OOMing the driver), so bound the model first at web scale
+    (e.g. filter ``bi`` to pairs with n >= k — the standard
+    count-pruning that keeps KenLM models small)."""
     if alpha <= 0:
         raise LmError("alpha must be positive (it is the unseen-pair floor)")
     if bi is None:
@@ -296,7 +336,12 @@ def bigram_logprob(
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        rows = bi.collect()
+        rows = _collect_capped(
+            bi,
+            "bigram model",
+            "prune it first (e.g. filter the pair table to n >= k — the "
+            "standard count-pruning that keeps KenLM models small)",
+        )
         v = float(len({r.token for r in rows}))
         ctx_tot: dict[str, float] = {}
         for r in rows:

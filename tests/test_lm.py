@@ -191,3 +191,46 @@ def test_lm_join_mode_plan_is_broadcast(spark, sf_dir):
         )
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+def test_arrow_collect_valve_unigram(spark, tiny):
+    """The Arrow mode's model collect is conf-capped: an oversized
+    self-fit model RAISES (the 'bound it first' contract is enforced,
+    not trusted); a vocab_size-capped model under the cap still builds;
+    join mode never collects and is unaffected by the cap."""
+    from mysql_to_s3_spark.operators.lm import LM_COLLECT_CAP_CONF, unigram_scorer
+
+    spark.conf.set(LM_COLLECT_CAP_CONF, "2")
+    try:
+        # tiny's vocabulary is 4 tokens (a b c !) > cap 2
+        with pytest.raises(LmError, match="exceeds 2 rows"):
+            unigram_logprob(tiny, mode="arrow")
+        capped = unigram_counts(tiny, vocab_size=2)
+        got = {r.doc_id: r.lm_logprob
+               for r in unigram_logprob(tiny, counts=capped, mode="arrow").collect()}
+        assert set(got) == {1, 2, 3, 4}
+        # join mode builds lazily against the same oversized model
+        unigram_logprob(tiny, mode="join")
+        # the plain-list path is the caller's own materialization — no valve
+        sc = unigram_scorer([("a", 2), ("b", 1), ("c", 1), ("!", 1)], spark=spark)
+        assert sc is not None
+    finally:
+        spark.conf.unset(LM_COLLECT_CAP_CONF)
+
+
+def test_arrow_collect_valve_bigram(spark, tiny):
+    from mysql_to_s3_spark.operators.lm import LM_COLLECT_CAP_CONF, bigram_logprob
+
+    spark.conf.set(LM_COLLECT_CAP_CONF, "3")
+    try:
+        # tiny's pair table is 5 rows: (BOS,a)(a,a)(a,b)(BOS,c)(c,!)
+        with pytest.raises(LmError, match="exceeds 3 rows"):
+            bigram_logprob(tiny, mode="arrow")
+        # a count-pruned model under the cap builds and scores
+        from mysql_to_s3_spark.operators.lm import bigram_counts
+
+        pruned = bigram_counts(tiny).filter(F.col("n") >= 2)
+        out = bigram_logprob(tiny, bi=pruned, mode="arrow").collect()
+        assert len(out) == 4
+    finally:
+        spark.conf.unset(LM_COLLECT_CAP_CONF)
