@@ -3157,6 +3157,11 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `asoff`:  the FORWARD direction (r6): per purchase, the earliest
                 following signup value — DuckDB's ASOF JOIN with the
                 inequality flipped (`p.ts <= q.ts`)
+    - `asofn`:  the NEAREST direction (r7): whichever of the two is
+                closer in time, ties to backward (the pandas
+                merge_asof convention) — the oracle takes the
+                least-distance of its own backward/forward ASOF
+                matches with a strict `<` on the forward side
     - `range`:  each event resolved into its session interval
     - `sess`:   per-session rollup (start/end/n_events)
     - `funnel`: per-user greedy signup->click->purchase timestamps
@@ -3194,6 +3199,17 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
     ).select(
         F.lit("asoff").alias("leg"),
+        F.col("event_id").alias("a"),
+        F.col("user_id").alias("b"),
+        F.col("ts").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.col("sv").cast("double").alias("x"),
+    )
+    asofn = asof_join(
+        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv",
+        direction="nearest",
+    ).select(
+        F.lit("asofn").alias("leg"),
         F.col("event_id").alias("a"),
         F.col("user_id").alias("b"),
         F.col("ts").alias("t1"),
@@ -3255,6 +3271,7 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         asof.unionByName(asoff)
+        .unionByName(asofn)
         .unionByName(rng)
         .unionByName(sessrow)
         .unionByName(fn)
@@ -3300,19 +3317,31 @@ _q(
         ON p.user_id = s.user_id AND p.event_type = 'purchase'
        AND p.ts > c.ts AND p.ts <= s.ts + INTERVAL 3 DAY
       WHERE s.event_type = 'signup'),
-    fwin AS (SELECT user_id, min(ts) AS start_ts FROM fcomp GROUP BY 1)
+    fwin AS (SELECT user_id, min(ts) AS start_ts FROM fcomp GROUP BY 1),
+    pur AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+    qmax AS (SELECT user_id, ts, max(value) AS value FROM events
+             WHERE event_type = 'signup' GROUP BY 1, 2),
+    nb AS (SELECT p.event_id, q.ts AS qts, q.value FROM pur p
+           ASOF LEFT JOIN qmax q
+             ON p.user_id = q.user_id AND p.ts >= q.ts),
+    nf AS (SELECT p.event_id, q.ts AS qts, q.value FROM pur p
+           ASOF LEFT JOIN qmax q
+             ON p.user_id = q.user_id AND p.ts <= q.ts)
     SELECT 'asof' AS leg, p.event_id AS a, p.user_id AS b, p.ts AS t1,
-           NULL::TIMESTAMP AS t2, q.value::DOUBLE AS x
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
-                    WHERE event_type = 'signup' GROUP BY 1, 2) q
-      ON p.user_id = q.user_id AND p.ts >= q.ts
+           NULL::TIMESTAMP AS t2, nb.value::DOUBLE AS x
+    FROM pur p LEFT JOIN nb USING (event_id)
     UNION ALL
-    SELECT 'asoff' AS leg, p.event_id, p.user_id, p.ts, NULL, q.value::DOUBLE
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
-                    WHERE event_type = 'signup' GROUP BY 1, 2) q
-      ON p.user_id = q.user_id AND p.ts <= q.ts
+    SELECT 'asoff' AS leg, p.event_id, p.user_id, p.ts, NULL, nf.value::DOUBLE
+    FROM pur p LEFT JOIN nf USING (event_id)
+    UNION ALL
+    -- nearest = least-distance of the two sides, ties to backward
+    SELECT 'asofn', p.event_id, p.user_id, p.ts, NULL,
+           (CASE WHEN nb.qts IS NULL THEN nf.value
+                 WHEN nf.qts IS NULL THEN nb.value
+                 WHEN (nf.qts - p.ts) < (p.ts - nb.qts) THEN nf.value
+                 ELSE nb.value END)::DOUBLE
+    FROM pur p LEFT JOIN nb USING (event_id) LEFT JOIN nf USING (event_id)
     UNION ALL
     SELECT 'range', e.event_id, s.sq, e.ts, NULL, NULL
     FROM events e JOIN sess s
