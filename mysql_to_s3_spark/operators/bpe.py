@@ -235,7 +235,10 @@ def bpe_encode(
     from pyspark.sql.functions import pandas_udf
 
     ranks = model.ranks()
-    tok = re.compile(TOKEN_RE)
+    # re.ASCII: training tokenizes JVM-side (regexp_extract_all, ASCII
+    # word class); Python's unicode \w would tokenize non-ASCII text
+    # differently from the model's own corpus pass (the lm.py seam rule)
+    tok = re.compile(TOKEN_RE, re.ASCII)
 
     @pandas_udf("array<string>")
     def enc(texts):

@@ -2278,23 +2278,105 @@ _q(
 # -- LLM-pipeline: document chunking + token-budget sequence packing --
 
 
+# Fixed merge list for the `bpe` leg's cross-engine token counts: the
+# DuckDB oracle re-applies these by sequential REPLACE over a
+# delimiter-wrapped symbol string ('|sym|' per symbol), which is
+# provably equivalent to BPE rank-order encoding BECAUSE the list obeys
+# the training-order invariant (every component is a single char or the
+# product of a strictly earlier merge — so a later merge can never
+# create a new occurrence of an earlier pair) and REPLACE's
+# left-to-right non-overlapping scan IS the merge loop's
+# all-occurrences pass. Chains deliberately: table/agg/row/key collapse
+# to one token; (o,r)+(s,or) exercise product-of-product ranks.
+_BPE_FIXED_MERGES = (
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e</w>"),
+    ("a", "g"), ("ag", "g</w>"),
+    ("r", "o"), ("ro", "w</w>"),
+    ("o", "r"), ("s", "or"),
+    ("k", "e"), ("ke", "y</w>"),
+)
+_BPE_N_MERGES = 64  # well under the corpus' 93-merge pair space at every sf
+
+
 def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged three-leg training-data-shaping driver row (operators/
-    packing.py + sampling.py): `chunk` = sliding 64-token windows with
+    """Tagged training-data-shaping driver row (operators/packing.py +
+    sampling.py + bpe.py): `chunk` = sliding 64-token windows with
     8-token overlap (per-chunk md5 content witness), `pack` =
     deterministic offset packing of whole docs into 2048-token sequences
-    over 16 portable hash buckets, `shuffle` (new r5) = content-stable
+    over 16 portable hash buckets, `shuffle` (r5) = content-stable
     epoch-3 global shuffle into 8 shards — key1 = doc_id, key2 = the
     doc's position in its shard, n_items carries the shard id, so the
     hash compare binds the ENTIRE permutation. Harmonized schema
-    (leg, key1, key2, n_tokens, n_items, content_hash, fill_frac)."""
+    (leg, key1, key2, n_tokens, n_items, content_hash, fill_frac).
+
+    BPE legs (r7) — the tokenizer under the hard oracle gate:
+
+    - `bpe` (per doc): n_tokens = the doc's token count under the FIXED
+      `_BPE_FIXED_MERGES` list, applied by the real distributed Arrow
+      encode path and replicated in DuckDB by the REPLACE chain (an
+      independent implementation of the same algebra — one wrong merge
+      order, missed occurrence, or end-of-word fusion breaks the hash);
+      content_hash = md5 of the TRAINED-model encode⊕decode round trip,
+      vs the oracle's directly-computed word stream (binds train +
+      encode + the </w> wire format together); n_items = the regex
+      word count (oracle-computed, anchors the tokenization itself).
+    - `bpe_first` (summary): the trained model's FIRST merge as
+      'a b' vs the oracle's weighted argmax adjacent symbol pair
+      (count DESC, pair ASC — the training loop's exact tie rule),
+      plus merge count == n_merges (the pair space never exhausts
+      here) and coverage == 1.0 (max_words uncapped).
+
+    The train (one word-count shuffle + a vocabulary-sized collect +
+    the driver merge loop) is _fit_cached per (session, sf) like the
+    ivfpq index build, so bench min-of-2 prices the distributed ENCODE,
+    not the fit."""
     from pyspark.sql import functions as F
 
+    from mysql_to_s3_spark.operators.bpe import (
+        END_OF_WORD,
+        BpeModel,
+        bpe_encode,
+        bpe_train,
+    )
     from mysql_to_s3_spark.operators.packing import chunk_documents, pack_stats
     from mysql_to_s3_spark.operators.sampling import epoch_shuffle
+    from mysql_to_s3_spark.operators.text import TOKEN_RE
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+
+    model = _fit_cached(
+        spark, sf_dir, "bpe", lambda: bpe_train(docs, n_merges=_BPE_N_MERGES)
+    )
+    fixed = BpeModel(merges=_BPE_FIXED_MERGES, coverage=1.0)
+    base = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    enc = bpe_encode(bpe_encode(base, model, out_col="__tt__"), fixed, out_col="__tf__")
+    decoded = F.rtrim(
+        F.replace(F.concat_ws("", F.col("__tt__")), F.lit(END_OF_WORD), F.lit(" "))
+    )
+    bpe = enc.select(
+        F.lit("bpe").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("key1"),
+        F.lit(None).cast("bigint").alias("key2"),
+        F.size("__tf__").cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0))
+        .cast("bigint")
+        .alias("n_items"),
+        F.md5(decoded).alias("content_hash"),
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
+    a0, b0 = model.merges[0]
+    first = spark.range(1).select(
+        F.lit("bpe_first").alias("leg"),
+        F.lit(None).cast("bigint").alias("key1"),
+        F.lit(None).cast("bigint").alias("key2"),
+        F.lit(len(model.merges)).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("n_items"),
+        F.lit(f"{a0} {b0}").alias("content_hash"),
+        F.lit(float(model.coverage)).alias("fill_frac"),
+    )
     chunk = chunk_documents(docs, max_tokens=64, overlap=8).select(
         F.lit("chunk").alias("leg"),
         F.col("doc_id").cast("bigint").alias("key1"),
@@ -2322,7 +2404,60 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("content_hash"),
         F.lit(None).cast("double").alias("fill_frac"),
     )
-    return chunk.unionByName(pack).unionByName(shuf)
+    return (
+        chunk.unionByName(pack)
+        .unionByName(shuf)
+        .unionByName(bpe)
+        .unionByName(first)
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replica of the `bpe`/`bpe_first` legs: symbolize each
+    token as '|c1||c2||...||cL</w>|', re-apply the fixed merges as a
+    REPLACE chain (token count = |'|'| / 2), md5 the direct word
+    stream, and recompute the training loop's first merge as the
+    weighted argmax adjacent pair with the exact tie rule."""
+    from mysql_to_s3_spark.operators.bpe import END_OF_WORD
+    from mysql_to_s3_spark.operators.text import TOKEN_RE
+
+    toks = f"regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_RE}')"
+    sym = (
+        "'|' || array_to_string(regexp_extract_all(t, '.'), '||') "
+        f"|| '{END_OF_WORD}|'"
+    )
+    s = f"array_to_string(list_transform({toks}, t -> {sym}), ' ')"
+    for a, b in _BPE_FIXED_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+      SELECT 'bpe' AS leg, CAST(doc_id AS BIGINT) AS key1,
+             CAST(NULL AS BIGINT) AS key2,
+             CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tokens,
+             n_words AS n_items, md5(wstream) AS content_hash,
+             CAST(NULL AS DOUBLE) AS fill_frac
+      FROM (SELECT doc_id, {s} AS s,
+                   array_to_string({toks}, ' ') AS wstream,
+                   CAST(len({toks}) AS BIGINT) AS n_words
+            FROM documents)
+      UNION ALL
+      SELECT 'bpe_first', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST({_BPE_N_MERGES} AS BIGINT), CAST(NULL AS BIGINT),
+             pa || ' ' || pb, 1.0
+      FROM (
+        SELECT pa, pb FROM (
+          SELECT substr(word, i, 1) AS pa,
+                 substr(word, i + 1, 1) ||
+                   CASE WHEN i + 1 = length(word) THEN '{END_OF_WORD}'
+                        ELSE '' END AS pb,
+                 n
+          FROM (SELECT word, n, unnest(range(1, length(word))) AS i
+                FROM (SELECT w AS word, count(*) AS n
+                      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                          '{TOKEN_RE}')) AS w
+                            FROM documents)
+                      GROUP BY 1)
+                WHERE length(word) >= 2))
+        GROUP BY pa, pb ORDER BY sum(n) DESC, pa ASC, pb ASC LIMIT 1)"""
 
 
 def _chunk_pack_oracle() -> str:
@@ -2347,7 +2482,9 @@ def _chunk_pack_oracle() -> str:
              CAST(pos AS BIGINT) AS key2, CAST(NULL AS BIGINT) AS n_tokens,
              CAST(shard AS BIGINT) AS n_items,
              CAST(NULL AS VARCHAR) AS content_hash, CAST(NULL AS DOUBLE) AS fill_frac
-      FROM ({shuf})"""
+      FROM ({shuf})
+      UNION ALL
+      {_bpe_oracle_sql()}"""
 
 
 _q("text_chunk_pack", _chunk_pack_spark, _chunk_pack_oracle())
