@@ -684,15 +684,27 @@ _SHARD_SCHEMA = (
 MANIFEST_NAME = "_manifest.json"
 
 
-def _shard_stats(spark, path: str) -> list[dict]:
-    """Per-bucket stats of the training shards ON DISK: (bucket, n_docs,
-    n_seqs, tokens_total, sig). ``sig`` is an order-independent 64-bit
-    bit_xor over xxhash64(seq_no, start_off, n_tokens, doc) — it covers
-    both the packing metadata and the payload line, so a flipped byte,
-    a truncated file, or a re-pack all change it. XOR cancels only when
-    an IDENTICAL (seq_no, start_off, n_tokens, doc) row appears twice —
-    impossible within one pack (start_off is a strict cursor), and the
-    paired n_docs count catches whole-row duplication across buckets.
+def _shard_stats_frame(spark, path: str) -> DataFrame:
+    """Per-bucket stats of the training shards ON DISK as a lazy frame:
+    (bucket, n_docs, n_seqs, tokens_total, sig). ``sig`` is
+    's1:s2' where s1/s2 are SUMs of two 28-bit prefixes of
+    md5(seq_no # start_off # n_tokens # doc) per row — it covers both
+    the packing metadata and the payload line, so a flipped byte, a
+    truncated file, or a re-pack all change it. Sum is chosen over the
+    former bit_xor(xxhash64(...)) deliberately:
+
+    - order-independent AND partial-aggregable (map-side combine — one
+      agg pass at any scale, same as xor);
+    - duplication-sensitive: a row appearing twice ADDS twice (xor of
+      an identical pair cancels to the pre-duplication value);
+    - ORACLE-PORTABLE: md5 + hex-prefix arithmetic is bit-identical in
+      DuckDB (`shard_receipt_sql` replicates it exactly), while
+      xxhash64 seeds differ across engines — the receipt itself can
+      sit under a value-hash compare (the driver's `shard` leg does).
+
+    28-bit prefixes keep each sum ~2^28 per row: bigint overflows only
+    past ~3.4e10 rows per bucket — raise n_buckets long before that
+    (the packer guidance already scales bucket count with corpus size).
 
     Reading with an explicit schema (never inference) keeps this a
     single pass over the files; bucket comes back from the partition
@@ -704,27 +716,84 @@ def _shard_stats(spark, path: str) -> list[dict]:
     internally-consistent bytes no transport checksum flags. The
     manifest is a CONTENT receipt, independent of the storage layer."""
     df = spark.read.schema(_SHARD_SCHEMA).json(path)
-    rows = (
-        df.groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("seq_no").alias("n_seqs"),
-            F.sum("n_tokens").alias("tokens_total"),
-            F.expr("bit_xor(xxhash64(seq_no, start_off, n_tokens, doc))").alias("sig"),
-        )
-        .orderBy("bucket")
-        .collect()
+    h = F.md5(F.concat_ws("#", "seq_no", "start_off", "n_tokens", "doc"))
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("seq_no").alias("n_seqs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.concat_ws(
+            ":",
+            F.sum(F.conv(F.substring(h, 1, 7), 16, 10).cast("long")).cast("string"),
+            F.sum(F.conv(F.substring(h, 8, 7), 16, 10).cast("long")).cast("string"),
+        ).alias("sig"),
     )
+
+
+def _shard_stats(spark, path: str) -> list[dict]:
+    """Collected form of ``_shard_stats_frame`` (n_buckets rows,
+    bucket-ordered) — what the manifest stores and verify diffs."""
+    rows = _shard_stats_frame(spark, path).orderBy("bucket").collect()
     return [
         {
             "bucket": int(r["bucket"]),
             "n_docs": int(r["n_docs"]),
             "n_seqs": int(r["n_seqs"]),
             "tokens_total": int(r["tokens_total"]),
-            "sig": int(r["sig"]),
+            "sig": str(r["sig"]),
         }
         for r in rows
     ]
+
+
+def shard_receipt_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_buckets: int = 32,
+) -> str:
+    """DuckDB SQL reproducing ``_shard_stats`` for shards written by
+    ``write_training_shards(df, path, budget=, n_buckets=)`` over a
+    (id, text) frame — the oracle for the whole write -> read-back ->
+    receipt path: the per-doc pack replica (same portable md5 bucket
+    and offset window as ``pack_stats_sql``) feeds the same row string
+    ``seq_no#start_off#n_tokens#doc`` (doc = the exact JSON line the
+    writer emits; assumes JSON-clean text, true of the test corpus)
+    through the same md5-prefix sums. Output: (bucket, n_docs, n_seqs,
+    tokens_total, sig)."""
+    from mysql_to_s3_spark.operators.sampling import SPLIT_BUCKETS
+    from mysql_to_s3_spark.operators.text import TOKEN_RE
+
+    bucket = (
+        f"((('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT"
+        f" % {SPLIT_BUCKETS}) % {n_buckets})"
+    )
+    return f"""
+      WITH lens AS (
+        SELECT {id_col}, {text_col},
+               CAST(len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+               {bucket} AS bucket
+        FROM {table}
+        WHERE len(regexp_extract_all({text_col}, '{TOKEN_RE}')) > 0),
+      offs AS (
+        SELECT bucket, {id_col}, {text_col}, n_tokens,
+               CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_off,
+               CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {budget}) AS BIGINT) AS seq_no
+        FROM lens
+        WINDOW w AS (PARTITION BY bucket ORDER BY n_tokens DESC, {id_col} ASC)),
+      hashed AS (
+        SELECT bucket, seq_no, n_tokens,
+               md5(seq_no || '#' || start_off || '#' || n_tokens || '#' ||
+                   '{{"{id_col}":' || {id_col} || ',"{text_col}":"' || {text_col} || '"}}') AS h
+        FROM offs)
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT seq_no) AS BIGINT) AS n_seqs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+             CAST(sum(('0x' || substr(h, 1, 7))::BIGINT) AS VARCHAR) || ':' ||
+               CAST(sum(('0x' || substr(h, 8, 7))::BIGINT) AS VARCHAR) AS sig
+      FROM hashed GROUP BY bucket"""
 
 
 def write_shard_manifest(spark, path: str) -> list[dict]:

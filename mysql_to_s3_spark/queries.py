@@ -2367,6 +2367,34 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(decoded).alias("content_hash"),
         F.lit(None).cast("double").alias("fill_frac"),
     )
+    # shard-receipt leg (r7): the full write -> manifest -> verify ->
+    # read-back lifecycle IN-ROW (the typed_json_roundtrip temp-dir
+    # pattern). The per-bucket receipt rows come from _shard_stats_frame
+    # over the COMMITTED files, so the oracle hash binds the packer, the
+    # dynamic-partition JSON writer, the read-back schema, and the
+    # portable md5-prefix sig at once; fill_frac carries the
+    # verify_shards verdict (1.0 == manifest matches the re-read, the
+    # bounded-contract TRUE the oracle emits as a literal).
+    import tempfile
+
+    from mysql_to_s3_spark.pipeline import (
+        _shard_stats_frame,
+        verify_shards,
+        write_training_shards,
+    )
+
+    sdir = tempfile.mkdtemp(prefix="shard_receipt_")
+    write_training_shards(docs, sdir, budget=2048, n_buckets=8, manifest=True)
+    ok = 0.0 if verify_shards(spark, sdir) else 1.0
+    shard = _shard_stats_frame(spark, sdir).select(
+        F.lit("shard").alias("leg"),
+        F.col("bucket").cast("bigint").alias("key1"),
+        F.col("n_seqs").cast("bigint").alias("key2"),
+        F.col("tokens_total").cast("bigint").alias("n_tokens"),
+        F.col("n_docs").cast("bigint").alias("n_items"),
+        F.col("sig").alias("content_hash"),
+        F.lit(ok).alias("fill_frac"),
+    )
     a0, b0 = model.merges[0]
     first = spark.range(1).select(
         F.lit("bpe_first").alias("leg"),
@@ -2409,6 +2437,7 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shuf)
         .unionByName(bpe)
         .unionByName(first)
+        .unionByName(shard)
     )
 
 
@@ -2464,9 +2493,12 @@ def _chunk_pack_oracle() -> str:
     from mysql_to_s3_spark.operators.packing import chunk_documents_sql, pack_stats_sql
     from mysql_to_s3_spark.operators.sampling import epoch_shuffle_sql
 
+    from mysql_to_s3_spark.pipeline import shard_receipt_sql
+
     chunk = chunk_documents_sql("documents", max_tokens=64, overlap=8)
     pack = pack_stats_sql("documents", budget=2048, n_buckets=16)
     shuf = epoch_shuffle_sql("documents", epoch=3, n_shards=8)
+    shard_receipt = shard_receipt_sql("documents", budget=2048, n_buckets=8)
     return f"""
       SELECT 'chunk' AS leg, CAST(doc_id AS BIGINT) AS key1, chunk_idx AS key2,
              n_tokens, CAST(1 AS BIGINT) AS n_items, content_hash,
@@ -2484,7 +2516,12 @@ def _chunk_pack_oracle() -> str:
              CAST(NULL AS VARCHAR) AS content_hash, CAST(NULL AS DOUBLE) AS fill_frac
       FROM ({shuf})
       UNION ALL
-      {_bpe_oracle_sql()}"""
+      {_bpe_oracle_sql()}
+      UNION ALL
+      SELECT 'shard' AS leg, bucket AS key1, n_seqs AS key2,
+             tokens_total AS n_tokens, n_docs AS n_items,
+             sig AS content_hash, 1.0 AS fill_frac
+      FROM ({shard_receipt})"""
 
 
 _q("text_chunk_pack", _chunk_pack_spark, _chunk_pack_oracle())
