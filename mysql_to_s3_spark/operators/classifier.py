@@ -23,6 +23,14 @@ Spark-first by construction:
 - **Streaming-safe scoring**: every inference transformer is
   row-wise, so ``classify``/``classifier_gate`` apply unchanged to a
   readStream frame (training, like every fit, is batch-only).
+
+Determinism contract (tests/test_classifier.py): refitting the same
+frame with the same params is BIT-IDENTICAL (LBFGS from a fixed zero
+init over a fixed partitioning); refitting under a different
+partitioning perturbs coefficients at float-summation order (last-ulp
+drift — gradient sums reduce in partition order). Reproducible corpus
+builds across cluster layouts therefore fit ONCE and ``save``/``load``
+the model everywhere, rather than refitting per environment.
 """
 
 from __future__ import annotations

@@ -160,3 +160,37 @@ def test_internal_column_clash_raises(labeled, clf):
     bad = labeled.withColumn("__cls_orig__", F.lit("x"))
     with pytest.raises(ClassifierError, match="internals"):
         classify(bad, clf)
+
+
+def test_fit_determinism_contract(spark, labeled):
+    """Reproducible-corpus contract: two fits of the same frame with the
+    same params produce a BIT-IDENTICAL model (same coefficients, same
+    scores) — LBFGS from a fixed zero init over a fixed partitioning is
+    deterministic. A REPARTITIONED fit perturbs coefficients at float-
+    summation order (last-ulp drift), so predictions must still agree
+    to 1e-9 — and cross-layout reproducibility therefore goes through
+    save/load of ONE fitted model, not refitting per cluster."""
+    import numpy as np
+
+    probe = labeled.select("doc_id", "text")
+
+    def coefs(clf):
+        return np.asarray(clf.model.stages[-1].coefficientMatrix.toArray())
+
+    def scores(clf):
+        return [
+            (r.doc_id, r.cls_label, r.cls_score)
+            for r in classify(probe, clf).orderBy("doc_id").collect()
+        ]
+
+    kw = dict(n_features=1 << 12, max_iter=25)
+    c1 = train_text_classifier(labeled, "label", **kw)
+    c2 = train_text_classifier(labeled, "label", **kw)
+    assert (coefs(c1) == coefs(c2)).all()  # bit-identical refit
+    assert scores(c1) == scores(c2)  # exact float equality, no tolerance
+
+    c3 = train_text_classifier(labeled.repartition(5), "label", **kw)
+    s1, s3 = scores(c1), scores(c3)
+    assert [(d, l) for d, l, _ in s1] == [(d, l) for d, l, _ in s3]
+    for (_, _, a), (_, _, b) in zip(s1, s3):
+        assert abs(a - b) <= 1e-9
