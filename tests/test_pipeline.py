@@ -938,3 +938,97 @@ def test_split_leakage_audit(spark, docs):
 
     with pytest.raises(PipelineError, match="split"):
         split_leakage(base)
+
+
+def test_prepare_corpus_stream_matches_batch_with_model_gates(spark, tmp_path):
+    """r7: the stream==batch equivalence extended to the MODEL gates —
+    the probability-mode classifier (GPT-3 quality-gate idiom) and the
+    pretrained unigram-LM perplexity gate run in BOTH pipeline forms
+    (batch: lm_counts frame + join mode; stream: collected lm_rows +
+    the broadcast-dict scorer) and must keep exactly the same docs with
+    the same split labels. Each gate provably fires: the batch stages
+    attribute one drop to the classifier (spam), one to the LM (OOV
+    gibberish), one to exact dedup (re-arrived text)."""
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.classifier import train_text_classifier
+    from mysql_to_s3_spark.operators.lm import unigram_counts
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    GOOD = [
+        "the committee published a thorough report on regional water quality",
+        "researchers measured the effect of irrigation on crop yield over time",
+        "the library catalog lists every volume acquired since the founding",
+        "engineers documented the bridge inspection with detailed drawings",
+        "the orchestra rehearsed the full program before the winter concert",
+        "students presented their analysis of the census data to the council",
+    ]
+    SPAM = [
+        "click here buy now cheap pills best price click click buy buy",
+        "winner winner free prize claim now click here free free prize",
+        "cheap deals buy now limited offer click buy cheap cheap deals",
+        "free money claim prize now now now click here winner prize",
+        "best price buy cheap pills offer offer click now buy pills",
+        "prize winner free claim click buy now cheap offer free now",
+    ]
+    labeled = spark.createDataFrame(
+        [(i, t, "good") for i, t in enumerate(GOOD)]
+        + [(100 + i, t, "spam") for i, t in enumerate(SPAM)],
+        "doc_id bigint, text string, label string",
+    )
+    clf = train_text_classifier(labeled, "label", n_features=1 << 12, max_iter=25)
+    counts = unigram_counts(labeled.filter("label = 'good'"))
+    lm_rows = [(r.token, r.n) for r in counts.collect()]
+
+    d1 = "the committee measured the water quality report for the council"
+    d2 = "click here winner free prize buy now cheap pills claim prize"  # classifier
+    d3 = "zxqv qwvm jjkl plmn vvbx nnmq rrty uuio ppas ddfg hhjk llzx"  # lm (OOV)
+    d5 = "engineers presented the detailed analysis of the bridge program"
+    cfg = CorpusConfig(
+        classifier_accept=("good",),
+        classifier_mode="probability",
+        classifier_min_score=0.4,  # d3 scores ~0.51 — must reach the LM gate
+        min_lm_logprob=-6.0,  # in-vocab docs ~-5.15; d3 all-OOV ~-6.78
+        exact=True,
+        splits={"train": 0.5, "val": 0.5},
+    )
+
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d1), (5, d5)], "doc_id bigint, text string"
+    )
+    prep = prepare_corpus(docs, cfg, lm_counts=counts, classifier=clf)
+    batch = {r["doc_id"]: r["split"] for r in prep.docs.collect()}
+    assert set(batch) == {1, 5}
+    dropped = {r["doc_id"]: r["dropped_at"] for r in prep.audit().collect()}
+    assert dropped == {2: "classifier", 3: "lm", 4: "exact_dedup"}
+
+    src = str(tmp_path / "model_gate_stream")
+    _os.makedirs(src, exist_ok=True)
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:01", "2024-01-01 00:00:02", "2024-01-01 00:00:03"]
+    ).astype("datetime64[us]")
+    pd.DataFrame({"doc_id": [1, 2, 3], "ts": ts[:3], "text": [d1, d2, d3]}).to_parquet(
+        src + "/a.parquet"
+    )
+    pd.DataFrame({"doc_id": [4, 5], "ts": ts[:2], "text": [d1, d5]}).to_parquet(
+        src + "/b.parquet"
+    )
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts", lm_rows=lm_rows, classifier=clf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("model_gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        r["doc_id"]: r["split"]
+        for r in spark.sql("SELECT * FROM model_gate_stream").collect()
+    }
+    assert stream == batch
