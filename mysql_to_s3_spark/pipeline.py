@@ -214,6 +214,34 @@ class PreparedCorpus:
             )
         return out
 
+    def leakage(
+        self,
+        threshold: float = 0.8,
+        split_col: str = "split",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Post-split train/test LEAKAGE audit over the FINAL corpus:
+        near-duplicate pairs (>= ``threshold`` Jaccard) that straddle
+        split labels (``split_leakage``). Empty == clean. A run with
+        ``near_dup`` configured at least this tight is clean BY
+        CONSTRUCTION (one doc per cluster survives before the split is
+        assigned); a non-empty result means dedup was off, thresholded
+        looser than this audit, or the split was applied elsewhere.
+        Lazy — the banded MinHash-LSH pair scan runs when collected,
+        never all-pairs. Requires ``cfg.splits`` to have been set."""
+        if split_col not in self.docs.columns:
+            raise PipelineError(
+                f"no {split_col!r} column on the prepared corpus — "
+                "configure cfg.splits before auditing leakage"
+            )
+        return split_leakage(
+            self.docs,
+            split_col=split_col,
+            id_col=self.id_col,
+            text_col=text_col,
+            threshold=threshold,
+        )
+
 
 def _near_dup_pairs(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     if cfg.near_dup == "simhash":

@@ -1032,3 +1032,41 @@ def test_prepare_corpus_stream_matches_batch_with_model_gates(spark, tmp_path):
         for r in spark.sql("SELECT * FROM model_gate_stream").collect()
     }
     assert stream == batch
+
+
+def test_split_leakage_audit_contract(spark):
+    """r7: PreparedCorpus.leakage() — the post-split leakage audit.
+    With near-dup removal OFF, a near-duplicate family split across
+    labels surfaces as straddling pairs; with near_dup configured at
+    the audit's threshold the run is clean BY CONSTRUCTION (one doc
+    per cluster survives before the split); without cfg.splits the
+    audit refuses."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+    )
+    rows = [(i, f"{base} variant{i}") for i in range(1, 7)]
+    rows.append((50, "a completely different document about bridges and rivers here"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    splits = {"train": 0.5, "val": 0.5}
+
+    # dedup OFF: the family survives intact and straddles the split
+    prep = prepare_corpus(docs, CorpusConfig(exact=True, splits=splits))
+    leaks = prep.leakage(threshold=0.8).collect()
+    assert leaks, "near-dup family across splits must surface"
+    assert all(r["split_a"] != r["split_b"] for r in leaks)
+    assert all(r["jaccard"] >= 0.8 for r in leaks)
+
+    # near-dup removal ON at the same threshold: clean by construction
+    prep2 = prepare_corpus(
+        docs,
+        CorpusConfig(
+            exact=True, near_dup="minhash", near_threshold=0.8, splits=splits
+        ),
+    )
+    assert prep2.leakage(threshold=0.8).count() == 0
+
+    # no split configured -> the audit refuses
+    prep3 = prepare_corpus(docs, CorpusConfig(exact=True))
+    with pytest.raises(PipelineError, match="split"):
+        prep3.leakage()
