@@ -1445,6 +1445,30 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is unit-verified equal in tests/test_lm.py)
     lm = unigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
     lm2 = bigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
+    # cls_label (r7): the fastText-shaped classifier gate under the hard
+    # oracle via a LEARNABLE-RULE contract — train in-row on a label the
+    # oracle can derive (text contains the token 'dup'; no other vocab
+    # word contains that substring), then emit the DISTRIBUTED
+    # prediction for every doc. A perfectly predictive hashed feature
+    # makes LBFGS separate the classes with wide margins (prediction
+    # flips are outside any float-drift radius — the determinism
+    # contract in tests/test_classifier.py), so one wrong prediction
+    # anywhere in tokenize -> hashTF -> fit -> score breaks the hash.
+    # The fit is _fit_cached per (session, sf): bench prices the
+    # zero-Exchange scoring transform, not LBFGS.
+    from mysql_to_s3_spark.operators.classifier import classify, train_text_classifier
+
+    rule = F.when(
+        F.lower(F.col("text")).contains("dup"), F.lit("dup")
+    ).otherwise(F.lit("std"))
+    clf = _fit_cached(
+        spark, sf_dir, "clsgate",
+        lambda: train_text_classifier(
+            docs.select("text", rule.alias("label")),
+            "label", n_features=1 << 14, max_iter=50,
+        ),
+    )
+    cls = classify(docs.select("doc_id", "text"), clf).select("doc_id", "cls_label")
     base = docs.select(
         F.col("doc_id"),
         quality_score(F.col("text")).alias("quality"),
@@ -1454,6 +1478,7 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.join(lm, "doc_id", "left")
         .join(lm2, "doc_id", "left")
+        .join(cls, "doc_id", "left")
         .withColumn("lm_logprob", F.round(F.col("lm_logprob"), 6))
         .withColumn("lm2_logprob", F.round(F.col("lm2_logprob"), 6))
     )
@@ -1516,8 +1541,10 @@ def _text_quality_row_sql() -> str:
             JOIN ctx c ON p.prev = c.prev
             CROSS JOIN st2
             GROUP BY p.doc_id)
-    SELECT q.*, round(lm.lp, 6) AS lm_logprob, round(lm2.lp2, 6) AS lm2_logprob
+    SELECT q.*, round(lm.lp, 6) AS lm_logprob, round(lm2.lp2, 6) AS lm2_logprob,
+           CASE WHEN lower(d.text) LIKE '%dup%' THEN 'dup' ELSE 'std' END AS cls_label
     FROM ({_text_quality_sql()}) q
+    JOIN documents d USING (doc_id)
     LEFT JOIN lm USING (doc_id) LEFT JOIN lm2 USING (doc_id)"""
 
 
