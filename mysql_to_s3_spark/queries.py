@@ -2423,14 +2423,19 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ok).alias("fill_frac"),
     )
     a0, b0 = model.merges[0]
-    first = spark.range(1).select(
-        F.lit("bpe_first").alias("leg"),
+    a1, b1 = model.merges[1]
+    first = spark.createDataFrame(
+        [("bpe_first", len(model.merges), f"{a0} {b0}", float(model.coverage)),
+         ("bpe_second", None, f"{a1} {b1}", None)],
+        "leg string, n_tokens bigint, content_hash string, fill_frac double",
+    ).select(
+        "leg",
         F.lit(None).cast("bigint").alias("key1"),
         F.lit(None).cast("bigint").alias("key2"),
-        F.lit(len(model.merges)).cast("bigint").alias("n_tokens"),
+        "n_tokens",
         F.lit(None).cast("bigint").alias("n_items"),
-        F.lit(f"{a0} {b0}").alias("content_hash"),
-        F.lit(float(model.coverage)).alias("fill_frac"),
+        "content_hash",
+        "fill_frac",
     )
     chunk = chunk_documents(docs, max_tokens=64, overlap=8).select(
         F.lit("chunk").alias("leg"),
@@ -2469,11 +2474,14 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle_sql() -> str:
-    """DuckDB replica of the `bpe`/`bpe_first` legs: symbolize each
-    token as '|c1||c2||...||cL</w>|', re-apply the fixed merges as a
-    REPLACE chain (token count = |'|'| / 2), md5 the direct word
-    stream, and recompute the training loop's first merge as the
-    weighted argmax adjacent pair with the exact tie rule."""
+    """DuckDB replica of the `bpe`/`bpe_first`/`bpe_second` legs:
+    symbolize each token as '|c1||c2||...||cL</w>|', re-apply the fixed
+    merges as a REPLACE chain (token count = |'|'| / 2), md5 the direct
+    word stream, and recompute the training loop's first TWO merges —
+    the second by applying the first to the symbolized vocabulary and
+    recounting adjacent pairs from scratch, which is exactly what the
+    trainer's incremental scan(-1)/scan(+1) update must equal. Both
+    argmaxes use the exact tie rule (count DESC, pair ASC)."""
     from mysql_to_s3_spark.operators.bpe import END_OF_WORD
     from mysql_to_s3_spark.operators.text import TOKEN_RE
 
@@ -2485,6 +2493,24 @@ def _bpe_oracle_sql() -> str:
     s = f"array_to_string(list_transform({toks}, t -> {sym}), ' ')"
     for a, b in _BPE_FIXED_MERGES:
         s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    wsym = (
+        "'|' || array_to_string(regexp_extract_all(word, '.'), '||') "
+        f"|| '{END_OF_WORD}|'"
+    )
+
+    def _pairs(sym_expr: str) -> str:
+        # weighted adjacent symbol pairs of a '|sym|'-wrapped vocabulary
+        return f"""
+          SELECT ls[i] AS pa, ls[i + 1] AS pb, n FROM (
+            SELECT n, ls, unnest(range(1, len(ls))) AS i
+            FROM (SELECT n, string_split(trim({sym_expr}, '|'), '||') AS ls
+                  FROM wsym)
+            WHERE len(ls) >= 2)"""
+
+    merged = (
+        "replace(sym, '|' || fm.pa || '||' || fm.pb || '|', "
+        "'|' || fm.pa || fm.pb || '|')"
+    )
     return f"""
       SELECT 'bpe' AS leg, CAST(doc_id AS BIGINT) AS key1,
              CAST(NULL AS BIGINT) AS key2,
@@ -2496,24 +2522,30 @@ def _bpe_oracle_sql() -> str:
                    CAST(len({toks}) AS BIGINT) AS n_words
             FROM documents)
       UNION ALL
-      SELECT 'bpe_first', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-             CAST({_BPE_N_MERGES} AS BIGINT), CAST(NULL AS BIGINT),
-             pa || ' ' || pb, 1.0
+      SELECT 'bpe_' || which, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             nt, CAST(NULL AS BIGINT), ch, ff
       FROM (
-        SELECT pa, pb FROM (
-          SELECT substr(word, i, 1) AS pa,
-                 substr(word, i + 1, 1) ||
-                   CASE WHEN i + 1 = length(word) THEN '{END_OF_WORD}'
-                        ELSE '' END AS pb,
-                 n
-          FROM (SELECT word, n, unnest(range(1, length(word))) AS i
-                FROM (SELECT w AS word, count(*) AS n
-                      FROM (SELECT unnest(regexp_extract_all(lower(text),
-                                          '{TOKEN_RE}')) AS w
-                            FROM documents)
-                      GROUP BY 1)
-                WHERE length(word) >= 2))
-        GROUP BY pa, pb ORDER BY sum(n) DESC, pa ASC, pb ASC LIMIT 1)"""
+        WITH wc AS (SELECT w AS word, count(*) AS n
+                    FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                        '{TOKEN_RE}')) AS w
+                          FROM documents)
+                    GROUP BY 1),
+        wsym AS (SELECT word, n, {wsym} AS sym FROM wc),
+        fm AS (SELECT pa, pb FROM ({_pairs("sym")})
+               GROUP BY pa, pb ORDER BY sum(n) DESC, pa ASC, pb ASC LIMIT 1),
+        wsym2 AS (SELECT w.n, {merged} AS sym2 FROM wsym w CROSS JOIN fm),
+        sm AS (SELECT pa, pb FROM (
+                 SELECT ls[i] AS pa, ls[i + 1] AS pb, n FROM (
+                   SELECT n, ls, unnest(range(1, len(ls))) AS i
+                   FROM (SELECT n, string_split(trim(sym2, '|'), '||') AS ls
+                         FROM wsym2)
+                   WHERE len(ls) >= 2))
+               GROUP BY pa, pb ORDER BY sum(n) DESC, pa ASC, pb ASC LIMIT 1)
+        SELECT 'first' AS which, CAST({_BPE_N_MERGES} AS BIGINT) AS nt,
+               pa || ' ' || pb AS ch, 1.0 AS ff FROM fm
+        UNION ALL
+        SELECT 'second', CAST(NULL AS BIGINT), pa || ' ' || pb,
+               CAST(NULL AS DOUBLE) FROM sm)"""
 
 
 def _chunk_pack_oracle() -> str:
