@@ -703,6 +703,68 @@ def write_training_shards(
     )
 
 
+def stream_write_training_shards(
+    sdf: DataFrame,
+    path: str,
+    *,
+    budget: int = 2048,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+    manifest: bool = False,
+    n_tokens_col: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming form of ``write_training_shards`` — the last
+    prepare-pipeline stage gets a stream analog (gates, dedup, decontam
+    and split already have one in ``prepare_corpus_stream``): a
+    ``foreachBatch`` sink that packs EACH MICRO-BATCH independently
+    into ``<path>/batch=<epoch_id>/bucket=*/``.
+
+    Sequences are micro-batch-local BY DESIGN: offset packing needs a
+    total per-bucket order, which exists inside one batch but not
+    across an unbounded stream — this is the honest streaming form, not
+    an approximation of the batch one. Consequences, spelled out:
+
+    - a small trigger yields under-filled sequences (fill_frac drops
+      with batch size); size triggers in documents, or land the raw
+      stream and re-pack in batch when fill matters most;
+    - replays are idempotent: ``foreachBatch`` may re-run an epoch on
+      failure, and ``mode='overwrite'`` into the epoch-keyed directory
+      makes the second write byte-equivalent, so the receipt story
+      survives at-least-once delivery;
+    - with ``manifest=True`` every batch directory carries its own
+      receipt — ``verify_shards`` gates each batch group independently,
+      which is exactly the unit a downstream trainer consumes as it
+      tails the stream;
+    - read back with the explicit-schema readers over
+      ``<path>/batch=*`` (``read_training_sequences`` reconstructs
+      per-batch sequences; sequence keys are (batch dir, bucket,
+      seq_no)).
+
+    Returns the started ``StreamingQuery``."""
+
+    def _write(df: DataFrame, epoch_id: int) -> None:
+        write_training_shards(
+            df,
+            f"{path.rstrip('/')}/batch={epoch_id}",
+            budget=budget,
+            n_buckets=n_buckets,
+            id_col=id_col,
+            text_col=text_col,
+            mode="overwrite",
+            extra_cols=extra_cols,
+            manifest=manifest,
+            n_tokens_col=n_tokens_col,
+        )
+
+    w = sdf.writeStream.foreachBatch(_write)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
 # ---------------------------------------------------------------------------
 # shard manifest + integrity verification
 

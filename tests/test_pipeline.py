@@ -1070,3 +1070,64 @@ def test_split_leakage_audit_contract(spark):
     prep3 = prepare_corpus(docs, CorpusConfig(exact=True))
     with pytest.raises(PipelineError, match="split"):
         prep3.leakage()
+
+
+def test_stream_write_training_shards(spark, tmp_path):
+    """r7: the streaming shard writer packs each micro-batch into its
+    own batch=<epoch>/bucket=* group with a per-batch manifest that
+    verifies clean; every doc lands exactly once; sequences reconstruct
+    per batch."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.pipeline import (
+        read_training_sequences,
+        stream_write_training_shards,
+        verify_shards,
+    )
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    src = str(tmp_path / "shard_stream_src")
+    _os.makedirs(src, exist_ok=True)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    ts = pd.to_datetime(["2024-01-01 00:00:01"] * 4).astype("datetime64[us]")
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "ts": ts,
+         "text": [" ".join(words[: 2 + i]) for i in range(4)]}
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {"doc_id": [5, 6], "ts": ts[:2],
+         "text": [" ".join(words), " ".join(reversed(words))]}
+    ).to_parquet(src + "/b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    out = str(tmp_path / "stream_shards")
+    q = stream_write_training_shards(
+        sdf.select("doc_id", "text"), out, budget=8, n_buckets=2, manifest=True
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batches = sorted(_glob.glob(out + "/batch=*"))
+    assert len(batches) == 2, batches
+    got_ids = []
+    for b in batches:
+        assert verify_shards(spark, b) == []  # per-batch receipt gates clean
+        for f in _glob.glob(b + "/bucket=*/part-*"):
+            with open(f) as fh:
+                got_ids += [
+                    _json.loads(_json.loads(line)["doc"])["doc_id"] for line in fh
+                ]
+    assert sorted(got_ids) == [1, 2, 3, 4, 5, 6]  # exactly once, across batches
+
+    # per-batch sequence reconstruction matches that batch's shard files
+    seqs = read_training_sequences(spark, batches[0])
+    assert seqs.count() > 0
+    n_docs_b0 = sum(r["n_docs"] for r in seqs.collect())
+    with open(batches[0] + "/_manifest.json") as fh:
+        manifest = _json.load(fh)
+    assert n_docs_b0 == sum(b["n_docs"] for b in manifest["buckets"])
