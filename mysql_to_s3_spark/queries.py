@@ -3395,6 +3395,11 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 merge_asof convention) — the oracle takes the
                 least-distance of its own backward/forward ASOF
                 matches with a strict `<` on the forward side
+    - `asoft`:  backward with a 2-day TOLERANCE (r7): the match nulls
+                out when it is farther than the tolerance on its own
+                side — the oracle CASEs the same inclusive bound onto
+                its backward ASOF match (the 2-day horizon keeps ~60%
+                of matches at this corpus, so both branches are live)
     - `range`:  each event resolved into its session interval
     - `sess`:   per-session rollup (start/end/n_events)
     - `funnel`: per-user greedy signup->click->purchase timestamps
@@ -3443,6 +3448,17 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
     ).select(
         F.lit("asofn").alias("leg"),
+        F.col("event_id").alias("a"),
+        F.col("user_id").alias("b"),
+        F.col("ts").alias("t1"),
+        F.lit(None).cast("timestamp_ntz").alias("t2"),
+        F.col("sv").cast("double").alias("x"),
+    )
+    asoft = asof_join(
+        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv",
+        tolerance="2 days",
+    ).select(
+        F.lit("asoft").alias("leg"),
         F.col("event_id").alias("a"),
         F.col("user_id").alias("b"),
         F.col("ts").alias("t1"),
@@ -3505,6 +3521,7 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof.unionByName(asoff)
         .unionByName(asofn)
+        .unionByName(asoft)
         .unionByName(rng)
         .unionByName(sessrow)
         .unionByName(fn)
@@ -3575,6 +3592,12 @@ _q(
                  WHEN (nf.qts - p.ts) < (p.ts - nb.qts) THEN nf.value
                  ELSE nb.value END)::DOUBLE
     FROM pur p LEFT JOIN nb USING (event_id) LEFT JOIN nf USING (event_id)
+    UNION ALL
+    -- tolerance: the backward match survives only within the horizon
+    SELECT 'asoft', p.event_id, p.user_id, p.ts, NULL,
+           (CASE WHEN nb.qts >= p.ts - INTERVAL 2 DAY
+                 THEN nb.value END)::DOUBLE
+    FROM pur p LEFT JOIN nb USING (event_id)
     UNION ALL
     SELECT 'range', e.event_id, s.sq, e.ts, NULL, NULL
     FROM events e JOIN sess s
