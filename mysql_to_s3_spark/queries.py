@@ -1309,10 +1309,32 @@ def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-leg row since r7: `pair` = the banded MinHash-LSH pair scan
+    (candidates exact-verified, >= 0.9 Jaccard) vs the all-pairs exact
+    oracle; `leak` = `split_leakage` over the same corpus carrying the
+    driver hash-split — the post-split train/test leakage audit under
+    the hard gate (same pair algebra + two label joins + the straddle
+    filter, which the oracle replicates with hash_split_sql labels)."""
+    from pyspark.sql import functions as F
+
     from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
+    from mysql_to_s3_spark.operators.sampling import hash_split
+    from mysql_to_s3_spark.pipeline import split_leakage
     from mysql_to_s3_spark.sources.registry import load_table
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+    docs = load_table(spark, sf_dir, "documents")
+    ns = F.lit(None).cast("string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).select(
+        F.lit("pair").alias("leg"), "a", "b", "jaccard",
+        ns.alias("split_a"), ns.alias("split_b"),
+    )
+    labeled = docs.withColumn(
+        "split", hash_split(F.col("doc_id"), _SPLIT_FRACTIONS)
+    )
+    leak = split_leakage(labeled, threshold=0.9).select(
+        F.lit("leak").alias("leg"), "a", "b", "jaccard", "split_a", "split_b"
+    )
+    return pairs.unionByName(leak)
 
 
 def _dedup_simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1666,8 +1688,26 @@ _q(
 )
 _q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
 # minhash verifies candidates with exact Jaccard, so it matches the exact
-# oracle up to the LSH miss probability ((1-j^4)^16 ~= 4e-8 at j=0.9)
-_q("dedup_minhash_lsh", _dedup_minhash_spark, _SQL_JACCARD_PAIRS)
+# oracle up to the LSH miss probability ((1-j^4)^16 ~= 4e-8 at j=0.9);
+# the r7 `leak` leg is split_leakage over the same corpus — the exact
+# pair set joined to hash-split labels and filtered to straddlers
+def _dedup_minhash_oracle() -> str:
+    from mysql_to_s3_spark.operators.sampling import hash_split_sql
+
+    split = hash_split_sql("doc_id", _SPLIT_FRACTIONS)
+    return f"""
+      SELECT 'pair' AS leg, a, b, jaccard,
+             CAST(NULL AS VARCHAR) AS split_a, CAST(NULL AS VARCHAR) AS split_b
+      FROM ({_SQL_JACCARD_PAIRS})
+      UNION ALL
+      SELECT 'leak', p.a, p.b, p.jaccard, sa.split, sb.split
+      FROM ({_SQL_JACCARD_PAIRS}) p
+      JOIN (SELECT doc_id, {split} AS split FROM documents) sa ON p.a = sa.doc_id
+      JOIN (SELECT doc_id, {split} AS split FROM documents) sb ON p.b = sb.doc_id
+      WHERE sa.split != sb.split"""
+
+
+_q("dedup_minhash_lsh", _dedup_minhash_spark, _dedup_minhash_oracle())
 
 
 def _dedup_cc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
