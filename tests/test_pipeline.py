@@ -1131,3 +1131,19 @@ def test_stream_write_training_shards(spark, tmp_path):
     with open(batches[0] + "/_manifest.json") as fh:
         manifest = _json.load(fh)
     assert n_docs_b0 == sum(b["n_docs"] for b in manifest["buckets"])
+
+
+def test_shard_write_replay_is_receipt_idempotent(spark, docs, tmp_path):
+    """The foreachBatch replay contract: re-writing the same frame into
+    the same epoch directory (mode=overwrite) reproduces the identical
+    content receipt — same per-bucket n_docs/n_seqs/tokens_total/sig —
+    so an at-least-once delivery never corrupts the receipt story."""
+    from mysql_to_s3_spark.pipeline import _shard_stats, write_training_shards
+
+    src = docs.limit(80).cache()
+    out = str(tmp_path / "replayed_batch")
+    write_training_shards(src, out, budget=256, n_buckets=4)
+    first = _shard_stats(spark, out)
+    write_training_shards(src, out, budget=256, n_buckets=4)  # the replay
+    assert _shard_stats(spark, out) == first
+    src.unpersist()
