@@ -964,6 +964,7 @@ def split_leakage(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test LEAKAGE audit: near-duplicate pairs that STRADDLE
     splits — documents the eval split shares (above ``threshold``
@@ -975,14 +976,18 @@ def split_leakage(
 
     Output: (a, b, split_a, split_b, jaccard), a < b, split_a !=
     split_b. Cost shape: the banded MinHash-LSH pair scan (never
-    all-pairs) + two joins to attach labels."""
+    all-pairs) + two joins to attach labels. Callers that already hold
+    a near-dup pair frame — (a, b, jaccard), any generator — pass it
+    via ``pairs`` and pay only the label joins (inside one plan Spark
+    then reuses the pair scan's exchanges across consumers)."""
     from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
 
     if split_col not in df.columns:
         raise PipelineError(f"split column {split_col!r} not in {df.columns}")
-    pairs = minhash_lsh_pairs(
-        df, threshold=threshold, id_col=id_col, text_col=text_col
-    )
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, threshold=threshold, id_col=id_col, text_col=text_col
+        )
     labels = df.select(F.col(id_col), F.col(split_col))
     return (
         pairs.join(

@@ -1322,16 +1322,24 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.pipeline import split_leakage
     from mysql_to_s3_spark.sources.registry import load_table
 
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+
     docs = load_table(spark, sf_dir, "documents")
     ns = F.lit(None).cast("string")
-    pairs = minhash_lsh_pairs(docs, threshold=0.9).select(
+    # ONE pooled pair scan feeds both legs (split_leakage's pairs=
+    # hook): the branches' exchange subtrees differ (project vs label
+    # join), so Spark's ReusedExchange cannot deduplicate them —
+    # cache_scoped can, and the pairs frame is a derived join output,
+    # never a bare table scan (the CacheManager pushdown hazard)
+    p = cache_scoped(minhash_lsh_pairs(docs, threshold=0.9), "dedup_minhash_lsh")
+    pairs = p.select(
         F.lit("pair").alias("leg"), "a", "b", "jaccard",
         ns.alias("split_a"), ns.alias("split_b"),
     )
     labeled = docs.withColumn(
         "split", hash_split(F.col("doc_id"), _SPLIT_FRACTIONS)
     )
-    leak = split_leakage(labeled, threshold=0.9).select(
+    leak = split_leakage(labeled, threshold=0.9, pairs=p).select(
         F.lit("leak").alias("leg"), "a", "b", "jaccard", "split_a", "split_b"
     )
     return pairs.unionByName(leak)
