@@ -226,6 +226,115 @@ def stratified_hash_sample_sql(
     return f"SELECT * FROM {table} WHERE {b} < {cut}"
 
 
+MAX_EPOCH_RATE = 100.0  # a rate above this is almost certainly a unit slip
+
+
+def repeat_epochs(
+    df: DataFrame,
+    rates,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    copy_col: str = "epoch_copy",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-stratum UP-sampling mixture — the "N epochs of
+    source X" half of a published data recipe (Llama 1 runs ~2.45
+    epochs of Wikipedia while CommonCrawl stays under one pass; GPT-3's
+    mix up-weights books/wiki the same way). ``stratified_hash_sample``
+    can only keep <= 100% of a stratum; this operator materializes
+    rate > 1 by REPEATING docs: rate r emits floor(r) full copies of
+    every doc plus one fractional top copy kept iff the (id, copy)-
+    salted hash draw falls under r - floor(r). ``rates`` is a stratum
+    dict (absent strata get ``default_rate``; 0.0 drops a stratum) or a
+    plain number applied uniformly.
+
+    ``copy_col`` carries the 0-based copy index so downstream stages
+    can salt per copy — feed ``concat(id, '#', epoch_copy)`` as the
+    epoch_shuffle / pack key and copies scatter across shards instead
+    of riding adjacent (training on back-to-back duplicates is the
+    failure mode repetition recipes warn about).
+
+    rate <= 1 reduces EXACTLY to ``stratified_hash_sample`` with salt
+    ``f'{salt}0'`` (one copy, kept iff the draw falls under r — same
+    md5, same cut arithmetic). Pure Column algebra: explode(sequence)
+    + a per-row filter, no shuffle, no count pass; stable under growth
+    and reordering, and raising a rate only ADDS copies (the kept set
+    for existing copies never changes)."""
+    from collections.abc import Mapping as _Mapping
+
+    if not isinstance(rates, _Mapping):
+        default_rate, rates = float(rates), {}
+    for k, v in {**rates, "<default>": default_rate}.items():
+        if not 0.0 <= float(v) <= MAX_EPOCH_RATE:
+            raise ValueError(
+                f"epoch rate for {k!r} is {v}, expected [0, {MAX_EPOCH_RATE}]"
+            )
+    reserved = {copy_col, "__rate__"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with repeat_epochs output; "
+            "rename them (or pass another copy_col) first"
+        )
+    rate = F.lit(float(default_rate))
+    for name, r in rates.items():
+        rate = F.when(F.col(strata_col) == F.lit(name), F.lit(float(r))).otherwise(rate)
+    n_copies = F.ceil(rate).cast("int")
+    copies = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.withColumn("__rate__", rate).withColumn(copy_col, F.explode(copies))
+    frac_cut = F.round(
+        (F.col("__rate__") - F.floor(F.col("__rate__"))) * SPLIT_BUCKETS
+    ).cast("bigint")
+    draw = hash_bucket(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("|" + salt),
+            F.col(copy_col).cast("string"),
+        )
+    )
+    keep = (F.col(copy_col) < F.floor(F.col("__rate__"))) | (draw < frac_cut)
+    return out.filter(keep).drop("__rate__")
+
+
+def repeat_epochs_sql(
+    table: str,
+    rates,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    copy_col: str = "epoch_copy",
+    salt: str = "epoch",
+) -> str:
+    """DuckDB replica emitting the identical (row, copy) multiset."""
+    from collections.abc import Mapping as _Mapping
+
+    if not isinstance(rates, _Mapping):
+        default_rate, rates = float(rates), {}
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    r = str(float(default_rate))
+    if rates:
+        cases = " ".join(
+            f"WHEN {q(name)} THEN {float(v)}" for name, v in rates.items()
+        )
+        r = f"CASE {strata_col} {cases} ELSE {r} END"
+    draw = (
+        f"(('0x' || substr(md5({id_col}::VARCHAR || {q('|' + salt)} || "
+        f"{copy_col}::VARCHAR), 1, 8))::BIGINT % {SPLIT_BUCKETS})"
+    )
+    return f"""
+      SELECT * EXCLUDE (__rate__) FROM (
+        SELECT *, {r} AS __rate__,
+               unnest(range(0, CAST(ceil({r}) AS BIGINT))) AS {copy_col}
+        FROM {table})
+      WHERE {copy_col} < floor(__rate__)
+         OR {draw} < CAST(round((__rate__ - floor(__rate__)) * {SPLIT_BUCKETS}) AS BIGINT)"""
+
+
 def epoch_shuffle(
     df: DataFrame,
     epoch: int,

@@ -284,3 +284,96 @@ def test_mixture_rates_from_counts():
         mixture_rates_from_counts({"x": 0})
     with _pytest.raises(ValueError, match="target_total"):
         mixture_rates_from_counts(counts, target_total=0)
+
+
+# ---------------------------------------------------------------- repeat_epochs
+
+
+def test_repeat_epochs_whole_rates(spark):
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs
+
+    df = spark.createDataFrame([(i, "x") for i in range(20)], "doc_id long, lang string")
+    out = repeat_epochs(df, 2.0).collect()
+    assert len(out) == 40
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch_copy)
+    assert all(sorted(v) == [0, 1] for v in per_doc.values())
+
+
+def test_repeat_epochs_fractional_and_strata(spark):
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs
+
+    rows = [(i, "wiki" if i % 2 == 0 else "web") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = repeat_epochs(df, {"wiki": 2.45, "web": 0.4}, default_rate=0.0)
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    # wiki: 200 docs -> 400 full copies + ~45% of a third copy
+    assert 400 < counts["wiki"] < 400 + 200 * 0.65
+    assert counts["wiki"] > 400 + 200 * 0.25
+    # web: ~40% of one copy
+    assert 200 * 0.25 < counts["web"] < 200 * 0.55
+    # deterministic and monotone: raising a rate only ADDS copies
+    again = {(r.doc_id, r.epoch_copy) for r in out.collect()}
+    assert {(r.doc_id, r.epoch_copy) for r in out.collect()} == again
+    more = repeat_epochs(df, {"wiki": 2.85, "web": 0.4}, default_rate=0.0)
+    assert again <= {(r.doc_id, r.epoch_copy) for r in more.collect()}
+
+
+def test_repeat_epochs_subone_matches_stratified_sample(spark):
+    """rate <= 1 reduces exactly to stratified_hash_sample with the
+    per-copy salt '<salt>0' — same md5, same cut arithmetic."""
+    from mysql_to_s3_spark.operators.sampling import (
+        repeat_epochs,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(300)], "doc_id long, lang string"
+    )
+    rep = {r.doc_id for r in repeat_epochs(df, {"a": 0.37}, salt="s").collect()}
+    ref = {
+        r.doc_id
+        for r in stratified_hash_sample(df, {"a": 0.37}, "lang", salt="s0").collect()
+    }
+    assert rep == ref and 0 < len(rep) < 300
+
+
+def test_repeat_epochs_sql_replica(spark, duck, tmp_path):
+    import duckdb
+
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs, repeat_epochs_sql
+
+    rows = [(i, "wiki" if i % 3 == 0 else "web") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    p = str(tmp_path / "re_docs.parquet")
+    df.toPandas().to_parquet(p)
+    rates = {"wiki": 2.45, "web": 0.4}
+    got = {
+        (r.doc_id, r.epoch_copy)
+        for r in repeat_epochs(df, rates, default_rate=0.0).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW redocs AS SELECT * FROM read_parquet('{p}')")
+    want = {
+        (a, c)
+        for a, _, c in con.execute(
+            repeat_epochs_sql("redocs", rates, default_rate=0.0)
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_repeat_epochs_guards(spark):
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="epoch rate"):
+        repeat_epochs(df, {"a": -0.1})
+    with _pytest.raises(ValueError, match="epoch rate"):
+        repeat_epochs(df, 500.0)
+    with _pytest.raises(ValueError, match="collide"):
+        repeat_epochs(df.withColumn("epoch_copy", df.doc_id), 1.0)
