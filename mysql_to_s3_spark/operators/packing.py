@@ -121,6 +121,13 @@ def pack_assignments(
 ) -> DataFrame:
     """Per-document sequence assignment (bucket, seq_no, start_off).
 
+    ``id_col`` values must be UNIQUE: the per-bucket offset window
+    orders by (n_tokens DESC, id ASC), and duplicate ids tie in that
+    order — the default RANGE frame then hands every copy the SAME
+    start_off, aliasing them onto one sequence slot. Upsampled corpora
+    (``sampling.repeat_epochs``) must pack under a composite id, e.g.
+    ``concat(id, '#', epoch_copy)``.
+
     ``n_tokens_col`` lets callers pass a precomputed length column;
     otherwise lengths come from tokenizing ``text_col``. Zero-token
     docs are dropped (they carry no training signal and would alias

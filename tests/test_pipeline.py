@@ -1147,3 +1147,31 @@ def test_shard_write_replay_is_receipt_idempotent(spark, docs, tmp_path):
     write_training_shards(src, out, budget=256, n_buckets=4)  # the replay
     assert _shard_stats(spark, out) == first
     src.unpersist()
+
+
+def test_repeat_epochs_then_shard_composition(spark, docs, tmp_path):
+    """r7: the up-sampling mixture composes with the shard writer under
+    a COMPOSITE id (doc_id#epoch_copy) — every (doc, copy) lands in the
+    shards exactly once. (Duplicate raw ids would tie in the packer's
+    offset window and alias onto one sequence slot — the documented
+    contract in pack_assignments.)"""
+    import glob as _glob
+    import json as _json
+
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs
+
+    src = docs.limit(60)
+    rep = repeat_epochs(src, 2.45).withColumn(
+        "rep_id", F.concat_ws("#", "doc_id", "epoch_copy")
+    )
+    n_rep = rep.count()
+    assert n_rep > 2 * 60  # both full copies + some fractional third
+    out = str(tmp_path / "rep_shards")
+    write_training_shards(rep.select("rep_id", "text"), out,
+                          budget=256, n_buckets=4, id_col="rep_id")
+    landed = [
+        _json.loads(_json.loads(line)["doc"])["rep_id"]
+        for f in _glob.glob(out + "/bucket=*/part-*")
+        for line in open(f)
+    ]
+    assert len(landed) == len(set(landed)) == n_rep
