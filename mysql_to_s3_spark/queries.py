@@ -2512,9 +2512,25 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("content_hash"),
         F.lit(None).cast("double").alias("fill_frac"),
     )
+    # repeat leg (r7): the UP-sampling mixture at 2.45 epochs — two
+    # full copies of every doc plus a deterministic per-(id, copy)
+    # fractional third, each (doc, copy) a hashed row vs the exact
+    # repeat_epochs_sql replica
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs
+
+    rep = repeat_epochs(docs, 2.45).select(
+        F.lit("repeat").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("key1"),
+        F.col("epoch_copy").cast("bigint").alias("key2"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("n_items"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
     return (
         chunk.unionByName(pack)
         .unionByName(shuf)
+        .unionByName(rep)
         .unionByName(bpe)
         .unionByName(first)
         .unionByName(shard)
@@ -2600,11 +2616,13 @@ def _chunk_pack_oracle() -> str:
     from mysql_to_s3_spark.operators.packing import chunk_documents_sql, pack_stats_sql
     from mysql_to_s3_spark.operators.sampling import epoch_shuffle_sql
 
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs_sql
     from mysql_to_s3_spark.pipeline import shard_receipt_sql
 
     chunk = chunk_documents_sql("documents", max_tokens=64, overlap=8)
     pack = pack_stats_sql("documents", budget=2048, n_buckets=16)
     shuf = epoch_shuffle_sql("documents", epoch=3, n_shards=8)
+    rep = repeat_epochs_sql("documents", 2.45)
     shard_receipt = shard_receipt_sql("documents", budget=2048, n_buckets=8)
     return f"""
       SELECT 'chunk' AS leg, CAST(doc_id AS BIGINT) AS key1, chunk_idx AS key2,
@@ -2622,6 +2640,12 @@ def _chunk_pack_oracle() -> str:
              CAST(shard AS BIGINT) AS n_items,
              CAST(NULL AS VARCHAR) AS content_hash, CAST(NULL AS DOUBLE) AS fill_frac
       FROM ({shuf})
+      UNION ALL
+      SELECT 'repeat' AS leg, CAST(doc_id AS BIGINT) AS key1,
+             CAST(epoch_copy AS BIGINT) AS key2,
+             CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_items,
+             CAST(NULL AS VARCHAR) AS content_hash, CAST(NULL AS DOUBLE) AS fill_frac
+      FROM ({rep})
       UNION ALL
       {_bpe_oracle_sql()}
       UNION ALL
