@@ -377,3 +377,34 @@ def test_repeat_epochs_guards(spark):
         repeat_epochs(df, 500.0)
     with _pytest.raises(ValueError, match="collide"):
         repeat_epochs(df.withColumn("epoch_copy", df.doc_id), 1.0)
+
+
+def test_repeat_epochs_matches_python_reference(spark):
+    """Exact multiset equality against an independent pure-Python
+    replica of the draw (md5 of 'id|epoch<copy>', first 8 hex chars,
+    mod SPLIT_BUCKETS) — pins the hash recipe itself, not just bounds."""
+    import hashlib
+    import math
+
+    from mysql_to_s3_spark.operators.sampling import SPLIT_BUCKETS, repeat_epochs
+
+    rows = [(i, ["wiki", "web", "code"][i % 3]) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"wiki": 2.45, "web": 0.4, "code": 1.0}
+
+    def ref():
+        out = set()
+        for i, lang in rows:
+            r = rates[lang]
+            for c in range(math.ceil(r)):
+                if c < math.floor(r):
+                    out.add((i, c))
+                else:
+                    h = hashlib.md5(f"{i}|epoch{c}".encode()).hexdigest()
+                    draw = int(h[:8], 16) % SPLIT_BUCKETS
+                    if draw < round((r - math.floor(r)) * SPLIT_BUCKETS):
+                        out.add((i, c))
+        return out
+
+    got = {(r.doc_id, r.epoch_copy) for r in repeat_epochs(df, rates).collect()}
+    assert got == ref() and got
