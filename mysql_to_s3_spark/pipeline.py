@@ -715,6 +715,7 @@ def stream_write_training_shards(
     manifest: bool = False,
     n_tokens_col: str | None = None,
     checkpoint: str | None = None,
+    available_now: bool = False,
 ):
     """Streaming form of ``write_training_shards`` — the last
     prepare-pipeline stage gets a stream analog (gates, dedup, decontam
@@ -743,6 +744,10 @@ def stream_write_training_shards(
       per-batch sequences; sequence keys are (batch dir, bucket,
       seq_no)).
 
+    ``available_now=True`` drains everything already in the source and
+    terminates (``awaitTermination`` returns) — the batch-drain idiom;
+    the default runs continuously until ``stop()``.
+
     Returns the started ``StreamingQuery``."""
 
     def _write(df: DataFrame, epoch_id: int) -> None:
@@ -762,6 +767,8 @@ def stream_write_training_shards(
     w = sdf.writeStream.foreachBatch(_write)
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
     return w.start()
 
 

@@ -4,7 +4,12 @@ prepare_corpus_stream (quality gate -> LM perplexity gate [pretrained
 unigram broadcast] -> exact dedup -> decontamination -> split) with
 availableNow, and report docs/sec end-to-end.
 
-Usage: python tools/bench_stream_pipeline.py [sf_dir] [n_chunks]
+Usage: python tools/bench_stream_pipeline.py [sf_dir] [n_chunks] [sink]
+
+``sink`` = 'parquet' (default: plain survivor landing) or 'shards'
+(r7: the COMPLETE streaming ingest — survivors packed per micro-batch
+into receipted training shards via stream_write_training_shards; each
+batch group's manifest is verified after the drain).
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/sf1data"
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    sink = sys.argv[3] if len(sys.argv) > 3 else "parquet"
 
     from mysql_to_s3_spark import get_spark
     from mysql_to_s3_spark.operators.lm import unigram_counts
@@ -67,17 +73,49 @@ def main() -> None:
         lateness="1 hour",
     )
     t0 = time.perf_counter()
-    q = (
-        outs.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    wall = time.perf_counter() - t0
-    kept = spark.read.parquet(out_dir).count()
+    if sink == "shards":
+        from mysql_to_s3_spark.pipeline import (
+            stream_write_training_shards,
+            verify_shards,
+        )
+
+        q = stream_write_training_shards(
+            outs.select("doc_id", "text", "split"),
+            out_dir,
+            budget=2048,
+            n_buckets=16,
+            extra_cols=("split",),
+            manifest=True,
+            checkpoint=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        import glob
+        import json as _json
+
+        batches = sorted(glob.glob(out_dir + "/batch=*"))
+        mismatches = sum(len(verify_shards(spark, b)) for b in batches)
+        kept = sum(
+            1
+            for b in batches
+            for f in glob.glob(b + "/bucket=*/part-*")
+            for _ in open(f)
+        )
+        extra = {"n_batches": len(batches), "receipt_mismatches": mismatches}
+    else:
+        q = (
+            outs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        kept = spark.read.parquet(out_dir).count()
+        extra = {}
     import json
 
     print(
@@ -85,11 +123,13 @@ def main() -> None:
             {
                 "metric": "stream_pipeline_sf1",
                 "sf_dir": sf_dir,
+                "sink": sink,
                 "n_docs": n_docs,
                 "kept": kept,
                 "n_chunks": n_chunks,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n_docs / wall, 1),
+                **extra,
             }
         )
     )
