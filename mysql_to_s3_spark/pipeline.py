@@ -739,10 +739,11 @@ def stream_write_training_shards(
       receipt — ``verify_shards`` gates each batch group independently,
       which is exactly the unit a downstream trainer consumes as it
       tails the stream;
-    - read back with the explicit-schema readers over
-      ``<path>/batch=*`` (``read_training_sequences`` reconstructs
-      per-batch sequences; sequence keys are (batch dir, bucket,
-      seq_no)).
+    - read back with ``read_training_sequences`` pointed at the STREAM
+      ROOT ``path`` (not a ``batch=*`` glob — the glob consumes the
+      batch directory level): partition discovery surfaces ``batch`` and
+      the reader folds it into the grouping key, so sequence keys are
+      (batch, bucket, seq_no) and micro-batches never merge.
 
     ``available_now=True`` drains everything already in the source and
     terminates (``awaitTermination`` returns) — the batch-drain idiom;
@@ -779,6 +780,9 @@ _SHARD_SCHEMA = (
     "seq_no bigint, start_off bigint, n_tokens bigint, doc string"
 )
 MANIFEST_NAME = "_manifest.json"
+# bump when the sig recipe changes; verify_shards refuses cross-format
+# compares (format 1 = bit_xor(xxhash64), format 2 = md5-prefix sums)
+MANIFEST_FORMAT = 2
 
 
 def _shard_stats_frame(spark, path: str) -> DataFrame:
@@ -900,7 +904,12 @@ def write_shard_manifest(spark, path: str) -> list[dict]:
     stats. Reading back what hit the DISK (not the pre-write frame)
     makes the manifest a receipt for the committed files themselves.
     Written through the Hadoop FileSystem API, so the receipt lands next
-    to the shards on s3a://... and hdfs://... paths too."""
+    to the shards on s3a://... and hdfs://... paths too.
+
+    The manifest carries ``format: MANIFEST_FORMAT`` so that a sig-recipe
+    change (format 2 moved from bit_xor(xxhash64) to the md5-prefix-sum
+    string) is detected by ``verify_shards`` as a VERSION error instead of
+    masquerading as per-bucket corruption of every receipt."""
     import json as _json
 
     from mysql_to_s3_spark.functions.fsio import write_text
@@ -908,7 +917,7 @@ def write_shard_manifest(spark, path: str) -> list[dict]:
     stats = _shard_stats(spark, path)
     write_text(
         spark, path.rstrip("/") + "/" + MANIFEST_NAME,
-        _json.dumps({"buckets": stats}, sort_keys=True),
+        _json.dumps({"format": MANIFEST_FORMAT, "buckets": stats}, sort_keys=True),
     )
     return stats
 
@@ -917,7 +926,11 @@ def verify_shards(spark, path: str) -> list[dict]:
     """Re-read the shards and diff against the stored manifest. Returns
     a list of mismatch records (empty == intact): one per bucket whose
     stats changed, vanished, or appeared, with both sides attached —
-    the post-transfer / pre-training integrity gate."""
+    the post-transfer / pre-training integrity gate.
+
+    A manifest written under a different sig recipe (missing or wrong
+    ``format`` key) raises ``PipelineError`` — a stale-format receipt must
+    read as "re-run write_shard_manifest", never as data corruption."""
     import json as _json
 
     from mysql_to_s3_spark.functions.fsio import exists, read_text
@@ -925,7 +938,16 @@ def verify_shards(spark, path: str) -> list[dict]:
     mpath = path.rstrip("/") + "/" + MANIFEST_NAME
     if not exists(spark, mpath):
         raise PipelineError(f"no {MANIFEST_NAME} under {path}; write one first")
-    want = {b["bucket"]: b for b in _json.loads(read_text(spark, mpath))["buckets"]}
+    manifest = _json.loads(read_text(spark, mpath))
+    fmt = manifest.get("format")
+    if fmt != MANIFEST_FORMAT:
+        raise PipelineError(
+            f"manifest format {fmt!r} at {mpath} does not match this build's "
+            f"format {MANIFEST_FORMAT} (the sig recipe changed); re-run "
+            "write_shard_manifest over intact shards instead of comparing "
+            "receipts computed under different recipes"
+        )
+    want = {b["bucket"]: b for b in manifest["buckets"]}
     got = {b["bucket"]: b for b in _shard_stats(spark, path)}
     out = []
     for bucket in sorted(set(want) | set(got)):
@@ -948,10 +970,19 @@ def read_training_sequences(spark, path: str) -> DataFrame:
     alignment. A loader that streams files directly can skip even that:
     each bucket file is already (seq_no, start_off)-sorted — this
     reader is the DISTRIBUTED consumer (re-tokenization jobs, sequence
-    audits, export to another format)."""
+    audits, export to another format).
+
+    Over a ``stream_write_training_shards`` output, point this at the
+    STREAM ROOT (the directory holding ``batch=*``), NOT at a
+    ``<path>/batch=*`` glob: partition discovery then surfaces ``batch``
+    as a column and it joins the grouping key, keeping sequences
+    micro-batch-local. A glob consumes the batch directory level, which
+    would merge same-(bucket, seq_no) sequences from different
+    micro-batches into one bogus sequence."""
     df = spark.read.schema(_SHARD_SCHEMA).json(path)
+    seq_key = (["batch"] if "batch" in df.columns else []) + ["bucket", "seq_no"]
     return (
-        df.groupBy("bucket", "seq_no")
+        df.groupBy(*seq_key)
         .agg(
             F.transform(
                 F.array_sort(
@@ -986,7 +1017,11 @@ def split_leakage(
     all-pairs) + two joins to attach labels. Callers that already hold
     a near-dup pair frame — (a, b, jaccard), any generator — pass it
     via ``pairs`` and pay only the label joins (inside one plan Spark
-    then reuses the pair scan's exchanges across consumers)."""
+    then reuses the pair scan's exchanges across consumers). Supplied
+    frames are still filtered to ``jaccard >= threshold``, so an audit
+    at 0.8 over a 0.5-threshold pair frame never reports sub-threshold
+    pairs as leakage (generated below the audit threshold the filter
+    cannot RECOVER pairs — recall is the generator's)."""
     from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
 
     if split_col not in df.columns:
@@ -995,6 +1030,8 @@ def split_leakage(
         pairs = minhash_lsh_pairs(
             df, threshold=threshold, id_col=id_col, text_col=text_col
         )
+    else:
+        pairs = pairs.filter(F.col("jaccard") >= F.lit(float(threshold)))
     labels = df.select(F.col(id_col), F.col(split_col))
     return (
         pairs.join(

@@ -1175,3 +1175,111 @@ def test_repeat_epochs_then_shard_composition(spark, docs, tmp_path):
         for line in open(f)
     ]
     assert len(landed) == len(set(landed)) == n_rep
+
+
+def test_verify_shards_rejects_stale_manifest_format(spark, docs, tmp_path):
+    """r8 (ADVICE): a manifest written under an older sig recipe must
+    fail as a clear FORMAT error naming write_shard_manifest — never as
+    per-bucket corruption mismatches — and a current-format receipt
+    still verifies clean after the round trip."""
+    import json as _json
+    import os as _os
+
+    from mysql_to_s3_spark.pipeline import (
+        MANIFEST_FORMAT,
+        MANIFEST_NAME,
+        PipelineError,
+        verify_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "packed_fmt")
+    write_training_shards(docs.limit(40), out, budget=256, n_buckets=2, manifest=True)
+    mpath = _os.path.join(out, MANIFEST_NAME)
+    manifest = _json.load(open(mpath))
+    assert manifest["format"] == MANIFEST_FORMAT
+    assert verify_shards(spark, out) == []
+
+    # a format-1 receipt (bit_xor(xxhash64) era: no format key) and an
+    # unknown future format both refuse with the re-run guidance
+    crc = _os.path.join(out, "." + MANIFEST_NAME + ".crc")
+    for stale in (
+        {"buckets": manifest["buckets"]},
+        {"format": MANIFEST_FORMAT + 1, "buckets": manifest["buckets"]},
+    ):
+        if _os.path.exists(crc):
+            _os.remove(crc)  # hand-edited file: drop the Hadoop sidecar
+        with open(mpath, "w") as f:
+            f.write(_json.dumps(stale))
+        with pytest.raises(PipelineError, match="format"):
+            verify_shards(spark, out)
+
+
+def test_split_leakage_filters_supplied_pairs_to_threshold(spark):
+    """r8 (ADVICE): a caller-supplied pair frame generated at a looser
+    threshold must still be filtered to the audit's threshold — an 0.8
+    audit over 0.5-threshold pairs reports only >=0.8 straddlers."""
+    from mysql_to_s3_spark.pipeline import split_leakage
+
+    docs = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "test")],
+        "doc_id bigint, split string",
+    ).withColumn("text", F.lit("x"))
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 0.55)], "a bigint, b bigint, jaccard double"
+    )
+    got = split_leakage(docs, threshold=0.8, pairs=pairs).collect()
+    assert [(r["a"], r["b"]) for r in got] == [(1, 2)]
+    assert got[0]["jaccard"] >= 0.8
+
+
+def test_read_training_sequences_groups_per_batch_at_stream_root(spark, tmp_path):
+    """r8 (ADVICE): reading a streamed shard tree at the STREAM ROOT
+    surfaces the batch partition column and folds it into the sequence
+    key, so same-(bucket, seq_no) sequences from different micro-batches
+    never merge; per-(batch, bucket) doc totals match each batch's own
+    manifest."""
+    import json as _json
+    import os as _os
+
+    from mysql_to_s3_spark.pipeline import (
+        read_training_sequences,
+        write_training_shards,
+    )
+
+    # two "micro-batches" with colliding (bucket, seq_no) keys by
+    # construction: same ids (same buckets), tiny budget
+    out = str(tmp_path / "rooted_stream")
+    frames = {
+        0: spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            "doc_id bigint, text string",
+        ),
+        1: spark.createDataFrame(
+            [(1, "eta theta iota"), (2, "kappa lambda mu")],
+            "doc_id bigint, text string",
+        ),
+    }
+    for epoch, f in frames.items():
+        write_training_shards(
+            f, _os.path.join(out, f"batch={epoch}"), budget=8, n_buckets=2,
+            manifest=True,
+        )
+
+    seqs = read_training_sequences(spark, out)
+    assert "batch" in seqs.columns
+    rows = seqs.collect()
+    # no merged sequences: every (batch, bucket, seq_no) holds only docs
+    # from its own batch, and totals per batch match the manifests
+    for epoch in frames:
+        manifest = _json.load(open(_os.path.join(out, f"batch={epoch}", "_manifest.json")))
+        want = sum(b["n_docs"] for b in manifest["buckets"])
+        got = sum(r["n_docs"] for r in rows if int(r["batch"]) == epoch)
+        assert got == want == 2
+    # the hazard case the docstring warns about: both batches present,
+    # same (bucket, seq_no) space — without the batch key these 4 docs
+    # would collapse into <=2 sequences
+    keys = {(int(r["batch"]), int(r["bucket"]), int(r["seq_no"])) for r in rows}
+    assert len(keys) == len(rows)
+    collapsed = {(b, s) for _, b, s in keys}
+    assert len(collapsed) < len(keys)
