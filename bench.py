@@ -66,10 +66,62 @@ HEADLINE = [
 ]
 
 
+# Rows whose wall time absorbs work beyond one headline operator —
+# the key the BENCH-vs-BASELINE ratio must be read through. "ops" legs
+# are ADDITIONAL first-class operators co-hosted in the row (the catalog
+# is capped at 50 driver entries, so operators share rows); "verify"
+# legs exist only to bind the oracle gate (train-summary assertions,
+# in-row lifecycle receipts, eager-contract booleans). A BASELINE.md row
+# prices ONE operator; these rows price many.
+ROW_TAGS = {
+    "text_chunk_pack": {
+        "ops": ["chunk", "pack", "shuffle", "bpe", "repeat"],
+        "verify": ["bpe_first", "bpe_second", "shard"],
+    },
+    "temporal_events": {
+        "ops": ["asof", "asoff", "asofn", "asoft", "range", "sess", "funnel", "fwin"],
+        "verify": [],
+    },
+    "text_quality": {
+        "ops": ["quality", "lang_guess", "split", "lm_logprob", "lm2_logprob", "cls_label"],
+        "verify": [],
+    },
+    "snowflake_denormalize": {
+        "ops": ["doc", "semi", "hidx", "uniqf"],
+        "verify": ["ext", "ref", "resume", "notify", "uniq_ok", "uniq_dup"],
+    },
+    "dedup_minhash_lsh": {"ops": ["pair", "leak"], "verify": []},
+    "text_winnow_fingerprint": {
+        "ops": ["fingerprint", "span", "boilerplate"],
+        "verify": [],
+    },
+    "similarity_ann_lsh": {"ops": ["probe0", "probe1"], "verify": ["exact"]},
+    "similarity_ivf": {"ops": ["ivf", "pq", "ivfpq"], "verify": ["exact"]},
+    "typed_json_roundtrip": {
+        "ops": ["typed", "jsonl", "esbulk_a", "esbulk_d"],
+        "verify": [],
+    },
+    "pipeline_prepare": {
+        "ops": ["quality", "language", "exact_dedup", "near_dup", "decontam", "split"],
+        "verify": [],
+    },
+    "window_running_sum": {
+        "ops": ["running_qty", "seq", "trail3", "a_qty"],
+        "verify": [],
+    },
+    "window_lead_lag": {"ops": ["prev_value", "k_val"], "verify": ["gseq"]},
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # solo-run marker: 1-min loadavg BEFORE the JVM spins up. On a 32-cpu
+    # host, load1 >> 2-3 at start means a noisy neighbor — adjudicate the
+    # totals against the documented 36-70 s band before chasing a
+    # regression (see SCALE.md bench notes).
+    load1_start = round(os.getloadavg()[0], 2)
 
     from mysql_to_s3_spark import queries as catalog
     from mysql_to_s3_spark.session import get_spark
@@ -103,21 +155,30 @@ def main() -> None:
         engine_counts[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(times.values()), 4)
+    load1_end = round(os.getloadavg()[0], 2)
     # The driver tails only the last ~2KB of stdout and parses the FINAL
     # line as JSON (round-5 lesson: one mega-line overflowed the buffer and
-    # BENCH_r05 recorded parsed:null). So: supplementary engine-side counts
-    # + protocol go on their own EARLIER line, and the compact headline
-    # object is the last thing printed.
+    # BENCH_r05 recorded parsed:null). So: the verbose engine-count dict,
+    # row tags, and protocol prose go on their own EARLIER line, and the
+    # compact headline object is the last thing printed. The headline line
+    # still carries BOTH measurements per row — `engine_sec[i]` is the
+    # engine-side count() seconds for the i-th key of `queries` (JSON
+    # object order == HEADLINE order) — as a compact aligned array so the
+    # parsed artifact alone supports the wall-vs-engine ratio table.
     print(
         json.dumps(
             {
                 "metric": "engine_count_sec",
                 "queries": engine_counts,
+                "row_tags": ROW_TAGS,
                 "protocol": (
                     "per query: min-of-2 full collect() (headline line) + "
-                    "one engine-side count() (driver-transfer-free, this "
-                    "line). Host note: totals swing 36-70s with neighbor "
-                    "load — re-measure solo before chasing regressions."
+                    "one engine-side count() (driver-transfer-free). "
+                    "row_tags marks rows whose time covers several co-hosted "
+                    "operators (ops) and oracle-binding-only legs (verify) — "
+                    "BASELINE rows price ONE operator. Host note: totals "
+                    "swing 36-70s with neighbor load; load1 markers in the "
+                    "headline line adjudicate in-artifact."
                 ),
             }
         )
@@ -129,6 +190,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "engine_sec": [round(engine_counts[n], 3) for n in HEADLINE],
+                "load1": [load1_start, load1_end],
                 "sf": sf,
             }
         )

@@ -1088,11 +1088,19 @@ _q(
                 "value": {"rows": ["value", -1]},
                 "edges": ["user_id"],
                 "sort": ["ts", "event_id"],
-            }
+            },
+            # r8: the EDGE-LESS global window (reference global-sort
+            # semantics, SURVEY §2.5 row 48) under the hard gate — the
+            # bounded-row guard (windows._guard_global_window) admits the
+            # frame after its memoized limit-count, then the single-task
+            # global rownum runs; event_id is unique, so the order is
+            # total and the result engine-independent at any sf
+            {"name": "gseq", "sort": ["event_id"]},
         ],
         "select": [
             "event_id",
             "prev_value",
+            "gseq",
             {"name": "k_val", "value": {"between": "props", "prefix": '{"k": ', "suffix": "}"}},
         ],
         "sort": ["event_id"],
@@ -1100,6 +1108,7 @@ _q(
     },
     """SELECT event_id,
               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+              row_number() OVER (ORDER BY event_id) - 1 AS gseq,
               CASE WHEN regexp_matches(props, '\\{"k": (.*?)\\}')
                    THEN regexp_extract(props, '\\{"k": (.*?)\\}', 1) END AS k_val
        FROM events ORDER BY event_id LIMIT 10000""",
@@ -2005,7 +2014,30 @@ def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 snowflake_schema.py reference columns): the dim struct
                 prunes to exactly {id, reference col} — n_items carries
                 the surviving field COUNT (must be 2) and cname the
-                inlined reference value."""
+                inlined reference value.
+
+    r8 legs — the keyed-lookup utilities (operators/index.py; reference
+    mysql_to_s3/extract.py:193-198 id-batch restriction and
+    vendor/mo_collections/{index,unique_index}.py structures) move from
+    unit-only to the hard gate:
+
+    - `semi`:   semi_join_ids broadcast-LeftSemi batch restriction —
+                one row per surviving order (per-row binding: a missed
+                or extra id anywhere breaks the hash) for the batch
+                {k < 100 : k % 3 == 0}.
+    - `hidx`:   hash_index over lineitem keyed by l_orderkey — n_items
+                = member count, cname = the comma-joined l_linenumber
+                list in sort order (binds member CONTENT and ORDER,
+                not just counts).
+    - `uniqf`:  unique_index(fail_on_dup=False) first-member-per-key —
+                n_items = the kept row's l_linenumber (min over the
+                sorted struct), total_qty = that same row's quantity
+                (binds WHICH row was kept).
+    - `uniq_ok`/`uniq_dup` (summary): the fail-loudly contract as
+                bounded-contract values — row count surviving the
+                unique check on a key that IS unique, and 1 iff the
+                deliberately duplicated frame raised. The eager checks
+                run once per (session, sf) via _fit_cached."""
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -2159,16 +2191,76 @@ def _snowflake_denorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("etl_key"),
     )
 
+    from mysql_to_s3_spark.operators.index import (
+        IndexError_,
+        hash_index,
+        semi_join_ids,
+        unique_index,
+    )
+
+    # `semi`: the id-batch LeftSemi over the pooled orders scan
+    batch_ids = [k for k in range(100) if k % 3 == 0]
+    semi_leg = semi_join_ids(tables["orders"], batch_ids, "o_orderkey").select(
+        F.lit("semi").alias("leg"),
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.lit(None).cast("string").alias("cname"),
+        F.lit(None).cast("bigint").alias("n_items"),
+        F.lit(None).cast("double").alias("total_qty"),
+        F.lit(None).cast("string").alias("etl_key"),
+    )
+
+    # `hidx` + `uniqf` share one projected child frame off the pooled scan
+    li = tables["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+    hidx_leg = hash_index(li, ["l_orderkey"]).select(
+        F.lit("hidx").alias("leg"),
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        # members are sort_array'd on (l_linenumber, l_quantity) structs,
+        # so the projected linenumber list is already in key order
+        F.array_join(
+            F.transform(F.col("members"), lambda m: m["l_linenumber"].cast("string")),
+            ",",
+        ).alias("cname"),
+        F.col("n_members").cast("bigint").alias("n_items"),
+        F.lit(None).cast("double").alias("total_qty"),
+        F.lit(None).cast("string").alias("etl_key"),
+    )
+    uniqf_leg = unique_index(li, ["l_orderkey"], fail_on_dup=False).select(
+        F.lit("uniqf").alias("leg"),
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.lit(None).cast("string").alias("cname"),
+        F.col("l_linenumber").cast("bigint").alias("n_items"),
+        F.round(F.col("l_quantity"), 6).cast("double").alias("total_qty"),
+        F.lit(None).cast("string").alias("etl_key"),
+    )
+
+    def _uniq_gate():
+        n_ok = unique_index(tables["orders"], ["o_orderkey"]).count()
+        try:
+            unique_index(
+                tables["orders"].unionByName(tables["orders"]), ["o_orderkey"]
+            )
+            raised = 0
+        except IndexError_:
+            raised = 1
+        return n_ok, raised
+
+    n_uniq_ok, uniq_raised = _fit_cached(spark, sf_dir, "uniq_gate", _uniq_gate)
+
     summary = spark.createDataFrame(
         [
             ("resume", None, None, n_resumed, None, None),
             ("notify", None, None, n_notify, None, None),
+            ("uniq_ok", None, None, n_uniq_ok, None, None),
+            ("uniq_dup", None, None, uniq_raised, None, None),
         ],
         schema,
     )
     return (
         doc_leg.unionByName(ext)
         .unionByName(ref_leg)
+        .unionByName(semi_leg)
+        .unionByName(hidx_leg)
+        .unionByName(uniqf_leg)
         .unionByName(summary)
         .orderBy("leg", "okey")
     )
@@ -2199,10 +2291,29 @@ _q(
        UNION ALL
        SELECT 'ref', base.okey, base.cname, 2, NULL, NULL FROM base
        UNION ALL
+       SELECT 'semi', o_orderkey, NULL, NULL, NULL, NULL
+       FROM o WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'hidx', l_orderkey,
+              string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber),
+              CAST(count(*) AS BIGINT), NULL, NULL
+       FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey
+       UNION ALL
+       SELECT 'uniqf', l_orderkey, NULL,
+              CAST(min(l_linenumber) AS BIGINT),
+              CAST(round((min(struct_pack(ln := l_linenumber, q := l_quantity))).q, 6)
+                   AS DOUBLE), NULL
+       FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey
+       UNION ALL
        SELECT 'resume', NULL, NULL, 0, NULL, NULL
        UNION ALL
        SELECT 'notify', NULL, NULL,
               CAST(ceil((SELECT count(*) FROM o) / 25.0) AS BIGINT), NULL, NULL
+       UNION ALL
+       SELECT 'uniq_ok', NULL, NULL, (SELECT CAST(count(*) AS BIGINT) FROM o),
+              NULL, NULL
+       UNION ALL
+       SELECT 'uniq_dup', NULL, NULL, 1, NULL, NULL
        ORDER BY leg, okey""",
 )
 

@@ -66,6 +66,8 @@ class TableMeta:
 
 # conf-key fallback for SnowflakeConfig.child_cap (None/unset = unbounded)
 CHILD_CAP_CONF = "mysql_to_s3_spark.snowflake.childCap"
+# conf-key fallback for SnowflakeConfig.child_salt (None/unset/<=1 = off)
+CHILD_SALT_CONF = "mysql_to_s3_spark.snowflake.childSalt"
 
 
 @dataclass
@@ -83,6 +85,14 @@ class SnowflakeConfig:
     # the dropped rows. None = read CHILD_CAP_CONF; both unset = unbounded
     # (the reference contract, snowflake_schema.py:535-543).
     child_cap: int | None = None
+    # salted two-phase child collect (SURVEY §7 "cap + salt"): with
+    # n > 1, children are first collected per (fk, salt in 0..n-1) — n
+    # parallel tasks per hot parent — then the n pre-sorted sub-arrays
+    # merge in a second, tiny (n rows per parent) aggregation. Below the
+    # cap this preserves every child byte-for-byte vs the unsalted path;
+    # the cap stays the final valve. None = read CHILD_SALT_CONF;
+    # both unset/<=1 = the single-phase collect.
+    child_salt: int | None = None
 
 
 @dataclass
@@ -398,6 +408,18 @@ def _resolved_child_cap(df: DataFrame, cfg: SnowflakeConfig | None) -> int | Non
     return int(raw) if raw is not None else None
 
 
+def _resolved_child_salt(df: DataFrame, cfg: SnowflakeConfig | None) -> int | None:
+    if cfg is not None and cfg.child_salt is not None:
+        n = int(cfg.child_salt)
+    else:
+        try:
+            raw = df.sparkSession.conf.get(CHILD_SALT_CONF, None)
+        except Exception:
+            raw = None
+        n = int(raw) if raw is not None else 0
+    return n if n > 1 else None
+
+
 def _element_fields(
     tables: dict[str, DataFrame], node, cfg: SnowflakeConfig | None = None
 ) -> tuple[DataFrame, list[tuple[str, any]]]:
@@ -446,9 +468,27 @@ def _prepare_child(
     groupBy share one hash partitioning on the FK, so the cap costs a
     sort, not a second shuffle. Dropped rows are counted into the
     overflow column (reference contract extension; the reference itself
-    is unbounded, snowflake_schema.py:535-543)."""
+    is unbounded, snowflake_schema.py:535-543).
+
+    Salt valve (SURVEY §7 "cap + salt"; r8): the cap alone is LOSSY on a
+    hot parent — everything past it truncates — and below the cap all of
+    a hot parent's children still funnel through one task's window sort
+    + one aggregation buffer. With ``child_salt = n`` (or
+    CHILD_SALT_CONF) > 1, the collect runs in TWO phases: phase 1 groups
+    by (fk, xxhash64(sort_columns) % n) — a hot parent's children spread
+    over n tasks, each producing one pre-sorted sub-array (and, capped,
+    each keeping only its own top-cap: the global top-cap is a subset of
+    the per-salt top-caps, so nothing the final slice needs is dropped) —
+    and phase 2 re-groups by fk alone over n ROWS per parent, merging
+    with flatten + one array sort (+ slice(cap) and the summed overflow
+    count when capped). Same results as the single-phase path
+    element-for-element when sort keys are unique (ties: both paths pick
+    arbitrarily, like any engine's LIMIT under ties); the extra phase-2
+    shuffle moves n_parents × n rows of pre-serialized arrays, not
+    child rows."""
     df, fields = _element_fields(tables, ch, cfg)
     cap = _resolved_child_cap(df, cfg)
+    n_salts = _resolved_child_salt(df, cfg)
     elem = F.struct(*[c.alias(n) for n, c in fields])
     sort_struct = F.struct(
         *[F.col(s).alias(f"__s{i}__") for i, s in enumerate(ch.sort_columns)],
@@ -457,6 +497,10 @@ def _prepare_child(
     uid = next(_uid)
     keys = [f"__k{uid}_{i}__" for i in range(len(ch.fk_columns))]
     vname = f"__v{uid}__"
+    if n_salts is not None:
+        return _prepare_child_salted(
+            df, ch, cap, n_salts, sort_struct, keys, vname, uid
+        )
     if cap is None:
         grouped = (
             df.groupBy(*[F.col(c).alias(k) for c, k in zip(ch.fk_columns, keys)])
@@ -486,6 +530,76 @@ def _prepare_child(
             *keys,
             F.transform(F.col("__raw__"), lambda s: s["__p__"]).alias(vname),
             oname,
+        )
+    )
+    return grouped, keys, vname, oname
+
+
+def _prepare_child_salted(
+    df: DataFrame,
+    ch: ChildNode,
+    cap: int | None,
+    n_salts: int,
+    sort_struct,
+    keys: list[str],
+    vname: str,
+    uid: int,
+) -> tuple[DataFrame, list[str], str, str | None]:
+    """Two-phase (salted) child collect — see ``_prepare_child``. Phase 1
+    parallelizes a hot parent over ``n_salts`` tasks; phase 2 merges the
+    pre-sorted sub-arrays (n_salts rows per parent)."""
+    sname = f"__salt{uid}__"
+    salted = df.withColumn(
+        sname,
+        F.pmod(F.xxhash64(*[F.col(s) for s in ch.sort_columns]), F.lit(n_salts)),
+    )
+    key_aliases = [F.col(c).alias(k) for c, k in zip(ch.fk_columns, keys)]
+    if cap is None:
+        partial = salted.groupBy(*key_aliases, F.col(sname)).agg(
+            F.sort_array(F.collect_list(sort_struct)).alias("__sub__")
+        )
+        grouped = (
+            partial.groupBy(*keys)
+            .agg(F.sort_array(F.flatten(F.collect_list("__sub__"))).alias("__raw__"))
+            .select(
+                *keys,
+                F.transform(F.col("__raw__"), lambda s: s["__p__"]).alias(vname),
+            )
+        )
+        return grouped, keys, vname, None
+    from pyspark.sql import Window
+
+    oname = f"__ov{uid}__"
+    # per-(fk, salt) top-cap: the merged top-cap can only contain rows
+    # that are top-cap within their own salt group, so pre-capping here
+    # bounds every phase-1 buffer at cap without losing final elements
+    w_order = Window.partitionBy(*ch.fk_columns, sname).orderBy(
+        *[F.col(s) for s in ch.sort_columns]
+    )
+    w_all = Window.partitionBy(*ch.fk_columns, sname)
+    capped = (
+        salted.withColumn("__rn__", F.row_number().over(w_order))
+        .withColumn("__nc__", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn__") <= F.lit(cap))
+    )
+    partial = capped.groupBy(*key_aliases, F.col(sname)).agg(
+        F.sort_array(F.collect_list(sort_struct)).alias("__sub__"),
+        F.max("__nc__").alias("__cnt__"),
+    )
+    grouped = (
+        partial.groupBy(*keys)
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("__sub__"))).alias("__m__"),
+            F.sum("__cnt__").alias("__tot__"),
+        )
+        .select(
+            *keys,
+            F.transform(F.slice(F.col("__m__"), 1, cap), lambda s: s["__p__"]).alias(
+                vname
+            ),
+            F.greatest(F.col("__tot__") - F.lit(cap), F.lit(0))
+            .cast("long")
+            .alias(oname),
         )
     )
     return grouped, keys, vname, oname

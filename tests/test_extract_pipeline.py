@@ -264,3 +264,52 @@ def test_child_cap_via_conf_and_unset_schema(spark):
         assert r[2]["n"] == 5 and r[2]["ov"] == 0
     finally:
         spark.conf.unset(CHILD_CAP_CONF)
+
+
+def test_child_salt_two_phase_matches_unsalted(spark):
+    """r8 (SURVEY §7 "cap + salt"): the salted two-phase child collect
+    assembles IDENTICAL docs to the single-phase path on the 100k-child
+    skewed fixture — uncapped (every child preserved, exact order) and
+    capped (same kept top-cap set + same overflow counts)."""
+    tables, meta, rels = _cap_fixture(spark)
+    for cap in (None, 1000):
+        plain_cfg = SnowflakeConfig(
+            fact_table="parent", show_foreign_keys=False, child_cap=cap
+        )
+        salted_cfg = SnowflakeConfig(
+            fact_table="parent", show_foreign_keys=False, child_cap=cap,
+            child_salt=8,
+        )
+        plain = doc_frame(
+            tables, build_plan(meta, rels, plain_cfg), plain_cfg
+        ).orderBy("__id__").collect()
+        salted = doc_frame(
+            tables, build_plan(meta, rels, salted_cfg), salted_cfg
+        ).orderBy("__id__").collect()
+        assert salted == plain, f"cap={cap}: salted path diverged"
+
+
+def test_child_salt_via_conf(spark):
+    """CHILD_SALT_CONF gates the two-phase collect when the config leaves
+    child_salt None; the salt column shows in the optimized plan and the
+    assembled docs are unchanged."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.sources.snowflake import CHILD_SALT_CONF
+
+    tables, meta, rels = _cap_fixture(spark)
+    cfg = SnowflakeConfig(fact_table="parent", show_foreign_keys=False)
+    plan = build_plan(meta, rels, cfg)
+    spark.conf.set(CHILD_SALT_CONF, "4")
+    try:
+        docs = doc_frame(tables, plan, cfg)
+        assert "__salt" in docs._jdf.queryExecution().optimizedPlan().toString()
+        r = {
+            x["__id__"]: x
+            for x in docs.select(
+                "__id__", F.size("parent.child").alias("n")
+            ).collect()
+        }
+        assert r[1]["n"] == 100_000 and r[2]["n"] == 5
+    finally:
+        spark.conf.unset(CHILD_SALT_CONF)

@@ -1283,3 +1283,59 @@ def test_read_training_sequences_groups_per_batch_at_stream_root(spark, tmp_path
     assert len(keys) == len(rows)
     collapsed = {(b, s) for _, b, s in keys}
     assert len(collapsed) < len(keys)
+
+
+def test_multi_epoch_lifecycle_composition(spark, docs, tmp_path):
+    """r8 (VERDICT #4): the full multi-epoch lifecycle — repeat_epochs
+    (mixed per-stratum rates) -> epoch_shuffle keyed by doc_id#epoch_copy
+    -> write_training_shards(manifest) -> verify_shards — composes
+    exactly-once: every (doc, copy) the mixture emits lands in the shards
+    once, the receipt verifies clean, and copies of one doc SCATTER in
+    the trainer's (shard, pos) order (adjacent same-doc pairs stay at
+    the uniform-hash chance level, the contract repeat_epochs' docstring
+    promises via the composite key)."""
+    from collections import defaultdict
+
+    from mysql_to_s3_spark.operators.sampling import epoch_shuffle, repeat_epochs
+    from mysql_to_s3_spark.pipeline import verify_shards, write_training_shards
+
+    src = docs.limit(300).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "wiki").otherwise("web")
+    )
+    rep = repeat_epochs(src, {"wiki": 2.45, "web": 1.0}).withColumn(
+        "rep_id", F.concat_ws("#", "doc_id", "epoch_copy")
+    )
+    n_rep = rep.count()
+    assert n_rep > 300  # the wiki stratum repeats
+
+    shuf = epoch_shuffle(rep, epoch=3, n_shards=4, id_col="rep_id")
+    # copies-scatter: walk each shard in pos order; count adjacent pairs
+    # that are copies of the SAME underlying doc. Uniform md5 placement
+    # makes the expected count ~ sum_docs (c-1)/n_rows-ish; assert a
+    # loose deterministic ceiling far below "copies ride adjacent"
+    order = defaultdict(list)
+    for r in shuf.select("shard", "pos", "doc_id").collect():
+        order[r["shard"]].append((r["pos"], r["doc_id"]))
+    adjacent = 0
+    for shard_rows in order.values():
+        shard_rows.sort()
+        adjacent += sum(
+            1 for a, b in zip(shard_rows, shard_rows[1:]) if a[1] == b[1]
+        )
+    assert adjacent <= max(3, n_rep // 100), f"copies ride adjacent: {adjacent}"
+
+    out = str(tmp_path / "epoch_shards")
+    write_training_shards(
+        rep.select("rep_id", "text"), out, budget=256, n_buckets=4,
+        id_col="rep_id", manifest=True,
+    )
+    assert verify_shards(spark, out) == []
+    import glob as _glob
+    import json as _json
+
+    landed = [
+        _json.loads(_json.loads(line)["doc"])["rep_id"]
+        for f in _glob.glob(out + "/bucket=*/part-*")
+        for line in open(f)
+    ]
+    assert len(landed) == len(set(landed)) == n_rep
