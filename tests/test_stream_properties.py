@@ -682,3 +682,96 @@ def test_prop_stream_asof_forward_matches_batch(spark, tmp_path, data):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_prop_stream_shard_writer_exactly_once_batch_equivalent(
+    spark, tmp_path, data
+):
+    """r8 (VERDICT #5): for ANY arrival permutation of a doc corpus and
+    ANY micro-batch cut points, the streaming shard writer must
+    (1) land every doc EXACTLY once across batch groups,
+    (2) produce, per batch group, the IDENTICAL content receipt the
+        batch writer produces over that group's doc subset (the
+        streaming form is the batch form per micro-batch — bucket
+        assignment, offset packing and receipts included), and
+    (3) survive a replay of a randomly chosen epoch (foreachBatch
+        at-least-once) with a byte-identical receipt."""
+    import glob as _glob
+    import json as _json
+
+    from mysql_to_s3_spark.pipeline import (
+        _shard_stats,
+        stream_write_training_shards,
+        verify_shards,
+        write_training_shards,
+    )
+
+    ids = sorted(data.draw(st.sets(st.integers(0, 500), min_size=2, max_size=24)))
+    rng = random.Random(data.draw(st.integers(0, 2**31)))
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choices(words, k=rng.randint(1, 30)))}
+        for i in ids
+    ]
+    rng.shuffle(rows)  # the arrival permutation
+
+    uid = next(_ids)
+    base = str(tmp_path / f"shard_prop_src_{uid}")
+    os.makedirs(base)
+    n = len(rows)
+    n_cuts = min(rng.randint(0, 4), n - 1)
+    cuts = sorted(rng.sample(range(1, n), n_cuts)) if n_cuts else []
+    bounds = [0] + cuts + [n]
+    full = pd.DataFrame(rows)
+    t_base = None
+    for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
+        p = f"{base}/f{i:03d}.parquet"
+        full.iloc[a:b].to_parquet(p)
+        if t_base is None:
+            t_base = os.path.getmtime(p)
+        os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    schema = spark.read.parquet(base).schema
+    sdf = read_parquet_stream(spark, base, schema, max_files_per_trigger=1)
+    out = str(tmp_path / f"shard_prop_out_{uid}")
+    q = stream_write_training_shards(
+        sdf, out, budget=16, n_buckets=2, manifest=True, available_now=True
+    )
+    q.awaitTermination(300)
+
+    batches = sorted(_glob.glob(out + "/batch=*"))
+    assert len(batches) == len(bounds) - 1, batches
+
+    landed: list[int] = []
+    per_batch: dict[str, list[int]] = {}
+    for b in batches:
+        docs_b = [
+            _json.loads(_json.loads(line)["doc"])["doc_id"]
+            for f in _glob.glob(b + "/bucket=*/part-*")
+            for line in open(f)
+        ]
+        per_batch[b] = docs_b
+        landed += docs_b
+    assert sorted(landed) == ids  # (1) exactly once, across all groups
+
+    for b in batches:
+        assert verify_shards(spark, b) == []
+        got = _shard_stats(spark, b)
+        twin = str(tmp_path / f"twin_{uid}_{os.path.basename(b)}")
+        sub = spark.createDataFrame(
+            full[full["doc_id"].isin(per_batch[b])], "doc_id bigint, text string"
+        )
+        write_training_shards(sub, twin, budget=16, n_buckets=2)
+        assert _shard_stats(spark, twin) == got  # (2) batch-equivalent
+
+    victim = rng.choice(batches)  # (3) replay idempotence, random epoch
+    before = _shard_stats(spark, victim)
+    sub = spark.createDataFrame(
+        full[full["doc_id"].isin(per_batch[victim])], "doc_id bigint, text string"
+    )
+    write_training_shards(sub, victim, budget=16, n_buckets=2, mode="overwrite")
+    assert _shard_stats(spark, victim) == before
