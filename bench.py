@@ -83,7 +83,8 @@ ROW_TAGS = {
         "verify": [],
     },
     "text_quality": {
-        "ops": ["quality", "lang_guess", "split", "lm_logprob", "lm2_logprob", "cls_label"],
+        "ops": ["quality", "lang_guess", "split", "lm_logprob", "lm2_logprob",
+                "cls_label", "dsir"],
         "verify": [],
     },
     "snowflake_denormalize": {

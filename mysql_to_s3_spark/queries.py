@@ -1517,6 +1517,17 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = classify(
         docs.select("doc_id", txt.alias("text")), clf
     ).select("doc_id", "cls_label")
+    # dsir (r8): DSIR importance weight — hashed-ngram log-likelihood
+    # ratio of a target model (the en stratum) vs the source model (the
+    # whole corpus), operators/dsir.py. Fully portable md5-bucket + log2
+    # arithmetic, so the summed weight sits under the value-hash gate.
+    from mysql_to_s3_spark.operators.dsir import dsir_logratio, hashed_ngram_counts
+
+    dsir = dsir_logratio(
+        docs.select("doc_id", "text"),
+        hashed_ngram_counts(docs.filter(F.col("lang") == "en")),
+        hashed_ngram_counts(docs),
+    )
     base = docs.select(
         F.col("doc_id"),
         quality_score(F.col("text")).alias("quality"),
@@ -1527,8 +1538,11 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(lm, "doc_id", "left")
         .join(lm2, "doc_id", "left")
         .join(cls, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
         .withColumn("lm_logprob", F.round(F.col("lm_logprob"), 6))
         .withColumn("lm2_logprob", F.round(F.col("lm2_logprob"), 6))
+        .withColumn("dsir", F.round(F.col("dsir_logratio"), 6))
+        .drop("dsir_logratio")
     )
 
 
@@ -1566,7 +1580,12 @@ def _text_quality_row_sql() -> str:
     identical self-fit add-alpha models (operators/lm.py docstring
     formulas: unigram T/V over token occurrences; bigram per-context
     totals C(prev) over BOS-prefixed consecutive pairs, V = distinct
-    target tokens, alpha = 1)."""
+    target tokens, alpha = 1) — and, r8, the DSIR importance weight
+    (operators/dsir.py: hashed unigram+bigram buckets, target = the en
+    stratum, source = the whole corpus, both add-alpha over the fixed
+    bucket domain)."""
+    from mysql_to_s3_spark.operators.dsir import dsir_logratio_sql
+
     return f"""
     WITH tl AS (
       SELECT doc_id, regexp_extract_all(lower(text), '\\w+|[^\\w\\s]') AS t
@@ -1590,10 +1609,12 @@ def _text_quality_row_sql() -> str:
             CROSS JOIN st2
             GROUP BY p.doc_id)
     SELECT q.*, round(lm.lp, 6) AS lm_logprob, round(lm2.lp2, 6) AS lm2_logprob,
-           CASE WHEN lower(d.text) LIKE '%dup%' THEN 'dup' ELSE 'std' END AS cls_label
+           CASE WHEN lower(d.text) LIKE '%dup%' THEN 'dup' ELSE 'std' END AS cls_label,
+           round(ds.dsir_logratio, 6) AS dsir
     FROM ({_text_quality_sql()}) q
     JOIN documents d USING (doc_id)
-    LEFT JOIN lm USING (doc_id) LEFT JOIN lm2 USING (doc_id)"""
+    LEFT JOIN lm USING (doc_id) LEFT JOIN lm2 USING (doc_id)
+    LEFT JOIN ({dsir_logratio_sql()}) ds USING (doc_id)"""
 
 
 _q("text_stats", _text_stats_spark, _text_stats_sql())
