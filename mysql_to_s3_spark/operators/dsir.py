@@ -160,12 +160,21 @@ def dsir_logratio(
     return joined.groupBy(id_col).agg(F.sum(term).alias("dsir_logratio"))
 
 
-def _dsir_logratio_arrow(
-    docs, target_counts, source_counts, *, n_buckets, alpha, id_col, text_col
+def dsir_scorer(
+    target_counts,
+    source_counts,
+    *,
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    alpha: float = 1.0,
 ):
-    """Zero-shuffle scoring path: both bucket tables (<= n_buckets rows
-    by construction) collapse to numpy arrays riding the UDF closure;
-    per-batch cost is hashing + one vectorized gather."""
+    """``Column -> Column`` DSIR weight scorer (a broadcast-array Arrow
+    ``pandas_udf``): both bucket tables — ``hashed_ngram_counts``
+    DataFrames or plain ``[(bucket, n), ...]`` lists — collapse to numpy
+    log-prob arrays riding the UDF closure (bounded by ``n_buckets``,
+    never the corpus), so scoring is per-row, stateless, zero-shuffle,
+    and STREAMING-SAFE — the ``unigram_scorer`` shape. DataFrame inputs
+    collect at build time (<= n_buckets rows by construction); docs with
+    no tokens score null."""
     import numpy as np
 
     # the UDF's string type hints ("pd.Series", via the module-wide
@@ -175,17 +184,19 @@ def _dsir_logratio_arrow(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if alpha <= 0:
+        raise DsirError("alpha must be positive (it is the smoothing floor)")
+
     def _model(counts) -> "np.ndarray":
         arr = np.zeros(n_buckets, dtype=np.float64)
-        rows = counts.collect()  # bounded: <= n_buckets rows
+        rows = counts.collect() if isinstance(counts, DataFrame) else counts
         for r in rows:
-            arr[int(r["bucket"])] = float(r["n"])
+            b, n = (r["bucket"], r["n"]) if hasattr(r, "__getitem__") else r
+            arr[int(b)] = float(n)
         total = arr.sum()
         return np.log2((arr + alpha) / (total + alpha * n_buckets))
 
-    logp_t = _model(target_counts)
-    logp_s = _model(source_counts)
-    ratio = logp_t - logp_s
+    ratio = _model(target_counts) - _model(source_counts)
 
     import hashlib
     import re as _re
@@ -213,10 +224,20 @@ def _dsir_logratio_arrow(
     def _score(texts: pd.Series) -> pd.Series:
         return texts.map(_score_one)
 
+    return _score
+
+
+def _dsir_logratio_arrow(
+    docs, target_counts, source_counts, *, n_buckets, alpha, id_col, text_col
+):
+    """Zero-shuffle scoring path — ``dsir_scorer`` applied per row."""
+    score = dsir_scorer(
+        target_counts, source_counts, n_buckets=n_buckets, alpha=alpha
+    )
     # mode parity with 'join': docs with no features carry no row (the
     # groupBy there never sees them); consumers left-join either way
     return docs.select(
-        F.col(id_col), _score(F.col(text_col)).alias("dsir_logratio")
+        F.col(id_col), score(F.col(text_col)).alias("dsir_logratio")
     ).filter(F.col("dsir_logratio").isNotNull())
 
 

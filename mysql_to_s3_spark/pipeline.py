@@ -8,12 +8,12 @@ the same shape — a user declares WHAT the corpus should satisfy and the
 engine composes the verified operators into one lazy DataFrame plan:
 
     (line-boilerplate strip ->) quality gate -> language gate ->
-    (LM perplexity gate ->) exact dedup -> near-dup cluster
-    removal -> persisted-index screen (incremental ingest) ->
-    (duplicated-span gate ->) (SemDeDup semantic dedup ->) mixture
-    weighting (stratified downsample) -> benchmark decontamination ->
-    PII redaction -> deterministic split -> (chunk ->) token-budget
-    packed shard write
+    (LM perplexity gate ->) (DSIR importance gate ->) exact dedup ->
+    near-dup cluster removal -> persisted-index screen (incremental
+    ingest) -> (duplicated-span gate ->) (SemDeDup semantic dedup ->)
+    mixture weighting (stratified downsample) -> benchmark
+    decontamination -> PII redaction -> deterministic split ->
+    (chunk ->) token-budget packed shard write
 
 Stage-order rationale (each choice is load-bearing at 100 TB):
 
@@ -169,6 +169,16 @@ class CorpusConfig:
     # label wins the argmax — the GPT-3 quality-classifier idiom
     # (filter on P(looks-like-reference-corpus) at a chosen threshold).
     classifier_mode: str = "label"
+    # DSIR data selection (operators/dsir.py, Xie et al. 2023): keep docs
+    # whose hashed-ngram importance weight (summed target-vs-source
+    # log-likelihood ratio) is >= this. The TARGET model arrives as
+    # prepare_corpus's ``dsir_target_counts`` / prepare_corpus_stream's
+    # ``dsir_target_counts``+``dsir_source_counts`` (hashed_ngram_counts
+    # frames or (bucket, n) lists — models are not config literals, the
+    # lm_counts contract); batch self-fits the SOURCE model on the gated
+    # corpus when dsir_source_counts is omitted, a stream cannot.
+    dsir_min_logratio: float | None = None
+    dsir_buckets: int = 4096
 
 
 @dataclass
@@ -309,6 +319,8 @@ def prepare_corpus(
     lm_counts: DataFrame | None = None,
     semantic_centroids: list[list[float]] | None = None,
     classifier=None,
+    dsir_target_counts: DataFrame | None = None,
+    dsir_source_counts: DataFrame | None = None,
 ) -> PreparedCorpus:
     """Compose the configured stages into one lazy plan over ``docs``.
 
@@ -373,6 +385,42 @@ def prepare_corpus(
         ).select(cfg.id_col)
         out = out.join(keep, cfg.id_col, "left_semi")
         stages.append(("lm", out))
+
+    if cfg.dsir_min_logratio is not None:
+        # after the cheap gates and the LM gate, before every dedup
+        # shuffle — the weight itself costs one shuffle over the n-gram
+        # stream (join mode), so everything downstream sees fewer rows.
+        # Self-fitting the source model is a LAZY frame (no job at
+        # build); the target model must be supplied.
+        from mysql_to_s3_spark.operators.dsir import (
+            dsir_logratio,
+            hashed_ngram_counts,
+        )
+
+        if dsir_target_counts is None:
+            raise PipelineError(
+                "dsir_min_logratio set but no dsir_target_counts given: fit "
+                "one with operators.dsir.hashed_ngram_counts over the "
+                "target (bench-like) corpus"
+            )
+        src_counts = dsir_source_counts
+        if src_counts is None:
+            src_counts = hashed_ngram_counts(
+                out, n_buckets=cfg.dsir_buckets, text_col=cfg.text_col
+            )
+        w = dsir_logratio(
+            out,
+            dsir_target_counts,
+            src_counts,
+            n_buckets=cfg.dsir_buckets,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+        )
+        keep = w.filter(
+            F.col("dsir_logratio") >= F.lit(float(cfg.dsir_min_logratio))
+        ).select(cfg.id_col)
+        out = out.join(keep, cfg.id_col, "left_semi")
+        stages.append(("dsir", out))
 
     if cfg.exact:
         keepers = exact_dedup(out, cfg.id_col, cfg.text_col).select(
@@ -490,6 +538,8 @@ def prepare_corpus_stream(
     lateness: str = "1 hour",
     lm_rows: list[tuple] | None = None,
     classifier=None,
+    dsir_target_counts=None,
+    dsir_source_counts=None,
 ) -> DataFrame:
     """Streaming analog of ``prepare_corpus`` over a readStream frame.
 
@@ -576,6 +626,24 @@ def prepare_corpus_stream(
             )
         score = unigram_scorer(lm_rows, spark=sdf.sparkSession)
         out = out.filter(score(txt) >= F.lit(float(cfg.min_lm_logprob)))
+    if cfg.dsir_min_logratio is not None:
+        # the scorer is a broadcast-array Arrow expression: per-row,
+        # stateless, commutes with micro-batching — but BOTH models must
+        # be pretrained ((bucket, n) lists or batch frames): a stream
+        # cannot self-fit its own source distribution
+        from mysql_to_s3_spark.operators.dsir import dsir_scorer
+
+        if dsir_target_counts is None or dsir_source_counts is None:
+            raise PipelineError(
+                "dsir_min_logratio set but dsir_target_counts/"
+                "dsir_source_counts missing: a streaming gate needs both "
+                "models pretrained — fit them in batch with "
+                "operators.dsir.hashed_ngram_counts"
+            )
+        dscore = dsir_scorer(
+            dsir_target_counts, dsir_source_counts, n_buckets=cfg.dsir_buckets
+        )
+        out = out.filter(dscore(txt) >= F.lit(float(cfg.dsir_min_logratio)))
     if cfg.exact:
         out = stream_exact_dedup(out, ts_col, cfg.text_col, lateness)
     if cfg.mixture_rates is not None:

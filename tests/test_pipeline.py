@@ -1339,3 +1339,131 @@ def test_multi_epoch_lifecycle_composition(spark, docs, tmp_path):
         for line in open(f)
     ]
     assert len(landed) == len(set(landed)) == n_rep
+
+
+def test_prepare_corpus_dsir_stage(spark):
+    """r8: the DSIR importance gate keeps target-resembling docs and
+    drops the rest; the stage shows in the funnel; missing target
+    counts refuse with fit guidance; the self-fit source path and an
+    explicit source frame agree."""
+    from mysql_to_s3_spark.operators.dsir import hashed_ngram_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox runs over the field"),
+            (3, "der schnelle braune fuchs springt gerne"),
+            (4, "el zorro marron salta sobre el perro"),
+        ],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox and the lazy dog run over the field")],
+        "doc_id bigint, text string",
+    )
+    tgt_counts = hashed_ngram_counts(target, n_buckets=256)
+    # absolute DSIR weights are corpus-dependent (add-alpha smoothing
+    # shifts everything on tiny fixtures); a real run picks the gate
+    # threshold from the weight distribution — do the same here: the
+    # en docs must outscore the foreign docs, gate at the midpoint
+    from mysql_to_s3_spark.operators.dsir import dsir_logratio
+
+    w = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio(
+            docs, tgt_counts, hashed_ngram_counts(docs, n_buckets=256),
+            n_buckets=256,
+        ).collect()
+    }
+    assert min(w[1], w[2]) > max(w[3], w[4])
+    cut = (min(w[1], w[2]) + max(w[3], w[4])) / 2
+    cfg = CorpusConfig(dsir_min_logratio=cut, dsir_buckets=256, exact=False)
+    prep = prepare_corpus(docs, cfg, dsir_target_counts=tgt_counts)
+    assert [n for n, _ in prep.stages] == ["input", "dsir"]
+    kept = {r["doc_id"] for r in prep.docs.collect()}
+    assert kept == {1, 2}  # english target-like docs only
+
+    # explicit source == self-fit source (the same gated frame)
+    src_counts = hashed_ngram_counts(docs, n_buckets=256)
+    prep2 = prepare_corpus(
+        docs, cfg, dsir_target_counts=tgt_counts, dsir_source_counts=src_counts
+    )
+    assert {r["doc_id"] for r in prep2.docs.collect()} == kept
+
+    with pytest.raises(PipelineError, match="dsir_target_counts"):
+        prepare_corpus(docs, cfg)
+
+
+def test_prepare_corpus_stream_dsir_gate(spark, tmp_path):
+    """r8: the DSIR gate's streaming form (broadcast-array Arrow scorer)
+    keeps the same docs the batch gate keeps on the same data — with
+    BOTH models pretrained; missing either refuses."""
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.dsir import hashed_ngram_counts
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "der schnelle braune fuchs springt gerne heute"),
+        (12, "the lazy dog runs over the quick field"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox and the lazy dog run over the field")],
+        "doc_id bigint, text string",
+    )
+    tgt = hashed_ngram_counts(target, n_buckets=256)
+    src = hashed_ngram_counts(docs, n_buckets=256)
+    # threshold from the weight gap (absolute weights are smoothing-
+    # shifted on tiny fixtures), far from any doc's score so the join
+    # (batch) and arrow (stream) summations cannot straddle it
+    from mysql_to_s3_spark.operators.dsir import dsir_logratio
+
+    w = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio(docs, tgt, src, n_buckets=256).collect()
+    }
+    cut = (w[11] + min(w[10], w[12])) / 2
+    assert min(w[10], w[12]) > w[11]
+    cfg = CorpusConfig(dsir_min_logratio=cut, dsir_buckets=256, exact=False)
+    batch_kept = {
+        r["doc_id"]
+        for r in prepare_corpus(
+            docs, cfg, dsir_target_counts=tgt, dsir_source_counts=src
+        ).docs.collect()
+    }
+
+    sdir = str(tmp_path / "dsir_stream_src")
+    _os.makedirs(sdir, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(["2024-01-01 00:00:01"] * 3).astype(
+                "datetime64[us]"
+            ),
+            "text": [r[1] for r in rows],
+        }
+    ).to_parquet(sdir + "/a.parquet")
+    schema = spark.read.parquet(sdir).schema
+    sdf = read_parquet_stream(spark, sdir, schema, max_files_per_trigger=1)
+    out = prepare_corpus_stream(
+        sdf, cfg, ts_col="ts", dsir_target_counts=tgt, dsir_source_counts=src
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dsir_stream").collect()}
+    assert got == batch_kept
+    assert got  # the gate keeps something (non-degenerate fixture)
+
+    with pytest.raises(PipelineError, match="dsir"):
+        prepare_corpus_stream(sdf, cfg, ts_col="ts", dsir_target_counts=tgt)
