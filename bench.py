@@ -92,6 +92,7 @@ ROW_TAGS = {
         "verify": ["ext", "ref", "resume", "notify", "uniq_ok", "uniq_dup"],
     },
     "dedup_minhash_lsh": {"ops": ["pair", "leak"], "verify": []},
+    "counters_batch_keys": {"ops": ["day", "month", "stream"], "verify": []},
     "text_winnow_fingerprint": {
         "ops": ["fingerprint", "span", "boilerplate"],
         "verify": [],

@@ -3173,7 +3173,18 @@ def _counters_batch_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     500-row sub-batch over events (tiebroken by event_id so the row order
     is total); `month` = CALENDAR-month buckets x 400 over orders
     (DurationCounter with a month duration keeps months separate from
-    seconds, counter.py:67-79 + mo_times)."""
+    seconds, counter.py:67-79 + mo_times).
+
+    `stream` leg (r8): the STREAMING analog under the hard gate — a real
+    Structured Streaming query (stream_batch_counts: watermarked
+    event-time day windows) drains the events table availableNow from
+    ts-ordered chunk files plus a far-future watermark pusher. Append
+    mode emits exactly the finalized real buckets (the pusher's own
+    window never finalizes, so it self-excludes), and the driver hash
+    binds each bucket's id, its per-bucket COUNT, and its MIN event time
+    to the batch SQL — the first oracle-gated row for the streaming
+    path (previously property-tested only). The drain runs once per
+    (session, sf) via _fit_cached, so bench prices the batch legs."""
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.sources.registry import load_table
@@ -3199,7 +3210,74 @@ def _counters_batch_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__batch1__").alias("batch1"),
         F.col("__batch2__").cast("bigint").alias("batch2"),
     )
-    return day.unionByName(month)
+
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    _DAY_START_EPOCH = 1_704_067_200  # 2024-01-01 UTC (the day-leg start)
+
+    def _run_stream_counts():
+        import pandas as pd
+
+        from mysql_to_s3_spark.streaming.stream_extract import (
+            read_parquet_stream,
+            stream_batch_counts,
+        )
+
+        root = _tempfile.mkdtemp(prefix="counters_stream_")
+        _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+        src = _os.path.join(root, "src")
+        _os.makedirs(src)
+        pdf = events.select("event_id", "ts").orderBy("ts", "event_id").toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = len(pdf)
+        cuts = [0, n // 3, 2 * n // 3, n]
+        t0 = None
+        # ts-ordered chunks: with lateness 0s nothing can arrive behind
+        # the watermark, so the drained counts are exactly the batch ones
+        for i, (a, b) in enumerate(zip(cuts, cuts[1:])):
+            p = f"{src}/c{i:02d}.parquet"
+            pdf.iloc[a:b].to_parquet(p)
+            t0 = t0 if t0 is not None else _os.path.getmtime(p)
+            _os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+        pusher = pd.DataFrame(
+            {"event_id": [-1],
+             "ts": pd.to_datetime(["2030-01-01"]).astype("datetime64[us]")}
+        )
+        p = f"{src}/zz_pusher.parquet"
+        pusher.to_parquet(p)
+        _os.utime(p, (t0 + 40, t0 + 40))
+
+        schema = spark.read.parquet(src).schema
+        sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        counts = stream_batch_counts(sdf, "ts", "day")
+        name = f"counters_stream_{_uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.sql(
+            f"""SELECT CAST(floor((CAST(bucket_start AS DOUBLE) - {_DAY_START_EPOCH})
+                             / 86400) AS BIGINT) AS b0,
+                       CAST(floor(CAST(first_ts AS DOUBLE)) AS BIGINT) AS ft,
+                       CAST(n AS BIGINT) AS n
+                FROM {name}"""
+        ).collect()
+        return [(int(r["b0"]), int(r["ft"]), int(r["n"])) for r in rows]
+
+    srows = _fit_cached(spark, sf_dir, "stream_counts", _run_stream_counts)
+    stream_leg = spark.createDataFrame(
+        [("stream", None, b0, ft, n) for b0, ft, n in srows],
+        "leg string, id bigint, batch0 bigint, batch1 bigint, batch2 bigint",
+    )
+    return day.unionByName(month).unionByName(stream_leg)
 
 
 _q(
@@ -3234,7 +3312,12 @@ _q(
     SELECT 'month' AS leg, o_orderkey AS id, b0 AS batch0,
            CAST(floor(rn / 400) AS BIGINT) AS batch1,
            CAST(rn % 400 AS BIGINT) AS batch2
-    FROM mr""",
+    FROM mr
+    UNION ALL
+    SELECT 'stream' AS leg, NULL AS id, b0 AS batch0,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS batch1,
+           CAST(count(*) AS BIGINT) AS batch2
+    FROM b GROUP BY b0""",
 )
 
 
