@@ -84,7 +84,7 @@ ROW_TAGS = {
     },
     "text_quality": {
         "ops": ["quality", "lang_guess", "split", "lm_logprob", "lm2_logprob",
-                "cls_label", "dsir"],
+                "cls_label", "dsir", "ppl_bucket"],
         "verify": [],
     },
     "snowflake_denormalize": {

@@ -171,6 +171,64 @@ def unigram_logprob(
     raise LmError(f"unknown mode {mode!r}; expected 'join' or 'arrow'")
 
 
+def perplexity_buckets(
+    scores: DataFrame,
+    *,
+    score_col: str = "lm_logprob",
+    out_col: str = "ppl_bucket",
+    fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    round_to: int | None = 6,
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): bucket
+    documents by corpus-relative perplexity terciles. Scores are mean
+    log-probs, so HIGHER score = LOWER perplexity = ``head`` (the
+    cleanest third); label order follows ascending score. Null scores
+    (token-free docs) bucket to null.
+
+    Boundaries are the exact interpolated percentiles of
+    ``round(score, round_to)`` — rounding FIRST makes the assignment
+    engine-portable (two engines interpolating the same rounded
+    multiset produce bit-identical boundaries, so no doc can straddle
+    a boundary differently; the driver's ``ppl_bucket`` leg sits under
+    the value-hash gate on exactly this contract). ``round_to=None``
+    buckets on raw scores.
+
+    Scale: the exact percentile holds the score multiset in one
+    aggregation buffer — fine at eval scale, wrong at 100 TB; pass
+    ``approx=True`` to switch to ``percentile_approx`` (bounded-memory
+    sketch, same convention as the stats bundle's approx mode). The
+    bucket assignment itself is one broadcast of the 2-row boundary
+    frame — no shuffle on the corpus."""
+    if len(labels) != len(fractions) + 1:
+        raise LmError(
+            f"need len(labels) == len(fractions) + 1, got {len(labels)} "
+            f"labels for {len(fractions)} boundaries"
+        )
+    if list(fractions) != sorted(fractions) or not all(0 < f < 1 for f in fractions):
+        raise LmError(f"fractions must be ascending in (0, 1), got {fractions}")
+    s = (
+        F.round(F.col(score_col), round_to)
+        if round_to is not None
+        else F.col(score_col)
+    )
+    fr = F.array(*[F.lit(float(f)) for f in fractions])
+    agg = (
+        F.percentile_approx(s, fr, 10_000) if approx else F.percentile(s, fr)
+    )
+    bnd = (
+        scores.filter(F.col(score_col).isNotNull())
+        .agg(agg.alias("__b__"))
+    )
+    out = scores.crossJoin(F.broadcast(bnd))
+    expr = F.lit(labels[-1])
+    for i in reversed(range(len(fractions))):
+        expr = F.when(s <= F.col("__b__")[i], F.lit(labels[i])).otherwise(expr)
+    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("string")).otherwise(expr)
+    return out.withColumn(out_col, expr).drop("__b__")
+
+
 def unigram_scorer(counts, *, alpha: float = 1.0, spark=None):
     """Materialize the add-alpha unigram model once and return a
     ``Column -> Column`` scorer (a broadcast-dict Arrow ``pandas_udf``).

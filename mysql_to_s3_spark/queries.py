@@ -1534,11 +1534,18 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         language_id(F.col("text")).alias("lang_guess"),
         hash_split(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
     )
+    # ppl_bucket (r8): CCNet's head/middle/tail split over the unigram-LM
+    # scores — exact interpolated terciles of the ROUNDED score, so the
+    # boundary arithmetic is bit-portable to the DuckDB oracle
+    from mysql_to_s3_spark.operators.lm import perplexity_buckets
+
+    pb = perplexity_buckets(lm).select("doc_id", "ppl_bucket")
     return (
         base.join(lm, "doc_id", "left")
         .join(lm2, "doc_id", "left")
         .join(cls, "doc_id", "left")
         .join(dsir, "doc_id", "left")
+        .join(pb, "doc_id", "left")
         .withColumn("lm_logprob", F.round(F.col("lm_logprob"), 6))
         .withColumn("lm2_logprob", F.round(F.col("lm2_logprob"), 6))
         .withColumn("dsir", F.round(F.col("dsir_logratio"), 6))
@@ -1610,11 +1617,18 @@ def _text_quality_row_sql() -> str:
             GROUP BY p.doc_id)
     SELECT q.*, round(lm.lp, 6) AS lm_logprob, round(lm2.lp2, 6) AS lm2_logprob,
            CASE WHEN lower(d.text) LIKE '%dup%' THEN 'dup' ELSE 'std' END AS cls_label,
-           round(ds.dsir_logratio, 6) AS dsir
+           round(ds.dsir_logratio, 6) AS dsir,
+           CASE WHEN lm.lp IS NULL THEN NULL
+                WHEN round(lm.lp, 6) <= bnd.b1 THEN 'tail'
+                WHEN round(lm.lp, 6) <= bnd.b2 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
     FROM ({_text_quality_sql()}) q
     JOIN documents d USING (doc_id)
     LEFT JOIN lm USING (doc_id) LEFT JOIN lm2 USING (doc_id)
-    LEFT JOIN ({dsir_logratio_sql()}) ds USING (doc_id)"""
+    LEFT JOIN ({dsir_logratio_sql()}) ds USING (doc_id)
+    CROSS JOIN (SELECT quantile_cont(round(lp, 6), 1.0/3) AS b1,
+                       quantile_cont(round(lp, 6), 2.0/3) AS b2
+                FROM lm WHERE lp IS NOT NULL) bnd"""
 
 
 _q("text_stats", _text_stats_spark, _text_stats_sql())

@@ -234,3 +234,36 @@ def test_arrow_collect_valve_bigram(spark, tiny):
         assert len(out) == 4
     finally:
         spark.conf.unset(LM_COLLECT_CAP_CONF)
+
+
+def test_perplexity_buckets_semantics(spark):
+    """r8: CCNet head/middle/tail — highest logprob (lowest perplexity)
+    lands in head, terciles split a 6-doc corpus 2/2/2, null scores
+    bucket to null, and the approx mode agrees on a well-separated
+    corpus; guard errors on malformed labels/fractions."""
+    from mysql_to_s3_spark.operators.lm import perplexity_buckets
+
+    scores = spark.createDataFrame(
+        [(1, -1.0), (2, -2.0), (3, -3.0), (4, -4.0), (5, -5.0), (6, -6.0),
+         (7, None)],
+        "doc_id bigint, lm_logprob double",
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scores).collect()
+    }
+    assert got[7] is None
+    assert got[1] == got[2] == "head"      # least perplexed third
+    assert got[3] == got[4] == "middle"
+    assert got[5] == got[6] == "tail"
+
+    ga = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scores, approx=True).collect()
+    }
+    assert ga == got  # well-separated values: the sketch agrees exactly
+
+    with pytest.raises(LmError, match="labels"):
+        perplexity_buckets(scores, labels=("a", "b"))
+    with pytest.raises(LmError, match="fractions"):
+        perplexity_buckets(scores, fractions=(0.9, 0.1), labels=("a", "b", "c"))
