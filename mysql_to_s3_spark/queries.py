@@ -1482,7 +1482,17 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigram-LM perplexity leg (operators/lm.py, self-fit add-alpha
     # model, exact JVM join mode; the zero-shuffle Arrow broadcast mode
     # is unit-verified equal in tests/test_lm.py)
-    lm = unigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+
+    # pooled: the lm score frame feeds THREE consumers in this row (the
+    # lm_logprob join, the ppl_bucket boundary agg, and the ppl_bucket
+    # assignment join) — without the pool the explode+join+agg scoring
+    # recomputes once per consumer. Safe to pool: an aggregated frame,
+    # never a bare table scan (the CacheManager substitution hazard).
+    lm = cache_scoped(
+        unigram_logprob(docs, id_col="doc_id", text_col="text", mode="join"),
+        "text_quality:lm",
+    )
     lm2 = bigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
     # cls_label (r7): the fastText-shaped classifier gate under the hard
     # oracle via a LEARNABLE-RULE contract — train in-row on a label the
