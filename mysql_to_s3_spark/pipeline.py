@@ -106,6 +106,15 @@ class CorpusConfig:
     # `lm_rows` (a pretrained model is REQUIRED there — a stream cannot
     # self-fit). Token-free docs fail the gate (null score).
     min_lm_logprob: float | None = None
+    # CCNet's head/middle/tail selection (Wenzek et al. §4.3): keep docs
+    # whose corpus-relative perplexity TERCILE is in this set (e.g.
+    # ('head', 'middle') — the published "drop the most-perplexed third"
+    # recipe). Complements min_lm_logprob (an absolute cut): terciles
+    # adapt to the corpus. Uses the same LM model source (lm_counts or
+    # self-fit). Batch-only: the boundaries are corpus-global quantiles
+    # no bounded stream state can hold — prepare_corpus_stream rejects it
+    # (gate streams with the absolute min_lm_logprob instead).
+    lm_keep_buckets: tuple[str, ...] | None = None
     # CCNet/RefinedWeb line-level boilerplate removal: rewrite every doc
     # with lines shared by more than ``boilerplate_max_docs`` docs removed.
     # Runs FIRST when enabled (the published order: line dedup precedes
@@ -371,19 +380,31 @@ def prepare_corpus(
         out = _apply_classifier_gate(out, cfg, classifier)
         stages.append(("classifier", out))
 
-    if cfg.min_lm_logprob is not None:
+    if cfg.min_lm_logprob is not None or cfg.lm_keep_buckets is not None:
         # after the language gate (CCNet fits per language), before the
         # dedup shuffles; join mode keeps the no-job laziness contract
         # whether the model is self-fit or supplied
-        from mysql_to_s3_spark.operators.lm import unigram_logprob
+        from mysql_to_s3_spark.operators.lm import (
+            perplexity_buckets,
+            unigram_logprob,
+        )
 
         score = unigram_logprob(
             out, lm_counts, id_col=cfg.id_col, text_col=cfg.text_col, mode="join"
         )
-        keep = score.filter(
-            F.col("lm_logprob") >= F.lit(float(cfg.min_lm_logprob))
-        ).select(cfg.id_col)
-        out = out.join(keep, cfg.id_col, "left_semi")
+        keep = score
+        if cfg.min_lm_logprob is not None:
+            keep = keep.filter(
+                F.col("lm_logprob") >= F.lit(float(cfg.min_lm_logprob))
+            )
+        if cfg.lm_keep_buckets is not None:
+            # corpus-relative tercile gate (CCNet head/middle/tail);
+            # boundaries come from the score distribution AFTER the
+            # absolute cut above — gate composition reads left to right
+            keep = perplexity_buckets(keep).filter(
+                F.col("ppl_bucket").isin(*cfg.lm_keep_buckets)
+            )
+        out = out.join(keep.select(cfg.id_col), cfg.id_col, "left_semi")
         stages.append(("lm", out))
 
     if cfg.dsir_min_logratio is not None:
@@ -595,6 +616,13 @@ def prepare_corpus_stream(
             "cosine over the whole corpus — cluster membership is global "
             "state a stream cannot hold exactly. Run it in batch "
             "(prepare_corpus) over the landed corpus"
+        )
+    if cfg.lm_keep_buckets is not None:
+        raise PipelineError(
+            "lm_keep_buckets (CCNet tercile selection) needs corpus-global "
+            "quantile boundaries a stream cannot hold — gate the stream "
+            "with the absolute min_lm_logprob cut instead, or bucket in "
+            "batch over the landed corpus"
         )
     txt = F.col(cfg.text_col)
     out = sdf

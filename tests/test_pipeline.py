@@ -1467,3 +1467,38 @@ def test_prepare_corpus_stream_dsir_gate(spark, tmp_path):
 
     with pytest.raises(PipelineError, match="dsir"):
         prepare_corpus_stream(sdf, cfg, ts_col="ts", dsir_target_counts=tgt)
+
+
+def test_lm_tercile_gate(spark):
+    """r8: CorpusConfig.lm_keep_buckets drops the most-perplexed tercile
+    (CCNet head/middle keep); composes with the absolute cut; the
+    streaming form rejects it (corpus-global quantiles)."""
+    from mysql_to_s3_spark.operators.lm import perplexity_buckets, unigram_logprob
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+
+    rows = [
+        (i, " ".join(["common"] * 8) if i <= 6 else "zxq qqj vvk wwx yyz " + str(i))
+        for i in range(1, 10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cfg = CorpusConfig(lm_keep_buckets=("head", "middle"), exact=False)
+    prep = prepare_corpus(docs, cfg)
+    assert [n for n, _ in prep.stages] == ["input", "lm"]
+    kept = {r["doc_id"] for r in prep.docs.collect()}
+    # the expected keep set, derived independently from the operators
+    want = {
+        r["doc_id"]
+        for r in perplexity_buckets(unigram_logprob(docs))
+        .filter(F.col("ppl_bucket").isin("head", "middle"))
+        .collect()
+    }
+    assert kept == want
+    assert 0 < len(kept) < len(rows)  # the tail tercile really dropped
+    # the repeated-token docs are the model's least perplexing
+    assert all(i in kept for i in range(1, 7) if i in want)
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(PipelineError, match="lm_keep_buckets"):
+        prepare_corpus_stream(sdf, cfg, ts_col="timestamp")
