@@ -94,7 +94,7 @@ ROW_TAGS = {
     "dedup_minhash_lsh": {"ops": ["pair", "leak"], "verify": []},
     "counters_batch_keys": {"ops": ["day", "month", "stream"], "verify": []},
     "text_winnow_fingerprint": {
-        "ops": ["fingerprint", "span", "boilerplate"],
+        "ops": ["fingerprint", "span", "boilerplate", "span_strip"],
         "verify": [],
     },
     "similarity_ann_lsh": {"ops": ["probe0", "probe1"], "verify": ["exact"]},

@@ -625,3 +625,104 @@ def strip_boilerplate_lines(
             F.col("n_dropped").cast("long").alias("n_dropped"),
         )
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The REWRITE half of Lee et al. 2022 exact-substring dedup (the
+    published deduplicate-text-datasets tool removes every duplicated
+    >=50-token span, keeping one occurrence): rewrite each doc with the
+    tokens covered by cross-doc duplicated k-token windows REMOVED,
+    except in the span's canonical KEEPER doc (min doc id among the
+    holders), which keeps its occurrence — so exactly one copy of every
+    duplicated span survives the corpus. ``duplicated_span_fraction``
+    is the measure; this is the scalpel.
+
+    Output: (id_col, out_col, n_tokens, n_removed) for every input doc.
+    Spans are keyed on the LOWERCASED token window (the measure's key);
+    reconstruction uses the original-case tokens, whitespace
+    canonicalized to single spaces (the same documented tradeoff
+    ``strip_boilerplate_lines`` makes with line joins). Within-doc
+    repetition with no second document never triggers removal here
+    (that is ``repetition_stats``' domain); a keeper doc keeps ALL its
+    occurrences of its spans.
+
+    100 TB story — every shuffle is on reduced/fixed-width frames:
+      1. the (doc, start, key) window stream aggregates per 32-byte key
+         to (n_distinct_docs, keeper) — one exchange, map-side combined;
+      2. the join back to windows is key-to-key (no text rides it), and
+         only windows with nd >= min_docs AND doc != keeper survive to
+         the coverage explode (at most k positions per such window);
+      3. removal is a LEFT ANTI join on (doc, pos) and one per-doc
+         re-assembly exchange (collect bounded by a single doc's token
+         count — the snowflake child-collect bound).
+    Nothing is all-pairs; duplicated-span text never shuffles at all.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0).alias("rt"),
+    )
+    # \w token boundaries are case-insensitive, so the lowercased key
+    # stream aligns position-for-position with the raw token stream
+    n_wins = F.size(F.col("rt")) - F.lit(k - 1)
+    wins = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                n_wins >= 1,
+                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("start"),
+        F.col("rt"),
+    ).select(
+        "id",
+        "start",
+        F.md5(
+            F.lower(F.array_join(F.slice(F.col("rt"), F.col("start"), k), SPAN_SEP))
+        ).alias("key"),
+    )
+    ks = wins.groupBy("key").agg(
+        F.count_distinct("id").alias("__nd__"), F.min("id").alias("__keeper__")
+    )
+    covered = (
+        wins.join(ks, "key")
+        .filter((F.col("__nd__") >= min_docs) & (F.col("id") != F.col("__keeper__")))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+    )
+    stream = toks.select("id", F.posexplode(F.col("rt")).alias("pos0", "tok")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    kept = stream.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("__nk__"),
+    )
+    return (
+        toks.select("id", F.size("rt").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("__nk__"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

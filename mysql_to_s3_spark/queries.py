@@ -1692,7 +1692,18 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").alias("bl_lines"),
         F.col("n_dropped").alias("bl_dropped"),
     )
-    return base.join(spanf, "doc_id").join(bl, "doc_id")
+    # r8: the REWRITE half of exact-substring dedup — every non-keeper
+    # occurrence of a cross-doc duplicated 5-token span stripped; the
+    # md5 of the rebuilt text binds the keeper choice, the coverage
+    # union, and the original-case reconstruction to the oracle
+    from mysql_to_s3_spark.operators.dedup import strip_duplicated_spans
+
+    sp = strip_duplicated_spans(docs, k=5).select(
+        "doc_id",
+        F.md5("clean_text").alias("sp_md5"),
+        F.col("n_removed").alias("sp_removed"),
+    )
+    return base.join(spanf, "doc_id").join(bl, "doc_id").join(sp, "doc_id")
 
 
 _q(
@@ -1738,7 +1749,26 @@ _q(
                                              chr(10) ORDER BY pos), '')) AS bl_md5,
                      count(*) AS bl_lines,
                      sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS bl_dropped
-              FROM lj GROUP BY doc_id)
+              FROM lj GROUP BY doc_id),
+       rtl AS (SELECT doc_id, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS rt
+               FROM documents),
+       sw AS (SELECT doc_id, i AS start,
+                     md5(list_aggregate(t[i:i+4], 'string_agg', chr(31))) AS s
+              FROM tl, unnest(range(1, greatest(len(t) - 5 + 1, 0) + 1)) r(i)),
+       sk AS (SELECT s, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+              FROM sw GROUP BY s),
+       cov AS (SELECT DISTINCT sw.doc_id, u.p
+               FROM sw JOIN sk USING (s), unnest(range(sw.start, sw.start + 5)) u(p)
+               WHERE sk.nd >= 2 AND sw.doc_id != sk.keeper),
+       stk AS (SELECT rtl.doc_id, i AS pos, rt[i] AS tok
+               FROM rtl, unnest(range(1, len(rt) + 1)) r(i)),
+       sc AS (SELECT stk.doc_id,
+                     coalesce(string_agg(CASE WHEN cov.p IS NULL THEN tok END,
+                                         ' ' ORDER BY pos), '') AS ctext,
+                     count(*) FILTER (WHERE cov.p IS NOT NULL) AS nrem
+              FROM stk LEFT JOIN cov
+                ON stk.doc_id = cov.doc_id AND stk.pos = cov.p
+              GROUP BY stk.doc_id)
        SELECT w.doc_id,
               CAST(len(fps) AS INT) AS n_fp,
               fps[1] AS fp_min,
@@ -1748,8 +1778,11 @@ _q(
               CASE WHEN sr.n_spans > 0 THEN round(sr.n_dup / sr.n_spans, 6) END AS dup_frac,
               br.bl_md5,
               CAST(br.bl_lines AS BIGINT) AS bl_lines,
-              CAST(br.bl_dropped AS BIGINT) AS bl_dropped
-       FROM w JOIN sr USING (doc_id) JOIN br USING (doc_id)""",
+              CAST(br.bl_dropped AS BIGINT) AS bl_dropped,
+              md5(coalesce(sc.ctext, '')) AS sp_md5,
+              CAST(coalesce(sc.nrem, 0) AS BIGINT) AS sp_removed
+       FROM w JOIN sr USING (doc_id) JOIN br USING (doc_id)
+       LEFT JOIN sc USING (doc_id)""",
 )
 _q(
     "dedup_exact",

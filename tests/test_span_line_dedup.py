@@ -249,3 +249,36 @@ def test_prop_strip_lines_matches_python(spark, texts, max_docs):
         for r in strip_boilerplate_lines(df, max_docs=max_docs).collect()
     }
     assert got == _py_strip_lines(rows, max_docs)
+
+
+def test_strip_duplicated_spans_keeper_semantics(spark):
+    """r8: the rewrite half of exact-substring dedup — the keeper (min
+    doc id) keeps its span, every other holder loses exactly the
+    covered tokens (case-insensitive keying, original-case rebuild);
+    unique docs and sub-k docs pass through untouched."""
+    from mysql_to_s3_spark.operators.dedup import strip_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared.upper()} four five"),
+            (3, "totally unrelated words only here now"),
+            (4, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in strip_duplicated_spans(docs, k=5).collect()
+    }
+    # keeper (doc 1) intact
+    assert got[1]["clean_text"] == f"{shared} one two three"
+    assert got[1]["n_removed"] == 0
+    # doc 2 loses the 5 covered tokens (its ORIGINAL-case copy), rest kept
+    assert got[2]["clean_text"] == "zero four five"
+    assert got[2]["n_removed"] == 5
+    # untouched docs
+    assert got[3]["n_removed"] == 0 and got[3]["clean_text"].startswith("totally")
+    assert got[4]["n_removed"] == 0 and got[4]["clean_text"] == "tiny doc"
+    assert got[4]["n_tokens"] == 2
