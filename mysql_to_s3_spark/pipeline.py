@@ -133,6 +133,13 @@ class CorpusConfig:
     max_dup_span_frac: float | None = None
     span_k: int = 5
     span_min_docs: int = 2
+    # the REWRITE companion of max_dup_span_frac (Lee et al. tool
+    # behavior): strip every non-keeper occurrence of a cross-doc
+    # duplicated span in place (one canonical copy survives corpus-wide)
+    # instead of / in addition to gating whole docs. Runs after the
+    # doc-level dedups and the span GATE (strip what survives). Batch
+    # only — needs corpus-global span frequencies.
+    strip_dup_spans: bool = False
     max_hamming: int = 3  # simhash only
     # SemDeDup semantic dedup (operators/similarity.semantic_dedup) over
     # an embedding column RIDING the docs frame: within each embedding
@@ -487,6 +494,22 @@ def prepare_corpus(
         out = out.join(keep, cfg.id_col, "left_semi")
         stages.append(("span_dedup", out))
 
+    if cfg.strip_dup_spans:
+        from mysql_to_s3_spark.operators.dedup import strip_duplicated_spans
+
+        cleaned = strip_duplicated_spans(
+            out,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            k=cfg.span_k,
+            min_docs=cfg.span_min_docs,
+        )
+        out = out.drop(cfg.text_col).join(
+            cleaned.select(cfg.id_col, F.col("clean_text").alias(cfg.text_col)),
+            cfg.id_col,
+        )
+        stages.append(("span_strip", out))
+
     if cfg.semantic_threshold is not None:
         from mysql_to_s3_spark.operators.similarity import ivf_fit, semantic_dedup
 
@@ -601,14 +624,18 @@ def prepare_corpus_stream(
             "stream_near_dedup_reconciled side-by-side — it flags in-stream "
             "and confirms each flag with the batch-exact adjudicator"
         )
-    if cfg.strip_boilerplate or cfg.max_dup_span_frac is not None:
+    if (
+        cfg.strip_boilerplate
+        or cfg.max_dup_span_frac is not None
+        or cfg.strip_dup_spans
+    ):
         raise PipelineError(
-            "strip_boilerplate / max_dup_span_frac need CORPUS-GLOBAL "
-            "line/span document frequencies — a stream sees neither past "
-            "nor future docs, so any bounded-state form would silently "
-            "under-count. Run them in batch (prepare_corpus) over the "
-            "landed corpus, or periodically refresh a frequency table and "
-            "gate with it explicitly"
+            "strip_boilerplate / max_dup_span_frac / strip_dup_spans need "
+            "CORPUS-GLOBAL line/span document frequencies — a stream sees "
+            "neither past nor future docs, so any bounded-state form would "
+            "silently under-count. Run them in batch (prepare_corpus) over "
+            "the landed corpus, or periodically refresh a frequency table "
+            "and gate with it explicitly"
         )
     if cfg.semantic_threshold is not None:
         raise PipelineError(

@@ -1502,3 +1502,32 @@ def test_lm_tercile_gate(spark):
     )
     with pytest.raises(PipelineError, match="lm_keep_buckets"):
         prepare_corpus_stream(sdf, cfg, ts_col="timestamp")
+
+
+def test_strip_dup_spans_stage(spark):
+    """r8: the span-strip rewrite stage removes every non-keeper copy of
+    a cross-doc duplicated span while the keeper doc survives verbatim;
+    the streaming form rejects the flag."""
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared} four five"),
+            (3, "unrelated words entirely here now indeed"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cfg = CorpusConfig(strip_dup_spans=True, exact=False)
+    prep = prepare_corpus(docs, cfg)
+    assert [n for n, _ in prep.stages] == ["input", "span_strip"]
+    got = {r["doc_id"]: r["text"] for r in prep.docs.collect()}
+    assert got[1] == f"{shared} one two three"  # keeper intact
+    assert got[2] == "zero four five"
+    assert got[3].startswith("unrelated")
+    assert set(prep.docs.columns) == set(docs.columns)  # schema preserved
+
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(PipelineError, match="strip_dup_spans"):
+        prepare_corpus_stream(sdf, cfg, ts_col="timestamp")
