@@ -661,7 +661,15 @@ def strip_duplicated_spans(
          the coverage explode (at most k positions per such window);
       3. removal is a LEFT ANTI join on (doc, pos) and one per-doc
          re-assembly exchange (collect bounded by a single doc's token
-         count — the snowflake child-collect bound).
+         count — the snowflake child-collect bound) — but ONLY for docs
+         with at least one covered position: unaffected docs never
+         explode their token stream — their canonicalized text is one
+         array_join over the token array (identical output). The
+         explode/anti-join/collect cost therefore scales with the
+         AFFECTED fraction, not the corpus (the synthetic driver corpus
+         is 23% affected — planted near-dup families — so the win there
+         is modest; a lightly-duplicated real corpus skips the heavy
+         path almost entirely).
     Nothing is all-pairs; duplicated-span text never shuffles at all.
     """
     toks = df.select(
@@ -700,9 +708,11 @@ def strip_duplicated_spans(
             ).alias("pos"),
         )
     )
-    stream = toks.select("id", F.posexplode(F.col("rt")).alias("pos0", "tok")).select(
-        "id", (F.col("pos0") + 1).alias("pos"), "tok"
-    )
+    affected = covered.select("id").distinct()
+    toks_hit = toks.join(affected, "id", "left_semi")
+    stream = toks_hit.select(
+        "id", F.posexplode(F.col("rt")).alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
     kept = stream.join(covered, ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
@@ -714,9 +724,14 @@ def strip_duplicated_spans(
         ).alias(out_col),
         F.count(F.lit(1)).alias("__nk__"),
     )
+    untouched = toks.join(affected, "id", "left_anti").select(
+        "id",
+        F.array_join(F.col("rt"), " ").alias(out_col),
+        F.size("rt").cast("long").alias("__nk__"),
+    )
     return (
         toks.select("id", F.size("rt").alias("n_tokens"))
-        .join(rebuilt, "id", "left")
+        .join(rebuilt.unionByName(untouched), "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
