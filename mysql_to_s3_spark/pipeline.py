@@ -99,6 +99,13 @@ class CorpusConfig:
     text_col: str = "text"
     min_quality: float | None = None
     languages: tuple[str, ...] | None = None
+    # Gopher-style repetition gates (Rae et al. 2021 table A1, via
+    # operators/text.repetition_stats): drop docs whose duplicated-word
+    # fraction or top-bigram share exceeds these. Pure per-row Column
+    # algebra — shuffle-free, streaming-safe; runs with the other cheap
+    # heuristic gates. None disables each rule.
+    max_dup_word_frac: float | None = None
+    max_top_bigram_frac: float | None = None
     # CCNet-style perplexity gate: drop docs whose mean per-token unigram
     # log2-prob falls below this (operators/lm.py). The model comes from
     # prepare_corpus's `lm_counts` (batch: a lazy (token, n) frame;
@@ -286,6 +293,29 @@ def _near_dup_pairs(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return pairs.select("a", "b")
 
 
+def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Shared batch/stream Gopher repetition gate — per-row Column
+    algebra (zero shuffles, streaming-safe). The bigram array is
+    materialized as a column first: repetition_stats' documented plan
+    trap (an inline bigram expression re-derives the array per outer
+    HOF element — O(len^3))."""
+    from mysql_to_s3_spark.operators.text import repetition_stats, word_bigrams
+
+    txt = F.col(cfg.text_col)
+    tmp = out.withColumn("__bg__", word_bigrams(txt))
+    stats = repetition_stats(txt, bg=F.col("__bg__"))
+    cond = F.lit(True)
+    if cfg.max_dup_word_frac is not None:
+        cond = cond & (
+            stats["dup_word_frac"] <= F.lit(float(cfg.max_dup_word_frac))
+        )
+    if cfg.max_top_bigram_frac is not None:
+        cond = cond & (
+            stats["top_bigram_frac"] <= F.lit(float(cfg.max_top_bigram_frac))
+        )
+    return tmp.filter(cond).drop("__bg__")
+
+
 def _apply_classifier_gate(out: DataFrame, cfg: CorpusConfig, classifier) -> DataFrame:
     """Shared batch/stream classifier stage — both modes are row-wise
     JVM transforms (zero shuffles, streaming-safe)."""
@@ -374,6 +404,10 @@ def prepare_corpus(
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
         stages.append(("language", out))
+
+    if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
+        out = _apply_repetition_gate(out, cfg)
+        stages.append(("repetition", out))
 
     if cfg.classifier_accept is not None:
         # after the heuristic gates (cheapest first), before the LM gate
@@ -657,6 +691,8 @@ def prepare_corpus_stream(
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
+    if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
+        out = _apply_repetition_gate(out, cfg)
     if cfg.classifier_accept is not None:
         # row-wise JVM transform: stateless, commutes with micro-batching;
         # the model must be pretrained — a stream cannot self-fit

@@ -1531,3 +1531,55 @@ def test_strip_dup_spans_stage(spark):
     sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     with pytest.raises(PipelineError, match="strip_dup_spans"):
         prepare_corpus_stream(sdf, cfg, ts_col="timestamp")
+
+
+def test_repetition_gate_batch_and_stream(spark, tmp_path):
+    """r8: the Gopher repetition gate drops the bigram-loop doc and the
+    word-spam doc, keeps prose; the streaming form (per-row Column
+    algebra) selects the same docs."""
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    rows = [
+        (1, "a varied sentence with many different interesting words here"),
+        (2, "buy now buy now buy now buy now buy now buy now"),  # bigram loop
+        (3, "spam spam spam spam spam spam spam spam spam spam"),  # word spam
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cfg = CorpusConfig(
+        max_dup_word_frac=0.5, max_top_bigram_frac=0.5, exact=False
+    )
+    prep = prepare_corpus(docs, cfg)
+    assert [n for n, _ in prep.stages] == ["input", "repetition"]
+    kept = {r["doc_id"] for r in prep.docs.collect()}
+    assert kept == {1}
+    assert set(prep.docs.columns) == {"doc_id", "text"}  # helper col dropped
+
+    sdir = str(tmp_path / "rep_stream_src")
+    _os.makedirs(sdir, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(["2024-01-01 00:00:01"] * 3).astype(
+                "datetime64[us]"
+            ),
+            "text": [r[1] for r in rows],
+        }
+    ).to_parquet(sdir + "/a.parquet")
+    schema = spark.read.parquet(sdir).schema
+    sdf = read_parquet_stream(spark, sdir, schema)
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rep_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM rep_stream").collect()}
+    assert got == kept
