@@ -98,7 +98,7 @@ ROW_TAGS = {
         "verify": [],
     },
     "similarity_ann_lsh": {"ops": ["probe0", "probe1"], "verify": ["exact"]},
-    "similarity_ivf": {"ops": ["ivf", "pq", "ivfpq"], "verify": ["exact"]},
+    "similarity_ivf": {"ops": ["ivf", "pq", "ivfpq", "knn"], "verify": ["exact"]},
     "typed_json_roundtrip": {
         "ops": ["typed", "jsonl", "esbulk_a", "esbulk_d"],
         "verify": [],

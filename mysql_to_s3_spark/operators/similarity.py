@@ -936,3 +936,121 @@ def semantic_dedup(
     return assigned.groupBy("cell").applyInPandas(
         lambda pdf: dedup_cell(pdf), "id long, cell int, centroid_sim double"
     )
+
+
+# -- multi-query k-NN join --------------------------------------------------
+
+class KnnError(ValueError):
+    pass
+
+
+# conf-key fallback for knn_join(query_cap=...): the query side collects
+# to one driver/executor-resident float64 matrix, so it must be bounded.
+# 100k x 128-dim float64 = ~100 MB — the broadcast-budget ceiling.
+KNN_QUERY_CAP_CONF = "mysql_to_s3_spark.similarity.knnQueryCap"
+DEFAULT_KNN_QUERY_CAP = 100_000
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    q_id_col: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    query_cap: int | None = None,
+) -> DataFrame:
+    """EXACT multi-query top-k cosine join: for every query vector, the
+    ``k`` nearest corpus vectors — (q_id, <id_col>, cos), ranked by
+    (cos desc, id asc). The retrieval-eval / dedup-vs-reference-set
+    primitive ``topk_cosine`` (one query) does not cover.
+
+    Shape: the QUERY side collects to one contiguous float64 matrix
+    riding the UDF closure (capped — ``query_cap`` or
+    ``KNN_QUERY_CAP_CONF``, default 100k vectors; a bigger query side
+    raises instead of OOMing executors: flip the sides or use the
+    LSH/IVF operators). The CORPUS side never shuffles its vectors:
+    each Arrow batch is ONE numpy GEMM (Q x batch) per the dense-kernel
+    discipline, and each batch emits at most k rows per query, pruned
+    under the SAME total order the final ranking uses — so the
+    per-query window ranks |Q| x k x n_batches candidate rows, never
+    the corpus. One exchange on q_id total.
+
+    ``round_to`` rounds the cosine BEFORE ranking (default 6): the
+    selection is then reproducible across engines and partitionings —
+    the same contract the single-query operators use. Zero-norm vectors
+    score 0 against everything.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise KnnError(f"k must be >= 1, got {k}")
+    if query_cap is None:
+        try:
+            raw = queries.sparkSession.conf.get(KNN_QUERY_CAP_CONF, None)
+        except Exception:
+            raw = None
+        query_cap = int(raw) if raw is not None else DEFAULT_KNN_QUERY_CAP
+    qrows = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).limit(query_cap + 1).collect()
+    if len(qrows) > query_cap:
+        raise KnnError(
+            f"knn_join query side exceeds {query_cap} vectors; the query "
+            "matrix must stay broadcastable — raise "
+            f"{KNN_QUERY_CAP_CONF} deliberately, swap the sides, or use "
+            "the LSH/IVF search operators for corpus-vs-corpus work"
+        )
+    if not qrows:
+        raise KnnError("knn_join query side is empty")
+    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0] = 1.0
+
+    out_schema = f"q_id bigint, {id_col} bigint, cos double"
+    kk = int(k)
+    rt = round_to
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bm = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            ids_b = pdf[id_col].to_numpy().astype(np.int64)
+            bn = np.sqrt((bm * bm).sum(axis=1))
+            bn[bn == 0] = 1.0
+            cos = (qm @ bm.T) / np.outer(qn, bn)
+            if rt is not None:
+                cos = np.round(cos, rt)
+            top = min(kk, cos.shape[1])
+            outs = []
+            for i in range(cos.shape[0]):
+                # total order (cos desc, id asc) — identical to the final
+                # window, so the batch prune is a prefix-safe superset
+                idx = np.lexsort((ids_b, -cos[i]))[:top]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(top, q_ids[i]),
+                            id_col: ids_b[idx],
+                            "cos": cos[i, idx],
+                        }
+                    )
+                )
+            yield pd.concat(outs)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= kk)
+        .drop("__rk__")
+    )

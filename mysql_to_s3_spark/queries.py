@@ -2013,11 +2013,12 @@ def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _fit_cached(
         spark, sf_dir, "pq8x16", lambda: pq_fit(emb, m=8, k=16, max_iter=10)
     )
+    nullq = F.lit(None).cast("bigint").alias("qid")
     ivf = ivf_topk(base, qv, centroids, k=10, nprobe=12).select(
-        F.lit("ivf").alias("leg"), "vec_id", "cos"
+        F.lit("ivf").alias("leg"), "vec_id", "cos", nullq
     )
     pq = pq_topk(base, qv, books, k=10, shortlist=200).select(
-        F.lit("pq").alias("leg"), "vec_id", "cos"
+        F.lit("pq").alias("leg"), "vec_id", "cos", nullq
     )
     # persisted leg: write the index once per (session, sf) — the
     # _FIT_CACHE contract the KMeans/codebook fits already follow — and
@@ -2040,19 +2041,41 @@ def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _fit_cached(spark, sf_dir, "ivfpq_idx", _write)
     ivfpq = ivfpq_search_index(
         spark, idx, qv, k=10, nprobe=12, shortlist=200
-    ).select(F.lit("ivfpq").alias("leg"), "vec_id", "cos")
-    return ivf.unionByName(pq).unionByName(ivfpq)
+    ).select(F.lit("ivfpq").alias("leg"), "vec_id", "cos", nullq)
+    # `knn` leg (r8): the multi-query EXACT top-k join
+    # (similarity.knn_join) — 20 query vectors against the rest of the
+    # table, k=5, ranked on the rounded cosine so selection is
+    # engine-portable; the hash binds every (query, rank) neighbor pair
+    from mysql_to_s3_spark.operators.similarity import knn_join
+
+    knn = knn_join(
+        emb.filter(F.col("vec_id") < 20),
+        emb.filter(F.col("vec_id") >= 20),
+        k=5,
+    ).select(F.lit("knn").alias("leg"), "vec_id", "cos", F.col("q_id").alias("qid"))
+    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(knn)
 
 
 _q(
     "similarity_ivf",
     _similarity_ivf_spark,
     f"""WITH ex AS ({_SQL_EXACT_TOPK})
-        SELECT 'ivf' AS leg, vec_id, cos FROM ex
+        SELECT 'ivf' AS leg, vec_id, cos, CAST(NULL AS BIGINT) AS qid FROM ex
         UNION ALL
-        SELECT 'pq' AS leg, vec_id, cos FROM ex
+        SELECT 'pq' AS leg, vec_id, cos, CAST(NULL AS BIGINT) AS qid FROM ex
         UNION ALL
-        SELECT 'ivfpq' AS leg, vec_id, cos FROM ex""",
+        SELECT 'ivfpq' AS leg, vec_id, cos, CAST(NULL AS BIGINT) AS qid FROM ex
+        UNION ALL
+        SELECT 'knn' AS leg, vec_id, cos, qid FROM (
+          SELECT e.vec_id,
+                 round({_sql_cosine('e.embedding', 'q.embedding')}, 6) AS cos,
+                 q.vec_id AS qid
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 20 AND e.vec_id >= 20
+          QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round({_sql_cosine('e.embedding', 'q.embedding')}, 6) DESC,
+                     e.vec_id) <= 5)""",
 )
 _q(
     "multimodal_features",

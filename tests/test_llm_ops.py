@@ -699,3 +699,59 @@ def test_sample_frames_refuses_frame_bombs(spark):
         max_frames_per_video=200,
     ).count()
     assert n == 100
+
+
+def test_knn_join_matches_single_query_topk(spark, sf_dir):
+    """r8: knn_join with ONE query reproduces topk_cosine exactly; with
+    many queries every query gets its own ranked block; k past the
+    corpus returns the whole corpus ranked."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators import similarity
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = q0.collect()[0]["embedding"]
+    want = [
+        (0, r["vec_id"], r["cos"])
+        for r in similarity.topk_cosine(corpus, qvec, k=10).collect()
+    ]
+    got = [
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in similarity.knn_join(q0, corpus, k=10)
+        .orderBy(F.desc("cos"), "vec_id")
+        .collect()
+    ]
+    assert got == want
+
+    multi = similarity.knn_join(emb.filter(F.col("vec_id") < 5), corpus, k=3)
+    rows = multi.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 3 for v in per_q.values())
+
+    n_corpus = corpus.count()
+    allk = similarity.knn_join(q0, corpus, k=n_corpus + 10)
+    assert allk.count() == n_corpus
+
+
+def test_knn_join_guards(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.operators.similarity import KnnError, knn_join
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    with _pytest.raises(KnnError, match="k must"):
+        knn_join(q, emb, k=0)
+    with _pytest.raises(KnnError, match="exceeds"):
+        knn_join(q, emb, k=2, query_cap=5)
+    with _pytest.raises(KnnError, match="empty"):
+        knn_join(emb.filter(F.col("vec_id") < 0), emb, k=2)
