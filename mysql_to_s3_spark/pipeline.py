@@ -685,6 +685,18 @@ def prepare_corpus_stream(
             "with the absolute min_lm_logprob cut instead, or bucket in "
             "batch over the landed corpus"
         )
+    if cfg.index_path is not None:
+        # refuse rather than silently skip (r8: this used to fall through
+        # unapplied): the screen caches the batch's shingle sets and runs
+        # a distinct — not expressible on an unbounded frame. The correct
+        # streaming form is per micro-batch in the sink.
+        raise PipelineError(
+            "index_path (the persisted-index screen) has no single-plan "
+            "streaming form — run dedup_against_index per micro-batch "
+            "inside a foreachBatch sink (the index is static, so each "
+            "batch screens exactly like the batch operator), then append "
+            "survivors to the index there"
+        )
     txt = F.col(cfg.text_col)
     out = sdf
     if cfg.min_quality is not None:

@@ -1583,3 +1583,17 @@ def test_repetition_gate_batch_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM rep_stream").collect()}
     assert got == kept
+
+
+def test_stream_rejects_index_path(spark):
+    """r8: a configured persisted-index screen must REFUSE in the stream
+    form (it used to fall through silently unapplied) with the
+    foreachBatch guidance."""
+    from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(PipelineError, match="foreachBatch"):
+        prepare_corpus_stream(
+            sdf, CorpusConfig(index_path="/tmp/nosuch", exact=False),
+            ts_col="timestamp",
+        )
