@@ -131,8 +131,14 @@ def dsir_logratio(
             docs, target_counts, source_counts,
             n_buckets=n_buckets, alpha=alpha, id_col=id_col, text_col=text_col,
         )
-    t_stats = target_counts.agg(F.sum("n").cast("double").alias("__tt__"))
-    s_stats = source_counts.agg(F.sum("n").cast("double").alias("__ts__"))
+    # empty counts frame: sum(n) is NULL — coalesce to 0 so the add-alpha
+    # formula stays defined (uniform model), matching dsir_logratio_sql
+    t_stats = target_counts.agg(
+        F.coalesce(F.sum("n").cast("double"), F.lit(0.0)).alias("__tt__")
+    )
+    s_stats = source_counts.agg(
+        F.coalesce(F.sum("n").cast("double"), F.lit(0.0)).alias("__ts__")
+    )
     feats = docs.select(
         F.col(id_col), F.explode(_doc_features(F.col(text_col))).alias("__f__")
     ).select(F.col(id_col), _feature_bucket(F.col("__f__"), n_buckets).alias("bucket"))

@@ -951,6 +951,22 @@ KNN_QUERY_CAP_CONF = "mysql_to_s3_spark.similarity.knnQueryCap"
 DEFAULT_KNN_QUERY_CAP = 100_000
 
 
+def _require_integral_id(df: DataFrame, col: str, side: str) -> None:
+    """The k-NN kernel carries ids as int64 through numpy/Arrow; a
+    non-integral id would fail deep inside the UDF with an opaque cast
+    error — refuse up front with a typed error instead."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise KnnError(
+            f"knn_join {side} id column {col!r} must be an integral type "
+            f"(ids ride the Arrow kernel as int64); got {dt.simpleString()} "
+            "— map string/other ids to a surrogate bigint upstream "
+            "(e.g. xxhash64 or a dimension join) and join back after"
+        )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -961,22 +977,30 @@ def knn_join(
     vec_col: str = "embedding",
     round_to: int | None = 6,
     query_cap: int | None = None,
+    max_query_blocks: int = 8,
 ) -> DataFrame:
     """EXACT multi-query top-k cosine join: for every query vector, the
     ``k`` nearest corpus vectors — (q_id, <id_col>, cos), ranked by
     (cos desc, id asc). The retrieval-eval / dedup-vs-reference-set
-    primitive ``topk_cosine`` (one query) does not cover.
+    primitive ``topk_cosine`` (one query) does not cover. Both id
+    columns must be integral (ids ride the Arrow kernel as int64;
+    anything else raises ``KnnError`` up front).
 
-    Shape: the QUERY side collects to one contiguous float64 matrix
-    riding the UDF closure (capped — ``query_cap`` or
-    ``KNN_QUERY_CAP_CONF``, default 100k vectors; a bigger query side
-    raises instead of OOMing executors: flip the sides or use the
-    LSH/IVF operators). The CORPUS side never shuffles its vectors:
-    each Arrow batch is ONE numpy GEMM (Q x batch) per the dense-kernel
-    discipline, and each batch emits at most k rows per query, pruned
-    under the SAME total order the final ranking uses — so the
-    per-query window ranks |Q| x k x n_batches candidate rows, never
-    the corpus. One exchange on q_id total.
+    Shape: the QUERY side collects to contiguous float64 matrices
+    riding the UDF closure, in BLOCKS of at most ``query_cap`` vectors
+    (``query_cap`` or ``KNN_QUERY_CAP_CONF``, default 100k — the
+    broadcast-budget ceiling per task). A query side larger than one
+    block runs one corpus pass per block and unions the per-block
+    candidates under ONE final window (blocks partition q_id, so the
+    union costs nothing extra there); above ``max_query_blocks`` blocks
+    it raises instead of scanning the corpus that many times — flip the
+    sides or use the LSH/IVF operators for corpus-vs-corpus work. The
+    CORPUS side never shuffles its vectors: each Arrow batch is ONE
+    numpy GEMM (Q x batch) per the dense-kernel discipline, and each
+    batch emits at most k rows per query, pruned under the SAME total
+    order the final ranking uses — so the per-query window ranks
+    |Q| x k x n_batches candidate rows, never the corpus. One exchange
+    on q_id total.
 
     ``round_to`` rounds the cosine BEFORE ranking (default 6): the
     selection is then reproducible across engines and partitionings —
@@ -987,65 +1011,79 @@ def knn_join(
 
     if k < 1:
         raise KnnError(f"k must be >= 1, got {k}")
+    if max_query_blocks < 1:
+        raise KnnError(f"max_query_blocks must be >= 1, got {max_query_blocks}")
+    _require_integral_id(queries, q_id_col, "query")
+    _require_integral_id(corpus, id_col, "corpus")
     if query_cap is None:
         try:
             raw = queries.sparkSession.conf.get(KNN_QUERY_CAP_CONF, None)
         except Exception:
             raw = None
         query_cap = int(raw) if raw is not None else DEFAULT_KNN_QUERY_CAP
+    hard_cap = query_cap * max_query_blocks
     qrows = queries.select(
         F.col(q_id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).limit(query_cap + 1).collect()
-    if len(qrows) > query_cap:
+    ).limit(hard_cap + 1).collect()
+    if len(qrows) > hard_cap:
         raise KnnError(
-            f"knn_join query side exceeds {query_cap} vectors; the query "
-            "matrix must stay broadcastable — raise "
-            f"{KNN_QUERY_CAP_CONF} deliberately, swap the sides, or use "
-            "the LSH/IVF search operators for corpus-vs-corpus work"
+            f"knn_join query side exceeds {query_cap} x {max_query_blocks} "
+            "blocks; each block is one full corpus pass, so this would "
+            f"scan the corpus > {max_query_blocks} times — raise "
+            f"{KNN_QUERY_CAP_CONF}/max_query_blocks deliberately, swap "
+            "the sides, or use the LSH/IVF search operators for "
+            "corpus-vs-corpus work"
         )
     if not qrows:
         raise KnnError("knn_join query side is empty")
-    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
-    qn = np.sqrt((qm * qm).sum(axis=1))
-    qn[qn == 0] = 1.0
 
     out_schema = f"q_id bigint, {id_col} bigint, cos double"
     kk = int(k)
     rt = round_to
+    src = corpus.select(id_col, vec_col)
 
-    def score(batches):
-        import numpy as np
-        import pandas as pd
+    def block_scored(block) -> DataFrame:
+        q_ids = np.array([r["qid"] for r in block], dtype=np.int64)
+        qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in block])
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        qn[qn == 0] = 1.0
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            bm = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            ids_b = pdf[id_col].to_numpy().astype(np.int64)
-            bn = np.sqrt((bm * bm).sum(axis=1))
-            bn[bn == 0] = 1.0
-            cos = (qm @ bm.T) / np.outer(qn, bn)
-            if rt is not None:
-                cos = np.round(cos, rt)
-            top = min(kk, cos.shape[1])
-            outs = []
-            for i in range(cos.shape[0]):
-                # total order (cos desc, id asc) — identical to the final
-                # window, so the batch prune is a prefix-safe superset
-                idx = np.lexsort((ids_b, -cos[i]))[:top]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "q_id": np.full(top, q_ids[i]),
-                            id_col: ids_b[idx],
-                            "cos": cos[i, idx],
-                        }
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                bm = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+                ids_b = pdf[id_col].to_numpy().astype(np.int64)
+                bn = np.sqrt((bm * bm).sum(axis=1))
+                bn[bn == 0] = 1.0
+                cos = (qm @ bm.T) / np.outer(qn, bn)
+                if rt is not None:
+                    cos = np.round(cos, rt)
+                top = min(kk, cos.shape[1])
+                outs = []
+                for i in range(cos.shape[0]):
+                    # total order (cos desc, id asc) — identical to the final
+                    # window, so the batch prune is a prefix-safe superset
+                    idx = np.lexsort((ids_b, -cos[i]))[:top]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": np.full(top, q_ids[i]),
+                                id_col: ids_b[idx],
+                                "cos": cos[i, idx],
+                            }
+                        )
                     )
-                )
-            yield pd.concat(outs)
+                yield pd.concat(outs)
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+        return src.mapInPandas(score, out_schema)
+
+    scored = block_scored(qrows[:query_cap])
+    for off in range(query_cap, len(qrows), query_cap):
+        scored = scored.unionByName(block_scored(qrows[off : off + query_cap]))
     from pyspark.sql.window import Window as _W
 
     w = _W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col).asc())

@@ -122,6 +122,14 @@ class CorpusConfig:
     # no bounded stream state can hold — prepare_corpus_stream rejects it
     # (gate streams with the absolute min_lm_logprob instead).
     lm_keep_buckets: tuple[str, ...] | None = None
+    # How the tercile boundaries are computed: True (default) uses the
+    # percentile_approx sketch — bounded memory at any corpus size, the
+    # only mode that holds at the framework's design scale; False keeps
+    # the exact interpolated percentile (bit-reproducible across
+    # engines, but it holds the full score multiset in ONE aggregation
+    # buffer — eval-scale only; the driver's oracle leg calls the
+    # operator directly with exact, so the hard gate keeps exactness).
+    lm_bucket_approx: bool = True
     # CCNet/RefinedWeb line-level boilerplate removal: rewrite every doc
     # with lines shared by more than ``boilerplate_max_docs`` docs removed.
     # Runs FIRST when enabled (the published order: line dedup precedes
@@ -441,10 +449,12 @@ def prepare_corpus(
         if cfg.lm_keep_buckets is not None:
             # corpus-relative tercile gate (CCNet head/middle/tail);
             # boundaries come from the score distribution AFTER the
-            # absolute cut above — gate composition reads left to right
-            keep = perplexity_buckets(keep).filter(
-                F.col("ppl_bucket").isin(*cfg.lm_keep_buckets)
-            )
+            # absolute cut above — gate composition reads left to right.
+            # approx (default) = percentile_approx sketch, the
+            # bounded-memory mode the 100 TB path requires
+            keep = perplexity_buckets(
+                keep, approx=bool(cfg.lm_bucket_approx)
+            ).filter(F.col("ppl_bucket").isin(*cfg.lm_keep_buckets))
         out = out.join(keep.select(cfg.id_col), cfg.id_col, "left_semi")
         stages.append(("lm", out))
 
@@ -1189,10 +1199,11 @@ def split_leakage(
     a near-dup pair frame — (a, b, jaccard), any generator — pass it
     via ``pairs`` and pay only the label joins (inside one plan Spark
     then reuses the pair scan's exchanges across consumers). Supplied
-    frames are still filtered to ``jaccard >= threshold``, so an audit
-    at 0.8 over a 0.5-threshold pair frame never reports sub-threshold
-    pairs as leakage (generated below the audit threshold the filter
-    cannot RECOVER pairs — recall is the generator's)."""
+    frames must carry (a, b, jaccard) — jaccard both rides the output
+    and enforces the audit threshold here, so an audit at 0.8 over a
+    0.5-threshold pair frame never reports sub-threshold pairs as
+    leakage (generated below the audit threshold the filter cannot
+    RECOVER pairs — recall is the generator's)."""
     from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
 
     if split_col not in df.columns:
@@ -1202,6 +1213,13 @@ def split_leakage(
             df, threshold=threshold, id_col=id_col, text_col=text_col
         )
     else:
+        missing = {"a", "b", "jaccard"} - set(pairs.columns)
+        if missing:
+            raise PipelineError(
+                "split_leakage pairs frame must carry (a, b, jaccard); "
+                f"missing {sorted(missing)} in {pairs.columns} — jaccard "
+                "rides the output and enforces the audit threshold"
+            )
         pairs = pairs.filter(F.col("jaccard") >= F.lit(float(threshold)))
     labels = df.select(F.col(id_col), F.col(split_col))
     return (

@@ -1963,6 +1963,22 @@ def _fit_cached(spark: SparkSession, sf_dir: str, kind: str, fit):
     return _FIT_CACHE[key]
 
 
+def _drain_available_now(q, timeout_secs: int = 300) -> None:
+    """Block until an availableNow drain TERMINATES, or fail loudly.
+
+    ``awaitTermination(t)`` returns False on timeout without stopping
+    the query; ignoring that on a loaded host leaves a PARTIAL memory
+    sink that _fit_cached would then pin for the session and surface as
+    a baffling oracle hash mismatch. Stop the straggler and raise — a
+    retried leg beats a silently wrong one."""
+    if not q.awaitTermination(timeout_secs):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not terminate within {timeout_secs}s; "
+            "partial sink discarded — rerun the leg (loaded host?)"
+        )
+
+
 def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged 3-leg quantized-ANN driver row, every leg checked against
     the EXACT top-k SQL oracle:
@@ -3342,7 +3358,7 @@ def _counters_batch_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain_available_now(q)
         rows = spark.sql(
             f"""SELECT CAST(floor((CAST(bucket_start AS DOUBLE) - {_DAY_START_EPOCH})
                              / 86400) AS BIGINT) AS b0,
@@ -3588,7 +3604,9 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       `esbulk_a` (the multiset must equal the order keys — each doc
       got exactly one action line) and every typed doc line untypes
       back to its scalars in `esbulk_d`."""
+    import atexit as _ax
     import json as _json
+    import shutil as _sh
     import tempfile
 
     from pyspark.sql import functions as F
@@ -3596,6 +3614,13 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.sinks.json_sink import etl_envelope, write_json_lines
     from mysql_to_s3_spark.sinks.typed_json import untyped, write_typed_json_lines
     from mysql_to_s3_spark.sources.registry import load_table
+
+    def _tmpdir(prefix: str) -> str:
+        # per-invocation sink dirs: registered for cleanup so repeated
+        # bench iterations never accumulate under /tmp
+        d = tempfile.mkdtemp(prefix=prefix)
+        _ax.register(_sh.rmtree, d, ignore_errors=True)
+        return d
 
     import pyspark.sql.types as T
 
@@ -3621,7 +3646,7 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("price"),
         ).alias("fact")
     )
-    out = tempfile.mkdtemp(prefix="typed_json_")
+    out = _tmpdir("typed_json_")
     write_typed_json_lines(df, out, "fact")
 
     def parse_typed(batches):
@@ -3659,7 +3684,7 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice")).cast("double").alias("xi"),
         ).alias("fact")
     )
-    jout = tempfile.mkdtemp(prefix="jsonl_sink_")
+    jout = _tmpdir("jsonl_sink_")
     write_json_lines(
         jdf, jout, "fact", etl=etl_envelope(7, source={"table": "orders"})
     )
@@ -3709,7 +3734,7 @@ def _typed_json_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fact"),
         F.col("o_orderkey").alias("__id__"),
     )
-    bout = tempfile.mkdtemp(prefix="es_bulk_")
+    bout = _tmpdir("es_bulk_")
     write_bulk_lines(bdf, bout, "fact", typed=True)
 
     def parse_bulk(batches):

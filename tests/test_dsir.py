@@ -178,3 +178,27 @@ def test_guards(spark, corpus):
         dsir_topk(w, 0)
     with pytest.raises(DsirError, match="temperature"):
         dsir_topk(w, 1, temperature=0.0)
+
+
+def test_empty_counts_frame_matches_sql_oracle_semantics(spark, corpus):
+    """r9 (ADVICE): an EMPTY counts frame must yield the uniform
+    add-alpha model (totals coalesce to 0), not NULL weights — the SQL
+    oracle (dsir_logratio_sql) coalesces its totals, and the join mode
+    must agree. With target == source == empty, every ratio term is 0."""
+    rows, df = corpus
+    empty = hashed_ngram_counts(
+        df.filter(F.lit(False)), n_buckets=M
+    )
+    got = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio(df, empty, empty, n_buckets=M).collect()
+    }
+    # docs with tokens score a DEFINED 0.0 (uniform vs uniform)
+    assert set(got) == {1, 2, 3, 4, 5}
+    for v in got.values():
+        assert v == pytest.approx(0.0, abs=1e-12)
+    # and empty target vs real source stays defined (negative weights:
+    # everything is rarer under the uniform target than the fit source)
+    src = hashed_ngram_counts(df, n_buckets=M)
+    got2 = dsir_logratio(df, empty, src, n_buckets=M).collect()
+    assert all(r["dsir_logratio"] is not None for r in got2)

@@ -751,7 +751,48 @@ def test_knn_join_guards(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10)
     with _pytest.raises(KnnError, match="k must"):
         knn_join(q, emb, k=0)
-    with _pytest.raises(KnnError, match="exceeds"):
-        knn_join(q, emb, k=2, query_cap=5)
+    # the raise is now the FINAL valve, on the block count: |Q|=10 at
+    # cap 5 x 1 block exceeds; at the default 8 blocks it runs blocked
+    with _pytest.raises(KnnError, match="blocks"):
+        knn_join(q, emb, k=2, query_cap=5, max_query_blocks=1)
     with _pytest.raises(KnnError, match="empty"):
         knn_join(emb.filter(F.col("vec_id") < 0), emb, k=2)
+    # r9 (ADVICE): non-integral id columns refuse up front with a typed
+    # error instead of an opaque numpy/Arrow cast failure mid-kernel
+    sq = q.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with _pytest.raises(KnnError, match="integral"):
+        knn_join(sq, emb, k=2)
+    with _pytest.raises(KnnError, match="integral"):
+        knn_join(q, emb.withColumn("vec_id", F.format_string("c%d", "vec_id")), k=2)
+
+
+def test_knn_join_blocked_matches_single_block(spark, sf_dir):
+    """r9: a query side exceeding the cap splits into <= max_query_blocks
+    blocks whose unioned candidates rank identically to one big block —
+    and the plan carries exactly one exchange per block on the corpus
+    side (each block is its own corpus pass) plus the final window's."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.similarity import knn_join
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)  # |Q| = 20 = 2x cap below
+    corpus = emb.filter(F.col("vec_id") >= 20)
+
+    def rows(df):
+        return [
+            (r["q_id"], r["vec_id"], r["cos"])
+            for r in df.orderBy("q_id", F.desc("cos"), "vec_id").collect()
+        ]
+
+    single = rows(knn_join(q, corpus, k=4, query_cap=100))
+    blocked = rows(knn_join(q, corpus, k=4, query_cap=10))
+    assert blocked == single
+    # 2 blocks -> the union feeds ONE window; exchanges stay bounded by
+    # block count (hashpartitioning on q_id), not corpus size
+    plan = (
+        knn_join(q, corpus, k=4, query_cap=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2 + 1  # <=1 per block + final window

@@ -1597,3 +1597,57 @@ def test_stream_rejects_index_path(spark):
             sdf, CorpusConfig(index_path="/tmp/nosuch", exact=False),
             ts_col="timestamp",
         )
+
+
+def test_lm_tercile_gate_uses_approx_percentile(spark, docs):
+    """r9 (ADVICE): the pipeline's tercile gate defaults to the
+    percentile_approx sketch — bounded memory at the design scale — and
+    the exact mode stays reachable via CorpusConfig.lm_bucket_approx.
+    On the sf corpus the approx split agrees with exact everywhere
+    except possibly AT a boundary value (the sketch picks a member of
+    the multiset where exact interpolates)."""
+    from mysql_to_s3_spark.operators.lm import perplexity_buckets, unigram_logprob
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+
+    cfg = CorpusConfig(lm_keep_buckets=("head", "middle"), exact=False)
+    prep = prepare_corpus(docs, cfg)
+    plan = prep.docs._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    exact_plan = (
+        prepare_corpus(docs, CorpusConfig(lm_keep_buckets=("head",), exact=False,
+                                          lm_bucket_approx=False))
+        .docs._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "percentile_approx" not in exact_plan
+
+    # split agreement: the sketch boundary is an element of the rounded
+    # score multiset, the exact boundary interpolates next to it — so
+    # the two keep sets differ at most by docs sharing a boundary score
+    scores = unigram_logprob(docs).cache()
+    try:
+        exact_keep = {
+            r["doc_id"]
+            for r in perplexity_buckets(scores)
+            .filter(F.col("ppl_bucket").isin("head", "middle"))
+            .collect()
+        }
+        approx_keep = {r["doc_id"] for r in prep.docs.collect()}
+        n = scores.filter(F.col("lm_logprob").isNotNull()).count()
+        diff = len(exact_keep ^ approx_keep)
+        assert diff <= max(2, n // 100), (diff, n)
+    finally:
+        scores.unpersist()
+
+
+def test_split_leakage_requires_jaccard_on_supplied_pairs(spark):
+    """r9 (ADVICE): a pairs frame without the jaccard column refuses
+    with a clear PipelineError at build time instead of an unresolved-
+    column AnalysisException deep in the plan."""
+    from mysql_to_s3_spark.pipeline import PipelineError, split_leakage
+
+    docs = spark.createDataFrame(
+        [(1, "train"), (2, "test")], "doc_id bigint, split string"
+    ).withColumn("text", F.lit("x"))
+    bare = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    with pytest.raises(PipelineError, match="jaccard"):
+        split_leakage(docs, threshold=0.8, pairs=bare)
