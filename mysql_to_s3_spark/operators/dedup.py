@@ -492,6 +492,36 @@ def winnow_pairs(
 SPAN_SEP = "\x1f"  # unit-separator joins span tokens; cannot occur in a token
 
 
+def token_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The shared tokenization upstream of the span operators: one row
+    per doc with BOTH token streams they consume — ``rt`` (raw-case, the
+    rebuild stream of ``strip_duplicated_spans``) and ``lt`` (tokens of
+    the lowercased text, the key stream of ``duplicated_span_fraction``
+    and line derivations). Pool it with ``cache_scoped`` when one corpus
+    feeds several span consumers (the ``pairs=`` hook convention of
+    pipeline.split_leakage) — each operator's ``toks=`` parameter then
+    reuses this single scan+tokenize instead of re-deriving it. Both
+    arrays ride one exchange-free projection; semantics of every
+    consumer are exactly the no-pool path's."""
+    tok_re = F.lit(r"\w+|[^\w\s]")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.col(text_col), tok_re, 0).alias("rt"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), tok_re, 0).alias("lt"),
+    )
+
+
+def _require_toks(toks: DataFrame, op: str) -> None:
+    missing = {"id", "rt", "lt"} - set(toks.columns)
+    if missing:
+        raise ValueError(
+            f"{op}: toks= must be a token_frame(...) output with columns "
+            f"(id, rt, lt); missing {sorted(missing)}"
+        )
+
+
 def token_span_keys(col: Column, k: int = 5) -> Column:
     """array<string> of md5 keys, one per k-token window (stride 1) of the
     lowercased BPE-ish token stream of ``col``.
@@ -519,6 +549,7 @@ def duplicated_span_fraction(
     text_col: str = "text",
     k: int = 5,
     min_docs: int = 2,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc cross-corpus span-duplication signal — the Spark form of the
     exact-substring dedup measure of Lee et al. 2022 ("Deduplicating
@@ -538,12 +569,30 @@ def duplicated_span_fraction(
          text itself);
       3. the per-doc roll-up is a count-sum re-agg on the doc id.
     No join carries document text; nothing is all-pairs.
+
+    ``toks=`` (r9): pass a pooled ``token_frame(...)`` to reuse one
+    scan+tokenize across the span-operator family; the span keys are
+    then derived from its ``lt`` stream — the same md5-of-joined-window
+    construction ``token_span_keys`` compiles, so output is identical.
     """
-    ids = df.select(F.col(id_col).alias("id"))
-    spans = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_span_keys(F.col(text_col), k)).alias("s"),
-    )
+    if toks is not None:
+        _require_toks(toks, "duplicated_span_fraction")
+        ids = toks.select("id")
+        n = F.size(F.col("lt")) - F.lit(k - 1)
+        keys = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.md5(F.array_join(F.slice(F.col("lt"), i, k), SPAN_SEP)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        spans = toks.select("id", F.explode(keys).alias("s"))
+    else:
+        ids = df.select(F.col(id_col).alias("id"))
+        spans = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(token_span_keys(F.col(text_col), k)).alias("s"),
+        )
     per_span_doc = spans.groupBy("s", "id").agg(F.count(F.lit(1)).alias("w"))
     nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
     flagged = per_span_doc.withColumn("__nd__", nd)
@@ -634,6 +683,7 @@ def strip_duplicated_spans(
     k: int = 5,
     min_docs: int = 2,
     out_col: str = "clean_text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """The REWRITE half of Lee et al. 2022 exact-substring dedup (the
     published deduplicate-text-datasets tool removes every duplicated
@@ -671,11 +721,19 @@ def strip_duplicated_spans(
          is modest; a lightly-duplicated real corpus skips the heavy
          path almost entirely).
     Nothing is all-pairs; duplicated-span text never shuffles at all.
+
+    ``toks=`` (r9): pass a pooled ``token_frame(...)`` to reuse one
+    scan+tokenize across the span-operator family (its ``rt`` stream is
+    exactly the frame built here).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0).alias("rt"),
-    )
+    if toks is not None:
+        _require_toks(toks, "strip_duplicated_spans")
+        toks = toks.select("id", "rt")
+    else:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0).alias("rt"),
+        )
     # \w token boundaries are case-insensitive, so the lowercased key
     # stream aligns position-for-position with the raw token stream
     n_wins = F.size(F.col("rt")) - F.lit(k - 1)

@@ -1304,10 +1304,93 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged 2-leg exact-dedup row (r9):
+
+    - `batch`: operators/dedup.exact_dedup — one row per distinct
+      normalized-text fingerprint with the min-id keeper and cluster
+      size, vs the md5 GROUP BY oracle (the r1-r8 row unchanged).
+    - `stream` (r9): the STREAMING analog
+      (streaming/stream_extract.stream_exact_dedup,
+      dropDuplicatesWithinWatermark on the same fingerprint) under the
+      hard gate — a real availableNow drain IN-ROW over a 3-chunk
+      replay of the documents corpus (event time synthesized as
+      2024-01-01 + doc_id seconds; lateness horizon wider than that
+      span so no state can evict mid-run). The leg binds the INVARIANT
+      the operator guarantees: exactly ONE survivor per distinct
+      fingerprint — the survivors' recomputed fingerprints, grouped,
+      must cover every distinct fp with count 1 (a lost fp, a double
+      emission, or a surviving duplicate each breaks the row hash).
+      WHICH doc survives is arrival order within a micro-batch —
+      Spark does not order rows inside a trigger, so the keeper
+      identity is bound only in the batch leg.
+    """
+    from pyspark.sql import functions as F
+
     from mysql_to_s3_spark.operators.dedup import exact_dedup
+    from mysql_to_s3_spark.operators.text import fingerprint
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    return exact_dedup(spread(load_table(spark, sf_dir, "documents")))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    batch = exact_dedup(docs).select(
+        F.lit("batch").alias("leg"), "fp", "keeper", "n_dupes"
+    )
+
+    def _run_stream_dedup():
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from mysql_to_s3_spark.streaming.stream_extract import (
+            read_parquet_stream,
+            stream_exact_dedup,
+        )
+
+        pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        pdf["ts"] = (
+            pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s")
+        ).astype("datetime64[us]")
+        pusher = pd.DataFrame(
+            {
+                "doc_id": [-1],
+                "text": ["\x00__watermark_pusher__"],
+                "ts": pd.to_datetime(["2030-01-01"]).astype("datetime64[us]"),
+            }
+        )
+        src = _write_stream_chunks(pdf, pusher, "dedup_stream_")
+        schema = spark.read.parquet(src).schema
+        out = stream_exact_dedup(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            "ts",
+            text_col="text",
+            lateness="365 days",
+        )
+        name = f"sdedup_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        return [
+            int(r["doc_id"])
+            for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+            if r["doc_id"] >= 0
+        ]
+
+    surv_ids = _fit_cached(spark, sf_dir, "dedup_stream", _run_stream_dedup)
+    surv = spark.createDataFrame([(i,) for i in surv_ids], "doc_id bigint")
+    stream = (
+        docs.join(F.broadcast(surv), "doc_id", "left_semi")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dupes"))
+        .select(
+            F.lit("stream").alias("leg"),
+            "fp",
+            F.lit(None).cast("bigint").alias("keeper"),
+            "n_dupes",
+        )
+    )
+    return batch.unionByName(stream)
 
 
 def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1531,13 +1614,30 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ratio of a target model (the en stratum) vs the source model (the
     # whole corpus), operators/dsir.py. Fully portable md5-bucket + log2
     # arithmetic, so the summed weight sits under the value-hash gate.
-    from mysql_to_s3_spark.operators.dsir import dsir_logratio, hashed_ngram_counts
+    from mysql_to_s3_spark.operators.dsir import dsir_logratio, dsir_topk, hashed_ngram_counts
 
-    dsir = dsir_logratio(
-        docs.select("doc_id", "text"),
-        hashed_ngram_counts(docs.filter(F.col("lang") == "en")),
-        hashed_ngram_counts(docs),
+    # pooled (r9): the weight frame feeds TWO consumers — the dsir column
+    # join and the dsir_top25 Gumbel selection
+    dsir = cache_scoped(
+        dsir_logratio(
+            docs.select("doc_id", "text"),
+            hashed_ngram_counts(docs.filter(F.col("lang") == "en")),
+            hashed_ngram_counts(docs),
+        ),
+        "text_quality:dsir",
     )
+    # dsir_top25 (r9): the paper's Gumbel-top-k resample under the hard
+    # gate. The sort key is built from the 6dp-ROUNDED weight (the dsir
+    # leg proves round(w,6) is bit-equal cross-engine) plus the
+    # content-stable md5-bucket Gumbel draw (integer-derived), so both
+    # engines run identical IEEE arithmetic on identical doubles — the
+    # selection boundary cannot drift. k=25 keeps both branches live at
+    # every test sf.
+    sel = dsir_topk(
+        dsir.select("doc_id", F.round(F.col("dsir_logratio"), 6).alias("w6")),
+        k=25,
+        weight_col="w6",
+    ).select("doc_id", F.lit(True).alias("dsir_top25"))
     base = docs.select(
         F.col("doc_id"),
         quality_score(F.col("text")).alias("quality"),
@@ -1555,10 +1655,12 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lm2, "doc_id", "left")
         .join(cls, "doc_id", "left")
         .join(dsir, "doc_id", "left")
+        .join(sel, "doc_id", "left")
         .join(pb, "doc_id", "left")
         .withColumn("lm_logprob", F.round(F.col("lm_logprob"), 6))
         .withColumn("lm2_logprob", F.round(F.col("lm2_logprob"), 6))
         .withColumn("dsir", F.round(F.col("dsir_logratio"), 6))
+        .withColumn("dsir_top25", F.coalesce(F.col("dsir_top25"), F.lit(False)))
         .drop("dsir_logratio")
     )
 
@@ -1628,6 +1730,16 @@ def _text_quality_row_sql() -> str:
     SELECT q.*, round(lm.lp, 6) AS lm_logprob, round(lm2.lp2, 6) AS lm2_logprob,
            CASE WHEN lower(d.text) LIKE '%dup%' THEN 'dup' ELSE 'std' END AS cls_label,
            round(ds.dsir_logratio, 6) AS dsir,
+           -- dsir_top25: Gumbel-top-k on round(w,6)/T + (-ln(-ln u)),
+           -- u = (md5-bucket(id|'dsir') + 0.5)/1e6 — the identical IEEE
+           -- arithmetic dsir_topk runs (operators/dsir.py:250)
+           CASE WHEN ds.dsir_logratio IS NULL THEN FALSE
+                ELSE row_number() OVER (
+                       ORDER BY (round(ds.dsir_logratio, 6) / 1.0
+                                 - ln(-ln((('0x' || substr(md5(d.doc_id::VARCHAR || '|dsir'), 1, 8))::BIGINT
+                                           % 1000000 + 0.5) / 1000000.0))) DESC NULLS LAST,
+                                d.doc_id ASC) <= 25
+           END AS dsir_top25,
            CASE WHEN lm.lp IS NULL THEN NULL
                 WHEN round(lm.lp, 6) <= bnd.b1 THEN 'tail'
                 WHEN round(lm.lp, 6) <= bnd.b2 THEN 'middle'
@@ -1652,9 +1764,11 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.operators.text import kgram_rolling_hashes, winnow_from_hashes
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
     from mysql_to_s3_spark.operators.dedup import (
         duplicated_span_fraction,
         strip_boilerplate_lines,
+        token_frame,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -1668,14 +1782,20 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fps, 1).alias("fp_min"),
         F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("fp_sum"),
     )
+    # pooled (r9): ONE scan+tokenize feeds the three token-level legs
+    # (span fraction, boilerplate-line derivation, span strip) via the
+    # operators' toks= hooks — the minhash row's pairs=-hook pooling
+    # applied to the span family. A derived projection, never a bare
+    # table scan (the CacheManager substitution hazard).
+    toks = cache_scoped(token_frame(docs), "text_winnow:toks")
     # leg: cross-doc duplicated-span fraction (Lee et al. exact-substring
     # signal, k=5 token windows, md5 span keys)
-    spanf = duplicated_span_fraction(docs, k=5, min_docs=2)
+    spanf = duplicated_span_fraction(docs, k=5, min_docs=2, toks=toks)
     # leg: line-level boilerplate removal over a DERIVED multi-line view
     # (docs are single-line token streams, so "lines" = aligned 10-token
     # chunks — deterministic in both engines; planted near-dup docs share
     # aligned chunks, so the gate really fires on this corpus)
-    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+|[^\w\s]"), 0)
+    t = F.col("lt")
     nl = F.greatest(F.ceil(F.size(t) / F.lit(10.0)).cast("int"), F.lit(1))
     text2 = F.array_join(
         F.transform(
@@ -1685,7 +1805,7 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n",
     )
     bl = strip_boilerplate_lines(
-        docs.select("doc_id", text2.alias("text")), max_docs=1
+        toks.select(F.col("id").alias("doc_id"), text2.alias("text")), max_docs=1
     ).select(
         "doc_id",
         F.md5("clean_text").alias("bl_md5"),
@@ -1698,7 +1818,7 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union, and the original-case reconstruction to the oracle
     from mysql_to_s3_spark.operators.dedup import strip_duplicated_spans
 
-    sp = strip_duplicated_spans(docs, k=5).select(
+    sp = strip_duplicated_spans(docs, k=5, toks=toks).select(
         "doc_id",
         F.md5("clean_text").alias("sp_md5"),
         F.col("n_removed").alias("sp_removed"),
@@ -1787,8 +1907,16 @@ _q(
 _q(
     "dedup_exact",
     _dedup_exact_spark,
-    f"""SELECT {_SQL_FP} AS fp, min(doc_id) AS keeper, count(*) AS n_dupes
-        FROM documents GROUP BY 1""",
+    # stream leg: exactly ONE survivor per distinct fingerprint (keeper
+    # identity is batch-leg-only; see _dedup_exact_spark docstring)
+    f"""WITH d AS (
+          SELECT {_SQL_FP} AS fp, min(doc_id) AS keeper, count(*) AS n
+          FROM documents GROUP BY 1)
+        SELECT 'batch' AS leg, fp, keeper, n AS n_dupes FROM d
+        UNION ALL
+        SELECT 'stream' AS leg, fp, NULL::BIGINT AS keeper,
+               CAST(1 AS BIGINT) AS n_dupes
+        FROM d""",
 )
 _q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
 # minhash verifies candidates with exact Jaccard, so it matches the exact
@@ -1977,6 +2105,37 @@ def _drain_available_now(q, timeout_secs: int = 300) -> None:
             f"availableNow drain did not terminate within {timeout_secs}s; "
             "partial sink discarded — rerun the leg (loaded host?)"
         )
+
+
+def _write_stream_chunks(pdf, pusher, prefix: str, n_chunks: int = 3) -> str:
+    """Stage a pandas frame as an availableNow file-stream source: write
+    ``pdf`` as ``n_chunks`` parquet files (row order preserved — callers
+    pre-sort by event time so the file sequence replays the corpus in
+    ts order) plus a final watermark-pusher file, with strictly
+    increasing mtimes so ``maxFilesPerTrigger=1`` reads them as ordered
+    micro-batches (the r8 counters-leg drain protocol). Returns the
+    source dir; the temp root is registered for atexit cleanup."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    root = _tempfile.mkdtemp(prefix=prefix)
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    n = len(pdf)
+    cuts = [n * i // n_chunks for i in range(n_chunks + 1)]
+    t0 = None
+    for i, (a, b) in enumerate(zip(cuts, cuts[1:])):
+        p = f"{src}/c{i:02d}.parquet"
+        pdf.iloc[a:b].to_parquet(p)
+        t0 = t0 if t0 is not None else _os.path.getmtime(p)
+        _os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+    p = f"{src}/zz_pusher.parquet"
+    pusher.to_parquet(p)
+    _os.utime(p, (t0 + 10 * n_chunks + 10, t0 + 10 * n_chunks + 10))
+    return src
 
 
 def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3816,8 +3975,32 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `fwin`:   time-boxed funnel (funnel_within, 3 days) — converted +
                 earliest completing start, vs a triple-self-join EXISTS
                 oracle
+    - `sasof` (r9): the STREAMING backward as-of join
+                (operators/joins.stream_asof_join) under the hard gate —
+                a real availableNow drain IN-ROW over a 3-chunk replay
+                of the events corpus, its emitted (probe, asof_ts,
+                value) rows bound to the SAME DuckDB ASOF oracle as the
+                batch `asof` leg (plus the match timestamp, which the
+                batch leg doesn't expose). Quotes are pre-aggregated to
+                max(value) per (user, ts) so fold-order ties cannot
+                occur (the batch leg's quote_tiebreak, applied upstream).
+    - `sfun` (r9): the STREAMING greedy funnel
+                (operators/sessions.stream_funnel) under the hard gate —
+                drained the same way; each completed funnel's THREE step
+                timestamps bind to the batch funnel oracle (t1/t2 carry
+                steps 1 and 3; x carries step 2 as exact epoch-µs).
 
-    All five legs read ONE pooled scan of the events table
+    Drain determinism: both streams run with a lateness HORIZON wider
+    than the corpus' 30-day span and a far-future watermark pusher, so
+    no state can fold or expire mid-run — every key buffers its whole
+    history and folds ONCE, in event-time order, at the final timeout
+    flush. That makes the drained output independent of within-batch
+    arrival order (the property the operators' hypothesis suites check
+    under random permutations — here it makes the oracle hash exact).
+    The drain is _fit_cached per (session, sf): bench iterations after
+    the first price the batch plan, the counters-leg convention.
+
+    All batch legs read ONE pooled scan of the events table
     (cachepool.cache_scoped) instead of five parquet scans.
     """
     from pyspark.sql import functions as F
@@ -3928,6 +4111,123 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("t2"),
         F.col("converted").cast("double").alias("x"),
     )
+    def _run_stream_temporal():
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from mysql_to_s3_spark.operators.joins import stream_asof_join
+        from mysql_to_s3_spark.operators.sessions import stream_funnel
+        from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+        _PUSHER_UID = -(10**9)
+        lateness = "120 days"  # > the 30-day corpus span: buffer-then-flush
+        pdf = (
+            ev.select("event_id", "user_id", "ts", "event_type", "value")
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pusher_ts = pd.to_datetime(["2030-01-01"]).astype("datetime64[us]")
+
+        # --- sasof: probes = purchases (carrying event_id), quotes =
+        # max(value) per (user, ts) signup — the batch leg's
+        # quote_tiebreak='sv' applied UPSTREAM so equal-ts fold ties
+        # cannot occur and the drain is arrival-order-independent
+        pur = pdf[pdf.event_type == "purchase"][["event_id", "user_id", "ts"]].copy()
+        pur["etype"] = "p"
+        pur["sv"] = float("nan")
+        qm = (
+            pdf[pdf.event_type == "signup"]
+            .groupby(["user_id", "ts"], as_index=False)["value"]
+            .max()
+            .rename(columns={"value": "sv"})
+        )
+        qm["event_id"] = -1
+        qm["etype"] = "q"
+        cols = ["event_id", "user_id", "ts", "etype", "sv"]
+        asrc_pdf = (
+            pd.concat([pur[cols], qm[cols]], ignore_index=True)
+            .sort_values(["ts", "etype", "event_id"])
+            .reset_index(drop=True)
+        )
+        apush = pd.DataFrame(
+            {"event_id": [-1], "user_id": [_PUSHER_UID], "ts": pusher_ts,
+             "etype": ["q"], "sv": [0.0]}
+        )
+        asrc = _write_stream_chunks(asrc_pdf, apush, "temporal_sasof_")
+        aschema = spark.read.parquet(asrc).schema
+        aout = stream_asof_join(
+            read_parquet_stream(spark, asrc, aschema, max_files_per_trigger=1),
+            by=["user_id"],
+            probe_when=F.col("etype") == "p",
+            quote_when=F.col("etype") == "q",
+            value_cols=["sv"],
+            probe_id_col="event_id",
+            lateness=lateness,
+        )
+        aname = f"sasof_{_uuid.uuid4().hex[:8]}"
+        q = (
+            aout.writeStream.format("memory").queryName(aname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        asof_rows = [
+            (int(r["event_id"]), int(r["user_id"]), r["ts"], r["asof_ts"],
+             None if r["sv"] is None else float(r["sv"]))
+            for r in spark.sql(f"SELECT * FROM {aname}").collect()
+            if r["user_id"] != _PUSHER_UID
+        ]
+
+        # --- sfun: the raw event replay; the pusher's event_type matches
+        # no step (mask 0), it only advances the watermark
+        fsrc_pdf = pdf[["event_id", "user_id", "ts", "event_type"]]
+        fpush = pd.DataFrame(
+            {"event_id": [-1], "user_id": [_PUSHER_UID], "ts": pusher_ts,
+             "event_type": ["none"]}
+        )
+        fsrc = _write_stream_chunks(fsrc_pdf, fpush, "temporal_sfun_")
+        fschema = spark.read.parquet(fsrc).schema
+        fout = stream_funnel(
+            read_parquet_stream(spark, fsrc, fschema, max_files_per_trigger=1),
+            by=["user_id"],
+            steps=[F.col("event_type") == t for t in ("signup", "click", "purchase")],
+            lateness=lateness,
+        )
+        fname = f"sfun_{_uuid.uuid4().hex[:8]}"
+        q = (
+            fout.writeStream.format("memory").queryName(fname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        fun_rows = [
+            (int(r["user_id"]), r["step_1_ts"], r["step_2_ts"], r["step_3_ts"])
+            for r in spark.sql(f"SELECT * FROM {fname}").collect()
+            if r["user_id"] != _PUSHER_UID
+        ]
+        return asof_rows, fun_rows
+
+    srows, frows = _fit_cached(spark, sf_dir, "temporal_stream", _run_stream_temporal)
+    leg_schema = (
+        "leg string, a bigint, b bigint, t1 timestamp_ntz, t2 timestamp_ntz, x double"
+    )
+    sasof = spark.createDataFrame(
+        [("sasof", eid, uid, t1, t2, x) for eid, uid, t1, t2, x in srows], leg_schema
+    )
+
+    import datetime as _dt
+
+    _EPOCH0 = _dt.datetime(1970, 1, 1)
+
+    def _us(d: "_dt.datetime") -> float:
+        # exact integer µs as a double (< 2^53): bit-identical to the
+        # oracle's epoch_us(ts)::DOUBLE, no float-division drift
+        td = d - _EPOCH0
+        return float((td.days * 86400 + td.seconds) * 10**6 + td.microseconds)
+
+    sfun = spark.createDataFrame(
+        [("sfun", uid, None, s1, s3, _us(s2)) for uid, s1, s2, s3 in frows], leg_schema
+    )
     return (
         asof.unionByName(asoff)
         .unionByName(asofn)
@@ -3936,6 +4236,8 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sessrow)
         .unionByName(fn)
         .unionByName(fw)
+        .unionByName(sasof)
+        .unionByName(sfun)
     )
 
 
@@ -4024,7 +4326,17 @@ _q(
     SELECT 'fwin', u.user_id, NULL, fwin.start_ts, NULL,
            (fwin.user_id IS NOT NULL)::INT::DOUBLE
     FROM (SELECT DISTINCT user_id FROM events) u
-    LEFT JOIN fwin USING (user_id)""",
+    LEFT JOIN fwin USING (user_id)
+    UNION ALL
+    -- sasof: the streaming backward as-of drain == the batch ASOF oracle,
+    -- PLUS the matched quote timestamp in t2 (stronger than the batch leg)
+    SELECT 'sasof', p.event_id, p.user_id, p.ts, nb.qts, nb.value::DOUBLE
+    FROM pur p LEFT JOIN nb USING (event_id)
+    UNION ALL
+    -- sfun: streaming funnel completions == converted users' greedy step
+    -- chain; x = step-2 ts as exact integer epoch-µs
+    SELECT 'sfun', t3.user_id, NULL, t1.s1, t3.s3, epoch_us(t2.s2)::DOUBLE
+    FROM t3 JOIN t2 USING (user_id) JOIN t1 USING (user_id)""",
 )
 
 

@@ -282,3 +282,43 @@ def test_strip_duplicated_spans_keeper_semantics(spark):
     assert got[3]["n_removed"] == 0 and got[3]["clean_text"].startswith("totally")
     assert got[4]["n_removed"] == 0 and got[4]["clean_text"] == "tiny doc"
     assert got[4]["n_tokens"] == 2
+
+
+def test_token_frame_pooling_matches_unpooled(spark):
+    """r9: the toks= pooling hook — duplicated_span_fraction and
+    strip_duplicated_spans fed a shared token_frame produce EXACTLY the
+    no-pool outputs (mixed case, punctuation, sub-k docs, a 3-holder
+    span family), and a malformed toks frame is refused with a clear
+    error."""
+    from mysql_to_s3_spark.operators.dedup import (
+        strip_duplicated_spans,
+        token_frame,
+    )
+
+    shared = "Alpha beta GAMMA delta, epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared.lower()} four"),
+            (3, f"pre {shared.upper()} post!"),
+            (4, "unrelated words only here now truly"),
+            (5, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    toks = token_frame(docs)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(duplicated_span_fraction(docs, k=5, toks=toks)) == rows(
+        duplicated_span_fraction(docs, k=5)
+    )
+    assert rows(strip_duplicated_spans(docs, k=5, toks=toks)) == rows(
+        strip_duplicated_spans(docs, k=5)
+    )
+    bad = docs.select(F.col("doc_id").alias("id"))
+    with pytest.raises(ValueError, match="token_frame"):
+        duplicated_span_fraction(docs, k=5, toks=bad)
+    with pytest.raises(ValueError, match="token_frame"):
+        strip_duplicated_spans(docs, k=5, toks=bad)
