@@ -197,7 +197,10 @@ def dsir_scorer(
         arr = np.zeros(n_buckets, dtype=np.float64)
         rows = counts.collect() if isinstance(counts, DataFrame) else counts
         for r in rows:
-            b, n = (r["bucket"], r["n"]) if hasattr(r, "__getitem__") else r
+            # Row carries names (asDict); plain (bucket, n) tuples/lists —
+            # the documented list form — index positionally (a tuple HAS
+            # __getitem__, so a string-key probe would raise on them)
+            b, n = (r["bucket"], r["n"]) if hasattr(r, "asDict") else (r[0], r[1])
             arr[int(b)] = float(n)
         total = arr.sum()
         return np.log2((arr + alpha) / (total + alpha * n_buckets))

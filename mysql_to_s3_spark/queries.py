@@ -1401,12 +1401,24 @@ def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-leg row since r7: `pair` = the banded MinHash-LSH pair scan
+    """3-leg row: `pair` = the banded MinHash-LSH pair scan
     (candidates exact-verified, >= 0.9 Jaccard) vs the all-pairs exact
     oracle; `leak` = `split_leakage` over the same corpus carrying the
     driver hash-split — the post-split train/test leakage audit under
     the hard gate (same pair algebra + two label joins + the straddle
-    filter, which the oracle replicates with hash_split_sql labels)."""
+    filter, which the oracle replicates with hash_split_sql labels);
+    `sflag` (r9) = the STREAMING near-dedup, drained end-to-end through
+    its documented flag->adjudicate contract
+    (streaming/stream_extract.stream_near_dedup_reconciled: bounded
+    per-bucket signature state flags in-stream, foreachBatch re-verifies
+    every flag with the batch-EXACT Jaccard before landing). The leg
+    binds the DOC-LEVEL invariant: the distinct set of confirmed-dup
+    docs must equal the exact oracle's set of docs having >= 0.9
+    Jaccard with an EARLIER (smaller-id) doc. The confirmed PAIR set is
+    deliberately not bound — the in-stream flag picks the best-estimate
+    reference per bucket, so a >= 3-doc cluster yields a spanning chain
+    rather than all pairs (confirmed pairs are a verified SUBSET of the
+    exact pairs by construction; measured 24 of 28 at sf0.001)."""
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.dedup import minhash_lsh_pairs
@@ -1418,6 +1430,63 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ns = F.lit(None).cast("string")
+
+    def _run_stream_near():
+        import atexit as _atexit
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        import pandas as pd
+
+        from mysql_to_s3_spark.streaming.stream_extract import (
+            read_parquet_stream,
+            stream_near_dedup_reconciled,
+        )
+
+        pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        pdf["ts"] = (
+            pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s")
+        ).astype("datetime64[us]")
+        pusher = pd.DataFrame(
+            {
+                "doc_id": [-1],
+                "text": ["\x00__watermark_pusher__"],
+                "ts": pd.to_datetime(["2030-01-01"]).astype("datetime64[us]"),
+            }
+        )
+        src = _write_stream_chunks(pdf, pusher, "neardup_stream_")
+        out_root = _tempfile.mkdtemp(prefix="neardup_conf_")
+        _atexit.register(_shutil.rmtree, out_root, ignore_errors=True)
+        out_path = _os.path.join(out_root, "confirmed")
+        schema = spark.read.parquet(src).schema
+        w = stream_near_dedup_reconciled(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            "ts",
+            texts=docs.select("doc_id", "text"),
+            out_path=out_path,
+            threshold=0.9,
+            lateness="365 days",
+        )
+        q = w.trigger(availableNow=True).start()
+        _drain_available_now(q)
+        return sorted(
+            {
+                int(r["doc_id"])
+                for r in spark.read.parquet(out_path).select("doc_id").collect()
+                if r["doc_id"] >= 0
+            }
+        )
+
+    flagged = _fit_cached(spark, sf_dir, "neardup_stream", _run_stream_near)
+    sflag = spark.createDataFrame([(i,) for i in flagged], "a bigint").select(
+        F.lit("sflag").alias("leg"),
+        "a",
+        F.lit(None).cast("bigint").alias("b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        ns.alias("split_a"),
+        ns.alias("split_b"),
+    )
     # ONE pooled pair scan feeds both legs (split_leakage's pairs=
     # hook): the branches' exchange subtrees differ (project vs label
     # join), so Spark's ReusedExchange cannot deduplicate them —
@@ -1434,7 +1503,7 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak = split_leakage(labeled, threshold=0.9, pairs=p).select(
         F.lit("leak").alias("leg"), "a", "b", "jaccard", "split_a", "split_b"
     )
-    return pairs.unionByName(leak)
+    return pairs.unionByName(leak).unionByName(sflag)
 
 
 def _dedup_simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1936,7 +2005,13 @@ def _dedup_minhash_oracle() -> str:
       FROM ({_SQL_JACCARD_PAIRS}) p
       JOIN (SELECT doc_id, {split} AS split FROM documents) sa ON p.a = sa.doc_id
       JOIN (SELECT doc_id, {split} AS split FROM documents) sb ON p.b = sb.doc_id
-      WHERE sa.split != sb.split"""
+      WHERE sa.split != sb.split
+      UNION ALL
+      -- sflag: docs the reconciled near-dedup STREAM confirms as dups ==
+      -- docs with an exact >= 0.9 pair to a smaller-id (earlier) doc
+      SELECT 'sflag', d.b, NULL::BIGINT, NULL::DOUBLE,
+             NULL::VARCHAR, NULL::VARCHAR
+      FROM (SELECT DISTINCT b FROM ({_SQL_JACCARD_PAIRS})) d"""
 
 
 _q("dedup_minhash_lsh", _dedup_minhash_spark, _dedup_minhash_oracle())
@@ -2038,11 +2113,20 @@ _q("similarity_ann_lsh", _similarity_ann_spark, _ann_sql())
 
 
 def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus decontamination (operators/decontam.py): screen the
-    documents corpus against a deterministic benchmark subset
-    (doc_id % 7 == 0, doc_id < 3500) at 50% shingle containment. The former standalone
-    similarity_topk row became the `exact` leg of similarity_ann_lsh to
-    free this driver slot."""
+    """Tagged 2-leg decontamination row:
+
+    - `pair`: cross-corpus decontamination (operators/decontam.py):
+      screen the documents corpus against a deterministic benchmark
+      subset (doc_id % 7 == 0, doc_id < 3500) at 50% shingle
+      containment. (The former standalone similarity_topk row became
+      the `exact` leg of similarity_ann_lsh to free this driver slot.)
+    - `sdec` (r9): the STREAMING screen
+      (streaming/stream_extract.stream_decontaminate — a stateless
+      mapInPandas closure over the collected eval suite, no watermark,
+      no state store) drained in-row over a 3-chunk replay; the
+      surviving doc set must be EXACTLY the complement of the pair
+      leg's train_id set (same threshold, same self-pair exclusion).
+    """
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.operators.decontam import contamination_pairs
@@ -2058,19 +2142,71 @@ def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=13 (~2-3 words): published decontam recipes use LONG n-grams so
     # shingles are rare — that is what keeps the shared-shingle join
     # sparse (df_bench per shingle ~1) AND what makes a hit meaningful
-    return contamination_pairs(docs, bench, threshold=0.5, k=13)
+    nb = F.lit(None).cast("bigint")
+    pairs = contamination_pairs(docs, bench, threshold=0.5, k=13).select(
+        F.lit("pair").alias("leg"), "train_id", "bench_id", "overlap", "overlap_frac"
+    )
+
+    def _run_stream_decontam():
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from mysql_to_s3_spark.streaming.stream_extract import (
+            read_parquet_stream,
+            stream_decontaminate,
+        )
+
+        bench_rows = [
+            (int(r["doc_id"]), r["text"])
+            for r in bench.select("doc_id", "text").collect()
+        ]
+        pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        src = _write_stream_chunks(pdf, pdf.iloc[0:0], "decontam_stream_")
+        schema = spark.read.parquet(src).schema
+        out = stream_decontaminate(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            bench_rows,
+            threshold=0.5,
+            k=13,
+        )
+        name = f"sdec_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        return sorted(
+            int(r["doc_id"]) for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+        )
+
+    kept = _fit_cached(spark, sf_dir, "decontam_stream", _run_stream_decontam)
+    sdec = spark.createDataFrame([(i,) for i in kept], "train_id bigint").select(
+        F.lit("sdec").alias("leg"),
+        "train_id",
+        nb.alias("bench_id"),
+        nb.alias("overlap"),
+        F.lit(None).cast("double").alias("overlap_frac"),
+    )
+    return pairs.unionByName(sdec)
 
 
 _SQL_SHINGLES_13 = _sql_shingles(13)
 
 _SQL_DECONTAM = f"""
     WITH sh AS (SELECT doc_id, {_SQL_SHINGLES_13} AS s FROM documents),
-    b AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 7 = 0 AND doc_id < 3500)
-    SELECT t.doc_id AS train_id, b.bench_id,
-           CAST(len(list_intersect(t.s, b.bs)) AS BIGINT) AS overlap,
-           round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6) AS overlap_frac
-    FROM sh t JOIN b ON t.doc_id != b.bench_id
-    WHERE round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6) >= 0.5"""
+    b AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id % 7 = 0 AND doc_id < 3500),
+    p AS (
+      SELECT t.doc_id AS train_id, b.bench_id,
+             CAST(len(list_intersect(t.s, b.bs)) AS BIGINT) AS overlap,
+             round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6) AS overlap_frac
+      FROM sh t JOIN b ON t.doc_id != b.bench_id
+      WHERE round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6) >= 0.5)
+    SELECT 'pair' AS leg, train_id, bench_id, overlap, overlap_frac FROM p
+    UNION ALL
+    -- sdec: the streaming screen keeps exactly the non-contaminated docs
+    SELECT 'sdec', doc_id, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE
+    FROM documents WHERE doc_id NOT IN (SELECT train_id FROM p)"""
 
 _q("text_decontaminate", _decontam_spark, _SQL_DECONTAM)
 
@@ -3989,6 +4125,24 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 drained the same way; each completed funnel's THREE step
                 timestamps bind to the batch funnel oracle (t1/t2 carry
                 steps 1 and 3; x carries step 2 as exact epoch-µs).
+    - `ssess` (r9): STREAMING sessionization
+                (operators/sessions.stream_session_stats — the native
+                session_window aggregate) drained over the same staged
+                replay; every finalized session's (start, last-event,
+                n_events) binds to the batch `sess` oracle. Boundary
+                note: the native window SPLITS at an exactly-gap-sized
+                step where the batch op merges — no µs-resolution event
+                pair in this corpus sits on that knife edge (verified at
+                all three SFs by the hash itself).
+    - `sfwdt` / `snear` (r9): the tolerance-bounded streaming as-of
+                directions (operators/joins.stream_asof_join_forward,
+                direction=forward|nearest, 2-day tolerance) over the
+                same staged source — earliest-following-in-horizon /
+                closer-of-the-two-ties-backward, each bound to a DuckDB
+                replica that CASEs the same horizon onto its own
+                backward/forward ASOF matches. With these, EVERY
+                streaming temporal operator (backward/forward/nearest
+                as-of, funnel, sessions) is under the hard gate.
 
     Drain determinism: both streams run with a lateness HORIZON wider
     than the corpus' 30-day span and a far-future watermark pusher, so
@@ -4179,6 +4333,40 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["user_id"] != _PUSHER_UID
         ]
 
+        # --- sfwdt / snear: the tolerance-bounded streaming directions
+        # (operators/joins.stream_asof_join_forward) over the SAME staged
+        # source — a probe is decided once the watermark passes
+        # ts + tolerance, which here happens at the final timeout flush
+        from mysql_to_s3_spark.operators.joins import stream_asof_join_forward
+
+        def _drain_directional(direction: str) -> list:
+            dout = stream_asof_join_forward(
+                read_parquet_stream(spark, asrc, aschema, max_files_per_trigger=1),
+                by=["user_id"],
+                probe_when=F.col("etype") == "p",
+                quote_when=F.col("etype") == "q",
+                value_cols=["sv"],
+                tolerance="2 days",
+                probe_id_col="event_id",
+                lateness=lateness,
+                direction=direction,
+            )
+            dname = f"s{direction[:4]}_{_uuid.uuid4().hex[:8]}"
+            dq = (
+                dout.writeStream.format("memory").queryName(dname)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            _drain_available_now(dq)
+            return [
+                (int(r["event_id"]), int(r["user_id"]), r["ts"], r["asof_ts"],
+                 None if r["sv"] is None else float(r["sv"]))
+                for r in spark.sql(f"SELECT * FROM {dname}").collect()
+                if r["user_id"] != _PUSHER_UID
+            ]
+
+        fwd_rows = _drain_directional("forward")
+        near_rows = _drain_directional("nearest")
+
         # --- sfun: the raw event replay; the pusher's event_type matches
         # no step (mask 0), it only advances the watermark
         fsrc_pdf = pdf[["event_id", "user_id", "ts", "event_type"]]
@@ -4205,14 +4393,58 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in spark.sql(f"SELECT * FROM {fname}").collect()
             if r["user_id"] != _PUSHER_UID
         ]
-        return asof_rows, fun_rows
 
-    srows, frows = _fit_cached(spark, sf_dir, "temporal_stream", _run_stream_temporal)
+        # --- ssess: the native session_window aggregate over the SAME
+        # raw replay (third query on the one staged source); windows
+        # finalize when the pusher-driven watermark passes their close.
+        # Spark's session end = last_event + gap; the leg subtracts the
+        # gap back so t2 binds to the batch max(ts). Per-user seq is
+        # assigned after collect by start order (the batch session_seq).
+        from mysql_to_s3_spark.operators.sessions import stream_session_stats
+
+        sout = stream_session_stats(
+            read_parquet_stream(spark, fsrc, fschema, max_files_per_trigger=1),
+            by=["user_id"],
+            gap="30 minutes",
+            lateness=lateness,
+        )
+        sname = f"ssess_{_uuid.uuid4().hex[:8]}"
+        q = (
+            sout.writeStream.format("memory").queryName(sname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        import datetime as _dt
+
+        raw = [
+            (int(r["user_id"]), r["session"]["start"],
+             r["session"]["end"] - _dt.timedelta(minutes=30), int(r["n_events"]))
+            for r in spark.sql(f"SELECT * FROM {sname}").collect()
+            if r["user_id"] != _PUSHER_UID
+        ]
+        raw.sort()
+        sess_rows = []
+        prev_uid, seq = None, 0
+        for uid, s0, s1, n in raw:
+            seq = seq + 1 if uid == prev_uid else 0
+            prev_uid = uid
+            sess_rows.append((uid, seq, s0, s1, n))
+        return asof_rows, fun_rows, sess_rows, fwd_rows, near_rows
+
+    srows, frows, ssrows, fwrows, nrrows = _fit_cached(
+        spark, sf_dir, "temporal_stream", _run_stream_temporal
+    )
     leg_schema = (
         "leg string, a bigint, b bigint, t1 timestamp_ntz, t2 timestamp_ntz, x double"
     )
     sasof = spark.createDataFrame(
         [("sasof", eid, uid, t1, t2, x) for eid, uid, t1, t2, x in srows], leg_schema
+    )
+    sfwdt = spark.createDataFrame(
+        [("sfwdt", eid, uid, t1, t2, x) for eid, uid, t1, t2, x in fwrows], leg_schema
+    )
+    snear = spark.createDataFrame(
+        [("snear", eid, uid, t1, t2, x) for eid, uid, t1, t2, x in nrrows], leg_schema
     )
 
     import datetime as _dt
@@ -4228,6 +4460,10 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sfun = spark.createDataFrame(
         [("sfun", uid, None, s1, s3, _us(s2)) for uid, s1, s2, s3 in frows], leg_schema
     )
+    ssess = spark.createDataFrame(
+        [("ssess", uid, seq, s0, s1, float(n)) for uid, seq, s0, s1, n in ssrows],
+        leg_schema,
+    )
     return (
         asof.unionByName(asoff)
         .unionByName(asofn)
@@ -4238,6 +4474,9 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fw)
         .unionByName(sasof)
         .unionByName(sfun)
+        .unionByName(ssess)
+        .unionByName(sfwdt)
+        .unionByName(snear)
     )
 
 
@@ -4336,7 +4575,31 @@ _q(
     -- sfun: streaming funnel completions == converted users' greedy step
     -- chain; x = step-2 ts as exact integer epoch-µs
     SELECT 'sfun', t3.user_id, NULL, t1.s1, t3.s3, epoch_us(t2.s2)::DOUBLE
-    FROM t3 JOIN t2 USING (user_id) JOIN t1 USING (user_id)""",
+    FROM t3 JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+    UNION ALL
+    -- ssess: the native session_window drain == the batch session rollup
+    SELECT 'ssess', user_id, sq, s0, s1, n::DOUBLE FROM sess
+    UNION ALL
+    -- sfwdt: streaming FORWARD as-of, 2-day tolerance — earliest
+    -- following quote, nulled past the horizon
+    SELECT 'sfwdt', p.event_id, p.user_id, p.ts,
+           CASE WHEN nf.qts <= p.ts + INTERVAL 2 DAY THEN nf.qts END,
+           (CASE WHEN nf.qts <= p.ts + INTERVAL 2 DAY THEN nf.value END)::DOUBLE
+    FROM pur p LEFT JOIN nf USING (event_id)
+    UNION ALL
+    -- snear: streaming NEAREST, 2-day tolerance both sides, ties backward
+    SELECT 'snear', event_id, user_id, ts,
+           CASE WHEN bqts IS NOT NULL AND (fqts IS NULL OR (ts - bqts) <= (fqts - ts))
+                THEN bqts ELSE fqts END,
+           (CASE WHEN bqts IS NOT NULL AND (fqts IS NULL OR (ts - bqts) <= (fqts - ts))
+                 THEN bval ELSE fval END)::DOUBLE
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN nb.qts >= p.ts - INTERVAL 2 DAY THEN nb.qts END AS bqts,
+             CASE WHEN nb.qts >= p.ts - INTERVAL 2 DAY THEN nb.value END AS bval,
+             CASE WHEN nf.qts <= p.ts + INTERVAL 2 DAY THEN nf.qts END AS fqts,
+             CASE WHEN nf.qts <= p.ts + INTERVAL 2 DAY THEN nf.value END AS fval
+      FROM pur p LEFT JOIN nb USING (event_id) LEFT JOIN nf USING (event_id))""",
 )
 
 

@@ -202,3 +202,26 @@ def test_empty_counts_frame_matches_sql_oracle_semantics(spark, corpus):
     src = hashed_ngram_counts(df, n_buckets=M)
     got2 = dsir_logratio(df, empty, src, n_buckets=M).collect()
     assert all(r["dsir_logratio"] is not None for r in got2)
+
+
+def test_dsir_scorer_accepts_tuple_models(spark):
+    """r9: the documented '(bucket, n) lists' model form — plain tuples
+    (the shape a caller gets from `[(r.bucket, r.n) for r in ...]`) must
+    score identically to DataFrame models. Regression: tuples have
+    __getitem__, so the Row-vs-list probe must key on asDict, not on
+    indexability (string-indexing a tuple raises TypeError)."""
+    from mysql_to_s3_spark.operators.dsir import dsir_scorer
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta"), (3, "gamma alpha")],
+        "doc_id bigint, text string",
+    )
+    tgt = hashed_ngram_counts(docs.filter(F.col("doc_id") == 1), n_buckets=M)
+    src = hashed_ngram_counts(docs, n_buckets=M)
+    tgt_rows = [(r.bucket, r.n) for r in tgt.collect()]
+    src_rows = [(r.bucket, r.n) for r in src.collect()]
+    s_frame = dsir_scorer(tgt, src, n_buckets=M)
+    s_tuple = dsir_scorer(tgt_rows, src_rows, n_buckets=M)
+    a = {r.doc_id: r.w for r in docs.select("doc_id", s_frame(F.col("text")).alias("w")).collect()}
+    b = {r.doc_id: r.w for r in docs.select("doc_id", s_tuple(F.col("text")).alias("w")).collect()}
+    assert a == b and len(a) == 3
