@@ -181,6 +181,16 @@ class CorpusConfig:
     # skip the probe and broadcast (caller asserts the bench is a
     # fixed-size eval suite). False: never broadcast (corpus-vs-corpus).
     decontam_broadcast: bool | None = None
+    # shingle width for the decontamination screen — ONE value consumed
+    # by BOTH pipeline forms. Before r9 the batch path used the
+    # operator default (char-5) while the streaming path used
+    # stream_decontaminate's own default (char-13), so the same config
+    # decontaminated DIFFERENT doc sets batch-vs-stream (caught by the
+    # sf1 0-divergence drain, tools/bench_stream_pipeline.py: 119
+    # near-copy docs dropped only by batch). 5 keeps the batch
+    # behavior the pipeline_prepare oracle binds; published decontam
+    # recipes usually want longer n-grams — set 13+ deliberately.
+    decontam_k: int = 5
     redact: bool = False
     splits: Mapping[str, float] | None = None
     split_col: str = "split"
@@ -600,6 +610,7 @@ def prepare_corpus(
             out,
             bench,
             threshold=cfg.decontam_threshold,
+            k=cfg.decontam_k,
             train_id_col=cfg.id_col,
             text_col=cfg.text_col,
             hashed=True,  # scale default; parity tests pass hashed=False directly
@@ -774,6 +785,7 @@ def prepare_corpus_stream(
             out,
             bench_rows,
             threshold=cfg.decontam_threshold,
+            k=cfg.decontam_k,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         )

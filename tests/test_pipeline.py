@@ -1651,3 +1651,60 @@ def test_split_leakage_requires_jaccard_on_supplied_pairs(spark):
     bare = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
     with pytest.raises(PipelineError, match="jaccard"):
         split_leakage(docs, threshold=0.8, pairs=bare)
+
+
+def test_decontam_k_consistent_batch_vs_stream(spark, tmp_path):
+    """r9 regression (caught by the sf1 0-divergence drain): BOTH
+    pipeline forms must shingle the decontamination screen at the SAME
+    CorpusConfig.decontam_k. The planted doc shares every char-5 shingle
+    neighborhood with the bench doc but breaks its char-13 shingles
+    (a char inserted every 9 chars), so k=5 drops it and k=13 keeps it —
+    before the fix the batch path used k=5 while the stream used k=13
+    for the same config."""
+    import os as _os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.pipeline import prepare_corpus, prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    bench_text = (
+        "the held out benchmark document with quite many plain words inside "
+        "it and several more clauses to give the shingle sets real volume "
+        "for a stable containment estimate across both widths"
+    )
+    # insert 'z' every 23 chars (the sf1 generator's perturbation): a
+    # k-shingle survives iff its window dodges every insert — ~(23-k+1)/23,
+    # so ~0.83 containment at k=5 (>= 0.7: dropped) vs ~0.48 at k=13
+    # (< 0.7: kept)
+    near = "".join(
+        c + ("z" if i % 23 == 22 else "") for i, c in enumerate(bench_text)
+    )
+    rows = [(1, near), (2, "a separate perfectly ordinary document with plain words here")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id bigint, text string")
+
+    def batch_kept(k):
+        cfg = CorpusConfig(decontam_threshold=0.7, decontam_k=k)
+        return {r.doc_id for r in prepare_corpus(docs, cfg, bench=bench).docs.collect()}
+
+    def stream_kept(k, tag):
+        src = str(tmp_path / f"dk_src_{tag}")
+        _os.makedirs(src, exist_ok=True)
+        pdf = pd.DataFrame(
+            {"doc_id": [r[0] for r in rows],
+             "ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02"]).astype("datetime64[us]"),
+             "text": [r[1] for r in rows]}
+        )
+        pdf.to_parquet(src + "/a.parquet")
+        sdf = read_parquet_stream(spark, src, spark.read.parquet(src).schema)
+        cfg = CorpusConfig(decontam_threshold=0.7, decontam_k=k)
+        out = prepare_corpus_stream(sdf, cfg, ts_col="ts", bench_rows=[(99, bench_text)])
+        name = f"dk_{tag}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+
+    assert batch_kept(5) == stream_kept(5, "k5") == {2}
+    assert batch_kept(13) == stream_kept(13, "k13") == {1, 2}
