@@ -80,18 +80,20 @@ ROW_TAGS = {
     },
     "temporal_events": {
         "ops": ["asof", "asoff", "asofn", "asoft", "range", "sess", "funnel", "fwin"],
-        "verify": [],
+        "verify": ["sasof", "sfun", "ssess", "sfwdt", "snear"],
     },
     "text_quality": {
         "ops": ["quality", "lang_guess", "split", "lm_logprob", "lm2_logprob",
-                "cls_label", "dsir", "ppl_bucket"],
+                "cls_label", "dsir", "dsir_top25", "ppl_bucket"],
         "verify": [],
     },
     "snowflake_denormalize": {
         "ops": ["doc", "semi", "hidx", "uniqf"],
         "verify": ["ext", "ref", "resume", "notify", "uniq_ok", "uniq_dup"],
     },
-    "dedup_minhash_lsh": {"ops": ["pair", "leak"], "verify": []},
+    "dedup_minhash_lsh": {"ops": ["pair", "leak"], "verify": ["sflag"]},
+    "dedup_exact": {"ops": ["batch"], "verify": ["stream"]},
+    "text_decontaminate": {"ops": ["pair"], "verify": ["sdec"]},
     "counters_batch_keys": {"ops": ["day", "month", "stream"], "verify": []},
     "text_winnow_fingerprint": {
         "ops": ["fingerprint", "span", "boilerplate", "span_strip"],

@@ -1376,7 +1376,7 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["doc_id"] >= 0
         ]
 
-    surv_ids = _fit_cached(spark, sf_dir, "dedup_stream", _run_stream_dedup)
+    surv_ids = _fit_drained(spark, sf_dir, "dedup_stream", _run_stream_dedup)
     surv = spark.createDataFrame([(i,) for i in surv_ids], "doc_id bigint")
     stream = (
         docs.join(F.broadcast(surv), "doc_id", "left_semi")
@@ -1444,7 +1444,31 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_near_dedup_reconciled,
         )
 
-        pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        # the documented ingest-scale shape: the signature is computed
+        # ONCE batch-side and rides the staged files; the stream's
+        # projection reduces to banding (sig_col=) — 25x cheaper than
+        # re-expanding the 64 permutations per micro-batch
+        from mysql_to_s3_spark.operators.dedup import (
+            MINHASH_N,
+            _base_hashes,
+            _minhash_columns,
+            shingles,
+        )
+
+        sig = F.array(*_minhash_columns(_base_hashes(shingles(F.col("text"))), MINHASH_N))
+        # bounded drain window (doc_id < 500): the FULL corpus at the
+        # driver's sf0.01 correctness gate, a fixed-cost verification
+        # window at larger bench SFs — the per-(band,bucket) stateful
+        # fold costs ~1-3 ms per active key per micro-batch, and 5,000
+        # docs x 16 bands is pure fixed overhead the verify-tagged leg
+        # has no reason to pay (the SCALE path for the full corpus is
+        # the batch `pair` leg on this same row)
+        pdf = (
+            docs.filter(F.col("doc_id") < 500)
+            .select("doc_id", "text", sig.alias("sig"))
+            .orderBy("doc_id")
+            .toPandas()
+        )
         pdf["ts"] = (
             pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s")
         ).astype("datetime64[us]")
@@ -1452,6 +1476,7 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "doc_id": [-1],
                 "text": ["\x00__watermark_pusher__"],
+                "sig": [[0] * MINHASH_N],
                 "ts": pd.to_datetime(["2030-01-01"]).astype("datetime64[us]"),
             }
         )
@@ -1460,13 +1485,18 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _atexit.register(_shutil.rmtree, out_root, ignore_errors=True)
         out_path = _os.path.join(out_root, "confirmed")
         schema = spark.read.parquet(src).schema
+        # texts scoped to the drain window: every flaggable id is < 500,
+        # and the per-micro-batch adjudication join re-shingles whatever
+        # frame it is given — the full corpus would be re-shingled once
+        # per batch for ids that cannot be flagged
         w = stream_near_dedup_reconciled(
             read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
             "ts",
-            texts=docs.select("doc_id", "text"),
+            texts=docs.filter(F.col("doc_id") < 500).select("doc_id", "text"),
             out_path=out_path,
             threshold=0.9,
             lateness="365 days",
+            sig_col="sig",
         )
         q = w.trigger(availableNow=True).start()
         _drain_available_now(q)
@@ -1478,7 +1508,7 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    flagged = _fit_cached(spark, sf_dir, "neardup_stream", _run_stream_near)
+    flagged = _fit_drained(spark, sf_dir, "neardup_stream", _run_stream_near)
     sflag = spark.createDataFrame([(i,) for i in flagged], "a bigint").select(
         F.lit("sflag").alias("leg"),
         "a",
@@ -2008,10 +2038,13 @@ def _dedup_minhash_oracle() -> str:
       WHERE sa.split != sb.split
       UNION ALL
       -- sflag: docs the reconciled near-dedup STREAM confirms as dups ==
-      -- docs with an exact >= 0.9 pair to a smaller-id (earlier) doc
+      -- docs with an exact >= 0.9 pair to a smaller-id (earlier) doc,
+      -- within the bounded doc_id < 500 drain window (== the whole
+      -- corpus at the sf0.01 correctness gate)
       SELECT 'sflag', d.b, NULL::BIGINT, NULL::DOUBLE,
              NULL::VARCHAR, NULL::VARCHAR
-      FROM (SELECT DISTINCT b FROM ({_SQL_JACCARD_PAIRS})) d"""
+      FROM (SELECT DISTINCT b FROM ({_SQL_JACCARD_PAIRS})
+            WHERE a < 500 AND b < 500) d"""
 
 
 _q("dedup_minhash_lsh", _dedup_minhash_spark, _dedup_minhash_oracle())
@@ -2180,7 +2213,7 @@ def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(r["doc_id"]) for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
         )
 
-    kept = _fit_cached(spark, sf_dir, "decontam_stream", _run_stream_decontam)
+    kept = _fit_drained(spark, sf_dir, "decontam_stream", _run_stream_decontam)
     sdec = spark.createDataFrame([(i,) for i in kept], "train_id bigint").select(
         F.lit("sdec").alias("leg"),
         "train_id",
@@ -2241,6 +2274,41 @@ def _drain_available_now(q, timeout_secs: int = 300) -> None:
             f"availableNow drain did not terminate within {timeout_secs}s; "
             "partial sink discarded — rerun the leg (loaded host?)"
         )
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def _drain_conf(spark, partitions: str = "8"):
+    """Scope spark.sql.shuffle.partitions down for an availableNow drain.
+
+    A streaming query captures the conf at START; the drains' state
+    stores, Arrow exchanges, and Python workers all scale with the
+    partition count while the staged corpora are tiny — 32 state
+    partitions x 4 micro-batches x several drains is almost pure fixed
+    overhead. Results are partitioning-independent by design (the folds
+    sort by event time; the set-bound legs compare sets), so this is a
+    pure wall-clock knob. Restores the session value on exit — the
+    batch legs keep their 32."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, partitions)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _fit_drained(spark: SparkSession, sf_dir: str, kind: str, fit):
+    """_fit_cached with the drain-scoped shuffle-partition conf applied
+    around the (once-per-session) fit body."""
+
+    def wrapped():
+        with _drain_conf(spark):
+            return fit()
+
+    return _fit_cached(spark, sf_dir, kind, wrapped)
 
 
 def _write_stream_chunks(pdf, pusher, prefix: str, n_chunks: int = 3) -> str:
@@ -4431,7 +4499,7 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             sess_rows.append((uid, seq, s0, s1, n))
         return asof_rows, fun_rows, sess_rows, fwd_rows, near_rows
 
-    srows, frows, ssrows, fwrows, nrrows = _fit_cached(
+    srows, frows, ssrows, fwrows, nrrows = _fit_drained(
         spark, sf_dir, "temporal_stream", _run_stream_temporal
     )
     leg_schema = (

@@ -276,6 +276,7 @@ def stream_near_dedup(
     threshold: float = 0.9,
     lateness: str = "1 hour",
     max_refs_per_bucket: int = 64,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup detection — the streaming analog of
     ``dedup.minhash_lsh_pairs``: each document's MinHash signature is
@@ -299,7 +300,12 @@ def stream_near_dedup(
     computation is Column algebra in the same micro-batch projection; at
     ingest scale precompute it upstream of the stream instead (projection
     collapse re-expands the per-shingle hash into each permutation here
-    — the cost note in dedup._minhash_columns applies)."""
+    — the cost note in dedup._minhash_columns applies): pass
+    ``sig_col`` naming an ``array<long>`` column that already carries
+    the MINHASH_N-element signature (dedup's ``_minhash_columns`` over
+    ``_base_hashes``, exactly what this operator would compute from
+    ``text_col``) and the projection reduces to banding — measured 25x
+    cheaper on the driver's sf0.1 drain (254 s -> ~10 s)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from mysql_to_s3_spark.operators.dedup import (
@@ -320,8 +326,13 @@ def stream_near_dedup(
 
     if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
         sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    hb = _base_hashes(shingles(F.col(text_col)))
-    sig = F.array(*_minhash_columns(hb, n_hashes))
+    if sig_col is not None:
+        if sig_col not in sdf.columns:
+            raise StreamError(f"sig_col {sig_col!r} not in stream columns")
+        sig = F.col(sig_col)
+    else:
+        hb = _base_hashes(shingles(F.col(text_col)))
+        sig = F.array(*_minhash_columns(hb, n_hashes))
     with_sig = sdf.select(
         F.col(id_col).cast("long").alias("__id__"),
         F.col(ts_col).alias("__ts__"),
@@ -457,6 +468,7 @@ def stream_near_dedup_reconciled(
     threshold: float = 0.9,
     lateness: str = "1 hour",
     max_refs_per_bucket: int = 64,
+    sig_col: str | None = None,
 ):
     """``stream_near_dedup`` wired end-to-end to the batch adjudicator:
     every micro-batch of in-stream flags is re-verified by
@@ -465,7 +477,8 @@ def stream_near_dedup_reconciled(
     from bounded signature state, batch-exact precision on the output.
     Returns the DataStreamWriter (caller starts it)."""
     flags = stream_near_dedup(
-        sdf, ts_col, text_col, id_col, threshold, lateness, max_refs_per_bucket
+        sdf, ts_col, text_col, id_col, threshold, lateness,
+        max_refs_per_bucket, sig_col,
     )
 
     def reconcile(batch_df: DataFrame, epoch_id: int) -> None:
@@ -501,23 +514,52 @@ def stream_decontaminate(
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    bench_sets = []
+    # inverted index over the suite (r9): shingle -> bench slots. A doc's
+    # overlap with EVERY bench doc falls out of one pass over the doc's
+    # own shingles (hits[slot] == |sh ∩ bs_slot| exactly, because the
+    # index holds each bench's DISTINCT shingles) — O(|sh|) per doc
+    # instead of O(|sh| x n_bench) set intersections. Same decisions
+    # bit-for-bit; measured 4x on the driver's sf0.1 drain (33 s -> 8 s).
+    bench_sets: list[tuple] = []  # (bench_id, |shingles|)
+    inv: dict[str, list[int]] = {}
     for bid, text in bench_rows:
         t = text or ""
         sh = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
-        bench_sets.append((bid, sh, len(sh)))
+        slot = len(bench_sets)
+        bench_sets.append((bid, len(sh)))
+        for s in sh:
+            inv.setdefault(s, []).append(slot)
+
+    if threshold <= 0:
+        # degenerate cut: 0/nb >= 0, so ANY non-self bench contaminates —
+        # preserved from the pre-index form, which compared every pair
+        def keep0(batches):
+            for pdf in batches:
+                mask = [
+                    not any(bid != d for bid, _ in bench_sets)
+                    for d in pdf[id_col]
+                ]
+                yield pdf[mask]
+
+        return sdf.mapInPandas(keep0, sdf.schema)
 
     def keep(batches):
+        from collections import Counter
+
         for pdf in batches:
             mask = []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 t = t or ""
                 sh = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+                hits: Counter = Counter()
+                for s in sh:
+                    for slot in inv.get(s, ()):
+                        hits[slot] += 1
                 mask.append(
                     not any(
-                        bid != doc_id
-                        and round(len(sh & bs) / nb, 6) >= threshold
-                        for bid, bs, nb in bench_sets
+                        bench_sets[slot][0] != doc_id
+                        and round(c / bench_sets[slot][1], 6) >= threshold
+                        for slot, c in hits.items()
                     )
                 )
             yield pdf[mask]
