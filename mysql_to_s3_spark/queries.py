@@ -1863,11 +1863,9 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.operators.text import kgram_rolling_hashes, winnow_from_hashes
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    from mysql_to_s3_spark.functions.cachepool import cache_scoped
     from mysql_to_s3_spark.operators.dedup import (
         duplicated_span_fraction,
         strip_boilerplate_lines,
-        token_frame,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -1881,20 +1879,22 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fps, 1).alias("fp_min"),
         F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("fp_sum"),
     )
-    # pooled (r9): ONE scan+tokenize feeds the three token-level legs
-    # (span fraction, boilerplate-line derivation, span strip) via the
-    # operators' toks= hooks — the minhash row's pairs=-hook pooling
-    # applied to the span family. A derived projection, never a bare
-    # table scan (the CacheManager substitution hazard).
-    toks = cache_scoped(token_frame(docs), "text_winnow:toks")
+    # NOT pooled — measured decision (r9): caching a token_frame and
+    # feeding the three token-level legs via the toks= hooks was A/B
+    # timed at sf0.1 and LOST to independent re-tokenization, 6.5-15.9 s
+    # vs 4.8-5.5 s — columnar (de)serialization of two array<string>
+    # columns costs more than re-running the codegen'd regexp over the
+    # parquet text per leg. The hooks stay for cross-JOB reuse (where
+    # the alternative is a re-SCAN, not a re-expression); within one
+    # plan, recompute. See SCALE.md "Winnow row pooling reversal".
     # leg: cross-doc duplicated-span fraction (Lee et al. exact-substring
     # signal, k=5 token windows, md5 span keys)
-    spanf = duplicated_span_fraction(docs, k=5, min_docs=2, toks=toks)
+    spanf = duplicated_span_fraction(docs, k=5, min_docs=2)
     # leg: line-level boilerplate removal over a DERIVED multi-line view
     # (docs are single-line token streams, so "lines" = aligned 10-token
     # chunks — deterministic in both engines; planted near-dup docs share
     # aligned chunks, so the gate really fires on this corpus)
-    t = F.col("lt")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+|[^\w\s]"), 0)
     nl = F.greatest(F.ceil(F.size(t) / F.lit(10.0)).cast("int"), F.lit(1))
     text2 = F.array_join(
         F.transform(
@@ -1904,7 +1904,7 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n",
     )
     bl = strip_boilerplate_lines(
-        toks.select(F.col("id").alias("doc_id"), text2.alias("text")), max_docs=1
+        docs.select("doc_id", text2.alias("text")), max_docs=1
     ).select(
         "doc_id",
         F.md5("clean_text").alias("bl_md5"),
@@ -1917,7 +1917,7 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union, and the original-case reconstruction to the oracle
     from mysql_to_s3_spark.operators.dedup import strip_duplicated_spans
 
-    sp = strip_duplicated_spans(docs, k=5, toks=toks).select(
+    sp = strip_duplicated_spans(docs, k=5).select(
         "doc_id",
         F.md5("clean_text").alias("sp_md5"),
         F.col("n_removed").alias("sp_removed"),
