@@ -80,7 +80,7 @@ ROW_TAGS = {
     },
     "temporal_events": {
         "ops": ["asof", "asoff", "asofn", "asoft", "range", "sess", "funnel", "fwin"],
-        "verify": ["sasof", "sfun", "ssess", "sfwdt", "snear"],
+        "verify": ["sasof", "sfun", "ssess", "sfwdt", "snear", "sfwin", "srange"],
     },
     "text_quality": {
         "ops": ["quality", "lang_guess", "split", "lm_logprob", "lm2_logprob",

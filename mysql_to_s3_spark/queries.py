@@ -4208,9 +4208,18 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 same staged source — earliest-following-in-horizon /
                 closer-of-the-two-ties-backward, each bound to a DuckDB
                 replica that CASEs the same horizon onto its own
-                backward/forward ASOF matches. With these, EVERY
-                streaming temporal operator (backward/forward/nearest
-                as-of, funnel, sessions) is under the hard gate.
+                backward/forward ASOF matches.
+    - `sfwin` (r9): the time-boxed streaming funnel
+                (operators/sessions.stream_funnel_within, 3 days) —
+                earliest completing start per converted user, the batch
+                `fwin` oracle's converted branch.
+    - `srange` (r9): the NATIVE stream-stream interval join
+                (operators/joins.stream_interval_join) — the events
+                stream joined to a staged session-intervals stream,
+                bound to the batch `range` containment oracle. With
+                these, EVERY streaming temporal operator (backward/
+                forward/nearest as-of, interval join, greedy and
+                time-boxed funnels, sessions) is under the hard gate.
 
     Drain determinism: both streams run with a lateness HORIZON wider
     than the corpus' 30-day span and a far-future watermark pusher, so
@@ -4462,6 +4471,78 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["user_id"] != _PUSHER_UID
         ]
 
+        # --- sfwin: the time-boxed streaming funnel over the same raw
+        # replay — a start is judged once the watermark passes
+        # start+within, which here happens at the final flush; emits the
+        # EARLIEST completing start per key (the batch fwin semantics)
+        from mysql_to_s3_spark.operators.sessions import stream_funnel_within
+
+        fwout = stream_funnel_within(
+            read_parquet_stream(spark, fsrc, fschema, max_files_per_trigger=1),
+            by=["user_id"],
+            steps=[F.col("event_type") == t for t in ("signup", "click", "purchase")],
+            within="3 days",
+            lateness=lateness,
+        )
+        fwname = f"sfwin_{_uuid.uuid4().hex[:8]}"
+        q = (
+            fwout.writeStream.format("memory").queryName(fwname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        fwin_rows = [
+            (int(r["user_id"]), r["start_ts"])
+            for r in spark.sql(f"SELECT * FROM {fwname}").collect()
+            if r["user_id"] != _PUSHER_UID
+        ]
+
+        # --- srange: the NATIVE stream-stream interval join — events
+        # stream joined to a staged session-intervals stream. Inner-join
+        # matches emit as both sides arrive (no watermark gate), and the
+        # wide lateness keeps both state sides un-evicted for the whole
+        # drain, so every containment match lands; max_span is set past
+        # the corpus span (the bound exists for real deployments' state
+        # watermark — here the drain ends first)
+        from mysql_to_s3_spark.operators.joins import stream_interval_join
+
+        iv_pdf = (
+            sess.select(
+                "user_id",
+                F.col("session_start").alias("start"),
+                F.col("session_end").alias("end"),
+                F.col("session_seq").alias("sq"),
+            )
+            .orderBy("start", "user_id", "sq")
+            .toPandas()
+        )
+        for c in ("start", "end"):
+            iv_pdf[c] = iv_pdf[c].astype("datetime64[us]")
+        ivsrc = _write_stream_chunks(iv_pdf, iv_pdf.iloc[0:0], "temporal_srange_iv_")
+        rout = stream_interval_join(
+            read_parquet_stream(
+                spark, fsrc, fschema, max_files_per_trigger=1
+            ).select("event_id", "user_id", "ts"),
+            read_parquet_stream(
+                spark, ivsrc, spark.read.parquet(ivsrc).schema,
+                max_files_per_trigger=1,
+            ),
+            by=["user_id"],
+            value_cols=["sq"],
+            lateness=lateness,
+            max_span="35 days",
+        )
+        rname = f"srange_{_uuid.uuid4().hex[:8]}"
+        q = (
+            rout.writeStream.format("memory").queryName(rname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        range_rows = [
+            (int(r["event_id"]), int(r["sq"]), r["ts"])
+            for r in spark.sql(f"SELECT * FROM {rname}").collect()
+            if r["user_id"] != _PUSHER_UID
+        ]
+
         # --- ssess: the native session_window aggregate over the SAME
         # raw replay (third query on the one staged source); windows
         # finalize when the pusher-driven watermark passes their close.
@@ -4497,9 +4578,9 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq = seq + 1 if uid == prev_uid else 0
             prev_uid = uid
             sess_rows.append((uid, seq, s0, s1, n))
-        return asof_rows, fun_rows, sess_rows, fwd_rows, near_rows
+        return asof_rows, fun_rows, sess_rows, fwd_rows, near_rows, fwin_rows, range_rows
 
-    srows, frows, ssrows, fwrows, nrrows = _fit_drained(
+    srows, frows, ssrows, fwrows, nrrows, fwinrows, rngrows = _fit_drained(
         spark, sf_dir, "temporal_stream", _run_stream_temporal
     )
     leg_schema = (
@@ -4532,6 +4613,12 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("ssess", uid, seq, s0, s1, float(n)) for uid, seq, s0, s1, n in ssrows],
         leg_schema,
     )
+    sfwin = spark.createDataFrame(
+        [("sfwin", uid, None, s0, None, 1.0) for uid, s0 in fwinrows], leg_schema
+    )
+    srange = spark.createDataFrame(
+        [("srange", eid, sq, t1, None, None) for eid, sq, t1 in rngrows], leg_schema
+    )
     return (
         asof.unionByName(asoff)
         .unionByName(asofn)
@@ -4545,6 +4632,8 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssess)
         .unionByName(sfwdt)
         .unionByName(snear)
+        .unionByName(sfwin)
+        .unionByName(srange)
     )
 
 
@@ -4667,7 +4756,17 @@ _q(
              CASE WHEN nb.qts >= p.ts - INTERVAL 2 DAY THEN nb.value END AS bval,
              CASE WHEN nf.qts <= p.ts + INTERVAL 2 DAY THEN nf.qts END AS fqts,
              CASE WHEN nf.qts <= p.ts + INTERVAL 2 DAY THEN nf.value END AS fval
-      FROM pur p LEFT JOIN nb USING (event_id) LEFT JOIN nf USING (event_id))""",
+      FROM pur p LEFT JOIN nb USING (event_id) LEFT JOIN nf USING (event_id))
+    UNION ALL
+    -- sfwin: the time-boxed streaming funnel == converted users' earliest
+    -- completing start (the batch fwin CTE, converted only)
+    SELECT 'sfwin', user_id, NULL, start_ts, NULL, 1.0 FROM fwin
+    UNION ALL
+    -- srange: the native stream-stream interval join == the batch
+    -- point-in-interval containment
+    SELECT 'srange', e.event_id, s.sq, e.ts, NULL, NULL
+    FROM events e JOIN sess s
+      ON e.user_id = s.user_id AND e.ts >= s.s0 AND e.ts <= s.s1""",
 )
 
 
