@@ -3731,7 +3731,7 @@ def _counters_batch_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
         return [(int(r["b0"]), int(r["ft"]), int(r["n"])) for r in rows]
 
-    srows = _fit_cached(spark, sf_dir, "stream_counts", _run_stream_counts)
+    srows = _fit_drained(spark, sf_dir, "stream_counts", _run_stream_counts)
     stream_leg = spark.createDataFrame(
         [("stream", None, b0, ft, n) for b0, ft, n in srows],
         "leg string, id bigint, batch0 bigint, batch1 bigint, batch2 bigint",

@@ -377,3 +377,67 @@ def test_stream_near_dedup_reconciled_confirms_with_batch_jaccard(spark, tmp_pat
         [(0, 2, 1, 0.95)], "band int, doc_id long, matched_id long, est double"
     )
     assert adjudicate_near_flags(fake, corpus, threshold=0.9).count() == 0
+
+
+def test_stream_near_dedup_sig_col_matches_in_stream_signature(spark, tmp_path):
+    """r9: the sig_col= ingest-scale path — a precomputed MINHASH_N
+    signature column staged with the source must flag EXACTLY what the
+    in-stream signature computation flags (same est values), and a
+    missing column is refused."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.dedup import (
+        MINHASH_N,
+        _base_hashes,
+        _minhash_columns,
+        shingles,
+    )
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        StreamError,
+        stream_near_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the cat sat on the mat "
+        "watching the ships sail slowly over the calm evening sea"
+    )
+    rows = [
+        (1, base, "2024-01-01 00:00:01"),
+        (2, "entirely different words about query engines and shuffles okay", "2024-01-01 00:00:02"),
+        (3, base.replace("evening", "morning"), "2024-01-01 00:05:00"),
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+         "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]")}
+    )
+    sig_expr = F.array(*_minhash_columns(_base_hashes(shingles(F.col("text"))), MINHASH_N))
+    sig_pdf = (
+        spark.createDataFrame(pdf[["doc_id", "text"]])
+        .select("doc_id", sig_expr.alias("sig"))
+        .toPandas()
+    )
+    staged = pdf.merge(sig_pdf, on="doc_id")
+    src = str(tmp_path / "sig_src")
+    os.makedirs(src, exist_ok=True)
+    staged.iloc[:2].to_parquet(src + "/a.parquet")
+    staged.iloc[2:].to_parquet(src + "/b.parquet")
+
+    def flags(sig_col):
+        schema = spark.read.parquet(src).schema
+        sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        out = stream_near_dedup(sdf, "ts", "text", "doc_id", threshold=0.9, sig_col=sig_col)
+        name = f"sig_ab_{'pre' if sig_col else 'raw'}"
+        _run_stream(out, name, "append")
+        return sorted(
+            (r["doc_id"], r["matched_id"], r["est"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    assert flags("sig") == flags(None) != []
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema)
+    with _pytest.raises(StreamError, match="sig_col"):
+        stream_near_dedup(sdf, "ts", sig_col="nope")
