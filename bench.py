@@ -198,8 +198,19 @@ def main() -> None:
                 "load1": [load1_start, load1_end],
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
+    # the measurements above are the artifact; a wedged JVM teardown
+    # after streaming drains must not be able to eat them (seen r9: the
+    # process completed both prints into a BUFFERED stdout, hung at
+    # interpreter exit, and the artifact file got only the first 4 KB
+    # buffer chunk). flush=True guarantees the driver's tail-parse sees
+    # both lines; stop() below is best-effort.
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
