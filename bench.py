@@ -59,9 +59,10 @@ HEADLINE = [
     # NEW row vs the r5 29-row set; cross-round totals exclude it
     "pipeline_prepare",
     "typed_json_roundtrip",
-    # beyond-reference temporal analytics: asof + interval join,
-    # sessionization, greedy + time-boxed funnel (5 legs, ONE pooled
-    # events scan via cachepool)
+    # beyond-reference temporal analytics: asof (backward/forward/
+    # nearest/tolerance) + interval join, sessionization, greedy +
+    # time-boxed funnel — 8 batch legs over ONE pooled events scan,
+    # plus (r9) 7 streaming-twin verify legs drained in-row
     "temporal_events",
 ]
 
