@@ -225,3 +225,18 @@ def test_dsir_scorer_accepts_tuple_models(spark):
     a = {r.doc_id: r.w for r in docs.select("doc_id", s_frame(F.col("text")).alias("w")).collect()}
     b = {r.doc_id: r.w for r in docs.select("doc_id", s_tuple(F.col("text")).alias("w")).collect()}
     assert a == b and len(a) == 3
+
+
+def test_dsir_topk_compiles_to_take_ordered(spark):
+    """r9 plan guard for the docstring claim: the Gumbel top-k selection
+    is TakeOrderedAndProject (partial per-partition top-k, no global
+    Sort node) — the property that keeps dsir_topk corpus-scale."""
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "doc_id bigint, w double"
+    )
+    plan = (
+        dsir_topk(docs, 5, weight_col="w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
