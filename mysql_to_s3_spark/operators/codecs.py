@@ -1,0 +1,373 @@
+"""Pure-numpy / stdlib media codecs for the multimodal column family.
+
+The sandbox ships no imaging/audio/video library, but several REAL,
+publicly specified formats need none:
+
+- **BMP** (Windows bitmap, 24-bit uncompressed ``BI_RGB``): 14-byte file
+  header + 40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded to a
+  4-byte boundary. Decodable with ``struct`` + numpy slicing.
+- **PPM / PGM** (netpbm ``P6``/``P5`` binary): ASCII header
+  (magic, width, height, maxval) + raw samples.
+- **WAV** (RIFF PCM 16-bit): Python's stdlib ``wave`` module reads and
+  writes it with no third-party dependency.
+- **Y4M** (YUV4MPEG2): plain-text stream header
+  (``YUV4MPEG2 W.. H.. F<num>:<den> .. C444``) followed by uncompressed
+  ``FRAME\\n`` + planar payloads. We use the C444 colorspace (no chroma
+  subsampling) so a frame is exactly ``3*W*H`` bytes.
+
+These give `operators/multimodal.py` genuinely working decode / resize /
+frame-sample paths in THIS environment; compressed formats (PNG/JPEG,
+MP3, H.264) stay behind the optional-PIL/ffmpeg seams.
+
+Reference parity note: the reference (klahnakoski/MySQL-to-S3) has no
+media handling at all — this family is part of the beyond-reference
+LLM-data-pipeline surface. Formats follow the public specs only
+(BMP: Windows BITMAPINFOHEADER layout; netpbm: netpbm.sourceforge.net
+format docs; Y4M: the mjpegtools YUV4MPEG2 stream description).
+
+Scale shape: codecs are per-payload kernels executed inside Arrow-batched
+``mapInPandas`` stages — embarrassingly parallel, zero shuffle; numpy
+does the per-pixel work, so a batch of images costs a handful of
+vectorized ops, not a Python loop over pixels.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from collections.abc import Iterator
+
+import numpy as np
+
+
+class CodecError(ValueError):
+    """Raised on malformed payloads or unsupported format variants."""
+
+
+# ---------------------------------------------------------------------------
+# format sniffing
+
+
+def sniff_media(payload: bytes) -> str | None:
+    """Best-effort magic-byte detection. Returns one of
+    ``'bmp' | 'ppm' | 'pgm' | 'wav' | 'y4m' | 'png' | 'jpeg' | 'gif'``
+    or None when unrecognized. Pure prefix checks — never reads past
+    the first 16 bytes."""
+    b = bytes(payload[:16])
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"P5":
+        return "pgm"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:4] in (b"GIF8",):
+        return "gif"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# BMP — 24-bit uncompressed BI_RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP.
+    Rows are stored bottom-up in BGR order, padded to 4 bytes — the
+    canonical Windows layout every viewer accepts."""
+    a = np.asarray(arr)
+    if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint8:
+        raise CodecError(f"encode_bmp wants HxWx3 uint8, got {a.shape} {a.dtype}")
+    h, w, _ = a.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    stride = row_raw + pad
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    # BITMAPINFOHEADER: positive height = bottom-up, compression 0 = BI_RGB
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :row_raw] = a[::-1, :, ::-1].reshape(h, row_raw)  # flip rows, RGB->BGR
+    return header + info + body.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an HxWx3 uint8 RGB array.
+    Handles bottom-up and top-down (negative height) variants; refuses
+    palettes, compression, and other bit depths loudly."""
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise CodecError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise CodecError(f"unsupported BMP header size {hdr_size} (want BITMAPINFOHEADER+)")
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise CodecError(f"only 24-bit BI_RGB supported, got bpp={bpp} compression={compression}")
+    if w <= 0 or h_signed == 0 or planes != 1:
+        raise CodecError(f"bad BMP dims w={w} h={h_signed} planes={planes}")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    need = off + stride * h
+    if len(b) < need:
+        raise CodecError(f"truncated BMP: {len(b)} bytes, need {need}")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up -> top-down
+    return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# netpbm — P6 (PPM, RGB) and P5 (PGM, gray), binary, maxval <= 255
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 as binary PPM (P6) or HxW uint8 as PGM (P5)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise CodecError(f"encode_ppm wants uint8, got {a.dtype}")
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise CodecError(f"encode_ppm wants HxWx3 or HxW, got {a.shape}")
+    h, w = a.shape[:2]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + a.tobytes()
+
+
+def _pnm_header(b: bytes) -> tuple[bytes, list[int], int]:
+    """Parse a netpbm header: magic then 3 ASCII ints (w, h, maxval),
+    '#' comments allowed, single whitespace byte after maxval."""
+    magic = b[:2]
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":  # comment to EOL
+            while i < len(b) and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise CodecError("malformed netpbm header")
+        vals.append(int(b[i:j]))
+        i = j
+    return magic, vals, i + 1  # exactly one whitespace byte after maxval
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) to HxWx3 / PGM (P5) to HxW uint8."""
+    b = bytes(payload)
+    magic, (w, h, maxval), off = _pnm_header(b)
+    if magic not in (b"P6", b"P5"):
+        raise CodecError(f"unsupported netpbm magic {magic!r} (want P6/P5 binary)")
+    if maxval != 255:
+        raise CodecError(f"only maxval=255 supported, got {maxval}")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if len(b) - off < need:
+        raise CodecError(f"truncated netpbm: {len(b) - off} payload bytes, need {need}")
+    a = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+    return a.reshape((h, w, 3) if ch == 3 else (h, w)).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF PCM via stdlib `wave` (no third-party dependency)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode a 1-D int16 array (mono) or (n, ch) int16 array as PCM WAV."""
+    a = np.asarray(samples)
+    if a.dtype != np.int16:
+        raise CodecError(f"encode_wav wants int16, got {a.dtype}")
+    if a.ndim == 1:
+        nch = 1
+    elif a.ndim == 2:
+        nch = a.shape[1]
+    else:
+        raise CodecError(f"encode_wav wants 1-D or (n, ch), got {a.shape}")
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    try:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(a.astype("<i2").tobytes())
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM-16 WAV to (samples, sample_rate); samples come back
+    1-D for mono, (n, ch) otherwise."""
+    try:
+        r = wave.open(io.BytesIO(bytes(payload)), "rb")
+    except (wave.Error, EOFError) as e:
+        raise CodecError(f"not a PCM WAV payload: {e}") from e
+    try:
+        if r.getsampwidth() != 2 or r.getcomptype() != "NONE":
+            raise CodecError(
+                f"only PCM-16 supported, got width={r.getsampwidth()} comp={r.getcomptype()}"
+            )
+        nch, rate, n = r.getnchannels(), r.getframerate(), r.getnframes()
+        a = np.frombuffer(r.readframes(n), dtype="<i2")
+    finally:
+        r.close()
+    return (a if nch == 1 else a.reshape(-1, nch)), rate
+
+
+# ---------------------------------------------------------------------------
+# Y4M — YUV4MPEG2, C444 colorspace (one frame = 3*W*H planar bytes)
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Encode an (n_frames, H, W, 3) uint8 array as a YUV4MPEG2 C444
+    stream. The three channels are written as the Y, U, V planes
+    verbatim (we treat them as opaque planes — no colorspace matrix;
+    decode gives the bytes back exactly)."""
+    a = np.asarray(frames)
+    if a.ndim != 4 or a.shape[3] != 3 or a.dtype != np.uint8:
+        raise CodecError(f"encode_y4m wants (n, H, W, 3) uint8, got {a.shape} {a.dtype}")
+    n, h, w, _ = a.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (w, h, fps_num, fps_den)]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(a[f].transpose(2, 0, 1)).tobytes())  # planar
+    return b"".join(out)
+
+
+def y4m_info(payload: bytes) -> dict:
+    """Parse the stream header: returns width/height/fps_num/fps_den/
+    n_frames/duration_ms (duration from frame count at the header fps)."""
+    b = bytes(payload)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise CodecError("not a YUV4MPEG2 payload")
+    w = h = None
+    num, den = 25, 1
+    for tok in b[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C" and tok != b"C444":
+            raise CodecError(f"only C444 supported, got {tok.decode()}")
+    if not w or not h or num <= 0 or den <= 0:
+        raise CodecError("malformed YUV4MPEG2 header")
+    frame_bytes = 3 * w * h
+    pos, n = nl + 1, 0
+    while pos < len(b):
+        fl = b.find(b"\n", pos)
+        if fl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise CodecError(f"malformed FRAME marker at byte {pos}")
+        pos = fl + 1 + frame_bytes
+        if pos > len(b):
+            raise CodecError("truncated YUV4MPEG2 frame")
+        n += 1
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": num,
+        "fps_den": den,
+        "n_frames": n,
+        "duration_ms": n * 1000 * den // num,
+    }
+
+
+def iter_y4m_frames(payload: bytes) -> Iterator[np.ndarray]:
+    """Yield each frame as an (H, W, 3) uint8 array (planes restacked)."""
+    b = bytes(payload)
+    info = y4m_info(b)  # validates structure up front
+    w, h = info["width"], info["height"]
+    frame_bytes = 3 * w * h
+    pos = b.find(b"\n") + 1
+    for _ in range(info["n_frames"]):
+        pos = b.find(b"\n", pos) + 1  # skip FRAME line (validated above)
+        planes = np.frombuffer(b, dtype=np.uint8, count=frame_bytes, offset=pos)
+        yield np.ascontiguousarray(planes.reshape(3, h, w).transpose(1, 2, 0))
+        pos += frame_bytes
+
+
+def y4m_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
+    """Random-access frame grab at a timestamp: frame index =
+    floor(ts_ms * fps / 1000), clamped to the last frame. O(1) seek —
+    C444 frames are fixed-size, so the byte offset is arithmetic."""
+    b = bytes(payload)
+    info = y4m_info(b)
+    w, h, n = info["width"], info["height"], info["n_frames"]
+    if n == 0:
+        raise CodecError("empty YUV4MPEG2 stream")
+    idx = min(int(ts_ms) * info["fps_num"] // (1000 * info["fps_den"]), n - 1)
+    frame_bytes = 3 * w * h
+    hdr = b.find(b"\n") + 1
+    pos = hdr + idx * (6 + frame_bytes) + 6  # 'FRAME\n' is 6 bytes
+    planes = np.frombuffer(b, dtype=np.uint8, count=frame_bytes, offset=pos)
+    return np.ascontiguousarray(planes.reshape(3, h, w).transpose(1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# nearest-neighbor resize (pure numpy; the classic index-map formula
+# out[y, x] = in[y * H_in // H_out, x * W_in // W_out])
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HxWx3 or HxW uint8 array. Integer
+    index map (floor), so the result is bit-deterministic across
+    platforms — no float rounding in play."""
+    a = np.asarray(arr)
+    if width <= 0 or height <= 0:
+        raise CodecError(f"bad target size {width}x{height}")
+    h_in, w_in = a.shape[:2]
+    ys = (np.arange(int(height)) * h_in) // int(height)
+    xs = (np.arange(int(width)) * w_in) // int(width)
+    return np.ascontiguousarray(a[np.ix_(ys, xs)])
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic payload builders — shared by tests and the
+# driver's oracle legs. The pixel/sample formulas are chosen to be
+# closed-form replicable in ANSI SQL (DuckDB `range()` arithmetic), so
+# an encode -> decode -> aggregate round-trip through the REAL codecs
+# sits under the driver's value-hash gate.
+
+
+def synth_image(doc_id: int, width: int = 16, height: int = 12) -> np.ndarray:
+    """Pixel i (row-major, channel-last linear index) = (doc_id + i) % 256."""
+    n = width * height * 3
+    return (
+        (int(doc_id) + np.arange(n, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(height, width, 3)
+
+
+def synth_audio(doc_id: int, n_samples: int = 256) -> np.ndarray:
+    """Sample t = ((doc_id*7 + t*13) % 2048) - 1024, int16 mono."""
+    t = np.arange(n_samples, dtype=np.int64)
+    return (((int(doc_id) * 7 + t * 13) % 2048) - 1024).astype(np.int16)
+
+
+def synth_video(doc_id: int, n_frames: int, width: int = 8, height: int = 6) -> np.ndarray:
+    """Frame f, linear byte i: (doc_id + 97*f + i) % 256."""
+    n = width * height * 3
+    f = np.arange(n_frames, dtype=np.int64)[:, None]
+    i = np.arange(n, dtype=np.int64)[None, :]
+    return (
+        (int(doc_id) + 97 * f + i) % 256
+    ).astype(np.uint8).reshape(n_frames, height, width, 3)

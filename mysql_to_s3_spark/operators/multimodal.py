@@ -3,12 +3,16 @@ columns with a typed metadata struct, processed by Arrow-batched
 ``mapInPandas`` feature extractors.
 
 The Spark-side plumbing is real and tested — schema contract, binary
-payload column, Arrow batch shape, partition-preserving mapInPandas. The
-actual media DECODE step is stubbed (this container has no image/audio
-libraries): ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-with the intended signature, and ``binary_features`` computes deterministic
+payload column, Arrow batch shape, partition-preserving mapInPandas.
+Decode is REAL for every format with a library-free public spec
+(``operators/codecs.py``): BMP 24-bit, PPM/PGM, PCM WAV (stdlib
+``wave``), and Y4M uncompressed video — decode_image / decode_audio /
+resize_image / frame grabs all work on those payloads in this
+container. Compressed formats (PNG/JPEG via PIL, H.264 via ffmpeg)
+stay behind optional-import seams that raise ``NotImplementedError``
+until the library appears; ``binary_features`` computes deterministic
 byte-level features (length + md5) through the same batch path so the
-pipeline shape is exercised end-to-end.
+pipeline shape is exercised end-to-end on arbitrary payloads.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per task,
 no shuffle; feature extraction is embarrassingly parallel. Batch size is
@@ -68,12 +72,23 @@ def _pil_image():
 
 
 def decode_image(payload: bytes) -> Any:
-    """Decode an image payload to an HxWxC numpy array via PIL when
-    available; raises NotImplementedError otherwise (no imaging library
-    in this container)."""
+    """Decode an image payload to an HxWxC numpy array. BMP (24-bit)
+    and PPM/PGM decode natively (pure numpy, ``operators/codecs.py``);
+    compressed formats go through PIL when available and raise
+    NotImplementedError otherwise."""
+    from mysql_to_s3_spark.operators import codecs
+
+    kind = codecs.sniff_media(payload)
+    if kind == "bmp":
+        return codecs.decode_bmp(payload)
+    if kind in ("ppm", "pgm"):
+        return codecs.decode_ppm(payload)
     Image = _pil_image()
     if Image is None:
-        raise NotImplementedError("image decode requires an imaging library (PIL/cv2); not available here")
+        raise NotImplementedError(
+            f"image format {kind or 'unknown'} needs an imaging library (PIL/cv2); "
+            "only BMP/PPM/PGM decode natively here"
+        )
     import io
 
     import numpy as np
@@ -82,17 +97,37 @@ def decode_image(payload: bytes) -> Any:
 
 
 def decode_audio(payload: bytes) -> Any:
-    """Decode audio to a waveform array. STUB (no soundfile/librosa here)."""
-    raise NotImplementedError("audio decode requires an audio library; not available here")
+    """Decode audio to (waveform int16 array, sample_rate). PCM-16 WAV
+    decodes natively (stdlib ``wave``); compressed codecs (MP3/OGG/FLAC)
+    raise NotImplementedError until an audio library appears."""
+    from mysql_to_s3_spark.operators import codecs
+
+    if codecs.sniff_media(payload) == "wav":
+        return codecs.decode_wav(payload)
+    raise NotImplementedError(
+        "compressed audio needs an audio library (soundfile/librosa); "
+        "only PCM WAV decodes natively here"
+    )
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload via PIL when available (decode, resize,
-    re-encode — the same shape a mapInPandas batch uses); raises
-    NotImplementedError otherwise."""
+    """Resize an image payload (decode, resize, re-encode in the SAME
+    format — the shape a mapInPandas batch uses). BMP/PPM resize
+    natively via integer nearest-neighbor (bit-deterministic across
+    platforms); other formats go through PIL when available."""
+    from mysql_to_s3_spark.operators import codecs
+
+    kind = codecs.sniff_media(payload)
+    if kind == "bmp":
+        return codecs.encode_bmp(codecs.resize_nearest(codecs.decode_bmp(payload), width, height))
+    if kind in ("ppm", "pgm"):
+        return codecs.encode_ppm(codecs.resize_nearest(codecs.decode_ppm(payload), width, height))
     Image = _pil_image()
     if Image is None:
-        raise NotImplementedError("image resize requires an imaging library (PIL/cv2); not available here")
+        raise NotImplementedError(
+            f"image format {kind or 'unknown'} needs an imaging library (PIL/cv2) to "
+            "resize; only BMP/PPM/PGM resize natively here"
+        )
     import io
 
     img = Image.open(io.BytesIO(bytes(payload)))
@@ -103,8 +138,37 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 
 def frame_sample(payload: bytes, every_ms: int = 1000) -> Any:
-    """Sample video frames. STUB (no ffmpeg/av here)."""
-    raise NotImplementedError("video frame sampling requires ffmpeg/av; not available here")
+    """Sample video frames every ``every_ms``: returns an
+    (n, H, W, 3) uint8 array. Y4M (uncompressed YUV4MPEG2) decodes
+    natively; compressed containers (MP4/H.264) raise
+    NotImplementedError until ffmpeg/av appears."""
+    from mysql_to_s3_spark.operators import codecs
+
+    if codecs.sniff_media(payload) != "y4m":
+        raise NotImplementedError(
+            "compressed video needs ffmpeg/av; only Y4M decodes natively here"
+        )
+    import numpy as np
+
+    info = codecs.y4m_info(payload)
+    return np.stack(
+        [codecs.y4m_frame_at(payload, ts) for ts in range(0, info["duration_ms"], int(every_ms))]
+    )
+
+
+def y4m_frame_grab(payload: bytes, ts_ms: int) -> bytes:
+    """Real single-frame grab for ``sample_frames``: O(1)-seek the Y4M
+    frame at ``ts_ms`` and return it as self-describing BMP bytes (so
+    downstream image stages — decode_image, resize_images — compose).
+    Non-Y4M payloads raise NotImplementedError (inject an ffmpeg-backed
+    grab for compressed containers)."""
+    from mysql_to_s3_spark.operators import codecs
+
+    if codecs.sniff_media(payload) != "y4m":
+        raise NotImplementedError(
+            "compressed video needs ffmpeg/av; only Y4M frame grabs work natively here"
+        )
+    return codecs.encode_bmp(codecs.y4m_frame_at(payload, ts_ms))
 
 
 def media_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -147,10 +211,13 @@ def binary_features(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # distributed media stages (round 6): the ROW-EXPANDING frame-sample and
 # the 1->1 resize as real mapInPandas plumbing. The decode kernels are
-# injectable: the default raises the honest environment error INSIDE the
-# executor; tests inject deterministic fakes so the schema, the 1->N
-# Arrow batch shape, the ordering contract, and the partition behavior
-# are exercised end-to-end without any media library.
+# injectable: the defaults are REAL for the library-free formats
+# (Y4M grabs, BMP/PPM resize — operators/codecs.py) and raise the
+# honest environment error INSIDE the executor for compressed formats;
+# tests exercise both the real codecs and deterministic fakes (the
+# latter pin the schema, the 1->N Arrow batch shape, the ordering
+# contract, and the partition behavior independent of any payload
+# format).
 
 FRAME_SCHEMA = T.StructType(
     [
@@ -179,9 +246,11 @@ def sample_frames(
     becomes ceil(duration_ms / every_ms) frame rows (ts 0, every_ms,
     2*every_ms, ... < duration_ms; rows with null/zero duration emit
     nothing). ``decoder(payload, ts_ms) -> bytes`` extracts one frame;
-    the default raises the environment NotImplementedError in the
-    executor — inject a real av/ffmpeg grab in production, or
-    ``fake_frame_decoder`` to exercise the plumbing.
+    the default is ``y4m_frame_grab`` — REAL for uncompressed Y4M
+    payloads (O(1) frame seek, BMP-encoded output), raising the
+    environment NotImplementedError for compressed containers — inject
+    an av/ffmpeg grab for those, or ``fake_frame_decoder`` to exercise
+    the plumbing without any payload parsing.
 
     Scale shape: mapInPandas streams Arrow batches and EXPANDS rows
     (1 video -> N frames) without a shuffle or an explode of
@@ -194,7 +263,7 @@ def sample_frames(
         raise ValueError(f"every_ms must be positive, got {every_ms}")
     if max_frames_per_video <= 0:
         raise ValueError(f"max_frames_per_video must be positive, got {max_frames_per_video}")
-    grab = decoder or (lambda payload, ts: frame_sample(payload, every_ms))
+    grab = decoder or y4m_frame_grab
 
     def _expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd

@@ -661,8 +661,9 @@ def test_sample_frames_expands_rows_deterministically(spark):
     with _pytest.raises(ValueError):
         multimodal.sample_frames(df, every_ms=0)
 
-    # the default decoder raises the honest environment error in-executor
-    with _pytest.raises(Exception, match="frame sampling"):
+    # the default decoder (y4m_frame_grab) raises the honest environment
+    # error in-executor for non-Y4M payloads
+    with _pytest.raises(Exception, match="Y4M"):
         multimodal.sample_frames(df, every_ms=1000).collect()
 
 
