@@ -101,6 +101,12 @@ ROW_TAGS = {
         "verify": [],
     },
     "similarity_ann_lsh": {"ops": ["probe0", "probe1"], "verify": ["exact"]},
+    # r9: the four real-decode legs (BMP/WAV/Y4M/resize through
+    # operators/codecs.py) co-host with the byte-feature headline
+    "multimodal_features": {
+        "ops": ["img", "wav", "y4m", "rsz"],
+        "verify": [],
+    },
     "similarity_ivf": {"ops": ["ivf", "pq", "ivfpq", "knn"], "verify": ["exact"]},
     "typed_json_roundtrip": {
         "ops": ["typed", "jsonl", "esbulk_a", "esbulk_d"],

@@ -1643,10 +1643,85 @@ def _similarity_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged multimodal row (r9: + four REAL-decode legs through the
+    pure-numpy/stdlib codecs of operators/codecs.py):
+
+    - `bytes`: the original byte-level feature path — media_table +
+      binary_features (Arrow mapInPandas, length + md5 per payload).
+    - `img`:   synth_image -> encode_bmp -> decode_image (the real
+      24-bit BMP decoder) -> pixel sum + decoded WxH. The pixel
+      formula ((doc_id + i) % 256 over the linear byte index) is
+      closed-form in the oracle SQL, so ANY byte error in the encoder
+      or decoder (stride padding, BGR swap, row flip) breaks the hash.
+    - `wav`:   synth_audio -> encode_wav -> decode_audio (stdlib PCM
+      WAV) -> sample sum + decoded sample rate.
+    - `y4m`:   synth_video (3 + doc_id % 4 frames @ 10 fps) ->
+      encode_y4m -> frame_sample(every_ms=100) (real YUV4MPEG2 frame
+      seeks) -> summed pixels of ALL sampled frames + frame count.
+    - `rsz`:   resize_image on the BMP payload (decode -> integer
+      nearest-neighbor 16x12 -> 8x6 -> re-encode) -> decode -> pixel
+      sum; the floor index map (y*2, x*2 source pixels) is replicated
+      in SQL, binding the exact resize arithmetic.
+
+    The decode legs run on doc_id < 60 (fixed work at any sf) inside
+    ONE Arrow mapInPandas stage — per-doc numpy kernels, zero shuffle;
+    the synthetic payload builders live next to the codecs so tests
+    and this oracle share one pixel/sample contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     from mysql_to_s3_spark.operators.multimodal import binary_features, media_table
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
-    return binary_features(media_table(spread(load_table(spark, sf_dir, "documents"))))
+    docs = load_table(spark, sf_dir, "documents")
+    base = binary_features(media_table(spread(docs))).select(
+        F.lit("bytes").alias("leg"), "doc_id", "n_bytes", "digest"
+    )
+
+    leg_schema = T.StructType(
+        [
+            T.StructField("leg", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def _media_legs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mysql_to_s3_spark.operators import codecs, multimodal
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype(int):
+                img = codecs.synth_image(d)  # 16x12x3
+                bmp = codecs.encode_bmp(img)
+                dec = multimodal.decode_image(bmp)
+                rows.append(
+                    ("img", d, int(dec.astype(np.int64).sum()), f"{dec.shape[1]}x{dec.shape[0]}")
+                )
+                wav_samples, rate = multimodal.decode_audio(
+                    codecs.encode_wav(codecs.synth_audio(d), 16_000)
+                )
+                rows.append(("wav", d, int(wav_samples.astype(np.int64).sum()), str(rate)))
+                nf = 3 + d % 4
+                y4m = codecs.encode_y4m(codecs.synth_video(d, nf), 10, 1)
+                frames = multimodal.frame_sample(y4m, every_ms=100)
+                rows.append(("y4m", d, int(frames.astype(np.int64).sum()), str(frames.shape[0])))
+                rdec = multimodal.decode_image(multimodal.resize_image(bmp, 8, 6))
+                rows.append(
+                    ("rsz", d, int(rdec.astype(np.int64).sum()), f"{rdec.shape[1]}x{rdec.shape[0]}")
+                )
+            yield pd.DataFrame(rows, columns=["leg", "doc_id", "n_bytes", "digest"])
+
+    media = (
+        docs.filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").cast("long"))
+        .mapInPandas(_media_legs, leg_schema)
+    )
+    return base.unionByName(media)
 
 
 def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2459,8 +2534,41 @@ _q(
 _q(
     "multimodal_features",
     _multimodal_spark,
-    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
-       FROM documents""",
+    # the decode legs' closed forms mirror operators/codecs.py's synth
+    # builders: img pixel i = (doc_id+i)%256 over 16*12*3=576 bytes; wav
+    # sample t = ((7*doc_id+13*t)%2048)-1024 over 256 samples; y4m frame
+    # f byte i = (doc_id+97*f+i)%256 over 8*6*3=144 bytes, 3+doc_id%4
+    # frames; rsz = nearest-neighbor floor map (src y*2, x*2), linear
+    # source index ((y*2)*16 + x*2)*3 + c
+    """SELECT 'bytes' AS leg, doc_id,
+              octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+       FROM documents
+       UNION ALL
+       SELECT 'img' AS leg, d.doc_id,
+              CAST(SUM((d.doc_id + r.i) % 256) AS BIGINT) AS n_bytes,
+              '16x12' AS digest
+       FROM documents d CROSS JOIN range(576) r(i)
+       WHERE d.doc_id < 60 GROUP BY d.doc_id
+       UNION ALL
+       SELECT 'wav' AS leg, d.doc_id,
+              CAST(SUM(((d.doc_id * 7 + r.i * 13) % 2048) - 1024) AS BIGINT) AS n_bytes,
+              '16000' AS digest
+       FROM documents d CROSS JOIN range(256) r(i)
+       WHERE d.doc_id < 60 GROUP BY d.doc_id
+       UNION ALL
+       SELECT 'y4m' AS leg, d.doc_id,
+              CAST(SUM((d.doc_id + 97 * f.f + r.i) % 256) AS BIGINT) AS n_bytes,
+              CAST(3 + d.doc_id % 4 AS VARCHAR) AS digest
+       FROM documents d CROSS JOIN range(6) f(f) CROSS JOIN range(144) r(i)
+       WHERE d.doc_id < 60 AND f.f < 3 + d.doc_id % 4 GROUP BY d.doc_id
+       UNION ALL
+       SELECT 'rsz' AS leg, d.doc_id,
+              CAST(SUM((d.doc_id + ((y.y * 2) * 16 + x.x * 2) * 3 + c.c) % 256) AS BIGINT)
+                AS n_bytes,
+              '8x6' AS digest
+       FROM documents d CROSS JOIN range(6) y(y) CROSS JOIN range(8) x(x)
+            CROSS JOIN range(3) c(c)
+       WHERE d.doc_id < 60 GROUP BY d.doc_id""",
 )
 
 
