@@ -93,7 +93,8 @@ ROW_TAGS = {
         "verify": ["ext", "ref", "resume", "notify", "uniq_ok", "uniq_dup"],
     },
     "dedup_minhash_lsh": {"ops": ["pair", "leak"], "verify": ["sflag"]},
-    "dedup_exact": {"ops": ["batch"], "verify": ["stream"]},
+    # r9 session 2: url = canonical_url per-doc, urlk = url_dedup groups
+    "dedup_exact": {"ops": ["batch", "url", "urlk"], "verify": ["stream"]},
     "text_decontaminate": {"ops": ["pair"], "verify": ["sdec"]},
     "counters_batch_keys": {"ops": ["day", "month", "stream"], "verify": []},
     "text_winnow_fingerprint": {

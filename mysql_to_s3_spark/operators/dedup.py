@@ -60,6 +60,23 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: one row per CANONICAL url (operators/
+    text.canonical_url — fragment/tracking-param/default-port/www/
+    trailing-slash normalization) with the min-id keeper and the
+    re-crawl count. The cheap first dedup pass of a crawl pipeline:
+    at 100 TB it is one hash shuffle on a short canonical string,
+    run BEFORE content fingerprinting so re-crawls of one address
+    never reach the (heavier) text normalization at all."""
+    from mysql_to_s3_spark.operators.text import canonical_url
+
+    return (
+        df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("url"))
+        .groupBy("url")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
 

@@ -208,6 +208,48 @@ def redact_pii(col: Column, replacement: str = "<PII>") -> Column:
     return out
 
 
+# tracking query parameters every public pipeline strips before URL
+# dedup (cf. the open CCNet/RefinedWeb/Dolma URL-normalization rules):
+# ad-click ids + the utm_* campaign family
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)="
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonicalize a URL for URL-level dedup (the stage RefinedWeb/
+    CCNet-style pipelines run BEFORE content dedup — most exact dups
+    are re-crawls of one address):
+
+    - drop the fragment (``#...``),
+    - lowercase the scheme and host (never the path — paths are
+      case-sensitive), strip a leading ``www.``,
+    - strip default ports (``http://...:80``, ``https://...:443``),
+      keeping explicit non-default ports,
+    - drop tracking query params (``utm_*``, click ids — see
+      ``TRACKING_PARAM_RE``), sort the survivors byte-wise, and drop
+      the ``?`` entirely when none survive,
+    - strip trailing slashes from the path.
+
+    Pure Column algebra (regexp + higher-order array functions) —
+    shuffle-free, whole-stage codegen, safe in a 100 TB scan. The
+    companion dedup is ``operators.dedup.url_dedup`` (one hash shuffle
+    on the canonical string)."""
+    u = F.regexp_replace(col, r"#.*", "")  # fragment off first
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.when(u.contains("?"), F.regexp_extract(u, r"\?(.*)", 1))
+    authority = F.lower(F.regexp_extract(base, r"^([^/?]*://[^/?]*)", 1))
+    authority = F.regexp_replace(authority, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")
+    authority = F.regexp_replace(authority, r"^(http://[^/:?]*):80$", "$1")
+    authority = F.regexp_replace(authority, r"^(https://[^/:?]*):443$", "$1")
+    path = F.regexp_replace(F.regexp_replace(base, r"^[^/?]*://[^/?]*", ""), r"/+$", "")
+    kept = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: ~p.rlike(TRACKING_PARAM_RE) & (p != ""))
+    )
+    qcanon = F.when(
+        query.isNull() | (F.size(kept) == 0), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
+    return F.concat(authority, path, qcanon)
+
+
 def word_bigrams(col: Column) -> Column:
     """Adjacent word bigrams as "w1 w2" strings (empty when < 2 words)."""
     ws = words(col)

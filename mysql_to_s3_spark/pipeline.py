@@ -7,7 +7,8 @@ module gives the beyond-reference corpus operators (SURVEY §2 item 8)
 the same shape — a user declares WHAT the corpus should satisfy and the
 engine composes the verified operators into one lazy DataFrame plan:
 
-    (line-boilerplate strip ->) quality gate -> language gate ->
+    (URL dedup ->) (line-boilerplate strip ->) quality gate ->
+    language gate ->
     (LM perplexity gate ->) (DSIR importance gate ->) exact dedup ->
     near-dup cluster removal -> persisted-index screen (incremental
     ingest) -> (duplicated-span gate ->) (SemDeDup semantic dedup ->)
@@ -138,6 +139,13 @@ class CorpusConfig:
     # priced accordingly (two extra exchanges on md5 line keys).
     strip_boilerplate: bool = False
     boilerplate_max_docs: int = 1
+    # URL-level dedup (the RefinedWeb/CCNet first pass): when set, keep
+    # the min-id doc per CANONICAL url (operators/text.canonical_url —
+    # fragment/tracking-param/default-port/www/trailing-slash rules)
+    # BEFORE any content stage — re-crawls of one address never reach
+    # the text gates. Streaming analog: first-arrival-per-canonical-url
+    # within the watermark horizon (dropDuplicatesWithinWatermark).
+    url_col: str | None = None
     exact: bool = True
     near_dup: str | None = None  # None | "minhash" | "ngram" | "simhash"
     near_threshold: float = 0.9
@@ -400,6 +408,17 @@ def prepare_corpus(
     txt = F.col(cfg.text_col)
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     out = docs
+
+    if cfg.url_col is not None:
+        # identity dedup first: one short-string shuffle drops re-crawls
+        # before ANY per-row content work is paid for them
+        from mysql_to_s3_spark.operators.dedup import url_dedup
+
+        keepers = url_dedup(out, cfg.url_col, cfg.id_col).select(
+            F.col("keeper").alias(cfg.id_col)
+        )
+        out = out.join(keepers, cfg.id_col, "left_semi")
+        stages.append(("url_dedup", out))
 
     if cfg.strip_boilerplate:
         from mysql_to_s3_spark.operators.dedup import strip_boilerplate_lines
@@ -720,6 +739,12 @@ def prepare_corpus_stream(
         )
     txt = F.col(cfg.text_col)
     out = sdf
+    if cfg.url_col is not None:
+        # identity dedup first (matching the batch stage order):
+        # first-arrival-per-canonical-url, state bounded by the horizon
+        from mysql_to_s3_spark.streaming.stream_extract import stream_url_dedup
+
+        out = stream_url_dedup(out, ts_col, cfg.url_col, lateness)
     if cfg.min_quality is not None:
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
     if cfg.languages is not None:

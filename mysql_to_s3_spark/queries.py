@@ -1323,6 +1323,24 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHICH doc survives is arrival order within a micro-batch —
       Spark does not order rows inside a trigger, so the keeper
       identity is bound only in the batch leg.
+
+    r9 session-2 legs — URL-level dedup (the RefinedWeb/CCNet first
+    pass) under the hard gate via deterministic messy synthetic URLs
+    (doc_id arithmetic picks the scheme case, www prefix, host case,
+    default/explicit port, trailing slash, tracking params, param
+    order, and fragment):
+
+    - `url`:  per-doc canonical_url output for doc_id < 240 — the
+      oracle constructs the EXPECTED canonical string closed-form, so
+      any error in any normalization rule (fragment strip, scheme/host
+      lowercase, www strip, default-port strip vs :8080 keep, tracking
+      param drop, param sort, trailing-slash strip, '?'-drop when no
+      params survive) breaks the row hash on that doc.
+    - `urlk`: url_dedup groups over the same 240 docs — min-id keeper
+      + re-crawl count per canonical url; collisions are built in
+      (e.g. doc d and d+140 always canonicalize equal; default-port
+      docs collide with port-less docs), binding the keeper-min and
+      grouping semantics, not just the string.
     """
     from pyspark.sql import functions as F
 
@@ -1376,6 +1394,48 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["doc_id"] >= 0
         ]
 
+    # messy synthetic URL, deterministic from (doc_id, source); the
+    # canonical expectation is closed-form in the oracle SQL
+    from mysql_to_s3_spark.operators.dedup import url_dedup
+    from mysql_to_s3_spark.operators.text import canonical_url
+
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://"))
+    www = (
+        F.when(d % 3 == 0, F.lit("WWW."))
+        .when(d % 3 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    host = F.when(d % 4 == 0, F.concat(F.upper("source"), F.lit(".Example.COM"))).otherwise(
+        F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    port = (
+        F.when((d % 5 == 0) & (d % 2 == 0), F.lit(":80"))
+        .when((d % 5 == 0) & (d % 2 == 1), F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/a/b"), (d % 7).cast("string"), F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = (
+        F.when(d % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1"))
+        .when(d % 4 == 2, F.lit("?a=1&utm_campaign=y&fbclid=zz"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    messy = docs.filter(d < 240).select(
+        "doc_id", F.concat(scheme, www, host, port, path, query, frag).alias("url")
+    )
+    url_leg = messy.select(
+        F.lit("url").alias("leg"),
+        canonical_url(F.col("url")).alias("fp"),
+        F.col("doc_id").alias("keeper"),
+        F.lit(None).cast("bigint").alias("n_dupes"),
+    )
+    urlk_leg = url_dedup(messy).select(
+        F.lit("urlk").alias("leg"), F.col("url").alias("fp"), "keeper", "n_dupes"
+    )
+
     surv_ids = _fit_drained(spark, sf_dir, "dedup_stream", _run_stream_dedup)
     surv = spark.createDataFrame([(i,) for i in surv_ids], "doc_id bigint")
     stream = (
@@ -1390,7 +1450,7 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dupes",
         )
     )
-    return batch.unionByName(stream)
+    return batch.unionByName(stream).unionByName(url_leg).unionByName(urlk_leg)
 
 
 def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2083,14 +2143,34 @@ _q(
     _dedup_exact_spark,
     # stream leg: exactly ONE survivor per distinct fingerprint (keeper
     # identity is batch-leg-only; see _dedup_exact_spark docstring)
+    # url/urlk legs: the EXPECTED canonical form of the deterministic
+    # messy synth URL, closed-form from doc_id arithmetic (default
+    # ports and tracking params vanish, params sort, :8080 survives)
     f"""WITH d AS (
           SELECT {_SQL_FP} AS fp, min(doc_id) AS keeper, count(*) AS n
-          FROM documents GROUP BY 1)
+          FROM documents GROUP BY 1),
+        curl AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END
+                 || lower(source) || '.example.com'
+                 || CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+                 || '/a/b' || CAST(doc_id % 7 AS VARCHAR)
+                 || CASE WHEN doc_id % 4 IN (0, 1) THEN '?a=1&b=2'
+                         WHEN doc_id % 4 = 2 THEN '?a=1' ELSE '' END AS cu
+          FROM documents WHERE doc_id < 240)
         SELECT 'batch' AS leg, fp, keeper, n AS n_dupes FROM d
         UNION ALL
         SELECT 'stream' AS leg, fp, NULL::BIGINT AS keeper,
                CAST(1 AS BIGINT) AS n_dupes
-        FROM d""",
+        FROM d
+        UNION ALL
+        SELECT 'url' AS leg, cu AS fp, doc_id AS keeper,
+               NULL::BIGINT AS n_dupes
+        FROM curl
+        UNION ALL
+        SELECT 'urlk' AS leg, cu AS fp, min(doc_id) AS keeper,
+               count(*) AS n_dupes
+        FROM curl GROUP BY cu""",
 )
 _q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
 # minhash verifies candidates with exact Jaccard, so it matches the exact

@@ -268,6 +268,31 @@ def stream_exact_dedup(
     )
 
 
+def stream_url_dedup(
+    sdf: DataFrame,
+    ts_col: str,
+    url_col: str = "url",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-level dedup (the streaming analog of
+    operators/dedup.url_dedup): keep the FIRST arrival per CANONICAL
+    url (operators/text.canonical_url normalization), drop re-crawls
+    within the watermark horizon. Same bounded-state shape as
+    ``stream_exact_dedup`` — one state entry per distinct canonical
+    url inside the horizon; the batch keeper is min-id, the stream
+    keeper is first-arrival (identical iff ids are arrival-ordered)."""
+    from mysql_to_s3_spark.operators.text import canonical_url
+
+    if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        sdf.withColumn("__curl__", canonical_url(F.col(url_col)))
+        .withWatermark(ts_col, lateness)
+        .dropDuplicatesWithinWatermark(["__curl__"])
+        .drop("__curl__")
+    )
+
+
 def stream_near_dedup(
     sdf: DataFrame,
     ts_col: str,

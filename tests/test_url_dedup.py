@@ -1,0 +1,170 @@
+"""URL canonicalization + URL-level dedup (the RefinedWeb/CCNet first
+pass): operators/text.canonical_url, operators/dedup.url_dedup, the
+prepare_corpus `url_dedup` stage, and the streaming analog."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.dedup import url_dedup
+from mysql_to_s3_spark.operators.text import canonical_url
+
+CASES = [
+    # (messy, canonical)
+    ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag", "http://example.com/a/b?a=1&b=2"),
+    ("https://example.com:443/path", "https://example.com/path"),
+    ("https://example.com:8443/path/", "https://example.com:8443/path"),  # non-default port kept
+    ("http://example.com:8080/x?fbclid=abc", "http://example.com:8080/x"),
+    ("https://www.sub.example.com/", "https://sub.example.com"),
+    ("http://example.com", "http://example.com"),
+    ("http://example.com/?", "http://example.com"),  # empty query -> '?' dropped
+    ("http://example.com/x?b=2&a=1&a=0", "http://example.com/x?a=0&a=1&b=2"),  # stable sort
+    ("http://example.com/CaseSensitive/Path", "http://example.com/CaseSensitive/Path"),
+    ("http://example.com/x?ref=hn&gclid=1&utm_campaign=c", "http://example.com/x"),
+    ("http://wwwx.example.com/a", "http://wwwx.example.com/a"),  # www-prefix needs the dot
+    ("HTTPS://EX.COM/A#x?y=1", "https://ex.com/A"),  # fragment strips before query parse
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "id int, url string"
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (messy, want) in enumerate(CASES):
+        assert got[i] == want, (messy, got[i], want)
+
+
+def test_canonical_url_null_safe(spark):
+    df = spark.createDataFrame([(1, None)], "id int, url string")
+    # null in -> null out (concat of null authority), never an exception
+    assert df.select(canonical_url(F.col("url")).alias("c")).first()["c"] is None
+
+
+def test_url_dedup_groups_and_keeper(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "HTTP://WWW.E.com/a?utm_source=1"),
+            (2, "http://e.com/a/"),
+            (3, "http://e.com/b"),
+            (9, "http://e.com:80/a"),
+        ],
+        "doc_id long, url string",
+    )
+    got = sorted((r["url"], r["keeper"], r["n_dupes"]) for r in url_dedup(df).collect())
+    assert got == [("http://e.com/a", 2, 3), ("http://e.com/b", 3, 1)]
+
+
+def test_pipeline_url_dedup_stage(spark):
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "http://a.com/x?utm_source=s"),
+            (2, "different text here", "HTTP://WWW.A.com/x"),  # same canonical as 1
+            (3, "third doc text", "http://b.com/y"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    cfg = CorpusConfig(url_col="url", exact=False)
+    prep = prepare_corpus(docs, cfg)
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [1, 3]  # min-id keeper per canonical url
+    names = [n for n, _ in prep.stages]
+    assert names[1] == "url_dedup"  # first stage after input
+    # funnel accounting sees the drop
+    funnel = prep.funnel()
+    assert funnel["input"] == 3 and funnel["url_dedup"] == 2
+
+
+def test_stream_url_dedup_first_arrival_wins(spark, tmp_path):
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        read_parquet_stream,
+        stream_url_dedup,
+    )
+
+    src = str(tmp_path / "url_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+            ).astype("datetime64[us]"),
+            "url": ["http://a.com/x?utm_source=s", "http://b.com/y"],
+        }
+    ).to_parquet(src + "/a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 00:10:01"]
+            ).astype("datetime64[us]"),
+            # 3 canonicalizes equal to doc 1 -> dropped; 4 is new
+            "url": ["HTTP://WWW.A.com:80/x", "http://c.com/z"],
+        }
+    ).to_parquet(src + "/b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    out = stream_url_dedup(sdf, "ts", "url", lateness="1 hour")
+    name = "url_dedup_stream"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert kept == [1, 2, 4]
+    # the helper column never leaks into the output schema
+    assert "__curl__" not in spark.sql(f"SELECT * FROM {name}").columns
+
+
+def test_stream_pipeline_applies_url_dedup(spark, tmp_path):
+    """prepare_corpus_stream with url_col drops canonical re-crawls and
+    matches the batch stage on arrival-ordered ids."""
+    import pandas as pd
+
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus, prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    rows = [
+        (1, "alpha beta gamma delta", "http://a.com/x?utm_source=s"),
+        (2, "different text here now", "HTTP://WWW.A.com/x"),
+        (3, "third doc text body", "http://b.com/y"),
+    ]
+    src = str(tmp_path / "p_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02", "2024-01-01 00:00:03"]
+            ).astype("datetime64[us]"),
+            "text": [r[1] for r in rows],
+            "url": [r[2] for r in rows],
+        }
+    ).to_parquet(src + "/a.parquet")
+
+    cfg = CorpusConfig(url_col="url", exact=False)
+    schema = spark.read.parquet(src).schema
+    sdf = read_parquet_stream(spark, src, schema)
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts")
+    name = "url_pipe_stream"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    stream_kept = sorted(r["doc_id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+    batch_docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    batch_kept = sorted(
+        r["doc_id"] for r in prepare_corpus(batch_docs, cfg).docs.select("doc_id").collect()
+    )
+    assert stream_kept == batch_kept == [1, 3]
