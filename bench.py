@@ -103,9 +103,11 @@ ROW_TAGS = {
     },
     "similarity_ann_lsh": {"ops": ["probe0", "probe1"], "verify": ["exact"]},
     # r9: the four real-decode legs (BMP/WAV/Y4M/resize through
-    # operators/codecs.py) co-host with the byte-feature headline
+    # operators/codecs.py) + the crawl-ingest legs (warc = distributed
+    # WARC read-back, html = html_to_text, nfc = unicode normalize)
+    # co-host with the byte-feature headline
     "multimodal_features": {
-        "ops": ["img", "wav", "y4m", "rsz"],
+        "ops": ["img", "wav", "y4m", "rsz", "warc", "html", "nfc"],
         "verify": [],
     },
     "similarity_ivf": {"ops": ["ivf", "pq", "ivfpq", "knn"], "verify": ["exact"]},

@@ -208,6 +208,70 @@ def redact_pii(col: Column, replacement: str = "<PII>") -> Column:
     return out
 
 
+def html_to_text(col: Column) -> Column:
+    """Crawl-grade HTML -> visible text (the CCNet/RefinedWeb
+    extraction stage, regex form): drop <script>/<style> blocks and
+    comments, strip tags to spaces, decode the common entities
+    (``&lt; &gt; &quot; &#39; &apos; &nbsp;`` then ``&amp;`` LAST so
+    double-escapes resolve correctly — and entity decode runs AFTER
+    tag strip so ``&lt;b&gt;`` in text never becomes a strippable
+    tag), collapse whitespace, trim.
+
+    Pure Column algebra — shuffle-free codegen; patterns avoid
+    backrefs/lookaround so the oracle (RE2) replicates them. This is
+    the cheap 95% extractor; a DOM-fidelity extractor (readability,
+    trafilatura) is a per-row library call you would wrap in a Pandas
+    UDF behind the same signature."""
+    out = col
+    # (?is) = case-insensitive + dotall; non-greedy spans work in both
+    # Java regex and RE2. script/style spelled separately (no backrefs).
+    out = F.regexp_replace(out, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last: &amp;lt; -> &lt; (literal), not '<'
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# C0/C1 control characters except \t \n \r (kept: they are whitespace
+# the collapse handles); DEL included. RE2- and Java-safe class.
+CONTROL_CHAR_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(col: Column, form: str = "NFC", strip_control: bool = True) -> Column:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) and strip
+    non-whitespace control characters — the canonicalization step a
+    crawl corpus needs before fingerprinting (visually identical
+    strings with different codepoint sequences would defeat exact
+    dedup).
+
+    Arrow-vectorized pandas_udf (pandas ``str.normalize`` —
+    unicodedata under the hood, batch at a time): Spark has no builtin
+    Unicode normalizer, so this is the documented Pandas-UDF seam, not
+    a row-at-a-time Python UDF. Zero shuffle."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series (SCALAR Arrow batches)
+        out = s.str.normalize(form)
+        if strip_control:
+            out = out.str.replace(CONTROL_CHAR_RE, "", regex=True)
+        return out
+
+    return _norm(col)
+
+
 # tracking query parameters every public pipeline strips before URL
 # dedup (cf. the open CCNet/RefinedWeb/Dolma URL-normalization rules):
 # ad-click ids + the utm_* campaign family

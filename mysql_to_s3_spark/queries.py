@@ -1781,7 +1781,111 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("long"))
         .mapInPandas(_media_legs, leg_schema)
     )
-    return base.unionByName(media)
+
+    # r9 session 2 — crawl-ingest legs (same fixed 60-doc slice):
+    #
+    # - `warc`: REAL end-to-end WARC read. A .warc.gz fileset (one gzip
+    #   member per record, per the spec) is written once per
+    #   (session, sf) from the doc slice, then read back through
+    #   sources/warc.read_warc — the distributed binaryFile +
+    #   mapInPandas parser — binding record framing, multi-member gzip,
+    #   HTTP status/header/body split, and charset decode to the
+    #   closed-form oracle (md5 of status|url|body per doc).
+    # - `html`: operators/text.html_to_text over a messy deterministic
+    #   wrapper (script with a '<p>' INSIDE a JS string, style, comment,
+    #   entities incl. the &amp;-last ordering, &nbsp;) — the oracle
+    #   builds the expected visible text closed-form.
+    # - `nfc`: operators/text.normalize_text (Arrow pandas_udf) over a
+    #   decomposed construction (k combining acutes + U+212B ANGSTROM
+    #   SIGN + a BEL control char) vs DuckDB's native nfc_normalize —
+    #   composition, singleton mapping, and control-strip all bound.
+    sixty = docs.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def _write_warc_fixture():
+        import atexit as _ax
+        import os as _os
+        import shutil as _sh
+        import tempfile as _tf
+
+        from mysql_to_s3_spark.sources.warc import (
+            build_http_response,
+            build_warc_record,
+            write_warc_gz,
+        )
+
+        root = _tf.mkdtemp(prefix="warc_fixture_")
+        _ax.register(_sh.rmtree, root, ignore_errors=True)
+        rows = sorted(
+            ((int(r["doc_id"]), r["text"]) for r in sixty.collect()), key=lambda t: t[0]
+        )
+        for fi in range(3):  # 3 files -> 3 parallel parse tasks
+            recs = [
+                build_warc_record(
+                    build_http_response(t.encode("utf-8"), status=200),
+                    url=f"http://w.example.com/d/{d}",
+                )
+                for d, t in rows[fi::3]
+            ]
+            with open(_os.path.join(root, f"part{fi}.warc.gz"), "wb") as fh:
+                fh.write(write_warc_gz(recs))
+        return root
+
+    warc_dir = _fit_cached(spark, sf_dir, "warc_fixture", _write_warc_fixture)
+    from mysql_to_s3_spark.sources.warc import read_warc
+
+    wdf = read_warc(spark, warc_dir)
+    warc_leg = wdf.select(
+        F.lit("warc").alias("leg"),
+        F.regexp_extract("url", r"/d/(\d+)", 1).cast("long").alias("doc_id"),
+        F.length("body").cast("long").alias("n_bytes"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("http_status").cast("string"),
+                F.col("url"),
+                F.decode(F.col("body"), "utf-8"),
+            )
+        ).alias("digest"),
+    )
+
+    from mysql_to_s3_spark.operators.text import html_to_text, normalize_text
+
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = "<p>";</script>'
+            "<style>p { color: red; }</style></head><body><h1>T&amp;T</h1><p>"
+        ),
+        F.col("text"),
+        F.lit("</p>&nbsp;<div>tail&lt;end&gt;</div><!-- c --></body></html>"),
+    )
+    ext = html_to_text(html)
+    html_leg = sixty.select(
+        F.lit("html").alias("leg"),
+        "doc_id",
+        F.length(ext).cast("long").alias("n_bytes"),
+        F.md5(ext).alias("digest"),
+    )
+
+    decomp = F.concat(
+        F.repeat(F.lit("e\u0301"), (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit("\u212b\x07"),
+    )
+    norm = normalize_text(decomp)
+    nfc_leg = sixty.select(
+        F.lit("nfc").alias("leg"),
+        "doc_id",
+        F.length(norm).cast("long").alias("n_bytes"),
+        F.md5(norm).alias("digest"),
+    )
+
+    return (
+        base.unionByName(media)
+        .unionByName(warc_leg)
+        .unionByName(html_leg)
+        .unionByName(nfc_leg)
+    )
 
 
 def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2648,7 +2752,31 @@ _q(
               '8x6' AS digest
        FROM documents d CROSS JOIN range(6) y(y) CROSS JOIN range(8) x(x)
             CROSS JOIN range(3) c(c)
-       WHERE d.doc_id < 60 GROUP BY d.doc_id""",
+       WHERE d.doc_id < 60 GROUP BY d.doc_id
+       UNION ALL
+       -- warc: the read-back record must carry status 200, the synth
+       -- url, and the exact utf-8 body bytes
+       SELECT 'warc' AS leg, doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              md5('200|http://w.example.com/d/' || doc_id || '|' || text) AS digest
+       FROM documents WHERE doc_id < 60
+       UNION ALL
+       -- html: expected visible text of the messy wrapper, closed-form
+       SELECT 'html' AS leg, doc_id,
+              length(trim(regexp_replace('T&T ' || text || ' tail<end>',
+                                         '\\s+', ' ', 'g'))) AS n_bytes,
+              md5(trim(regexp_replace('T&T ' || text || ' tail<end>',
+                                      '\\s+', ' ', 'g'))) AS digest
+       FROM documents WHERE doc_id < 60
+       UNION ALL
+       -- nfc: DuckDB's native normalizer over the same decomposed
+       -- construction (no BEL char here: the kernel must strip it)
+       SELECT 'nfc' AS leg, doc_id,
+              length(nfc_normalize(repeat('e' || chr(769), CAST(doc_id % 5 + 1 AS INT))
+                     || chr(8491))) AS n_bytes,
+              md5(nfc_normalize(repeat('e' || chr(769), CAST(doc_id % 5 + 1 AS INT))
+                  || chr(8491))) AS digest
+       FROM documents WHERE doc_id < 60""",
 )
 
 
