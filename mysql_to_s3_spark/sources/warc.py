@@ -216,21 +216,107 @@ def read_warc(spark: SparkSession, path: str, types: tuple[str, ...] | None = ("
     return files.mapInPandas(_parse, WARC_SCHEMA)
 
 
+def _header_charset(content_type: str | None) -> str | None:
+    """Pull ``charset=`` out of an HTTP Content-Type header value."""
+    if not content_type:
+        return None
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip("\"'") or None
+    return None
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
 def warc_documents(
     spark: SparkSession,
     path: str,
-    encoding: str = "utf-8",
+    fallback_charset: str = "utf-8",
 ) -> DataFrame:
-    """Convenience: WARC responses as a documents-shaped frame
-    (url, warc_date, text) — the input the corpus pipeline's
+    """WARC responses as a documents-shaped frame (url, warc_date,
+    http_status, text) — the input the corpus pipeline's
     `html_to_text` / `normalize_text` / `canonical_url` stages expect.
-    Body bytes decode with the given charset, invalid sequences
-    replaced (crawls lie about encodings; losing a byte beats losing
-    the document)."""
+
+    Charset handling matches what crawls actually contain: each body
+    decodes with the charset its OWN Content-Type header declares,
+    falling back to ``fallback_charset``; undecodable sequences are
+    replaced, and an unknown/invalid declared charset falls back too
+    (crawls lie about encodings; losing a byte beats losing the
+    document). One Arrow pass fused onto the record parse — no second
+    scan."""
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import codecs as _codecs
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts = []
+            for ct, body in zip(pdf["http_content_type"], pdf["body"]):
+                cs = _header_charset(ct) or fallback_charset
+                try:
+                    _codecs.lookup(cs)
+                except LookupError:
+                    cs = fallback_charset
+                texts.append(bytes(body).decode(cs, errors="replace"))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_date": pdf["warc_date"],
+                    "http_status": pdf["http_status"].astype("Int32"),
+                    "text": texts,
+                }
+            )
+
     df = read_warc(spark, path, types=("response",))
-    return df.select(
-        "url",
-        "warc_date",
-        F.decode(F.col("body"), encoding).alias("text"),
-        "http_status",
+    return df.select("url", "warc_date", "http_status", "http_content_type", "body").mapInPandas(
+        _decode, DOCUMENTS_SCHEMA
+    )
+
+
+def crawl_to_documents(
+    spark: SparkSession,
+    path: str,
+    normalize_form: str = "NFC",
+    fallback_charset: str = "utf-8",
+    min_status: int = 200,
+    max_status: int = 299,
+) -> DataFrame:
+    """The composed crawl-to-corpus front end: WARC responses ->
+    charset-aware decode -> HTML -> visible text -> Unicode
+    normalization -> a ``prepare_corpus``-ready frame with a
+    DETERMINISTIC ``doc_id`` (xxhash64 of url + capture date — stable
+    across runs, engines, and partitionings, so downstream splits /
+    dedup keepers / shard receipts are reproducible from the raw
+    crawl). Pair with ``CorpusConfig(url_col='url')`` so re-crawls
+    drop first:
+
+        docs = crawl_to_documents(spark, 'crawl/*.warc.gz')
+        prep = prepare_corpus(docs, CorpusConfig(url_col='url'))
+
+    Everything here is one lazy plan: binaryFile scan -> two Arrow
+    stages + codegen'd Column algebra — zero shuffles before the
+    pipeline's own stages."""
+    from mysql_to_s3_spark.operators.text import html_to_text, normalize_text
+
+    docs = warc_documents(spark, path, fallback_charset=fallback_charset)
+    return (
+        docs.filter(
+            (F.col("http_status") >= min_status) & (F.col("http_status") <= max_status)
+        )
+        .select(
+            F.xxhash64("url", "warc_date").alias("doc_id"),
+            "url",
+            "warc_date",
+            normalize_text(html_to_text(F.col("text")), form=normalize_form).alias("text"),
+        )
     )

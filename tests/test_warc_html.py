@@ -183,6 +183,69 @@ def test_normalize_text_null_safe(spark):
     assert got[1] is None and got[2] == "ok"
 
 
+def test_warc_documents_charset_from_headers(spark, tmp_path):
+    """Each body decodes with its OWN declared charset; bogus charsets
+    and undecodable bytes fall back / replace instead of failing."""
+    d = str(tmp_path / "warcs_cs")
+    os.makedirs(d)
+    recs = [
+        build_warc_record(
+            build_http_response("caf\xe9".encode("latin-1"), content_type="text/html; charset=ISO-8859-1"),
+            url="http://cs.com/latin",
+        ),
+        build_warc_record(
+            build_http_response("naïve".encode("utf-8"), content_type='text/html; charset="utf-8"'),
+            url="http://cs.com/utf8",
+        ),
+        build_warc_record(
+            build_http_response(b"plain", content_type="text/html; charset=NOT-A-CHARSET"),
+            url="http://cs.com/bogus",
+        ),
+        build_warc_record(
+            build_http_response(b"ok \xff\xfe end", content_type="text/html"),  # no charset
+            url="http://cs.com/binary",
+        ),
+    ]
+    with open(os.path.join(d, "a.warc"), "wb") as fh:
+        fh.write(b"".join(recs))
+    got = {r["url"]: r["text"] for r in warc_documents(spark, d).collect()}
+    assert got["http://cs.com/latin"] == "café"
+    assert got["http://cs.com/utf8"] == "naïve"
+    assert got["http://cs.com/bogus"] == "plain"
+    assert got["http://cs.com/binary"].startswith("ok ") and "�" in got["http://cs.com/binary"]
+
+
+def test_crawl_to_documents_end_to_end(spark, tmp_path):
+    from mysql_to_s3_spark.sources.warc import crawl_to_documents
+
+    d = str(tmp_path / "warcs_c2d")
+    os.makedirs(d)
+    recs = [
+        build_warc_record(
+            build_http_response(b"<html><body><p>hello world</p></body></html>"),
+            url="http://c.com/ok", date="2024-01-02T00:00:00Z",
+        ),
+        build_warc_record(
+            build_http_response(b"gone", status=404),
+            url="http://c.com/missing", date="2024-01-02T00:00:00Z",
+        ),
+    ]
+    with open(os.path.join(d, "a.warc.gz"), "wb") as fh:
+        fh.write(write_warc_gz(recs))
+    docs = crawl_to_documents(spark, d)
+    rows = docs.collect()
+    assert len(rows) == 1  # 404 filtered by status window
+    assert rows[0]["text"] == "hello world"
+    assert set(docs.columns) == {"doc_id", "url", "warc_date", "text"}
+    # doc_id is deterministic: a second read yields the identical id
+    assert crawl_to_documents(spark, d).first()["doc_id"] == rows[0]["doc_id"]
+    # and feeds prepare_corpus's url stage directly
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+
+    prep = prepare_corpus(docs, CorpusConfig(url_col="url", exact=False))
+    assert prep.docs.count() == 1
+
+
 def test_crawl_front_end_composes(spark, tmp_path):
     """WARC -> documents -> html_to_text -> normalize_text -> the shape
     prepare_corpus consumes: the crawl-to-corpus composition."""
