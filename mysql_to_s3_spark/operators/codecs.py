@@ -253,27 +253,15 @@ def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes
 
 
 def y4m_info(payload: bytes) -> dict:
-    """Parse the stream header: returns width/height/fps_num/fps_den/
-    n_frames/duration_ms (duration from frame count at the header fps)."""
+    """Parse the stream header and WALK the frames (validating every
+    FRAME marker): returns width/height/fps_num/fps_den/n_frames/
+    duration_ms (duration from frame count at the header fps). O(n)
+    in frame count; ``y4m_frame_at`` has an O(1) fast path for the
+    regular bare-marker layout."""
     b = bytes(payload)
-    nl = b.find(b"\n")
-    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
-        raise CodecError("not a YUV4MPEG2 payload")
-    w = h = None
-    num, den = 25, 1
-    for tok in b[:nl].split()[1:]:
-        if tok[:1] == b"W":
-            w = int(tok[1:])
-        elif tok[:1] == b"H":
-            h = int(tok[1:])
-        elif tok[:1] == b"F":
-            num, den = (int(x) for x in tok[1:].split(b":"))
-        elif tok[:1] == b"C" and tok != b"C444":
-            raise CodecError(f"only C444 supported, got {tok.decode()}")
-    if not w or not h or num <= 0 or den <= 0:
-        raise CodecError("malformed YUV4MPEG2 header")
+    w, h, num, den, pos = _y4m_header(b)
     frame_bytes = 3 * w * h
-    pos, n = nl + 1, 0
+    n = 0
     while pos < len(b):
         fl = b.find(b"\n", pos)
         if fl < 0 or b[pos : pos + 5] != b"FRAME":
@@ -306,19 +294,56 @@ def iter_y4m_frames(payload: bytes) -> Iterator[np.ndarray]:
         pos += frame_bytes
 
 
+def _y4m_header(b: bytes) -> tuple[int, int, int, int, int]:
+    """Header-only parse (no frame walk): (w, h, fps_num, fps_den,
+    header_end). O(header) regardless of stream length."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise CodecError("not a YUV4MPEG2 payload")
+    w = h = None
+    num, den = 25, 1
+    for tok in b[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C" and tok != b"C444":
+            raise CodecError(f"only C444 supported, got {tok.decode()}")
+    if not w or not h or num <= 0 or den <= 0:
+        raise CodecError("malformed YUV4MPEG2 header")
+    return w, h, num, den, nl + 1
+
+
 def y4m_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
     """Random-access frame grab at a timestamp: frame index =
-    floor(ts_ms * fps / 1000), clamped to the last frame. O(1) seek —
-    C444 frames are fixed-size, so the byte offset is arithmetic."""
+    floor(ts_ms * fps / 1000), clamped to the last frame. TRUE O(1):
+    header-only parse, frame count from length arithmetic (bare
+    'FRAME\\n' markers + fixed-size C444 payloads), then one seek —
+    sampling n frames from an n-frame video stays O(n), not O(n^2).
+    Streams with FRAME-line parameters (variable-length markers, rare)
+    fail the stride check and take the validating walk instead."""
     b = bytes(payload)
-    info = y4m_info(b)
-    w, h, n = info["width"], info["height"], info["n_frames"]
-    if n == 0:
-        raise CodecError("empty YUV4MPEG2 stream")
-    idx = min(int(ts_ms) * info["fps_num"] // (1000 * info["fps_den"]), n - 1)
+    w, h, num, den, hdr = _y4m_header(b)
     frame_bytes = 3 * w * h
-    hdr = b.find(b"\n") + 1
-    pos = hdr + idx * (6 + frame_bytes) + 6  # 'FRAME\n' is 6 bytes
+    stride = 6 + frame_bytes  # 'FRAME\n' is 6 bytes
+    body = len(b) - hdr
+    if body % stride == 0 and b[hdr : hdr + 6] == b"FRAME\n":
+        n = body // stride
+        if n == 0:
+            raise CodecError("empty YUV4MPEG2 stream")
+        idx = min(int(ts_ms) * num // (1000 * den), n - 1)
+        pos = hdr + idx * stride + 6
+    else:  # irregular FRAME-line params (rare): one validating walk
+        n = y4m_info(b)["n_frames"]
+        if n == 0:
+            raise CodecError("empty YUV4MPEG2 stream")
+        idx = min(int(ts_ms) * num // (1000 * den), n - 1)
+        pos = hdr
+        for _ in range(idx):  # skip idx frames
+            pos = b.find(b"\n", pos) + 1 + frame_bytes
+        pos = b.find(b"\n", pos) + 1  # skip the target's FRAME line
     planes = np.frombuffer(b, dtype=np.uint8, count=frame_bytes, offset=pos)
     return np.ascontiguousarray(planes.reshape(3, h, w).transpose(1, 2, 0))
 

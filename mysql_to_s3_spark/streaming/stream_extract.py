@@ -280,17 +280,25 @@ def stream_url_dedup(
     within the watermark horizon. Same bounded-state shape as
     ``stream_exact_dedup`` — one state entry per distinct canonical
     url inside the horizon; the batch keeper is min-id, the stream
-    keeper is first-arrival (identical iff ids are arrival-ordered)."""
+    keeper is first-arrival (identical iff ids are arrival-ordered).
+
+    Null-url rows are ALL kept (they bypass the stateful branch
+    entirely): a null canonical is "address unknown", not "the same
+    address" — ``dropDuplicates*`` groups nulls together and would
+    otherwise keep one row out of every url-less source."""
     from mysql_to_s3_spark.operators.text import canonical_url
 
     if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
         sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return (
-        sdf.withColumn("__curl__", canonical_url(F.col(url_col)))
+    no_url = sdf.filter(F.col(url_col).isNull())
+    deduped = (
+        sdf.filter(F.col(url_col).isNotNull())
+        .withColumn("__curl__", canonical_url(F.col(url_col)))
         .withWatermark(ts_col, lateness)
         .dropDuplicatesWithinWatermark(["__curl__"])
         .drop("__curl__")
     )
+    return deduped.unionByName(no_url)
 
 
 def stream_near_dedup(

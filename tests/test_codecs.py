@@ -317,3 +317,21 @@ def test_synth_formula_matches_closed_form():
     assert int(v.astype(np.int64).sum()) == sum(
         (100 + 97 * f + i) % 256 for f in range(4) for i in range(nb)
     )
+
+
+def test_y4m_frame_at_o1_fast_path_matches_walk():
+    """The length-arithmetic fast path and the validating walk agree;
+    an irregular FRAME-line (parameters after the marker, legal per
+    spec) forces the walk and still grabs the right frame."""
+    v = synth_video(5, 6, width=4, height=3)
+    b = encode_y4m(v, 10, 1)
+    for ts in (0, 99, 100, 250, 10**9):
+        idx = min(ts * 10 // 1000, 5)
+        assert (y4m_frame_at(b, ts) == v[idx]).all()
+    # rebuild with a parameterized FRAME line on frame 0 -> irregular
+    hdr_end = b.find(b"\n") + 1
+    irregular = b[:hdr_end] + b"FRAME Xparam\n" + b[hdr_end + 6 :]
+    assert y4m_info(irregular)["n_frames"] == 6
+    for ts in (0, 150, 550):
+        idx = min(ts * 10 // 1000, 5)
+        assert (y4m_frame_at(irregular, ts) == v[idx]).all(), ts

@@ -168,3 +168,53 @@ def test_stream_pipeline_applies_url_dedup(spark, tmp_path):
         r["doc_id"] for r in prepare_corpus(batch_docs, cfg).docs.select("doc_id").collect()
     )
     assert stream_kept == batch_kept == [1, 3]
+
+
+def test_pipeline_url_dedup_keeps_all_null_url_docs(spark):
+    """Docs WITHOUT a url must all survive the url_dedup stage — a null
+    canonical is 'address unknown', not 'the same address'."""
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one text", "http://a.com/x"),
+            (2, "two text", "HTTP://a.com/x"),  # dup of 1
+            (3, "three text", None),
+            (4, "four text", None),
+        ],
+        "doc_id long, text string, url string",
+    )
+    prep = prepare_corpus(docs, CorpusConfig(url_col="url", exact=False))
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_stream_url_dedup_keeps_all_null_url_rows(spark, tmp_path):
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        read_parquet_stream,
+        stream_url_dedup,
+    )
+
+    src = str(tmp_path / "null_url_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01"] * 4
+            ).astype("datetime64[us]"),
+            "url": ["http://a.com/x", "HTTP://a.com/x", None, None],
+        }
+    ).to_parquet(src + "/a.parquet")
+    schema = spark.read.parquet(src).schema
+    out = stream_url_dedup(read_parquet_stream(spark, src, schema), "ts", "url")
+    q = (
+        out.writeStream.format("memory").queryName("null_url_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM null_url_stream").collect())
+    # both null-url rows kept; one of the two dup urls kept
+    assert set(kept) >= {3, 4} and len(kept) == 3
