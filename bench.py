@@ -76,7 +76,7 @@ HEADLINE = [
 # prices ONE operator; these rows price many.
 ROW_TAGS = {
     "text_chunk_pack": {
-        "ops": ["chunk", "pack", "shuffle", "bpe", "repeat"],
+        "ops": ["chunk", "pack", "shuffle", "bpe", "repeat", "dcap"],
         "verify": ["bpe_first", "bpe_second", "shard"],
     },
     "temporal_events": {

@@ -196,6 +196,28 @@ def sample_per_key(
     )
 
 
+def sample_per_key_sql(
+    table: str,
+    by: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "perkey",
+) -> str:
+    """DuckDB replica of ``sample_per_key`` — selects the identical
+    rows (same md5 salted-bucket ranking, same id tie-break)."""
+    keys = ", ".join(by)
+    b = (
+        f"(('0x' || substr(md5({id_col}::VARCHAR || '|{salt}'), 1, 8))::BIGINT"
+        f" % {SPLIT_BUCKETS})"
+    )
+    return (
+        f"SELECT * EXCLUDE (__rn__) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+        f"ORDER BY {b}, {id_col}) AS __rn__ FROM {table}"
+        f") WHERE __rn__ <= {int(n)}"
+    )
+
+
 def stratified_hash_sample_sql(
     table: str,
     rates: dict[str, float],

@@ -3452,6 +3452,23 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("content_hash"),
         F.lit(None).cast("double").alias("fill_frac"),
     )
+    # dcap (r9 session 2): the per-domain/source cap
+    # (sampling.sample_per_key — "at most N docs per domain", the
+    # RefinedWeb-style diversity valve) under the hard gate: the kept
+    # (doc_id, source) set for n=5 per source must equal the oracle's
+    # identical salted-md5 ranking (one wrong bucket, tie-break, or an
+    # off-by-one in the rank cut changes the kept set)
+    from mysql_to_s3_spark.operators.sampling import sample_per_key
+
+    dcap = sample_per_key(docs, ["source"], n=5).select(
+        F.lit("dcap").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("key1"),
+        F.lit(None).cast("bigint").alias("key2"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("n_items"),
+        F.col("source").alias("content_hash"),
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
     return (
         chunk.unionByName(pack)
         .unionByName(shuf)
@@ -3459,6 +3476,7 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe)
         .unionByName(first)
         .unionByName(shard)
+        .unionByName(dcap)
     )
 
 
@@ -3541,9 +3559,10 @@ def _chunk_pack_oracle() -> str:
     from mysql_to_s3_spark.operators.packing import chunk_documents_sql, pack_stats_sql
     from mysql_to_s3_spark.operators.sampling import epoch_shuffle_sql
 
-    from mysql_to_s3_spark.operators.sampling import repeat_epochs_sql
+    from mysql_to_s3_spark.operators.sampling import repeat_epochs_sql, sample_per_key_sql
     from mysql_to_s3_spark.pipeline import shard_receipt_sql
 
+    dcap = sample_per_key_sql("documents", ["source"], n=5)
     chunk = chunk_documents_sql("documents", max_tokens=64, overlap=8)
     pack = pack_stats_sql("documents", budget=2048, n_buckets=16)
     shuf = epoch_shuffle_sql("documents", epoch=3, n_shards=8)
@@ -3577,7 +3596,13 @@ def _chunk_pack_oracle() -> str:
       SELECT 'shard' AS leg, bucket AS key1, n_seqs AS key2,
              tokens_total AS n_tokens, n_docs AS n_items,
              sig AS content_hash, 1.0 AS fill_frac
-      FROM ({shard_receipt})"""
+      FROM ({shard_receipt})
+      UNION ALL
+      SELECT 'dcap' AS leg, CAST(doc_id AS BIGINT) AS key1,
+             CAST(NULL AS BIGINT) AS key2, CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS n_items, source AS content_hash,
+             CAST(NULL AS DOUBLE) AS fill_frac
+      FROM ({dcap})"""
 
 
 _q("text_chunk_pack", _chunk_pack_spark, _chunk_pack_oracle())

@@ -408,3 +408,31 @@ def test_repeat_epochs_matches_python_reference(spark):
 
     got = {(r.doc_id, r.epoch_copy) for r in repeat_epochs(df, rates).collect()}
     assert got == ref() and got
+
+
+def test_sample_per_key_sql_replica_matches(spark, sf_dir):
+    """sample_per_key and its DuckDB replica select the IDENTICAL rows
+    (salted-md5 ranking + id tie-break), across several caps."""
+    import duckdb
+
+    from mysql_to_s3_spark.operators.sampling import sample_per_key, sample_per_key_sql
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    for n in (1, 3, 10):
+        got = {
+            (r["doc_id"], r["source"])
+            for r in sample_per_key(docs, ["source"], n=n).select("doc_id", "source").collect()
+        }
+        want = set(
+            con.execute(
+                "SELECT doc_id, source FROM ("
+                + sample_per_key_sql("documents", ["source"], n=n)
+                + ")"
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0
