@@ -267,3 +267,41 @@ def test_perplexity_buckets_semantics(spark):
         perplexity_buckets(scores, labels=("a", "b"))
     with pytest.raises(LmError, match="fractions"):
         perplexity_buckets(scores, fractions=(0.9, 0.1), labels=("a", "b", "c"))
+
+
+def test_perplexity_buckets_bracketed_equals_exact(spark, sf_dir):
+    """bracketed=True boundaries are bit-equal to the exact mode's, so
+    every doc lands in the same bucket; approx+bracketed refuses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.lm import LmError, perplexity_buckets, unigram_logprob
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob(docs, id_col="doc_id", text_col="text", mode="join")
+    exact = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scores).select("doc_id", "ppl_bucket").collect()
+    }
+    brk = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scores, bracketed=True)
+        .select("doc_id", "ppl_bucket")
+        .collect()
+    }
+    assert brk == exact and len(exact) > 0
+    with _pytest.raises(LmError, match="mutually exclusive"):
+        perplexity_buckets(scores, approx=True, bracketed=True)
+
+
+def test_perplexity_buckets_bracketed_all_null_scores(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.lm import perplexity_buckets
+
+    scores = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, lm_logprob double"
+    )
+    got = perplexity_buckets(scores, bracketed=True).select("doc_id", "ppl_bucket").collect()
+    assert all(r["ppl_bucket"] is None for r in got)
