@@ -218,3 +218,27 @@ def test_stream_url_dedup_keeps_all_null_url_rows(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM null_url_stream").collect())
     # both null-url rows kept; one of the two dup urls kept
     assert set(kept) >= {3, 4} and len(kept) == 3
+
+
+def test_canonical_url_idempotent_property(spark):
+    """canonical(canonical(u)) == canonical(u): the output is a fixed
+    point, so re-canonicalizing landed data never changes keys —
+    generated over the full messy-feature cross product."""
+    import itertools
+
+    urls = []
+    for scheme, www, host, port, slash, q, frag in itertools.product(
+        ("http://", "HTTP://", "https://"),
+        ("", "www.", "WWW."),
+        ("ex.com", "Sub.EX.com"),
+        ("", ":80", ":443", ":8080"),
+        ("", "/"),
+        ("", "?b=2&a=1", "?utm_source=x", "?utm_source=x&a=1"),
+        ("", "#frag"),
+    ):
+        urls.append(f"{scheme}{www}{host}{port}/p{slash}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad[:5]
