@@ -87,7 +87,15 @@ def exact_percentiles(
     for attempt in range(max_retries + 1):
         # quantile-space margin: 5x the KLL rank-error bound, widened
         # 4x per retry. Clamped probes hit the true min/max exactly.
+        # Once n is known (attempt >= 1), the margin also gets a
+        # 2-RANK floor: interpolation needs BOTH neighbor ranks inside
+        # the bracket, and at small n a 5/accuracy probe spans less
+        # than one rank — the sketch then returns one neighbor and the
+        # containment check (correctly) rejects it forever without
+        # this floor.
         m_q = (5.0 / accuracy) * (4.0**attempt)
+        if n is not None and n > 1:
+            m_q = max(m_q, (2.0 * (4.0 ** (attempt - 1))) / (n - 1))
         probe_qs: list[float] = []
         for q in q_list:
             probe_qs.append(max(0.0, q - m_q))
@@ -182,3 +190,129 @@ def exact_percentiles(
 def exact_median(df: DataFrame, col: str | Column, **kw) -> float | None:
     """Exact median via the bracketed algorithm."""
     return exact_percentiles(df, col, 0.5, **kw)
+
+
+def exact_percentile_grouped(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    q: float,
+    out_col: str = "pct",
+    accuracy: int = 10_000,
+    max_bracket_rows: int = 2_000_000,
+    broadcast_brackets: bool = True,
+) -> DataFrame:
+    """PER-GROUP exact interpolated percentile at bounded memory — the
+    "exact p99 per tenant over 100 TB" operator. Same bracketed
+    rank-select as ``exact_percentiles``, fully distributed:
+
+    1. groupBy(keys): per-group n + sketch bracket [lo, hi] around the
+       target rank (one shuffle on the keys).
+    2. join the brackets back (AQE broadcasts when the group count is
+       small) and re-aggregate per group: rows below the bracket, the
+       SORTED bracket values (~10n_g/accuracy per group — bounded
+       state, unlike ``F.percentile`` whose buffer is the whole group),
+       and the containment proof.
+    3. Column-side rank-select inside the collected bracket array —
+       no per-group driver work, output is one row per group.
+
+    Groups whose sketch violates containment or whose bracket exceeds
+    ``max_bracket_rows`` (duplicate-heavy next to distinct values) fall
+    back to the buffer-everything exact percentile — computed ONLY for
+    those groups (a skew escape valve, not the main path; point-mass
+    brackets resolve without collecting at all). One validation action
+    runs at call time to decide whether the fallback union is needed;
+    the returned frame is lazy otherwise.
+
+    Result: ``keys + [out_col]``; all-null groups get a null percentile
+    (matching ``F.percentile``)."""
+    if not keys:
+        raise QuantileError("exact_percentile_grouped needs at least one key")
+    if not 0.0 <= q <= 1.0:
+        raise QuantileError(f"percentile must be in [0, 1], got {q}")
+    if accuracy < 100:
+        raise QuantileError(f"accuracy must be >= 100, got {accuracy}")
+    c = F.col(col).cast("double")
+    vals = df.select(*keys, c.alias("__v__"))
+    nn = vals.filter(F.col("__v__").isNotNull())
+    m_q = 5.0 / accuracy
+    sk = nn.groupBy(*keys).agg(
+        F.count("__v__").alias("__n__"),
+        F.percentile_approx(
+            "__v__", [max(0.0, q - m_q), min(1.0, q + m_q)], accuracy
+        ).alias("__br__"),
+        F.min("__v__").alias("__mn__"),
+        F.max("__v__").alias("__mx__"),
+    ).select(
+        *keys,
+        "__n__",
+        F.when(F.lit(q - m_q <= 0.0), F.col("__mn__"))
+        .otherwise(F.col("__br__")[0])
+        .alias("__lo__"),
+        F.when(F.lit(q + m_q >= 1.0), F.col("__mx__"))
+        .otherwise(F.col("__br__")[1])
+        .alias("__hi__"),
+    )
+    # the bracket frame is ONE ROW PER GROUP — broadcasting it keeps the
+    # big side unshuffled for the bracket join (pass 2 then shuffles
+    # only on the final groupBy). Disable for a key space too large to
+    # broadcast (AQE decides instead).
+    joined = nn.join(F.broadcast(sk) if broadcast_brackets else sk, keys)
+    r = F.lit(1.0) + F.lit(q) * (F.col("__n__") - 1).cast("double")
+    k_lo, k_hi = F.floor(r).cast("long"), F.ceil(r).cast("long")
+    g2 = joined.groupBy(*keys).agg(
+        F.first("__n__").alias("__n__"),
+        F.first("__lo__").alias("__lo__"),
+        F.first("__hi__").alias("__hi__"),
+        F.sum((F.col("__v__") < F.col("__lo__")).cast("long")).alias("__lt__"),
+        F.sum((F.col("__v__") > F.col("__hi__")).cast("long")).alias("__gt__"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    (F.col("__v__") >= F.col("__lo__"))
+                    & (F.col("__v__") <= F.col("__hi__"))
+                    & (F.col("__lo__") < F.col("__hi__")),
+                    F.col("__v__"),
+                )
+            )
+        ).alias("__b__"),
+    )
+    point_mass = F.col("__lo__") == F.col("__hi__")
+    # in-bracket rows: the collect skips point-mass brackets, so count
+    # them separately for the containment proof
+    n_in = F.when(point_mass, F.col("__n__") - F.col("__lt__") - F.col("__gt__")).otherwise(
+        F.size("__b__")
+    )
+    # containment is REQUIRED even for point-mass brackets: a sketch
+    # collapsing to one value proves nothing by itself — the true
+    # floor/ceil ranks must be shown to fall inside the mass (a tight
+    # probe at small n can return one neighbor and miss the other)
+    contained = (F.col("__lt__") <= k_lo - 1) & (F.col("__lt__") + n_in >= k_hi)
+    ok = contained & (point_mass | (F.size("__b__") <= max_bracket_rows))
+    d = r - k_lo.cast("double")
+    v_lo = F.element_at("__b__", (k_lo - F.col("__lt__")).cast("int"))
+    v_hi = F.element_at("__b__", (k_hi - F.col("__lt__")).cast("int"))
+    val = F.when(point_mass, F.col("__lo__")).otherwise(
+        v_lo * (F.lit(1.0) - d) + v_hi * d
+    )
+    good = g2.filter(ok).select(*keys, val.alias(out_col))
+
+    # validation action: groups escaping the bracket path (sketch off,
+    # or duplicate mass over the cap) fall back to the exact buffer —
+    # for THOSE groups only
+    bad_keys = g2.filter(~ok).select(*keys)
+    n_bad = bad_keys.count()
+    if n_bad:
+        fb = (
+            nn.join(F.broadcast(bad_keys) if n_bad <= 10_000 else bad_keys, keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.percentile("__v__", F.lit(q)).alias(out_col))
+        )
+        good = good.unionByName(fb)
+
+    # groups whose EVERY value is null never reach `nn`: surface them
+    # with a null percentile, matching F.percentile
+    all_null = vals.select(*keys).distinct().join(
+        sk.select(*keys), keys, "left_anti"
+    ).select(*keys, F.lit(None).cast("double").alias(out_col))
+    return good.unionByName(all_null)

@@ -106,3 +106,89 @@ def test_scalar_in_scalar_out(spark):
     df = _df(spark, [1.0, 2.0, 3.0])
     assert isinstance(exact_percentiles(df, "x", 0.5), float)
     assert isinstance(exact_percentiles(df, "x", [0.5]), list)
+
+
+def test_grouped_matches_builtin(spark, sf_dir):
+    from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for q in (0.0, 0.5, 0.9, 1.0):
+        got = {
+            r["l_returnflag"]: r["pct"]
+            for r in exact_percentile_grouped(
+                li, ["l_returnflag"], "l_extendedprice", q
+            ).collect()
+        }
+        want = {
+            r["l_returnflag"]: r["p"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.percentile("l_extendedprice", F.lit(q)).alias("p"))
+            .collect()
+        }
+        assert got == want  # bit-equal per group
+
+
+def test_grouped_null_and_point_mass_groups(spark):
+    from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None), ("c", 7.0),
+         ("d", 2.0), ("d", 2.0), ("d", 2.0)],
+        "k string, x double",
+    )
+    got = {r["k"]: r["pct"] for r in exact_percentile_grouped(df, ["k"], "x", 0.5).collect()}
+    assert got == {"a": 2.0, "b": None, "c": 7.0, "d": 2.0}
+
+
+def test_grouped_fallback_path_still_exact(spark):
+    """A coarse sketch with a tiny bracket cap pushes groups onto the
+    buffer-everything fallback — the answer stays exact."""
+    from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
+
+    vals = list(np.linspace(0, 10, 500))
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, x double")
+    got = exact_percentile_grouped(
+        df, ["k"], "x", 0.5, accuracy=100, max_bracket_rows=2
+    ).first()["pct"]
+    want = df.agg(F.percentile("x", F.lit(0.5))).first()[0]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 2**31), nk=st.integers(1, 5))
+def test_grouped_property(spark, seed, nk):
+    from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (f"k{int(rng.integers(nk))}", float(v))
+        for v in np.round(rng.normal(0, 100, int(rng.integers(5, 200))), 1)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double")
+    q = float(rng.uniform())
+    got = {r["k"]: r["pct"] for r in exact_percentile_grouped(df, ["k"], "x", q).collect()}
+    want = {
+        r["k"]: r["p"]
+        for r in df.groupBy("k").agg(F.percentile("x", F.lit(q)).alias("p")).collect()
+    }
+    assert got == want
+
+
+def test_grouped_point_mass_sketch_cannot_lie(spark):
+    """Regression (hypothesis seed 0): at n=170 a 5/accuracy probe spans
+    <1 rank, the sketch bracket collapses onto the CEIL-rank value, and
+    the pre-fix point-mass shortcut returned it unverified (130.4 where
+    the exact interpolation is 130.162...). Containment is now proved
+    for point-mass brackets too; the group falls back and stays exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = [("k0", float(v)) for v in np.round(rng.normal(0, 100, int(rng.integers(5, 200))), 1)]
+    q = float(rng.uniform())
+    from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
+
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = exact_percentile_grouped(df, ["k"], "x", q).first()["pct"]
+    want = df.agg(F.percentile("x", F.lit(q))).first()[0]
+    assert got == want
