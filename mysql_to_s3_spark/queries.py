@@ -695,7 +695,23 @@ def _trimmed_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         sf_dir=sf_dir,
     )
-    return out.select(
+    # p90b (r9 session 2): the GROUPED bracketed exact percentile
+    # (operators/quantiles.exact_percentile_grouped — sketch-bracket,
+    # prove containment, broadcast-join, Column-side rank-select) under
+    # the hard gate: per-returnflag p90 of l_quantity must equal DuckDB
+    # quantile_cont exactly. Joins onto the trimmed-stats frame — one
+    # extra broadcast, no new scan of the oracle surface.
+    from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    p90 = exact_percentile_grouped(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        0.9,
+        out_col="p90b",
+    )
+    return out.join(F.broadcast(p90), "l_returnflag").select(
         "l_returnflag",
         F.col("st.count").alias("cnt"),
         F.round(F.col("st.sum"), 6).alias("total"),
@@ -704,6 +720,7 @@ def _trimmed_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.avg"), 6).alias("av"),
         F.round(F.col("st.std"), 6).alias("sd"),
         F.round(F.col("st.median"), 6).alias("med"),
+        F.round(F.col("p90b"), 6).alias("p90b"),
     )
 
 
@@ -719,7 +736,7 @@ _q(
          SELECT l_returnflag,
                 l[(CAST(ceil(len(l) * 0.1) AS INT) + 1):(len(l) - CAST(ceil(len(l) * 0.1) AS INT))] AS m
          FROM s)
-       SELECT l_returnflag,
+       SELECT t.l_returnflag,
               CAST(len(m) AS BIGINT) AS cnt,
               round(list_sum(m), 6) AS total,
               m[1] AS mn,
@@ -730,8 +747,11 @@ _q(
               round(CASE WHEN (len(m) - 1) % 2 = 0
                          THEN m[(len(m) - 1) // 2 + 1]
                          ELSE (m[(len(m) - 1) // 2 + 1] + m[(len(m) - 1) // 2 + 2]) / 2.0
-                    END, 6) AS med
-       FROM t""",
+                    END, 6) AS med,
+              p.p90b
+       FROM t JOIN (SELECT l_returnflag,
+                           round(quantile_cont(l_quantity, 0.9), 6) AS p90b
+                    FROM lineitem GROUP BY 1) p USING (l_returnflag)""",
 )
 
 _q(
