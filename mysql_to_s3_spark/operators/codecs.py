@@ -324,6 +324,8 @@ def y4m_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
     sampling n frames from an n-frame video stays O(n), not O(n^2).
     Streams with FRAME-line parameters (variable-length markers, rare)
     fail the stride check and take the validating walk instead."""
+    if ts_ms < 0:
+        raise CodecError(f"negative timestamp {ts_ms}")
     b = bytes(payload)
     w, h, num, den, hdr = _y4m_header(b)
     frame_bytes = 3 * w * h

@@ -151,9 +151,13 @@ def frame_sample(payload: bytes, every_ms: int = 1000) -> Any:
     import numpy as np
 
     info = codecs.y4m_info(payload)
-    return np.stack(
-        [codecs.y4m_frame_at(payload, ts) for ts in range(0, info["duration_ms"], int(every_ms))]
-    )
+    frames = [
+        codecs.y4m_frame_at(payload, ts)
+        for ts in range(0, info["duration_ms"], int(every_ms))
+    ]
+    if not frames:  # zero-frame/zero-duration stream: empty, typed
+        return np.empty((0, info["height"], info["width"], 3), dtype=np.uint8)
+    return np.stack(frames)
 
 
 def y4m_frame_grab(payload: bytes, ts_ms: int) -> bytes:

@@ -127,8 +127,8 @@ def exact_percentiles(
             )
         counts = vals.agg(*cnt_cols).first()
         if all(
-            counts[f"lt{i}"] <= math.floor(1 + q * (n - 1)) - 1
-            and counts[f"lt{i}"] + counts[f"in{i}"] >= math.ceil(1 + q * (n - 1))
+            counts[f"lt{i}"] <= math.floor(q * (n - 1))
+            and counts[f"lt{i}"] + counts[f"in{i}"] >= math.ceil(q * (n - 1)) + 1
             for i, q in enumerate(q_list)
         ):
             break
@@ -174,15 +174,18 @@ def exact_percentiles(
         if lo == hi:
             out.append(lo)
             continue
-        r = 1 + q * (n - 1)
-        k_lo, k_hi = math.floor(r), math.ceil(r)
+        # Spark's Percentile arithmetic, reproduced operation-for-
+        # operation: the 0-BASED position q*(n-1) (computing d from a
+        # 1-based rank changes the last ulp), floor/ceil neighbors, and
+        # the lower*(1-d) + higher*d association (the v_lo + d*(v_hi -
+        # v_lo) form also differs in the last ulp)
+        pos = q * (n - 1)
+        k_lo, k_hi = math.floor(pos) + 1, math.ceil(pos) + 1
         n_lt = counts[f"lt{i}"]
         br = collected[i]
         v_lo = br[k_lo - n_lt - 1]
         v_hi = br[k_hi - n_lt - 1]
-        # Spark's Percentile association: lower*(1-d) + higher*d — the
-        # v_lo + d*(v_hi - v_lo) form differs in the last ulp
-        d = r - k_lo
+        d = pos - math.floor(pos)
         out.append(v_lo * (1.0 - d) + v_hi * d)
     return out[0] if scalar else out
 
@@ -208,30 +211,59 @@ def exact_percentile_grouped(
 
     1. groupBy(keys): per-group n + sketch bracket [lo, hi] around the
        target rank (one shuffle on the keys).
-    2. join the brackets back (AQE broadcasts when the group count is
-       small) and re-aggregate per group: rows below the bracket, the
-       SORTED bracket values (~10n_g/accuracy per group — bounded
-       state, unlike ``F.percentile`` whose buffer is the whole group),
-       and the containment proof.
-    3. Column-side rank-select inside the collected bracket array —
-       no per-group driver work, output is one row per group.
+    2. join the 1-row-per-group brackets back (broadcast by default —
+       the corpus never shuffles for the join) and COUNT per group:
+       rows below/above the bracket, plus the nearest value on each
+       side (the ±1-rank neighbor extension: interpolation needs both
+       neighbor ranks, and at small n a 5/accuracy probe spans less
+       than one rank — the extension covers rank lt and rank
+       lt+n_in+1 without widening the bracket). Containment is PROVED
+       from these counts before anything is collected.
+    3. collect the sorted bracket values ONLY for groups that (a) need
+       an in-bracket rank, and (b) fit ``max_bracket_rows`` — the
+       memory guard runs on the counts, BEFORE the collect can
+       materialize anything (~10n_g/accuracy rows per collected group,
+       unlike ``F.percentile`` whose buffer is the whole group).
+    4. Column-side rank-select — no per-group driver work.
 
-    Groups whose sketch violates containment or whose bracket exceeds
-    ``max_bracket_rows`` (duplicate-heavy next to distinct values) fall
-    back to the buffer-everything exact percentile — computed ONLY for
-    those groups (a skew escape valve, not the main path; point-mass
-    brackets resolve without collecting at all). One validation action
-    runs at call time to decide whether the fallback union is needed;
-    the returned frame is lazy otherwise.
+    Groups whose sketch still violates containment, or whose bracket
+    exceeds the cap (duplicate mass next to distinct values), fall back
+    to the buffer-everything exact percentile computed ONLY for those
+    groups (a skew escape valve; point-mass brackets resolve from the
+    counts without collecting at all). One validation action runs at
+    call time to decide whether the fallback union is needed.
 
-    Result: ``keys + [out_col]``; all-null groups get a null percentile
-    (matching ``F.percentile``)."""
+    NULL group keys form their own group, exactly like ``groupBy``
+    (all internal joins are null-safe); all-null-value groups get a
+    null percentile — both matching ``F.percentile`` semantics.
+
+    Result columns: ``keys + [out_col]``."""
     if not keys:
         raise QuantileError("exact_percentile_grouped needs at least one key")
     if not 0.0 <= q <= 1.0:
         raise QuantileError(f"percentile must be in [0, 1], got {q}")
     if accuracy < 100:
         raise QuantileError(f"accuracy must be >= 100, got {accuracy}")
+
+    def _nsjoin(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+        # join on key EQUALITY with null-safe semantics: groupBy puts
+        # null keys in their own group, so the bracket/fallback joins
+        # must match them too (a plain equi-join would silently drop
+        # every null-key group from the bracket path)
+        l, r = left.alias("__l__"), right.alias("__r__")
+        cond = None
+        for k in keys:
+            e = F.col(f"__l__.{k}").eqNullSafe(F.col(f"__r__.{k}"))
+            cond = e if cond is None else (cond & e)
+        j = l.join(r, cond, how)
+        if how in ("left_semi", "left_anti"):
+            return j
+        drop = [F.col(f"__r__.{k}") for k in keys]
+        out = j
+        for d in drop:
+            out = out.drop(d)
+        return out
+
     c = F.col(col).cast("double")
     vals = df.select(*keys, c.alias("__v__"))
     nn = vals.filter(F.col("__v__").isNotNull())
@@ -253,49 +285,68 @@ def exact_percentile_grouped(
         .otherwise(F.col("__br__")[1])
         .alias("__hi__"),
     )
-    # the bracket frame is ONE ROW PER GROUP — broadcasting it keeps the
-    # big side unshuffled for the bracket join (pass 2 then shuffles
-    # only on the final groupBy). Disable for a key space too large to
-    # broadcast (AQE decides instead).
-    joined = nn.join(F.broadcast(sk) if broadcast_brackets else sk, keys)
-    r = F.lit(1.0) + F.lit(q) * (F.col("__n__") - 1).cast("double")
-    k_lo, k_hi = F.floor(r).cast("long"), F.ceil(r).cast("long")
+    skb = F.broadcast(sk) if broadcast_brackets else sk
+    joined = _nsjoin(nn, skb)
+    # Spark's Percentile arithmetic, operation-for-operation: the
+    # 0-BASED position q*(n-1) (a 1-based rank changes d's last ulp)
+    pos = F.lit(q) * (F.col("__n__") - 1).cast("double")
+    k_lo = (F.floor(pos) + 1).cast("long")
+    k_hi = (F.ceil(pos) + 1).cast("long")
+
+    # count pass: everything the proof and the memory guard need, and
+    # the one-value-each-side neighbor extension — NO collect yet
+    in_bracket = (F.col("__v__") >= F.col("__lo__")) & (F.col("__v__") <= F.col("__hi__"))
     g2 = joined.groupBy(*keys).agg(
         F.first("__n__").alias("__n__"),
         F.first("__lo__").alias("__lo__"),
         F.first("__hi__").alias("__hi__"),
         F.sum((F.col("__v__") < F.col("__lo__")).cast("long")).alias("__lt__"),
-        F.sum((F.col("__v__") > F.col("__hi__")).cast("long")).alias("__gt__"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    (F.col("__v__") >= F.col("__lo__"))
-                    & (F.col("__v__") <= F.col("__hi__"))
-                    & (F.col("__lo__") < F.col("__hi__")),
-                    F.col("__v__"),
-                )
-            )
-        ).alias("__b__"),
+        F.sum(in_bracket.cast("long")).alias("__in__"),
+        F.max(F.when(F.col("__v__") < F.col("__lo__"), F.col("__v__"))).alias("__vb__"),
+        F.min(F.when(F.col("__v__") > F.col("__hi__"), F.col("__v__"))).alias("__va__"),
     )
+    lt, nin = F.col("__lt__"), F.col("__in__")
     point_mass = F.col("__lo__") == F.col("__hi__")
-    # in-bracket rows: the collect skips point-mass brackets, so count
-    # them separately for the containment proof
-    n_in = F.when(point_mass, F.col("__n__") - F.col("__lt__") - F.col("__gt__")).otherwise(
-        F.size("__b__")
+
+    def covered(k: Column) -> Column:
+        # rank k is reachable: the highest below-bracket value is rank
+        # lt, bracket values are ranks lt+1..lt+n_in, the lowest
+        # above-bracket value is rank lt+n_in+1
+        return (
+            ((k == lt) & F.col("__vb__").isNotNull())
+            | ((k >= lt + 1) & (k <= lt + nin))
+            | ((k == lt + nin + 1) & F.col("__va__").isNotNull())
+        )
+
+    needs_array = (
+        (~point_mass)
+        & (((k_lo >= lt + 1) & (k_lo <= lt + nin)) | ((k_hi >= lt + 1) & (k_hi <= lt + nin)))
     )
-    # containment is REQUIRED even for point-mass brackets: a sketch
-    # collapsing to one value proves nothing by itself — the true
-    # floor/ceil ranks must be shown to fall inside the mass (a tight
-    # probe at small n can return one neighbor and miss the other)
-    contained = (F.col("__lt__") <= k_lo - 1) & (F.col("__lt__") + n_in >= k_hi)
-    ok = contained & (point_mass | (F.size("__b__") <= max_bracket_rows))
-    d = r - k_lo.cast("double")
-    v_lo = F.element_at("__b__", (k_lo - F.col("__lt__")).cast("int"))
-    v_hi = F.element_at("__b__", (k_hi - F.col("__lt__")).cast("int"))
-    val = F.when(point_mass, F.col("__lo__")).otherwise(
-        v_lo * (F.lit(1.0) - d) + v_hi * d
+    ok = covered(k_lo) & covered(k_hi) & (~needs_array | (nin <= max_bracket_rows))
+
+    # select pass: collect ONLY flagged groups' brackets — the guard has
+    # already run on counts, so nothing oversized ever materializes
+    flagged = g2.filter(ok & needs_array).select(*keys, "__lo__", "__hi__", "__lt__")
+    fb_frame = F.broadcast(flagged) if broadcast_brackets else flagged
+    g3 = (
+        _nsjoin(nn.select(*keys, "__v__"), fb_frame)
+        .filter((F.col("__v__") >= F.col("__lo__")) & (F.col("__v__") <= F.col("__hi__")))
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("__v__")).alias("__b__"))
     )
-    good = g2.filter(ok).select(*keys, val.alias(out_col))
+    assembled = _nsjoin(g2.filter(ok), g3, "left")
+
+    def v_at(k: Column) -> Column:
+        return (
+            F.when(k == lt, F.col("__vb__"))
+            .when(k == lt + nin + 1, F.col("__va__"))
+            .when(point_mass, F.col("__lo__"))
+            .otherwise(F.element_at("__b__", (k - lt).cast("int")))
+        )
+
+    d = pos - F.floor(pos)
+    val = v_at(k_lo) * (F.lit(1.0) - d) + v_at(k_hi) * d
+    good = assembled.select(*keys, val.alias(out_col))
 
     # validation action: groups escaping the bracket path (sketch off,
     # or duplicate mass over the cap) fall back to the exact buffer —
@@ -304,7 +355,7 @@ def exact_percentile_grouped(
     n_bad = bad_keys.count()
     if n_bad:
         fb = (
-            nn.join(F.broadcast(bad_keys) if n_bad <= 10_000 else bad_keys, keys, "left_semi")
+            _nsjoin(nn, F.broadcast(bad_keys) if n_bad <= 10_000 else bad_keys, "left_semi")
             .groupBy(*keys)
             .agg(F.percentile("__v__", F.lit(q)).alias(out_col))
         )
@@ -312,7 +363,7 @@ def exact_percentile_grouped(
 
     # groups whose EVERY value is null never reach `nn`: surface them
     # with a null percentile, matching F.percentile
-    all_null = vals.select(*keys).distinct().join(
-        sk.select(*keys), keys, "left_anti"
-    ).select(*keys, F.lit(None).cast("double").alias(out_col))
+    all_null = _nsjoin(vals.select(*keys).distinct(), sk.select(*keys), "left_anti").select(
+        *keys, F.lit(None).cast("double").alias(out_col)
+    )
     return good.unionByName(all_null)

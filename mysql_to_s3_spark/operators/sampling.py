@@ -204,10 +204,12 @@ def sample_per_key_sql(
     salt: str = "perkey",
 ) -> str:
     """DuckDB replica of ``sample_per_key`` — selects the identical
-    rows (same md5 salted-bucket ranking, same id tie-break)."""
+    rows (same md5 salted-bucket ranking, same id tie-break). The salt
+    is SQL-escaped (quotes in a salt otherwise break the emitted SQL)."""
     keys = ", ".join(by)
+    q_salt = ("|" + salt).replace("'", "''")
     b = (
-        f"(('0x' || substr(md5({id_col}::VARCHAR || '|{salt}'), 1, 8))::BIGINT"
+        f"(('0x' || substr(md5({id_col}::VARCHAR || '{q_salt}'), 1, 8))::BIGINT"
         f" % {SPLIT_BUCKETS})"
     )
     return (

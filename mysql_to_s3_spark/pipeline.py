@@ -412,16 +412,19 @@ def prepare_corpus(
     if cfg.url_col is not None:
         # identity dedup first: one short-string shuffle drops re-crawls
         # before ANY per-row content work is paid for them. Docs WITHOUT
-        # a url (null) are all kept — a null canonical is "address
+        # a usable url (null OR blank — '' is the common SQL convention
+        # for "missing") are all kept: a missing canonical is "address
         # unknown", not "the same address" (grouping them would silently
         # keep ONE doc out of every url-less source).
         from mysql_to_s3_spark.operators.dedup import url_dedup
 
-        with_url = out.filter(F.col(cfg.url_col).isNotNull())
+        u = F.col(cfg.url_col)
+        has_url = u.isNotNull() & (F.trim(u) != "")
+        with_url = out.filter(has_url)
         keepers = url_dedup(with_url, cfg.url_col, cfg.id_col).select(
             F.col("keeper").alias(cfg.id_col)
         )
-        out = out.filter(F.col(cfg.url_col).isNull()).unionByName(
+        out = out.filter(~has_url).unionByName(
             with_url.join(keepers, cfg.id_col, "left_semi")
         )
         stages.append(("url_dedup", out))

@@ -1358,9 +1358,10 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       params survive) breaks the row hash on that doc.
     - `urlk`: url_dedup groups over the same 240 docs — min-id keeper
       + re-crawl count per canonical url; collisions are built in
-      (e.g. doc d and d+140 always canonicalize equal; default-port
-      docs collide with port-less docs), binding the keeper-min and
-      grouping semantics, not just the string.
+      (docs d and d+140 canonicalize equal whenever they share a
+      source, and default-port docs collide with port-less docs),
+      binding the keeper-min and grouping semantics, not just the
+      string.
     """
     from pyspark.sql import functions as F
 

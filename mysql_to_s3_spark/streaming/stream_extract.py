@@ -282,18 +282,21 @@ def stream_url_dedup(
     url inside the horizon; the batch keeper is min-id, the stream
     keeper is first-arrival (identical iff ids are arrival-ordered).
 
-    Null-url rows are ALL kept (they bypass the stateful branch
-    entirely): a null canonical is "address unknown", not "the same
-    address" — ``dropDuplicates*`` groups nulls together and would
-    otherwise keep one row out of every url-less source."""
+    Null- and blank-url rows are ALL kept (they bypass the stateful
+    branch entirely): a missing canonical is "address unknown", not
+    "the same address" — ``dropDuplicates*`` groups equal keys
+    together and would otherwise keep one row out of every url-less
+    source."""
     from mysql_to_s3_spark.operators.text import canonical_url
 
     if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
         sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    no_url = sdf.filter(F.col(url_col).isNull())
+    u = F.col(url_col)
+    has_url = u.isNotNull() & (F.trim(u) != "")
+    no_url = sdf.filter(~has_url)
     deduped = (
-        sdf.filter(F.col(url_col).isNotNull())
-        .withColumn("__curl__", canonical_url(F.col(url_col)))
+        sdf.filter(has_url)
+        .withColumn("__curl__", canonical_url(u))
         .withWatermark(ts_col, lateness)
         .dropDuplicatesWithinWatermark(["__curl__"])
         .drop("__curl__")

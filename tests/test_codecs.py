@@ -335,3 +335,12 @@ def test_y4m_frame_at_o1_fast_path_matches_walk():
     for ts in (0, 150, 550):
         idx = min(ts * 10 // 1000, 5)
         assert (y4m_frame_at(irregular, ts) == v[idx]).all(), ts
+
+
+def test_frame_sample_zero_duration_and_negative_ts():
+    empty = encode_y4m(np.zeros((0, 3, 4, 3), np.uint8))
+    fr = multimodal.frame_sample(empty, every_ms=100)
+    assert fr.shape == (0, 3, 4, 3) and fr.dtype == np.uint8
+    b = encode_y4m(synth_video(1, 2))
+    with pytest.raises(CodecError, match="negative"):
+        y4m_frame_at(b, -200)

@@ -192,3 +192,21 @@ def test_grouped_point_mass_sketch_cannot_lie(spark):
     got = exact_percentile_grouped(df, ["k"], "x", q).first()["pct"]
     want = df.agg(F.percentile("x", F.lit(q))).first()[0]
     assert got == want
+
+
+def test_grouped_null_key_group_matches_groupby(spark):
+    """A NULL group KEY is a group like any other (groupBy semantics):
+    pre-fix, the plain equi-join dropped null-key rows from the bracket
+    path and returned pct=NULL for a group full of data."""
+    from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 10.0)],
+        "k string, x double",
+    )
+    got = {r["k"]: r["pct"] for r in exact_percentile_grouped(df, ["k"], "x", 0.5).collect()}
+    want = {
+        r["k"]: r["p"]
+        for r in df.groupBy("k").agg(F.percentile("x", F.lit(0.5)).alias("p")).collect()
+    }
+    assert got == want == {None: 2.0, "a": 10.0}

@@ -242,3 +242,25 @@ def test_canonical_url_idempotent_property(spark):
     twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
     bad = twice.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == [], bad[:5]
+
+
+def test_blank_urls_treated_as_missing(spark):
+    """'' is the common SQL convention for a missing url: blank-url
+    docs must all survive (batch + the operator itself excludes them
+    from groups)."""
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "http://a.com/x"),
+            (2, "two", ""),
+            (3, "three", "  "),
+            (4, "four", ""),
+        ],
+        "doc_id long, text string, url string",
+    )
+    prep = prepare_corpus(docs, CorpusConfig(url_col="url", exact=False))
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [1, 2, 3, 4]
+    # the reporting operator excludes missing addresses from groups
+    assert url_dedup(docs).count() == 1
