@@ -89,6 +89,46 @@ def text_stats(col: Column) -> dict[str, Column]:
     }
 
 
+def gopher_stats(col: Column) -> dict[str, Column]:
+    """The remaining Gopher document-quality signals (Rae et al. 2021
+    table A1 — the published rule set; `repetition_stats` covers the
+    duplication half, `_raw_stats` the length/word-shape half):
+
+    - ``symbol_word_ratio``: '#' and ellipsis occurrences per word,
+    - ``bullet_line_frac``: fraction of lines starting with a bullet
+      marker (-, *, or a numbered item),
+    - ``ellipsis_line_frac``: fraction of lines ending in an ellipsis,
+    - ``alpha_word_frac``: fraction of words containing at least one
+      alphabetic character.
+
+    Shuffle-free Column algebra (regexp + line/word HOFs), RE2-safe
+    patterns so the DuckDB oracle replicates them exactly. Empty docs
+    yield 0 ratios (not null), matching the other stats."""
+    ws = words(col)
+    n_words = F.size(ws)
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_sym = (
+        F.regexp_count(col, F.lit("#"))
+        + F.regexp_count(col, F.lit(r"\.\.\."))
+        + F.regexp_count(col, F.lit("…"))
+    )
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^([-*•]|[0-9]+\.)\s"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    return {
+        "symbol_word_ratio": frac(n_sym, n_words),
+        "bullet_line_frac": frac(n_bullet, n_lines),
+        "ellipsis_line_frac": frac(n_ellipsis, n_lines),
+        "alpha_word_frac": frac(n_alpha, n_words),
+    }
+
+
 def quality_score(col: Column) -> Column:
     """[0,1] doc-quality heuristic: in-band length, low punctuation noise,
     presence of function words. Weights in QUALITY_WEIGHTS.

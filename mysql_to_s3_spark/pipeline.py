@@ -107,6 +107,15 @@ class CorpusConfig:
     # heuristic gates. None disables each rule.
     max_dup_word_frac: float | None = None
     max_top_bigram_frac: float | None = None
+    # the remaining Gopher table-A1 shape rules (operators/
+    # text.gopher_stats): symbol-per-word ratio, bullet-started and
+    # ellipsis-ended line fractions, alphabetic-word fraction. Same
+    # per-row shuffle-free shape; None disables each rule. (Published
+    # thresholds: 0.1 / 0.9 / 0.3 / 0.8.)
+    max_symbol_word_ratio: float | None = None
+    max_bullet_line_frac: float | None = None
+    max_ellipsis_line_frac: float | None = None
+    min_alpha_word_frac: float | None = None
     # CCNet-style perplexity gate: drop docs whose mean per-token unigram
     # log2-prob falls below this (operators/lm.py). The model comes from
     # prepare_corpus's `lm_counts` (batch: a lazy (token, n) frame;
@@ -342,6 +351,37 @@ def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return tmp.filter(cond).drop("__bg__")
 
 
+def _gopher_gate_on(cfg: CorpusConfig) -> bool:
+    return any(
+        v is not None
+        for v in (
+            cfg.max_symbol_word_ratio,
+            cfg.max_bullet_line_frac,
+            cfg.max_ellipsis_line_frac,
+            cfg.min_alpha_word_frac,
+        )
+    )
+
+
+def _apply_gopher_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Shared batch/stream Gopher shape gate (symbol/bullet/ellipsis/
+    alpha rules) — per-row Column algebra, zero shuffles,
+    streaming-safe."""
+    from mysql_to_s3_spark.operators.text import gopher_stats
+
+    g = gopher_stats(F.col(cfg.text_col))
+    cond = F.lit(True)
+    if cfg.max_symbol_word_ratio is not None:
+        cond = cond & (g["symbol_word_ratio"] <= F.lit(float(cfg.max_symbol_word_ratio)))
+    if cfg.max_bullet_line_frac is not None:
+        cond = cond & (g["bullet_line_frac"] <= F.lit(float(cfg.max_bullet_line_frac)))
+    if cfg.max_ellipsis_line_frac is not None:
+        cond = cond & (g["ellipsis_line_frac"] <= F.lit(float(cfg.max_ellipsis_line_frac)))
+    if cfg.min_alpha_word_frac is not None:
+        cond = cond & (g["alpha_word_frac"] >= F.lit(float(cfg.min_alpha_word_frac)))
+    return out.filter(cond)
+
+
 def _apply_classifier_gate(out: DataFrame, cfg: CorpusConfig, classifier) -> DataFrame:
     """Shared batch/stream classifier stage — both modes are row-wise
     JVM transforms (zero shuffles, streaming-safe)."""
@@ -454,6 +494,10 @@ def prepare_corpus(
     if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
         out = _apply_repetition_gate(out, cfg)
         stages.append(("repetition", out))
+
+    if _gopher_gate_on(cfg):
+        out = _apply_gopher_gate(out, cfg)
+        stages.append(("gopher_shape", out))
 
     if cfg.classifier_accept is not None:
         # after the heuristic gates (cheapest first), before the LM gate
@@ -760,6 +804,8 @@ def prepare_corpus_stream(
         out = out.filter(language_id(txt).isin(*cfg.languages))
     if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
         out = _apply_repetition_gate(out, cfg)
+    if _gopher_gate_on(cfg):
+        out = _apply_gopher_gate(out, cfg)
     if cfg.classifier_accept is not None:
         # row-wise JVM transform: stateless, commutes with micro-batching;
         # the model must be pretrained — a stream cannot self-fit

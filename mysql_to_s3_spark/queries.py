@@ -1195,8 +1195,31 @@ def _text_stats_sql() -> str:
            round(CASE WHEN len({_sql_words('text')}) > 1
                  THEN {_sql_top_bigram('text')}::DOUBLE / (len({_sql_words('text')}) - 1)
                  ELSE 0.0 END, 6) AS top_bigram_frac,
+           round(CASE WHEN len(sw) > 0
+                 THEN (len(regexp_extract_all(synth, '#'))
+                       + len(regexp_extract_all(synth, '\\.\\.\\.'))
+                       + len(regexp_extract_all(synth, '…')))::DOUBLE / len(sw)
+                 ELSE 0.0 END, 6) AS symbol_word_ratio,
+           round(len(list_filter(string_split(synth, chr(10)),
+                     l -> regexp_matches(ltrim(l), '^([-*•]|[0-9]+\\.)\\s')))::DOUBLE
+                 / len(string_split(synth, chr(10))), 6) AS bullet_line_frac,
+           round(len(list_filter(string_split(synth, chr(10)),
+                     l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+                 / len(string_split(synth, chr(10))), 6) AS ellipsis_line_frac,
+           round(CASE WHEN len(sw) > 0
+                 THEN len(list_filter(sw, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                      / len(sw) ELSE 0.0 END, 6) AS alpha_word_frac,
            {_SQL_FP} AS fp
-    FROM documents"""
+    FROM (SELECT *,
+                 text || chr(10)
+                 || CASE WHEN doc_id % 3 = 0 THEN '- item' ELSE 'plain line' END
+                 || chr(10)
+                 || CASE WHEN doc_id % 2 = 0 THEN 'trail...' ELSE 'trail' END
+                 || chr(10)
+                 || CASE WHEN doc_id % 4 = 0 THEN '# t4g 42' ELSE 'only words here' END
+                   AS synth
+          FROM documents),
+         LATERAL (SELECT {_sql_words('synth')} AS sw) _w"""
 
 
 def _langid_case_expr() -> str:
@@ -1307,6 +1330,8 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
+    from mysql_to_s3_spark.operators.text import gopher_stats
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     # materialize the bigram array once; the nested top-bigram HOF then
     # references a column, not an expression Catalyst re-derives per
@@ -1315,10 +1340,27 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = text_stats(F.col("text"))
     # + Gopher-style repetition legs (dup_word_frac, top_bigram_frac)
     rep = repetition_stats(F.col("text"), bg=F.col("__bg__"))
+    # r9 session 2: the remaining Gopher table-A1 shape rules
+    # (text.gopher_stats) over a SYNTHESIZED multi-line doc — the
+    # corpus text is single-line and symbol-free, so bullets, ellipsis
+    # endings, symbols, and non-alpha words are injected by doc_id
+    # arithmetic (same construction in the oracle SQL); every ratio
+    # takes several distinct values across the corpus, binding line
+    # splitting, the bullet/ellipsis anchors, and the alpha-word filter
+    d = F.col("doc_id")
+    synth = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("- item")).otherwise(F.lit("plain line")),
+        F.when(d % 2 == 0, F.lit("trail...")).otherwise(F.lit("trail")),
+        F.when(d % 4 == 0, F.lit("# t4g 42")).otherwise(F.lit("only words here")),
+    )
+    gop = gopher_stats(synth)
     return docs.select(
         F.col("doc_id"),
         *[c.alias(n) for n, c in st.items()],
         *[c.alias(n) for n, c in rep.items()],
+        *[F.round(c, 6).alias(n) for n, c in gop.items()],
         fingerprint(F.col("text")).alias("fp"),
     )
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mysql_to_s3_spark.operators.text import pii_counts, redact_pii, repetition_stats
@@ -62,3 +63,76 @@ def test_repetition_stats_degenerate(spark):
     assert _one(spark, "", repetition_stats).dup_word_frac == 0.0
     one = _one(spark, "word", repetition_stats)
     assert one.dup_word_frac == 0.0 and one.top_bigram_frac == 0.0
+
+
+def test_gopher_stats_values(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.text import gopher_stats
+
+    doc = "words only here\n- bullet one\n* bullet two\n1. numbered\nend with...\nhash # and 42 7x"
+    df = spark.createDataFrame([(doc,)], "text string")
+    g = gopher_stats(F.col("text"))
+    row = df.select(*[c.alias(n) for n, c in g.items()]).first()
+    # 6 lines: 3 bullets, 1 ellipsis-ended
+    assert row["bullet_line_frac"] == pytest.approx(3 / 6)
+    assert row["ellipsis_line_frac"] == pytest.approx(1 / 6)
+    # words: 15 \w+ tokens; symbols: one '#', one '...'
+    n_words = df.select(F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0))).first()[0]
+    assert row["symbol_word_ratio"] == pytest.approx(2 / n_words)
+    # non-alpha words: '1', '42', '7x' has alpha -> 2 non-alpha
+    assert row["alpha_word_frac"] == pytest.approx((n_words - 2) / n_words)
+    # empty doc: all zero, no nulls
+    z = spark.createDataFrame([("",)], "text string").select(
+        *[c.alias(n) for n, c in gopher_stats(F.col("text")).items()]
+    ).first()
+    assert all(z[n] == 0.0 for n in ("symbol_word_ratio", "alpha_word_frac"))
+
+
+def test_pipeline_gopher_shape_gate_batch_and_stream(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus, prepare_corpus_stream
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    rows = [
+        (1, "clean prose with words and more words"),
+        (2, "- a\n- b\n- c\n- d\nonly one prose line"),       # bullet-heavy
+        (3, "wait for it...\nand then...\nmore...\nyes..."),  # ellipsis-heavy
+        (4, "42 17 99 3 8 1024 7 0 55 6"),                    # no alpha words
+        (5, "# # # # # two words"),                           # symbol-heavy
+    ]
+    cfg = CorpusConfig(
+        exact=False,
+        max_symbol_word_ratio=0.1,
+        max_bullet_line_frac=0.5,
+        max_ellipsis_line_frac=0.3,
+        min_alpha_word_frac=0.8,
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prep = prepare_corpus(docs, cfg)
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [1]
+    assert "gopher_shape" in [n for n, _ in prep.stages]
+
+    # streaming form applies the identical per-row gate
+    src = str(tmp_path / "gopher_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)).astype("datetime64[us]"),
+            "text": [r[1] for r in rows],
+        }
+    ).to_parquet(src + "/a.parquet")
+    sdf = read_parquet_stream(spark, src, spark.read.parquet(src).schema)
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts")
+    q = (
+        out.writeStream.format("memory").queryName("gopher_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    skept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM gopher_stream_t").collect())
+    assert skept == kept
