@@ -12,7 +12,12 @@ plans so Catalyst/Tungsten pick the physical strategy.
                          edges+domains/window/sort/limit)
   - operators.dedup / similarity / text / multimodal :
                          beyond-reference large-scale pipeline operators
+  - operators.codecs   : pure-numpy/stdlib media codecs (BMP, PPM/PGM,
+                         PCM WAV, Y4M) backing the multimodal decode
+  - operators.quantiles: exact percentiles at bounded memory (bracketed
+                         rank-select, scalar + grouped)
   - operators.index    : hash/unique index + id-batch semi-join utilities
+  - sources.warc       : WARC crawl reader + crawl_to_documents front end
   - sources.registry   : container registry (name -> DataFrame)
   - sources.snowflake  : FK-graph walk -> join-DAG -> nested doc frames
   - sources.jdbc       : MySQL scan options, FK discovery, keyset paging

@@ -44,7 +44,12 @@ def build_aggregate(
         # KLL accuracy 10_000 = ~1e-4 relative rank error with a sketch
         # small enough that partial aggregation stays map-side cheap
         # (accuracy 1_000_000 built sketches so large the approx path
-        # cost nearly as much as the exact sort)
+        # cost nearly as much as the exact sort).
+        # A third option exists OUTSIDE the single-aggregation Column
+        # API: operators/quantiles.exact_percentiles — EXACT answers at
+        # bounded memory (bracketed rank-select, 38x faster than this
+        # buffer-everything form at 20M rows), for callers that can pay
+        # its three-pass eagerness.
         return F.percentile_approx(col, 0.5, 10_000) if approx else F.percentile(col, F.lit(0.5))
     if agg == "percentile":
         p = 0.5 if percentile is None else float(percentile)

@@ -116,6 +116,12 @@ class CorpusConfig:
     max_bullet_line_frac: float | None = None
     max_ellipsis_line_frac: float | None = None
     min_alpha_word_frac: float | None = None
+    # zlib compression-ratio band (operators/text.compression_ratio,
+    # the Dolma-style signal): below min = repetitive boilerplate,
+    # above max = random noise. Arrow pandas_udf per row —
+    # streaming-safe; None disables each bound.
+    min_compression_ratio: float | None = None
+    max_compression_ratio: float | None = None
     # CCNet-style perplexity gate: drop docs whose mean per-token unigram
     # log2-prob falls below this (operators/lm.py). The model comes from
     # prepare_corpus's `lm_counts` (batch: a lazy (token, n) frame;
@@ -359,6 +365,8 @@ def _gopher_gate_on(cfg: CorpusConfig) -> bool:
             cfg.max_bullet_line_frac,
             cfg.max_ellipsis_line_frac,
             cfg.min_alpha_word_frac,
+            cfg.min_compression_ratio,
+            cfg.max_compression_ratio,
         )
     )
 
@@ -379,6 +387,14 @@ def _apply_gopher_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
         cond = cond & (g["ellipsis_line_frac"] <= F.lit(float(cfg.max_ellipsis_line_frac)))
     if cfg.min_alpha_word_frac is not None:
         cond = cond & (g["alpha_word_frac"] >= F.lit(float(cfg.min_alpha_word_frac)))
+    if cfg.min_compression_ratio is not None or cfg.max_compression_ratio is not None:
+        from mysql_to_s3_spark.operators.text import compression_ratio
+
+        cr = compression_ratio(F.col(cfg.text_col))
+        if cfg.min_compression_ratio is not None:
+            cond = cond & (cr >= F.lit(float(cfg.min_compression_ratio)))
+        if cfg.max_compression_ratio is not None:
+            cond = cond & (cr <= F.lit(float(cfg.max_compression_ratio)))
     return out.filter(cond)
 
 

@@ -136,3 +136,37 @@ def test_pipeline_gopher_shape_gate_batch_and_stream(spark, tmp_path):
     assert q.awaitTermination(120)
     skept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM gopher_stream_t").collect())
     assert skept == kept
+
+
+def test_compression_ratio_matches_zlib_and_gates(spark):
+    import zlib
+
+    from mysql_to_s3_spark.operators.text import compression_ratio
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+
+    rep = "spam " * 400                      # repetitive -> tiny ratio
+    import random
+
+    rnd = random.Random(7)
+    noise = "".join(chr(rnd.randint(33, 0x2FA0)) for _ in range(800))  # incompressible
+    prose = "a reasonable sentence with ordinary mixed words and several distinct tokens " * 4
+    df = spark.createDataFrame(
+        [(1, rep), (2, noise), (3, prose), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["cr"] for r in df.select(
+        "doc_id", compression_ratio(F.col("text")).alias("cr")).collect()}
+    for i, t in ((1, rep), (2, noise), (3, prose)):
+        b = t.encode("utf-8")
+        assert got[i] == pytest.approx(len(zlib.compress(b, 6)) / len(b))
+    assert got[4] is None and got[5] == 0.0
+    # the signal separates the three regimes: repetitive << prose < noise
+    assert got[1] < 0.1 < got[3] < got[2]
+
+    cfg = CorpusConfig(exact=False, min_compression_ratio=0.1, max_compression_ratio=0.7)
+    kept = sorted(r["doc_id"] for r in prepare_corpus(df, cfg).docs.select("doc_id").collect())
+    # repetitive (below min) + noise (above max) + empty (0.0) dropped;
+    # null text dropped too (null ratio fails both bounds, the standard
+    # SQL null-gate semantics)
+    expected = sorted(i for i in (1, 2, 3) if 0.1 <= got[i] <= 0.7)
+    assert kept == expected and 3 in kept and 1 not in kept and 2 not in kept
