@@ -8,7 +8,8 @@ the same shape — a user declares WHAT the corpus should satisfy and the
 engine composes the verified operators into one lazy DataFrame plan:
 
     (URL dedup ->) (line-boilerplate strip ->) quality gate ->
-    language gate ->
+    language gate -> (repetition gates ->) (Gopher shape gates incl.
+    compression-ratio band ->) (classifier gate ->)
     (LM perplexity gate ->) (DSIR importance gate ->) exact dedup ->
     near-dup cluster removal -> persisted-index screen (incremental
     ingest) -> (duplicated-span gate ->) (SemDeDup semantic dedup ->)
