@@ -69,16 +69,20 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     run BEFORE content fingerprinting so re-crawls of one address
     never reach the (heavier) text normalization at all.
 
-    Rows whose url is NULL or blank are EXCLUDED from the groups: a
-    missing address is "address unknown", not "the same address" —
-    grouping them would report one giant bogus cluster (and a caller
-    using the keepers to filter would silently drop every url-less doc
-    but one). The pipeline stage keeps such docs unconditionally."""
-    from mysql_to_s3_spark.operators.text import canonical_url
+    Rows without a USABLE address (null, blank, or anything whose
+    CANONICAL form is blank — '#frag', '/', '?utm_source=x') are
+    EXCLUDED from the groups: a missing address is "address unknown",
+    not "the same address" — grouping them would report one giant
+    bogus cluster (and a caller using the keepers to filter would
+    silently drop every url-less doc but one). The shared
+    ``text.usable_url`` predicate keeps this contract identical across
+    this operator, the batch pipeline stage, and the streaming form;
+    the pipeline keeps unusable-url docs unconditionally."""
+    from mysql_to_s3_spark.operators.text import canonical_url, usable_url
 
     return (
-        df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("url"))
-        .filter(F.col("url").isNotNull() & (F.trim(F.col("url")) != ""))
+        df.filter(usable_url(F.col(url_col)))
+        .select(F.col(id_col), canonical_url(F.col(url_col)).alias("url"))
         .groupBy("url")
         .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dupes"))
     )

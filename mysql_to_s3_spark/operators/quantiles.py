@@ -296,7 +296,7 @@ def exact_percentile_grouped(
     # count pass: everything the proof and the memory guard need, and
     # the one-value-each-side neighbor extension — NO collect yet
     in_bracket = (F.col("__v__") >= F.col("__lo__")) & (F.col("__v__") <= F.col("__hi__"))
-    g2 = joined.groupBy(*keys).agg(
+    g2_plan = joined.groupBy(*keys).agg(
         F.first("__n__").alias("__n__"),
         F.first("__lo__").alias("__lo__"),
         F.first("__hi__").alias("__hi__"),
@@ -305,6 +305,17 @@ def exact_percentile_grouped(
         F.max(F.when(F.col("__v__") < F.col("__lo__"), F.col("__v__"))).alias("__vb__"),
         F.min(F.when(F.col("__v__") > F.col("__hi__"), F.col("__v__"))).alias("__va__"),
     )
+    # PERSIST the decision frame (one row per group, tiny): the good /
+    # flagged / fallback branches and the validation action all read
+    # g2, and the KLL sketch underneath is NOT deterministic across
+    # re-evaluations (merge order follows shuffle-fetch order) — an
+    # uncached g2 could flip a borderline group between ok and ~ok
+    # between jobs, emitting it twice or losing it. MEMORY_AND_DISK so
+    # eviction spills instead of recomputing; the validation count()
+    # below materializes it.
+    from pyspark import StorageLevel
+
+    g2 = g2_plan.persist(StorageLevel.MEMORY_AND_DISK)
     lt, nin = F.col("__lt__"), F.col("__in__")
     point_mass = F.col("__lo__") == F.col("__hi__")
 

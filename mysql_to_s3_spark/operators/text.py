@@ -342,6 +342,19 @@ def normalize_text(col: Column, form: str = "NFC", strip_control: bool = True) -
     return _norm(col)
 
 
+def usable_url(col: Column) -> Column:
+    """True when a url column carries a USABLE address for URL-level
+    dedup: non-null, and its CANONICAL form is non-blank. Testing the
+    canonical form (not the raw string) is load-bearing — '#frag',
+    '/', '?utm_source=x' are non-blank raw strings that canonicalize
+    to '' and must be treated as "address unknown", exactly like NULL
+    and ''. The single predicate shared by url_dedup, the batch
+    pipeline stage, and the streaming form, so the three contracts
+    cannot drift."""
+    c = canonical_url(col)
+    return col.isNotNull() & c.isNotNull() & (F.trim(c) != "")
+
+
 # tracking query parameters every public pipeline strips before URL
 # dedup (cf. the open CCNet/RefinedWeb/Dolma URL-normalization rules):
 # ad-click ids + the utm_* campaign family

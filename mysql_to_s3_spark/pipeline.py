@@ -391,7 +391,11 @@ def _apply_gopher_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     if cfg.min_compression_ratio is not None or cfg.max_compression_ratio is not None:
         from mysql_to_s3_spark.operators.text import compression_ratio
 
-        cr = compression_ratio(F.col(cfg.text_col))
+        # null text -> ratio 0.0 (NOT null): the other shape rules in
+        # this gate map null text to 0.0 ratios, and a null here would
+        # null the whole conjunction and silently drop the row on a
+        # DIFFERENT rule's behalf
+        cr = F.coalesce(compression_ratio(F.col(cfg.text_col)), F.lit(0.0))
         if cfg.min_compression_ratio is not None:
             cond = cond & (cr >= F.lit(float(cfg.min_compression_ratio)))
         if cfg.max_compression_ratio is not None:
@@ -469,14 +473,18 @@ def prepare_corpus(
     if cfg.url_col is not None:
         # identity dedup first: one short-string shuffle drops re-crawls
         # before ANY per-row content work is paid for them. Docs WITHOUT
-        # a usable url (null OR blank — '' is the common SQL convention
-        # for "missing") are all kept: a missing canonical is "address
-        # unknown", not "the same address" (grouping them would silently
-        # keep ONE doc out of every url-less source).
+        # a usable url — null, blank ('' is the common SQL convention
+        # for "missing"), or one whose CANONICAL form is blank
+        # ('#frag', '/') — are all kept: a missing canonical is
+        # "address unknown", not "the same address". The predicate is
+        # the SHARED text.usable_url, the same one url_dedup groups by,
+        # so every with_url doc is guaranteed a keeper group (a raw-url
+        # predicate here once dropped blank-canonical docs entirely:
+        # they entered with_url but never appeared in keepers).
         from mysql_to_s3_spark.operators.dedup import url_dedup
+        from mysql_to_s3_spark.operators.text import usable_url
 
-        u = F.col(cfg.url_col)
-        has_url = u.isNotNull() & (F.trim(u) != "")
+        has_url = usable_url(F.col(cfg.url_col))
         with_url = out.filter(has_url)
         keepers = url_dedup(with_url, cfg.url_col, cfg.id_col).select(
             F.col("keeper").alias(cfg.id_col)

@@ -282,17 +282,18 @@ def stream_url_dedup(
     url inside the horizon; the batch keeper is min-id, the stream
     keeper is first-arrival (identical iff ids are arrival-ordered).
 
-    Null- and blank-url rows are ALL kept (they bypass the stateful
-    branch entirely): a missing canonical is "address unknown", not
-    "the same address" — ``dropDuplicates*`` groups equal keys
-    together and would otherwise keep one row out of every url-less
-    source."""
-    from mysql_to_s3_spark.operators.text import canonical_url
+    Rows without a USABLE address (null, blank, or blank-canonical —
+    the shared ``text.usable_url`` predicate, identical to the batch
+    stage's) are ALL kept and bypass the stateful branch entirely: a
+    missing canonical is "address unknown", not "the same address" —
+    ``dropDuplicates*`` groups equal keys together and would otherwise
+    keep one row out of every url-less source."""
+    from mysql_to_s3_spark.operators.text import canonical_url, usable_url
 
     if isinstance(sdf.schema[ts_col].dataType, T.TimestampNTZType):
         sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     u = F.col(url_col)
-    has_url = u.isNotNull() & (F.trim(u) != "")
+    has_url = usable_url(u)
     no_url = sdf.filter(~has_url)
     deduped = (
         sdf.filter(has_url)

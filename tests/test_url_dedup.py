@@ -264,3 +264,61 @@ def test_blank_urls_treated_as_missing(spark):
     assert kept == [1, 2, 3, 4]
     # the reporting operator excludes missing addresses from groups
     assert url_dedup(docs).count() == 1
+
+
+def test_blank_canonical_urls_survive_pipeline(spark):
+    """Regression: urls that are non-blank RAW but canonicalize to ''
+    ('#frag', '/', '?utm_source=x') once entered the dedup branch yet
+    never appeared in keepers — the left_semi dropped them ENTIRELY.
+    The shared usable_url predicate (canonical-form test) keeps all of
+    them, in batch and streaming alike."""
+    import os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.operators.text import usable_url
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+    from mysql_to_s3_spark.streaming.stream_extract import (
+        read_parquet_stream,
+        stream_url_dedup,
+    )
+
+    rows = [
+        (1, "one", "http://a.com/x"),
+        (2, "two", "#frag"),
+        (3, "three", "/"),
+        (4, "four", "?utm_source=x"),
+        (5, "five", "HTTP://a.com/x"),  # true dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    # the predicate itself
+    flags = {r["doc_id"]: r["u"] for r in docs.select(
+        "doc_id", usable_url(F.col("url")).alias("u")).collect()}
+    assert flags == {1: True, 2: False, 3: False, 4: False, 5: True}
+    prep = prepare_corpus(docs, CorpusConfig(url_col="url", exact=False))
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [1, 2, 3, 4]
+    # operator: only the usable-url group is reported
+    got = url_dedup(docs).collect()
+    assert len(got) == 1 and got[0]["n_dupes"] == 2
+
+    import pandas as pd
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="blank_canon_stream_")
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)).astype("datetime64[us]"),
+            "url": [r[2] for r in rows],
+        }
+    ).to_parquet(src + "/a.parquet")
+    sdf = read_parquet_stream(spark, src, spark.read.parquet(src).schema)
+    q = (
+        stream_url_dedup(sdf, "ts", "url")
+        .writeStream.format("memory").queryName("blank_canon_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    skept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM blank_canon_t").collect())
+    assert set(skept) >= {2, 3, 4} and len(skept) == 4
