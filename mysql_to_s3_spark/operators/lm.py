@@ -181,12 +181,23 @@ def perplexity_buckets(
     round_to: int | None = 6,
     approx: bool = False,
     bracketed: bool = False,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): bucket
     documents by corpus-relative perplexity terciles. Scores are mean
     log-probs, so HIGHER score = LOWER perplexity = ``head`` (the
     cleanest third); label order follows ascending score. Null scores
     (token-free docs) bucket to null.
+
+    ``by`` computes boundaries PER GROUP — CCNet's actual form is
+    per-LANGUAGE terciles (each language's perplexity scale is its
+    own; a corpus-global cut would bucket whole languages into one
+    band). The boundary frame becomes one row per group,
+    broadcast-joined on the keys; rows whose group has no non-null
+    score (or a null key with no boundary row) bucket to null.
+    ``bracketed`` currently requires the global form (``by=None``) —
+    use ``quantiles.exact_percentile_grouped`` per fraction for exact
+    per-group boundaries at scale.
 
     Boundaries are the exact interpolated percentiles of
     ``round(score, round_to)`` — rounding FIRST makes the assignment
@@ -209,6 +220,12 @@ def perplexity_buckets(
     bracketed mode) — no shuffle on the corpus either way."""
     if approx and bracketed:
         raise LmError("approx and bracketed are mutually exclusive boundary modes")
+    if bracketed and by:
+        raise LmError(
+            "bracketed boundaries are corpus-global (by=None); for exact "
+            "per-group boundaries at scale run "
+            "quantiles.exact_percentile_grouped once per fraction"
+        )
     if len(labels) != len(fractions) + 1:
         raise LmError(
             f"need len(labels) == len(fractions) + 1, got {len(labels)} "
@@ -240,15 +257,33 @@ def perplexity_buckets(
         agg = (
             F.percentile_approx(s, fr, 10_000) if approx else F.percentile(s, fr)
         )
+        nn = scores.filter(F.col(score_col).isNotNull())
         bnd = (
-            scores.filter(F.col(score_col).isNotNull())
-            .agg(agg.alias("__b__"))
+            nn.groupBy(*by).agg(agg.alias("__b__"))
+            if by
+            else nn.agg(agg.alias("__b__"))
         )
-    out = scores.crossJoin(F.broadcast(bnd))
+    if by:
+        # per-group boundaries: one row per group, broadcast on the
+        # keys (null-key groups match via the null-safe condition, the
+        # groupBy above gave them their own boundary row)
+        cond = None
+        l, r = scores.alias("__sc__"), F.broadcast(bnd.alias("__bd__"))
+        for k in by:
+            e = F.col(f"__sc__.{k}").eqNullSafe(F.col(f"__bd__.{k}"))
+            cond = e if cond is None else (cond & e)
+        out = l.join(r, cond, "left")
+        for k in by:
+            out = out.drop(F.col(f"__bd__.{k}"))
+    else:
+        out = scores.crossJoin(F.broadcast(bnd))
     expr = F.lit(labels[-1])
     for i in reversed(range(len(fractions))):
         expr = F.when(s <= F.col("__b__")[i], F.lit(labels[i])).otherwise(expr)
-    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("string")).otherwise(expr)
+    expr = F.when(
+        F.col(score_col).isNull() | F.col("__b__").isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(expr)
     return out.withColumn(out_col, expr).drop("__b__")
 
 

@@ -305,3 +305,53 @@ def test_perplexity_buckets_bracketed_all_null_scores(spark):
     )
     got = perplexity_buckets(scores, bracketed=True).select("doc_id", "ppl_bucket").collect()
     assert all(r["ppl_bucket"] is None for r in got)
+
+
+def test_perplexity_buckets_per_group_matches_per_language_runs(spark, sf_dir):
+    """by=['lang'] boundaries equal running the global form on each
+    language separately (CCNet's per-language terciles), null-key and
+    all-null-score groups bucket to null, and approx+by composes."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.operators.lm import perplexity_buckets, unigram_logprob
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob(docs, id_col="doc_id", text_col="text", mode="join").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scores, by=["lang"])
+        .select("doc_id", "ppl_bucket")
+        .collect()
+    }
+    want = {}
+    for lang in [r["lang"] for r in scores.select("lang").distinct().collect()]:
+        sub = scores.filter(F.col("lang").eqNullSafe(F.lit(lang)))
+        want.update(
+            {
+                r["doc_id"]: r["ppl_bucket"]
+                for r in perplexity_buckets(sub).select("doc_id", "ppl_bucket").collect()
+            }
+        )
+    assert got == want and len(got) > 0
+
+    # null-key group gets its own boundaries; all-null-score group -> null
+    df = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("x", 3.0), (None, 5.0), (None, 7.0), (None, 9.0),
+         ("z", None)],
+        "lang string, lm_logprob double",
+    )
+    out = {(r["lang"], r["lm_logprob"]): r["ppl_bucket"]
+           for r in perplexity_buckets(df, by=["lang"]).collect()}
+    assert out[("x", 1.0)] == "tail" and out[("x", 3.0)] == "head"
+    assert out[(None, 5.0)] == "tail" and out[(None, 9.0)] == "head"
+    assert out[("z", None)] is None
+
+    import pytest as _pytest
+
+    from mysql_to_s3_spark.operators.lm import LmError
+
+    with _pytest.raises(LmError, match="corpus-global"):
+        perplexity_buckets(df, by=["lang"], bracketed=True)
