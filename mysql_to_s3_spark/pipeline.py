@@ -147,6 +147,12 @@ class CorpusConfig:
     # buffer — eval-scale only; the driver's oracle leg calls the
     # operator directly with exact, so the hard gate keeps exactness).
     lm_bucket_approx: bool = True
+    # Compute the tercile boundaries PER GROUP instead of corpus-global
+    # — CCNet's actual form is per-LANGUAGE buckets (each language has
+    # its own perplexity scale; a global cut would bucket whole
+    # languages into one band). Names columns of the input frame (e.g.
+    # ("lang",)); None keeps the global form.
+    lm_bucket_by: tuple[str, ...] | None = None
     # CCNet/RefinedWeb line-level boilerplate removal: rewrite every doc
     # with lines shared by more than ``boilerplate_max_docs`` docs removed.
     # Runs FIRST when enabled (the published order: line dedup precedes
@@ -558,9 +564,18 @@ def prepare_corpus(
             # boundaries come from the score distribution AFTER the
             # absolute cut above — gate composition reads left to right.
             # approx (default) = percentile_approx sketch, the
-            # bounded-memory mode the 100 TB path requires
+            # bounded-memory mode the 100 TB path requires.
+            # lm_bucket_by = per-group boundaries (CCNet's per-language
+            # form) — the score frame carries only (id, score), so the
+            # grouping columns ride in from the corpus frame first
+            if cfg.lm_bucket_by:
+                keep = keep.join(
+                    out.select(cfg.id_col, *cfg.lm_bucket_by), cfg.id_col
+                )
             keep = perplexity_buckets(
-                keep, approx=bool(cfg.lm_bucket_approx)
+                keep,
+                approx=bool(cfg.lm_bucket_approx),
+                by=list(cfg.lm_bucket_by) if cfg.lm_bucket_by else None,
             ).filter(F.col("ppl_bucket").isin(*cfg.lm_keep_buckets))
         out = out.join(keep.select(cfg.id_col), cfg.id_col, "left_semi")
         stages.append(("lm", out))

@@ -1708,3 +1708,36 @@ def test_decontam_k_consistent_batch_vs_stream(spark, tmp_path):
 
     assert batch_kept(5) == stream_kept(5, "k5") == {2}
     assert batch_kept(13) == stream_kept(13, "k13") == {1, 2}
+
+
+def test_lm_bucket_by_language(spark):
+    """lm_bucket_by=('lang',) buckets per language: a language whose
+    scores are uniformly 'worse' than another's still keeps its own
+    head tercile (a corpus-global cut would drop the whole language)."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_s3_spark.pipeline import CorpusConfig, prepare_corpus
+
+    # two 'languages' with disjoint self-fit score scales (en rides a
+    # high-frequency token, es is mostly unique words) AND within-
+    # language variation (i%3 controls the rare-token mix) so each
+    # language's terciles are non-degenerate. Measured: per-language
+    # buckets give both langs a 3-doc head; the global cut gives es
+    # NO head at all (en {head 6, middle 3}, es {middle 3, tail 6}).
+    rows = []
+    for i in range(9):
+        rows.append((i, "the " * 10 + " ".join(f"u{i}x{j}" for j in range(i % 3 + 1)), "en"))
+    for i in range(9, 18):
+        rows.append((i, " ".join(f"v{i}x{j}" for j in range(4)) + " la" * (i % 3), "es"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    base = dict(exact=False, lm_keep_buckets=("head",), lm_bucket_approx=False)
+    per_lang = prepare_corpus(docs, CorpusConfig(lm_bucket_by=("lang",), **base)).docs
+    langs_kept = {r["lang"] for r in per_lang.select("lang").distinct().collect()}
+    # per-language terciles keep a head slice of BOTH languages
+    assert langs_kept == {"en", "es"}
+    global_form = prepare_corpus(docs, CorpusConfig(**base)).docs
+    langs_global = {r["lang"] for r in global_form.select("lang").distinct().collect()}
+    # the global cut buckets by one corpus-wide scale; with disjoint
+    # scales the head tercile is dominated by the high-scoring language
+    assert "es" not in langs_global or langs_global != {"en", "es"}
