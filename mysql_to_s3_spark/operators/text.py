@@ -436,3 +436,152 @@ def repetition_stats(col: Column, bg: Column | None = None) -> dict[str, Column]
         "dup_word_frac": F.round(dup_word, 6),
         "top_bigram_frac": F.round(top_bigram, 6),
     }
+
+
+def word_ngrams(col: Column, n: int, ws: Column | None = None) -> Column:
+    """Adjacent word ``n``-grams as single-space-joined strings (empty
+    when the doc has fewer than ``n`` words). Pass ``ws`` as a
+    MATERIALIZED `words` column on real corpora — the lambda references
+    the word array ``n`` times per output element, and an inline
+    regexp_extract_all there is re-derived per reference (the same
+    O(len^2)->O(len^3) plan trap as `repetition_stats`)."""
+    if ws is None:
+        ws = words(col)
+    # empty index array (NOT sequence(1, 0), which is the DESCENDING
+    # [1, 0] in Spark) when the doc is shorter than n words — element_at
+    # past the end throws under ANSI semantics
+    idx = F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    )
+
+
+def _mode_char_coverage(arr: Column) -> Column:
+    """Characters covered by the MOST FREQUENT element of ``arr``
+    (count x element length; ties resolve to the widest coverage).
+    0 for an empty array.
+
+    One array_sort + one linear fold — O(L log L) per row, no nested
+    array scans (the O(L^2) distinct x filter form is reserved for the
+    DuckDB oracle, where clarity beats cost at oracle scale)."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("bestc"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cur = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        chars = cur * F.length(x)
+        better = (cur > acc["best"]) | ((cur == acc["best"]) & (chars > acc["bestc"]))
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.when(better, chars).otherwise(acc["bestc"]).alias("bestc"),
+            F.when(better, cur).otherwise(acc["best"]).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step)["bestc"]
+
+
+def _dup_char_sum(arr: Column, beyond_first: bool = False) -> Column:
+    """Characters in duplicated elements of ``arr``: the summed
+    ``count x length`` over elements occurring >= 2 times. With
+    ``beyond_first`` only the occurrences AFTER the first count
+    (the CCNet/line-dedup accounting); default counts every occurrence
+    of a duplicated element (Rae et al.'s "contained in duplicate
+    n-grams"). Same sorted-fold shape as `_mode_char_coverage`."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("chars"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        is_dup = x == acc["prev"]
+        first_rep = is_dup & (acc["cur"] == 1)
+        add = (
+            F.when(first_rep, F.length(x) * (1 if beyond_first else 2))
+            .when(is_dup, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_dup, acc["cur"] + 1).otherwise(F.lit(1).cast("long")).alias("cur"),
+            (acc["chars"] + add).alias("chars"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step)["chars"]
+
+
+#: the published Gopher table-A1 repetition thresholds (Rae et al. 2021)
+#: — "drop the doc when the signal EXCEEDS the value"; pass (a subset of)
+#: this mapping as ``CorpusConfig.gopher_repetition_max`` to apply them.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(col: Column, ws: Column | None = None) -> dict[str, Column]:
+    """The COMPLETE Gopher repetition rule set (Rae et al. 2021 table A1
+    — `repetition_stats` carries the two legacy signals, this adds the
+    remaining twelve):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of non-empty
+      lines / paragraphs that are repeats of an earlier one (1 -
+      distinct/total). Paragraphs split on a blank line (``\\n\\n``).
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: fraction of doc
+      characters in those repeat occurrences (occurrences AFTER the
+      first — the CCNet accounting; the first copy is legitimate).
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the most
+      frequent word n-gram (count x joined length; ties -> widest) over
+      doc length.
+    - ``dup_{5..10}gram_char_frac``: characters in ALL occurrences of
+      duplicated word n-grams over doc length, capped at 1.0 (word
+      n-grams overlap, so the raw sum can exceed the doc).
+
+    Char denominators are ``length(col)`` — the full doc including
+    whitespace. Everything is per-row Column algebra (sorted-array
+    folds, O(L log L) per doc, zero Python, zero shuffles) so it
+    composes with the other heuristic gates in ONE scan at any corpus
+    size, batch or streaming. Pass ``ws`` as a materialized `words`
+    column on real corpora (see `word_ngrams`). Published drop
+    thresholds: `GOPHER_REPETITION_THRESHOLDS`."""
+    if ws is None:
+        ws = words(col)
+    n_chars = F.length(col)
+    cfrac = lambda num: F.when(  # noqa: E731
+        n_chars > 0, F.least(num.cast("double") / n_chars, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+
+    out: dict[str, Column] = {}
+    for name, parts in (
+        ("line", F.filter(F.split(col, "\n"), lambda x: x != "")),
+        ("para", F.filter(F.split(col, "\n\n"), lambda x: x != "")),
+    ):
+        np = F.size(parts)
+        out[f"dup_{name}_frac"] = F.when(
+            np > 0, F.lit(1.0) - F.size(F.array_distinct(parts)).cast("double") / np
+        ).otherwise(F.lit(0.0))
+        out[f"dup_{name}_char_frac"] = cfrac(_dup_char_sum(parts, beyond_first=True))
+    for n in (2, 3, 4):
+        out[f"top_{n}gram_char_frac"] = cfrac(_mode_char_coverage(word_ngrams(col, n, ws=ws)))
+    for n in (5, 6, 7, 8, 9, 10):
+        out[f"dup_{n}gram_char_frac"] = cfrac(_dup_char_sum(word_ngrams(col, n, ws=ws)))
+    return out

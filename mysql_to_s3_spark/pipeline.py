@@ -108,6 +108,14 @@ class CorpusConfig:
     # heuristic gates. None disables each rule.
     max_dup_word_frac: float | None = None
     max_top_bigram_frac: float | None = None
+    # the COMPLETE Gopher table-A1 repetition rule set (operators/
+    # text.gopher_repetition): signal name -> max allowed value, e.g.
+    # {"dup_line_frac": 0.30, "dup_5gram_char_frac": 0.15}. Pass
+    # text.GOPHER_REPETITION_THRESHOLDS (the published values) to apply
+    # the full set. Same per-row shuffle-free sorted-fold shape as the
+    # other heuristic gates — streaming-safe; unknown signal names
+    # raise PipelineError at plan-build time.
+    gopher_repetition_max: Mapping[str, float] | None = None
     # the remaining Gopher table-A1 shape rules (operators/
     # text.gopher_stats): symbol-per-word ratio, bullet-started and
     # ellipsis-ended line fractions, alphabetic-word fraction. Same
@@ -347,7 +355,12 @@ def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     materialized as a column first: repetition_stats' documented plan
     trap (an inline bigram expression re-derives the array per outer
     HOF element — O(len^3))."""
-    from mysql_to_s3_spark.operators.text import repetition_stats, word_bigrams
+    from mysql_to_s3_spark.operators.text import (
+        gopher_repetition,
+        repetition_stats,
+        word_bigrams,
+        words,
+    )
 
     txt = F.col(cfg.text_col)
     tmp = out.withColumn("__bg__", word_bigrams(txt))
@@ -361,7 +374,20 @@ def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
         cond = cond & (
             stats["top_bigram_frac"] <= F.lit(float(cfg.max_top_bigram_frac))
         )
-    return tmp.filter(cond).drop("__bg__")
+    dropped = ["__bg__"]
+    if cfg.gopher_repetition_max:
+        tmp = tmp.withColumn("__ws__", words(txt))
+        dropped.append("__ws__")
+        rep = gopher_repetition(txt, ws=F.col("__ws__"))
+        unknown = sorted(set(cfg.gopher_repetition_max) - set(rep))
+        if unknown:
+            raise PipelineError(
+                f"unknown gopher_repetition_max signal(s) {unknown}; "
+                f"known: {sorted(rep)}"
+            )
+        for name, limit in sorted(cfg.gopher_repetition_max.items()):
+            cond = cond & (rep[name] <= F.lit(float(limit)))
+    return tmp.filter(cond).drop(*dropped)
 
 
 def _gopher_gate_on(cfg: CorpusConfig) -> bool:
@@ -522,7 +548,8 @@ def prepare_corpus(
         out = out.filter(language_id(txt).isin(*cfg.languages))
         stages.append(("language", out))
 
-    if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
+    if (cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None
+            or cfg.gopher_repetition_max):
         out = _apply_repetition_gate(out, cfg)
         stages.append(("repetition", out))
 
@@ -842,7 +869,8 @@ def prepare_corpus_stream(
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
-    if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
+    if (cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None
+            or cfg.gopher_repetition_max):
         out = _apply_repetition_gate(out, cfg)
     if _gopher_gate_on(cfg):
         out = _apply_gopher_gate(out, cfg)

@@ -1184,10 +1184,76 @@ def _sql_top_bigram(col: str) -> str:
             f"d -> len(list_filter({bg}, x -> x = d))))")
 
 
+def _sql_dup_part(parts: str, text: str) -> tuple[str, str]:
+    """DuckDB replicas of gopher_repetition's dup line/para signals over
+    a (pre-bound) non-empty parts list: (dup fraction, dup char
+    fraction). The oracle keeps the O(L^2) distinct x filter form for
+    clarity — the Spark side is the O(L log L) sorted fold."""
+    frac = f"""CASE WHEN len({parts}) > 0
+          THEN round(1.0 - len(list_distinct({parts}))::DOUBLE / len({parts}), 6)
+          ELSE 0.0 END"""
+    chars = f"""CASE WHEN length({text}) > 0
+          THEN round(least(coalesce(list_sum(list_transform(list_distinct({parts}),
+                 p -> (len(list_filter({parts}, x -> x = p)) - 1) * length(p))), 0)::DOUBLE
+               / length({text}), 1.0), 6)
+          ELSE 0.0 END"""
+    return frac, chars
+
+
+def _sql_ngrams(ws: str, n: int) -> str:
+    """DuckDB replica of text.word_ngrams over a pre-bound words list."""
+    return (
+        f"[array_to_string(list_slice({ws}, i, i + {n - 1}), ' ') "
+        f"FOR i IN range(1, len({ws}) - {n - 2})]"
+    )
+
+
+def _sql_top_ngram_chars(ng: str, mx: str) -> str:
+    """Chars covered by the most frequent n-gram (ties -> widest)."""
+    return f"""coalesce(list_max(list_transform(list_distinct({ng}),
+        g -> CASE WHEN len(list_filter({ng}, x -> x = g)) = {mx}
+                  THEN {mx} * length(g) ELSE 0 END)), 0)"""
+
+
+def _sql_dup_ngram_chars(ng: str) -> str:
+    """Chars in ALL occurrences of duplicated n-grams (count x length)."""
+    return f"""coalesce(list_sum(list_transform(list_distinct({ng}),
+        g -> CASE WHEN len(list_filter({ng}, x -> x = g)) >= 2
+                  THEN len(list_filter({ng}, x -> x = g)) * length(g) ELSE 0 END)), 0)"""
+
+
 def _text_stats_sql() -> str:
     from mysql_to_s3_spark.operators.text import LANG_PROFILES, TOKEN_RE
 
     stop = _sql_stop_hits("text", LANG_PROFILES["en"])
+    # r9s3: the complete Gopher repetition family over synth2 — a
+    # repetition-rich doc built from the corpus text by doc_id
+    # arithmetic (dup lines when d%2=0, a 1-3x repeated 10-word segment
+    # per d%3, a duplicated paragraph when d%5=0) so every signal takes
+    # many distinct values; the Spark side builds the IDENTICAL string
+    dup_line_frac, dup_line_chars = _sql_dup_part("ls", "synth2")
+    dup_para_frac, dup_para_chars = _sql_dup_part("ps", "synth2")
+    cfrac = lambda num: (  # noqa: E731
+        f"CASE WHEN length(synth2) > 0 THEN "
+        f"round(least(({num})::DOUBLE / length(synth2), 1.0), 6) ELSE 0.0 END"
+    )
+    top_cols = ",\n           ".join(
+        f"{cfrac(_sql_top_ngram_chars(f'ng{n}', f'mx{n}'))} AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n           ".join(
+        f"{cfrac(_sql_dup_ngram_chars(f'ng{n}'))} AS dup_{n}gram_char_frac"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    ng_binds = ",\n         ".join(
+        f"LATERAL (SELECT {_sql_ngrams('w2', n)} AS ng{n}) _ng{n}"
+        for n in range(2, 11)
+    )
+    mx_binds = ",\n         ".join(
+        f"""LATERAL (SELECT coalesce(list_max(list_transform(list_distinct(ng{n}),
+              g -> len(list_filter(ng{n}, x -> x = g)))), 0) AS mx{n}) _mx{n}"""
+        for n in (2, 3, 4)
+    )
     return f"""
     SELECT doc_id,
            length(text) AS n_chars,
@@ -1221,6 +1287,12 @@ def _text_stats_sql() -> str:
            round(CASE WHEN len(sw) > 0
                  THEN len(list_filter(sw, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
                       / len(sw) ELSE 0.0 END, 6) AS alpha_word_frac,
+           {dup_line_frac} AS dup_line_frac,
+           {dup_line_chars} AS dup_line_char_frac,
+           {dup_para_frac} AS dup_para_frac,
+           {dup_para_chars} AS dup_para_char_frac,
+           {top_cols},
+           {dup_cols},
            {_SQL_FP} AS fp
     FROM (SELECT *,
                  text || chr(10)
@@ -1231,7 +1303,25 @@ def _text_stats_sql() -> str:
                  || CASE WHEN doc_id % 4 = 0 THEN '# t4g 42' ELSE 'only words here' END
                    AS synth
           FROM documents),
-         LATERAL (SELECT {_sql_words('synth')} AS sw) _w"""
+         LATERAL (SELECT {_sql_words('synth')} AS sw) _w,
+         LATERAL (SELECT array_to_string(list_slice({_sql_words('text')}, 1, 10), ' ')
+                    AS seg) _sg,
+         LATERAL (SELECT CASE doc_id % 3 WHEN 0 THEN seg
+                           WHEN 1 THEN seg || ' ' || seg
+                           ELSE seg || ' ' || seg || ' ' || seg END AS rep,
+                         'dup line ' || (doc_id % 4) AS dupl) _rp,
+         LATERAL (SELECT text || chr(10) || dupl || chr(10)
+                         || CASE WHEN doc_id % 2 = 0 THEN dupl
+                                 ELSE 'uniq ' || doc_id END
+                         || chr(10) || chr(10) || rep
+                         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || rep
+                                 ELSE '' END AS synth2) _s2,
+         LATERAL (SELECT {_sql_words('synth2')} AS w2,
+                         list_filter(string_split(synth2, chr(10)), x -> x != '') AS ls,
+                         list_filter(string_split(synth2, chr(10) || chr(10)),
+                                     x -> x != '') AS ps) _w2,
+         {ng_binds},
+         {mx_binds}"""
 
 
 def _langid_case_expr() -> str:
@@ -1368,11 +1458,43 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 4 == 0, F.lit("# t4g 42")).otherwise(F.lit("only words here")),
     )
     gop = gopher_stats(synth)
+    # r9s3: the COMPLETE Gopher repetition family (text.gopher_repetition)
+    # over synth2 — repetition injected by doc_id arithmetic (dup lines
+    # when d%2=0, a 1-3x repeated 10-word segment per d%3, a duplicated
+    # paragraph when d%5=0); the oracle SQL constructs the identical
+    # string, so the hash binds line/paragraph splitting, the n-gram
+    # windows, the mode tie-break, and the overlap cap
+    from mysql_to_s3_spark.operators.text import gopher_repetition, words
+
+    seg = F.array_join(F.slice(words(F.col("text")), 1, 10), " ")
+    docs = docs.withColumn("__seg__", seg)
+    sg = F.col("__seg__")
+    docs = docs.withColumn(
+        "__rep__",
+        F.when(d % 3 == 0, sg)
+        .when(d % 3 == 1, F.concat_ws(" ", sg, sg))
+        .otherwise(F.concat_ws(" ", sg, sg, sg)),
+    ).withColumn("__dupl__", F.concat(F.lit("dup line "), (d % 4).cast("string")))
+    docs = docs.withColumn(
+        "__synth2__",
+        F.concat(
+            F.col("text"), F.lit("\n"), F.col("__dupl__"), F.lit("\n"),
+            F.when(d % 2 == 0, F.col("__dupl__")).otherwise(
+                F.concat(F.lit("uniq "), d.cast("string"))
+            ),
+            F.lit("\n\n"), F.col("__rep__"),
+            F.when(d % 5 == 0, F.concat(F.lit("\n\n"), F.col("__rep__"))).otherwise(
+                F.lit("")
+            ),
+        ),
+    ).withColumn("__ws2__", words(F.col("__synth2__")))
+    rep2 = gopher_repetition(F.col("__synth2__"), ws=F.col("__ws2__"))
     return docs.select(
         F.col("doc_id"),
         *[c.alias(n) for n, c in st.items()],
         *[c.alias(n) for n, c in rep.items()],
         *[F.round(c, 6).alias(n) for n, c in gop.items()],
+        *[F.round(c, 6).alias(n) for n, c in rep2.items()],
         fingerprint(F.col("text")).alias("fp"),
     )
 

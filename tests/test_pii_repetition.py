@@ -170,3 +170,180 @@ def test_compression_ratio_matches_zlib_and_gates(spark):
     # SQL null-gate semantics)
     expected = sorted(i for i in (1, 2, 3) if 0.1 <= got[i] <= 0.7)
     assert kept == expected and 3 in kept and 1 not in kept and 2 not in kept
+
+
+# ---------------------------------------------------------------- r9s3:
+# the COMPLETE Gopher table-A1 repetition rule set (text.gopher_repetition)
+
+
+def _py_gopher_repetition(text):
+    """Pure-Python replica of the documented semantics."""
+    import re
+    from collections import Counter
+
+    ws = re.findall(r"\w+", text)
+    n_chars = len(text)
+    out = {}
+
+    def cfrac(num):
+        return min(num / n_chars, 1.0) if n_chars > 0 else 0.0
+
+    for name, parts in (
+        ("line", [x for x in text.split("\n") if x != ""]),
+        ("para", [x for x in text.split("\n\n") if x != ""]),
+    ):
+        cnt = Counter(parts)
+        out[f"dup_{name}_frac"] = (
+            1.0 - len(cnt) / len(parts) if parts else 0.0
+        )
+        out[f"dup_{name}_char_frac"] = cfrac(
+            sum((c - 1) * len(p) for p, c in cnt.items() if c >= 2)
+        )
+    for n in (2, 3, 4):
+        grams = Counter(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        if grams:
+            mx = max(grams.values())
+            cov = max(mx * len(g) for g, c in grams.items() if c == mx)
+        else:
+            cov = 0
+        out[f"top_{n}gram_char_frac"] = cfrac(cov)
+    for n in (5, 6, 7, 8, 9, 10):
+        grams = Counter(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        out[f"dup_{n}gram_char_frac"] = cfrac(
+            sum(c * len(g) for g, c in grams.items() if c >= 2)
+        )
+    return out
+
+
+def _spark_gopher_repetition(spark, texts):
+    from mysql_to_s3_spark.operators.text import gopher_repetition, words
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    df = df.withColumn("__ws__", words(F.col("text")))
+    rep = gopher_repetition(F.col("text"), ws=F.col("__ws__"))
+    rows = (
+        df.select("i", *[c.alias(n) for n, c in rep.items()])
+        .orderBy("i")
+        .collect()
+    )
+    return rows
+
+
+def test_gopher_repetition_crafted(spark):
+    seg = "one two three four five six seven eight nine ten"
+    texts = [
+        # twice-repeated 10-word segment: dup n-grams for every n <= 10
+        seg + " " + seg,
+        # duplicate lines and a duplicate blank-line paragraph
+        "alpha beta\nalpha beta\ngamma\n\nalpha beta\n\nalpha beta",
+        # heavy 2-gram repetition, no 5-gram dups
+        "spam ham spam ham spam ham end",
+        # degenerate: empty / single word / no repetition
+        "",
+        "word",
+        "all unique words in this doc",
+    ]
+    got = _spark_gopher_repetition(spark, texts)
+    for row, text in zip(got, texts):
+        want = _py_gopher_repetition(text)
+        for k, v in want.items():
+            assert abs(row[k] - v) < 1e-9, (text[:40], k, row[k], v)
+    # sanity on the crafted values themselves
+    r0 = got[0].asDict()
+    assert r0["dup_10gram_char_frac"] > 0.0
+    assert r0["dup_5gram_char_frac"] == 1.0  # overlap-capped
+    r1 = got[1].asDict()
+    assert r1["dup_line_frac"] > 0.0 and r1["dup_para_frac"] > 0.0
+    assert got[2]["top_2gram_char_frac"] > got[2]["dup_5gram_char_frac"]
+
+
+def test_gopher_repetition_random_docs_match_python(spark):
+    import random
+
+    rng = random.Random(937)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "longerword"]
+    texts = []
+    for _ in range(40):
+        n = rng.randrange(0, 60)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        # inject structure: newlines and blank lines at random cuts
+        s = " ".join(toks)
+        for cut in sorted(rng.sample(range(len(s)), min(4, len(s))), reverse=True):
+            s = s[:cut] + rng.choice([" ", "\n", "\n\n"]) + s[cut:]
+        texts.append(s)
+    got = _spark_gopher_repetition(spark, texts)
+    for row, text in zip(got, texts):
+        want = _py_gopher_repetition(text)
+        for k, v in want.items():
+            assert abs(row[k] - v) < 1e-9, (repr(text[:50]), k, row[k], v)
+
+
+def test_pipeline_gopher_repetition_gate_batch_and_stream(spark, tmp_path):
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from mysql_to_s3_spark.pipeline import (
+        CorpusConfig,
+        PipelineError,
+        prepare_corpus,
+        prepare_corpus_stream,
+    )
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    seg = "one two three four five six seven eight nine ten"
+    rows = [
+        # long enough that the count-1 "mode" 2-gram covers < 20% of it
+        (1, "clean prose with several distinct ordinary words here and "
+            "nothing that repeats anywhere because every token differs "
+            "from its neighbours across the whole document body"),
+        (2, seg + " " + seg),                                   # dup 5..10-grams
+        (3, "same line\nsame line\nsame line\nanother one"),    # dup lines
+        (4, "para here\n\npara here\n\nand a different closer"),  # dup paragraphs
+        (5, "go go go go go go stop"),                          # top-2gram heavy
+    ]
+    cfg = CorpusConfig(
+        exact=False,
+        gopher_repetition_max={
+            "dup_line_frac": 0.30,
+            "dup_para_frac": 0.30,
+            "top_2gram_char_frac": 0.20,
+            "dup_5gram_char_frac": 0.15,
+        },
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prep = prepare_corpus(docs, cfg)
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [1]
+    assert "repetition" in [n for n, _ in prep.stages]
+    # gate columns must not leak into the output schema
+    assert not [c for c in prep.docs.columns if c.startswith("__")]
+
+    # unknown signal names refuse at plan-build time
+    with pytest.raises(PipelineError, match="unknown gopher_repetition_max"):
+        prepare_corpus(
+            docs, CorpusConfig(exact=False, gopher_repetition_max={"nope": 0.1})
+        )
+
+    # streaming form applies the identical per-row gate
+    src = str(tmp_path / "gopher_rep_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)).astype("datetime64[us]"),
+            "text": [r[1] for r in rows],
+        }
+    ).to_parquet(src + "/a.parquet")
+    sdf = read_parquet_stream(spark, src, spark.read.parquet(src).schema)
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts")
+    q = (
+        out.writeStream.format("memory").queryName("gopher_rep_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    skept = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM gopher_rep_stream_t").collect()
+    )
+    assert skept == kept
