@@ -88,6 +88,45 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     )
 
 
+def url_blocklist_screen(
+    df: DataFrame,
+    hosts: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop rows whose URL host — or any parent domain — appears in the
+    ``hosts`` frame: the anti-join form of `text.url_blocked` for REAL
+    blocklists (the published crawl blocklists run to millions of
+    domains, far past what a literal in-row array can carry).
+
+    Shape at 100 TB: the ≤#labels host-suffix chain explodes to a few
+    short rows per doc, LEFT SEMI equi-joins against the blocklist on
+    the suffix (AQE broadcasts a small list; a huge list is one hash
+    shuffle of (id, suffix) pairs — never the doc text, which stays in
+    place for the final LEFT ANTI on the id), and the blocked-id set
+    anti-joins back. Both joins are equi-joins — never a
+    BroadcastNestedLoop contains() scan. Rows without a usable host
+    are kept ("address unknown" is not "blocked"), matching
+    `text.url_blocked` and `url_dedup`'s stance on missing addresses."""
+    from mysql_to_s3_spark.operators.text import host_suffixes, url_host
+
+    blocked_ids = (
+        df.select(
+            F.col(id_col),
+            F.explode(host_suffixes(url_host(F.col(url_col)))).alias("__suf__"),
+        )
+        .join(
+            hosts.select(F.lower(F.col(host_col)).alias("__suf__")),
+            "__suf__",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
 

@@ -585,3 +585,57 @@ def gopher_repetition(col: Column, ws: Column | None = None) -> dict[str, Column
     for n in (5, 6, 7, 8, 9, 10):
         out[f"dup_{n}gram_char_frac"] = cfrac(_dup_char_sum(word_ngrams(col, n, ws=ws)))
     return out
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL — userinfo, port, and a leading
+    ``www.`` stripped (the same authority view `canonical_url` keys
+    on). NULL when the string has no ``scheme://`` authority. Pure
+    regexp Column algebra (RE2-safe), shuffle-free."""
+    host = F.lower(
+        F.regexp_extract(
+            col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)", 1
+        )
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def host_suffixes(host: Column) -> Column:
+    """Every dot-suffix chain of a host: ``a.b.example.com`` ->
+    ``[a.b.example.com, b.example.com, example.com, com]``. Matching a
+    blocklist against ANY suffix gives subdomain-inclusive domain
+    blocking (the standard domain-blocklist semantics: blocking
+    ``example.com`` blocks every subdomain). Empty array for NULL.
+    O(#labels) per row, shuffle-free."""
+    parts = F.split(host, r"\.")
+    k = F.size(parts)
+    idx = F.when(host.isNotNull() & (k > 0), F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(parts, i, k), "."))
+
+
+def url_blocked(col: Column, hosts: tuple[str, ...]) -> Column:
+    """True when the URL's host or ANY parent domain is in ``hosts``
+    (lowercased registrable domains) — the RefinedWeb-style URL
+    blocklist predicate. This literal-list form is for config-sized
+    blocklists (it plans as one in-row array overlap — per-row,
+    streaming-safe); for a real multi-million-host blocklist use
+    `operators.dedup.url_blocklist_screen` (equi-anti-join). NULL /
+    host-less URLs are NOT blocked — "address unknown" keeps the doc,
+    the same stance `usable_url` takes for dedup."""
+    if not hosts:
+        return F.lit(False)
+    return F.arrays_overlap(
+        host_suffixes(url_host(col)),
+        F.array(*[F.lit(h.lower()) for h in hosts]),
+    )
+
+
+def blockword_frac(col: Column, vocab: tuple[str, ...]) -> Column:
+    """Fraction of word OCCURRENCES that are in ``vocab`` (lowercased)
+    — the word-blocklist quality signal public crawl pipelines pair
+    with the URL blocklist (RefinedWeb's "curated resources" filter).
+    0.0 for wordless docs. Per-row fold, shuffle-free, streaming-safe."""
+    return _occurrence_fraction(words(col), tuple(w.lower() for w in vocab))

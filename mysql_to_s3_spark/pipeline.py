@@ -176,6 +176,21 @@ class CorpusConfig:
     # the text gates. Streaming analog: first-arrival-per-canonical-url
     # within the watermark horizon (dropDuplicatesWithinWatermark).
     url_col: str | None = None
+    # RefinedWeb-style URL blocklist (operators/text.url_blocked):
+    # lowercased registrable domains; a doc is dropped when its url's
+    # host OR ANY PARENT DOMAIN matches (blocking "example.com" blocks
+    # every subdomain). Runs FIRST — before even url_dedup, so blocked
+    # addresses never pay the dedup shuffle. Requires url_col. This
+    # literal tuple is for config-sized lists (an in-row array overlap,
+    # per-row and streaming-safe); screen a multi-million-host list
+    # with operators/dedup.url_blocklist_screen before the pipeline.
+    url_blocklist: tuple[str, ...] | None = None
+    # word-blocklist gate (operators/text.blockword_frac): drop docs
+    # whose fraction of word occurrences in `block_words` exceeds
+    # `max_blockword_frac` (default 0.0 = any hit drops). Runs with the
+    # other cheap per-row gates; streaming-safe.
+    block_words: tuple[str, ...] | None = None
+    max_blockword_frac: float = 0.0
     exact: bool = True
     near_dup: str | None = None  # None | "minhash" | "ngram" | "simhash"
     near_threshold: float = 0.9
@@ -390,6 +405,30 @@ def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return tmp.filter(cond).drop(*dropped)
 
 
+def _apply_url_blocklist(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Shared batch/stream URL-blocklist stage — one in-row suffix-chain
+    overlap against the literal host list (per-row, streaming-safe).
+    Docs without a host are kept ("address unknown" != "blocked")."""
+    from mysql_to_s3_spark.operators.text import url_blocked
+
+    if cfg.url_col is None:
+        raise PipelineError("url_blocklist requires url_col to be set")
+    return out.filter(~url_blocked(F.col(cfg.url_col), tuple(cfg.url_blocklist)))
+
+
+def _apply_blockword_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Shared batch/stream word-blocklist gate — per-row fold,
+    shuffle-free, streaming-safe. Null text scores 0.0 (kept): the
+    other heuristic gates map null text to passing 0 ratios, and this
+    gate should not drop a row on a different rule's behalf."""
+    from mysql_to_s3_spark.operators.text import blockword_frac
+
+    bf = F.coalesce(
+        blockword_frac(F.col(cfg.text_col), tuple(cfg.block_words)), F.lit(0.0)
+    )
+    return out.filter(bf <= F.lit(float(cfg.max_blockword_frac)))
+
+
 def _gopher_gate_on(cfg: CorpusConfig) -> bool:
     return any(
         v is not None
@@ -502,6 +541,10 @@ def prepare_corpus(
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     out = docs
 
+    if cfg.url_blocklist is not None:
+        out = _apply_url_blocklist(out, cfg)
+        stages.append(("url_blocklist", out))
+
     if cfg.url_col is not None:
         # identity dedup first: one short-string shuffle drops re-crawls
         # before ANY per-row content work is paid for them. Docs WITHOUT
@@ -547,6 +590,10 @@ def prepare_corpus(
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
         stages.append(("language", out))
+
+    if cfg.block_words is not None:
+        out = _apply_blockword_gate(out, cfg)
+        stages.append(("blockwords", out))
 
     if (cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None
             or cfg.gopher_repetition_max):
@@ -859,6 +906,10 @@ def prepare_corpus_stream(
         )
     txt = F.col(cfg.text_col)
     out = sdf
+    if cfg.url_blocklist is not None:
+        # per-row suffix overlap, stateless — identical to the batch
+        # stage and ordered the same: before the url-dedup state
+        out = _apply_url_blocklist(out, cfg)
     if cfg.url_col is not None:
         # identity dedup first (matching the batch stage order):
         # first-arrival-per-canonical-url, state bounded by the horizon
@@ -869,6 +920,8 @@ def prepare_corpus_stream(
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
     if cfg.languages is not None:
         out = out.filter(language_id(txt).isin(*cfg.languages))
+    if cfg.block_words is not None:
+        out = _apply_blockword_gate(out, cfg)
     if (cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None
             or cfg.gopher_repetition_max):
         out = _apply_repetition_gate(out, cfg)

@@ -1166,6 +1166,12 @@ def _sql_words(col: str) -> str:
     return f"regexp_extract_all({col}, '\\w+')"
 
 
+# word-blocklist vocab for the text_stats `blockword_frac` column —
+# drawn from the corpus vocabulary so the fraction takes many distinct
+# values at sf0.01 (the operator lowercases; 'SLOW' here binds that)
+_BLOCK_WORDS = ("SLOW", "spam", "big")
+
+
 def _sql_stop_hits(col: str, vocab: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in vocab)
     return (
@@ -1287,6 +1293,9 @@ def _text_stats_sql() -> str:
            round(CASE WHEN len(sw) > 0
                  THEN len(list_filter(sw, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
                       / len(sw) ELSE 0.0 END, 6) AS alpha_word_frac,
+           round(CASE WHEN len({_sql_words('text')}) > 0
+                 THEN {_sql_stop_hits('text', tuple(w.lower() for w in _BLOCK_WORDS))}::DOUBLE
+                      / len({_sql_words('text')}) ELSE 0.0 END, 6) AS blockword_frac,
            {dup_line_frac} AS dup_line_frac,
            {dup_line_chars} AS dup_line_char_frac,
            {dup_para_frac} AS dup_para_frac,
@@ -1489,11 +1498,14 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("__ws2__", words(F.col("__synth2__")))
     rep2 = gopher_repetition(F.col("__synth2__"), ws=F.col("__ws2__"))
+    from mysql_to_s3_spark.operators.text import blockword_frac
+
     return docs.select(
         F.col("doc_id"),
         *[c.alias(n) for n, c in st.items()],
         *[c.alias(n) for n, c in rep.items()],
         *[F.round(c, 6).alias(n) for n, c in gop.items()],
+        F.round(blockword_frac(F.col("text"), _BLOCK_WORDS), 6).alias("blockword_frac"),
         *[F.round(c, 6).alias(n) for n, c in rep2.items()],
         fingerprint(F.col("text")).alias("fp"),
     )
@@ -1632,6 +1644,24 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     urlk_leg = url_dedup(messy).select(
         F.lit("urlk").alias("leg"), F.col("url").alias("fp"), "keeper", "n_dupes"
     )
+    # r9s3 `urlf` leg: the RefinedWeb URL blocklist predicate under the
+    # hard gate — fp = url_host (lowercase, port/www stripped), n_dupes
+    # encodes TWO blocklist probes: +1 when the exact host is listed
+    # (src3/src7 sources), +2 when a PARENT domain is (example.com —
+    # true for every messy host, so a broken suffix chain flips the
+    # whole column and breaks the row hash)
+    from mysql_to_s3_spark.operators.text import url_blocked, url_host
+
+    urlf_leg = messy.select(
+        F.lit("urlf").alias("leg"),
+        url_host(F.col("url")).alias("fp"),
+        F.col("doc_id").alias("keeper"),
+        (
+            url_blocked(F.col("url"), ("src3.example.com", "src7.example.com"))
+            .cast("bigint")
+            + url_blocked(F.col("url"), ("example.com",)).cast("bigint") * 2
+        ).alias("n_dupes"),
+    )
 
     surv_ids = _fit_drained(spark, sf_dir, "dedup_stream", _run_stream_dedup)
     surv = spark.createDataFrame([(i,) for i in surv_ids], "doc_id bigint")
@@ -1647,7 +1677,7 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dupes",
         )
     )
-    return batch.unionByName(stream).unionByName(url_leg).unionByName(urlk_leg)
+    return (batch.unionByName(stream).unionByName(url_leg).unionByName(urlk_leg).unionByName(urlf_leg))
 
 
 def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2471,7 +2501,13 @@ _q(
         UNION ALL
         SELECT 'urlk' AS leg, cu AS fp, min(doc_id) AS keeper,
                count(*) AS n_dupes
-        FROM curl GROUP BY cu""",
+        FROM curl GROUP BY cu
+        UNION ALL
+        SELECT 'urlf' AS leg, lower(source) || '.example.com' AS fp,
+               doc_id AS keeper,
+               CASE WHEN lower(source) IN ('src3', 'src7') THEN 3
+                    ELSE 2 END::BIGINT AS n_dupes
+        FROM documents WHERE doc_id < 240""",
 )
 _q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
 # minhash verifies candidates with exact Jaccard, so it matches the exact

@@ -322,3 +322,157 @@ def test_blank_canonical_urls_survive_pipeline(spark):
     assert q.awaitTermination(120)
     skept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM blank_canon_t").collect())
     assert set(skept) >= {2, 3, 4} and len(skept) == 4
+
+
+# ---------------------------------------------------------------- r9s3:
+# RefinedWeb-style URL blocklist + word blocklist
+
+
+def test_url_host_and_suffixes(spark):
+    from mysql_to_s3_spark.operators.text import host_suffixes, url_host
+
+    cases = [
+        ("https://WWW.Sub.Example.COM:8080/a?b=1#f", "sub.example.com"),
+        ("http://user:pw@Ads.Net/x", "ads.net"),
+        ("https://example.com", "example.com"),
+        ("ftp://Files.example.org:21/", "files.example.org"),
+        ("no scheme here", None),
+        ("/relative/path", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: (r["h"], r["s"])
+        for r in df.select(
+            "i",
+            url_host(F.col("url")).alias("h"),
+            host_suffixes(url_host(F.col("url"))).alias("s"),
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        h, sufs = got[i]
+        assert h == want, (i, h, want)
+        if want is None:
+            assert sufs == []
+        else:
+            labels = want.split(".")
+            assert sufs == [".".join(labels[j:]) for j in range(len(labels))]
+
+
+def test_url_blocked_subdomain_semantics(spark):
+    from mysql_to_s3_spark.operators.text import url_blocked
+
+    urls = [
+        (1, "https://ads.tracker.net/x"),     # blocked via parent tracker.net
+        (2, "https://tracker.net/x"),          # blocked exactly
+        (3, "https://nottracker.net/x"),       # NOT blocked (string suffix != domain suffix)
+        (4, "https://tracker.net.evil.com/x"), # NOT blocked (tracker.net is not a suffix chain)
+        (5, "https://clean.org/x"),
+        (6, None),                             # address unknown -> kept
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    flag = url_blocked(F.col("url"), ("tracker.net",))
+    got = {r["doc_id"]: r["b"] for r in df.select("doc_id", flag.alias("b")).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False, 6: False}
+    # empty blocklist blocks nothing
+    none_blocked = df.filter(url_blocked(F.col("url"), ())).count()
+    assert none_blocked == 0
+
+
+def test_url_blocklist_screen_matches_literal_form(spark):
+    from mysql_to_s3_spark.operators.dedup import url_blocklist_screen
+    from mysql_to_s3_spark.operators.text import url_blocked
+
+    rows = [
+        (i, f"https://{'deep.' if i % 3 == 0 else ''}h{i % 5}.site{i % 4}.com/p{i}")
+        for i in range(60)
+    ] + [(100, None), (101, "not a url")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ("site1.com", "h2.site2.com")
+    hosts = spark.createDataFrame([(h,) for h in bl], "host string")
+    screened = sorted(
+        r["doc_id"] for r in url_blocklist_screen(df, hosts).select("doc_id").collect()
+    )
+    literal = sorted(
+        r["doc_id"]
+        for r in df.filter(~url_blocked(F.col("url"), bl)).select("doc_id").collect()
+    )
+    assert screened == literal and 100 in screened and 101 in screened
+    # both joins are equi-joins — never a nested-loop contains() scan
+    plan = url_blocklist_screen(df, hosts)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_blockword_frac_and_pipeline_gates(spark, tmp_path):
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from mysql_to_s3_spark.operators.text import blockword_frac
+    from mysql_to_s3_spark.pipeline import (
+        CorpusConfig,
+        PipelineError,
+        prepare_corpus,
+        prepare_corpus_stream,
+    )
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    rows = [
+        (1, "https://good.org/a", "ordinary prose with plain words"),
+        (2, "https://ads.bad.net/b", "ordinary prose with plain words"),   # url-blocked
+        (3, "https://good.org/c", "one SPAM word in ten total making it ten percent"),
+        (4, "https://good.org/d", "spam spam spam heavy doc"),             # word-blocked
+        (5, None, "no address but fine text"),                             # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {
+        r["doc_id"]: r["bf"]
+        for r in df.select(
+            "doc_id", F.round(blockword_frac(F.col("text"), ("SPAM",)), 6).alias("bf")
+        ).collect()
+    }
+    assert got[1] == 0.0 and abs(got[3] - 0.1) < 1e-9 and got[4] == 0.6
+
+    cfg = CorpusConfig(
+        exact=False,
+        url_col="url",
+        url_blocklist=("bad.net",),
+        block_words=("spam",),
+        max_blockword_frac=0.15,
+    )
+    prep = prepare_corpus(df, cfg)
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [1, 3, 5]
+    names = [n for n, _ in prep.stages]
+    assert names.index("url_blocklist") < names.index("url_dedup")
+    assert "blockwords" in names
+
+    # url_blocklist without url_col refuses at plan-build time
+    with pytest.raises(PipelineError, match="url_blocklist requires url_col"):
+        prepare_corpus(df, CorpusConfig(exact=False, url_blocklist=("x.com",)))
+
+    # streaming form applies the identical gates
+    src = str(tmp_path / "urlbl_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)).astype("datetime64[us]"),
+            "url": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+        }
+    ).to_parquet(src + "/a.parquet")
+    sdf = read_parquet_stream(spark, src, spark.read.parquet(src).schema)
+    out = prepare_corpus_stream(sdf, cfg, ts_col="ts")
+    q = (
+        out.writeStream.format("memory").queryName("urlbl_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    skept = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM urlbl_stream_t").collect()
+    )
+    assert skept == kept
