@@ -583,3 +583,41 @@ def test_global_window_guard(spark, sf_dir):
         spark.conf.unset(GLOBAL_WINDOW_MAX_ROWS_CONF)
     # under the default bound the small table passes
     assert run(q, spark=spark, sf_dir=sf_dir).count() == 5
+
+
+def test_scalar_agg_split_plan_and_values(spark, sf_dir, duck):
+    """r9s3: a scalar query mixing exact percentiles, exact distincts,
+    and cheap aggregates plans as THREE cross-joined single-row
+    aggregations — no Expand node, distinct path in codegen — and the
+    values match the single-agg semantics (DuckDB oracle)."""
+    from mysql_to_s3_spark.operators.executor import run
+
+    q = {
+        "from": "lineitem",
+        "select": [
+            {"name": "n", "value": "l_quantity", "aggregate": "count"},
+            {"name": "med", "value": "l_quantity", "aggregate": "median"},
+            {"name": "card", "value": "l_suppkey", "aggregate": "cardinality"},
+        ],
+    }
+    df = run(q, spark=spark, sf_dir=sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 3 classes -> 2 cross joins
+    row = df.first()
+    want = duck.execute(
+        "SELECT count(l_quantity), quantile_cont(l_quantity, 0.5), "
+        "count(DISTINCT l_suppkey) FROM lineitem"
+    ).fetchone()
+    assert (row["n"], row["med"], row["card"]) == want
+
+    # single-class scalar queries keep the one-aggregation plan
+    q2 = {
+        "from": "lineitem",
+        "select": [
+            {"name": "s", "value": "l_quantity", "aggregate": "sum"},
+            {"name": "m", "value": "l_quantity", "aggregate": "average"},
+        ],
+    }
+    p2 = run(q2, spark=spark, sf_dir=sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p2
