@@ -1663,6 +1663,35 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_dupes"),
     )
 
+    # r9s3 `bloomf` leg: the Bloom incremental-ingest screen under the
+    # hard gate — bitmap built over the fps of the doc_id%3==0 third
+    # (bloom_build is eager, so _fit_cached per session x sf), then
+    # EVERY doc's might-contain decision rides the row hash. m=1024/k=3
+    # at ~167 inserted fps gives a ~6% false-positive rate, so the leg
+    # binds both directions: members always 1 (no false negatives) and
+    # the specific collision pattern of the md5-prefix position spec.
+    from mysql_to_s3_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    bm = _fit_cached(
+        spark,
+        sf_dir,
+        "bloomf",
+        lambda: bloom_build(
+            docs.filter(d % 3 == 0).select(fingerprint(F.col("text")).alias("fp")),
+            "fp",
+            1024,
+            3,
+        ),
+    )
+    bloom_leg = docs.select(
+        F.lit("bloomf").alias("leg"),
+        fingerprint(F.col("text")).alias("fp"),
+        d.alias("keeper"),
+        bloom_might_contain(fingerprint(F.col("text")), bm, 1024, 3)
+        .cast("bigint")
+        .alias("n_dupes"),
+    )
+
     surv_ids = _fit_drained(spark, sf_dir, "dedup_stream", _run_stream_dedup)
     surv = spark.createDataFrame([(i,) for i in surv_ids], "doc_id bigint")
     stream = (
@@ -1677,7 +1706,7 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dupes",
         )
     )
-    return (batch.unionByName(stream).unionByName(url_leg).unionByName(urlk_leg).unionByName(urlf_leg))
+    return (batch.unionByName(stream).unionByName(url_leg).unionByName(urlk_leg).unionByName(urlf_leg).unionByName(bloom_leg))
 
 
 def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,6 +2509,13 @@ _q(
     f"""WITH d AS (
           SELECT {_SQL_FP} AS fp, min(doc_id) AS keeper, count(*) AS n
           FROM documents GROUP BY 1),
+        fps AS (SELECT doc_id, {_SQL_FP} AS fp FROM documents),
+        ins AS (
+          SELECT DISTINCT unnest([
+            ('0x' || substr(md5(fp || ':0'), 1, 15))::BIGINT % 1024,
+            ('0x' || substr(md5(fp || ':1'), 1, 15))::BIGINT % 1024,
+            ('0x' || substr(md5(fp || ':2'), 1, 15))::BIGINT % 1024]) AS pos
+          FROM fps WHERE doc_id % 3 = 0),
         curl AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END
@@ -2507,7 +2543,14 @@ _q(
                doc_id AS keeper,
                CASE WHEN lower(source) IN ('src3', 'src7') THEN 3
                     ELSE 2 END::BIGINT AS n_dupes
-        FROM documents WHERE doc_id < 240""",
+        FROM documents WHERE doc_id < 240
+        UNION ALL
+        SELECT 'bloomf' AS leg, fp, doc_id AS keeper,
+               CASE WHEN ('0x' || substr(md5(fp || ':0'), 1, 15))::BIGINT % 1024 IN (SELECT pos FROM ins)
+                     AND ('0x' || substr(md5(fp || ':1'), 1, 15))::BIGINT % 1024 IN (SELECT pos FROM ins)
+                     AND ('0x' || substr(md5(fp || ':2'), 1, 15))::BIGINT % 1024 IN (SELECT pos FROM ins)
+                    THEN 1 ELSE 0 END::BIGINT AS n_dupes
+        FROM fps""",
 )
 _q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
 # minhash verifies candidates with exact Jaccard, so it matches the exact

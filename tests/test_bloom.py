@@ -1,0 +1,118 @@
+"""Bloom-filter screen (operators/bloom.py): portable position spec,
+no-false-negatives guarantee, FP-rate sanity, unions, the dedup-index
+sidecar round-trip, and the screen composition."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_s3_spark.operators.bloom import (
+    BloomError,
+    _py_positions,
+    bloom_build,
+    bloom_might_contain,
+    bloom_position_columns,
+    bloom_screen,
+    bloom_union,
+    read_bloom_sidecar,
+    write_bloom_sidecar,
+)
+
+
+def test_position_spec_column_matches_python(spark):
+    vals = ["", "a", "doc-42", "Ünïcode ✓", "x" * 300]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    m, k = 4096, 5
+    cols = bloom_position_columns(F.col("v"), m, k)
+    rows = df.select("v", F.array(*cols).alias("p")).collect()
+    for r in rows:
+        assert list(r["p"]) == _py_positions(r["v"], m, k), r["v"]
+
+
+def test_no_false_negatives_and_fp_rate(spark):
+    n, m, k = 400, 8192, 4
+    members = [f"member-{i}" for i in range(n)]
+    others = [f"other-{i}" for i in range(2000)]
+    bm = bloom_build(spark.createDataFrame([(v,) for v in members], "fp string"), "fp", m, k)
+    df = spark.createDataFrame(
+        [(v, True) for v in members] + [(v, False) for v in others], "fp string, ins boolean"
+    )
+    got = df.select("fp", "ins", bloom_might_contain(F.col("fp"), bm, m, k).alias("f")).collect()
+    fp_hits = 0
+    for r in got:
+        if r["ins"]:
+            assert r["f"], f"FALSE NEGATIVE on {r['fp']}"
+        elif r["f"]:
+            fp_hits += 1
+    theory = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp_hits / 2000 < max(3 * theory, 0.01), (fp_hits, theory)
+    assert fp_hits > 0  # at this load a few collisions are expected
+
+
+def test_union_equals_combined_build_and_null_screens_false(spark):
+    m, k = 1024, 3
+    a = [f"a{i}" for i in range(50)]
+    b = [f"b{i}" for i in range(50)]
+    bm_a = bloom_build(spark.createDataFrame([(v,) for v in a], "fp string"), "fp", m, k)
+    bm_b = bloom_build(spark.createDataFrame([(v,) for v in b], "fp string"), "fp", m, k)
+    bm_ab = bloom_build(spark.createDataFrame([(v,) for v in a + b], "fp string"), "fp", m, k)
+    assert bloom_union(bm_a, bm_b) == bm_ab
+    df = spark.createDataFrame([(None,), ("a1",)], "fp string")
+    got = {r["fp"]: r["f"] for r in df.select(
+        "fp", bloom_might_contain(F.col("fp"), bm_ab, m, k).alias("f")).collect()}
+    assert got[None] is False and got["a1"] is True
+
+
+def test_shape_and_size_errors(spark):
+    df = spark.createDataFrame([("x",)], "fp string")
+    with pytest.raises(BloomError, match="multiple of 8"):
+        bloom_build(df, "fp", m_bits=100, k=2)
+    with pytest.raises(BloomError, match="k must be"):
+        bloom_build(df, "fp", m_bits=1024, k=0)
+    bm = bloom_build(df, "fp", m_bits=1024, k=2)
+    with pytest.raises(BloomError, match="bitmap is"):
+        bloom_might_contain(F.col("fp"), bm, m_bits=2048, k=2)
+    with pytest.raises(BloomError, match="sizes differ"):
+        bloom_union(bm, b"\x00" * 10)
+
+
+def test_index_sidecar_roundtrip_and_screen(spark, tmp_path):
+    from mysql_to_s3_spark.operators.dedup_index import write_dedup_index
+
+    path = str(tmp_path / "bloom_index")
+    corpus = spark.createDataFrame(
+        [(i, f"indexed document body number {i} with words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    write_dedup_index(corpus, path)
+    bm = write_bloom_sidecar(path, spark, m_bits=4096, k=4)
+    side = read_bloom_sidecar(path, spark)
+    assert side["m_bits"] == 4096 and side["k"] == 4 and side["bitmap"] == bm
+
+    new = spark.createDataFrame(
+        # 0..9 are exact re-ingests (same text -> same fp); 100.. are new
+        [(i, f"indexed document body number {i} with words") for i in range(10)]
+        + [(100 + i, f"a genuinely new doc {i} body") for i in range(30)],
+        "doc_id long, text string",
+    )
+    flags = {r["doc_id"]: r["might_dup"] for r in bloom_screen(new, path).collect()}
+    for i in range(10):
+        assert flags[i], "re-ingested doc must flag possibly-seen"
+    # the no-false-negative direction: every False really is absent;
+    # at this load most of the 30 new docs screen definitely-new
+    assert sum(not flags[100 + i] for i in range(30)) >= 25
+
+    # extend: after appending a batch, extend folds the new fps in
+    batch = spark.createDataFrame(
+        [(200, "appended batch doc body")], "doc_id long, text string"
+    )
+    write_dedup_index(batch, path, mode="append")
+    bm2 = write_bloom_sidecar(path, spark, m_bits=4096, k=4, mode="extend")
+    assert bloom_union(bm, bm2) == bm2  # monotone growth
+    flags2 = {r["doc_id"]: r["might_dup"] for r in bloom_screen(batch, path).collect()}
+    assert flags2[200] is True
+    with pytest.raises(BloomError, match="extend requested"):
+        write_bloom_sidecar(path, spark, m_bits=8192, k=4, mode="extend")
