@@ -373,6 +373,146 @@ def ivf_search_index(
     )
 
 
+def ivf_search_index_batch(
+    spark,
+    path: str,
+    queries: "DataFrame",
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    q_id_col: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    query_cap: int | None = None,
+) -> "DataFrame":
+    """Batched multi-query search against a persisted IVF index: for
+    every query vector, the top-``k`` (by cosine) among the vectors in
+    that query's ``nprobe`` nearest cells — (q_id, <id_col>, cos),
+    ranked (cos desc, id asc). The ANN scale path `knn_join`'s
+    docstring points corpus-vs-corpus work at: where knn_join scans the
+    WHOLE corpus once per query block, this scans only the UNION of all
+    probed cells, and each batch row is scored only against the queries
+    that probed its cell.
+
+    Shape at scale: probe selection is ONE driver-side numpy GEMM over
+    the centroid sidecar (|Q| x n_cells); the union of probed cells
+    becomes a STATIC partition filter on the vectors parquet
+    (PartitionFilters carries the IN-list — same plan contract as the
+    single-query form); the Arrow kernel GEMMs each batch's rows
+    against its cell's query sub-matrix and emits <= k rows per
+    (query, batch) under the final total order; ONE exchange on q_id
+    ranks |Q| x k x n_batches rows, never the corpus. The query side
+    collects under the same cap/conf as `knn_join`
+    (``KNN_QUERY_CAP_CONF``) and raises ``KnnError`` past it — one
+    bounded matrix, never an executor OOM.
+
+    ``round_to`` rounds cosines BEFORE ranking (engine-portable
+    selection, the shared contract). Containment caveat: like every
+    IVF search, recall is governed by nprobe — a true neighbor outside
+    the probed cells is unreachable by construction."""
+    import numpy as np
+
+    if k < 1:
+        raise KnnError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise KnnError(f"nprobe must be >= 1, got {nprobe}")
+    _require_integral_id(queries, q_id_col, "query")
+    if query_cap is None:
+        try:
+            raw = queries.sparkSession.conf.get(KNN_QUERY_CAP_CONF, None)
+        except Exception:
+            raw = None
+        query_cap = int(raw) if raw is not None else DEFAULT_KNN_QUERY_CAP
+    qrows = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).limit(query_cap + 1).collect()
+    if len(qrows) > query_cap:
+        raise KnnError(
+            f"ivf_search_index_batch query side exceeds {query_cap} "
+            f"({KNN_QUERY_CAP_CONF}) — the query matrix rides the Arrow "
+            "kernel closure; raise the cap deliberately or run in blocks"
+        )
+    if not qrows:
+        raise KnnError("ivf_search_index_batch query side is empty")
+
+    centroids = np.asarray(ivf_read_centroids(spark, path), dtype=np.float64)
+    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0] = 1.0
+    # probe selection = squared L2 to each centroid, EXACTLY the
+    # single-query `_nearest_cells` metric (||q||^2 is constant per row,
+    # so -2 q.c + ||c||^2 orders identically) — one |Q| x n_cells GEMM;
+    # ties -> lower cell id, matching python sorted()'s stability there
+    d2 = -2.0 * (qm @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+    npb = min(int(nprobe), centroids.shape[0])
+    order = np.lexsort(
+        (np.arange(centroids.shape[0])[None, :].repeat(len(qm), 0), d2), axis=1
+    )
+    probes = order[:, :npb]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qm)):
+        for c in probes[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    union_cells = sorted(cell_to_q)
+    cell_q_ids = {c: q_ids[idx] for c, idx in cell_to_q.items()}
+    cell_qm = {c: qm[idx] for c, idx in cell_to_q.items()}
+    cell_qn = {c: qn[idx] for c, idx in cell_to_q.items()}
+
+    out_schema = f"q_id bigint, {id_col} bigint, cos double"
+    kk, rt = int(k), round_to
+    pruned = (
+        spark.read.parquet(path + "/vectors")
+        .filter(F.col("__cell__").isin(union_cells))
+        .select("__cell__", id_col, vec_col)
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for cell, grp in pdf.groupby("__cell__"):
+                cq_ids = cell_q_ids.get(int(cell))
+                if cq_ids is None:
+                    continue
+                bm = np.stack(grp[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+                ids_b = grp[id_col].to_numpy().astype(np.int64)
+                bn = np.sqrt((bm * bm).sum(axis=1))
+                bn[bn == 0] = 1.0
+                cos = (cell_qm[int(cell)] @ bm.T) / np.outer(cell_qn[int(cell)], bn)
+                if rt is not None:
+                    cos = np.round(cos, rt)
+                top = min(kk, cos.shape[1])
+                for i in range(cos.shape[0]):
+                    idx = np.lexsort((ids_b, -cos[i]))[:top]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": np.full(top, cq_ids[i]),
+                                id_col: ids_b[idx],
+                                "cos": cos[i, idx],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+
+    scored = pruned.mapInPandas(score, out_schema)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= kk)
+        .drop("__rk__")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): compress vectors to m one-byte codes for
 # memory-bound ANN (Jégou, Douze, Schmid, "Product Quantization for

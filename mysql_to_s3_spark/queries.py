@@ -2967,7 +2967,23 @@ def _similarity_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 20),
         k=5,
     ).select(F.lit("knn").alias("leg"), "vec_id", "cos", F.col("q_id").alias("qid"))
-    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(knn)
+    # `ivfb` leg (r9s3): the BATCHED persisted-IVF search
+    # (similarity.ivf_search_index_batch) — the same 20 queries against
+    # the persisted index, probing ALL 16 cells so the result equals the
+    # exact top-5 BY CONSTRUCTION (not by containment luck — these
+    # isotropic embeddings miss at any nprobe < n_cells): the hash then
+    # binds the per-cell query routing, the Arrow GEMM cosines, the
+    # cross-partition union, and the (cos desc, id asc) ranking. The
+    # probe-SELECTION math is bound separately by the unit test against
+    # `_nearest_cells`. Note the persisted index holds vec_id != 0, so
+    # queries 1..19 legitimately retrieve themselves at cos 1.0 — the
+    # oracle replicates exactly that corpus.
+    from mysql_to_s3_spark.operators.similarity import ivf_search_index_batch
+
+    ivfb = ivf_search_index_batch(
+        spark, idx, emb.filter(F.col("vec_id") < 20), k=5, nprobe=16
+    ).select(F.lit("ivfb").alias("leg"), "vec_id", "cos", F.col("q_id").alias("qid"))
+    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(knn).unionByName(ivfb)
 
 
 _q(
@@ -2986,6 +3002,17 @@ _q(
                  q.vec_id AS qid
           FROM embeddings q, embeddings e
           WHERE q.vec_id < 20 AND e.vec_id >= 20
+          QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round({_sql_cosine('e.embedding', 'q.embedding')}, 6) DESC,
+                     e.vec_id) <= 5)
+        UNION ALL
+        SELECT 'ivfb' AS leg, vec_id, cos, qid FROM (
+          SELECT e.vec_id,
+                 round({_sql_cosine('e.embedding', 'q.embedding')}, 6) AS cos,
+                 q.vec_id AS qid
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 20 AND e.vec_id != 0
           QUALIFY row_number() OVER (
             PARTITION BY q.vec_id
             ORDER BY round({_sql_cosine('e.embedding', 'q.embedding')}, 6) DESC,

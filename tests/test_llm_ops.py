@@ -797,3 +797,54 @@ def test_knn_join_blocked_matches_single_block(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 2 + 1  # <=1 per block + final window
+
+
+def test_ivf_search_index_batch_matches_single_query(spark, sf_dir, tmp_path):
+    """r9s3 batched IVF search: per-query results equal the single-query
+    `ivf_search_index` (same probe metric, same ranking), the scan is
+    partition-pruned to the UNION of probed cells, and the guards fire."""
+    import re as _re
+
+    import pytest
+
+    from mysql_to_s3_spark.operators.similarity import KnnError
+    from mysql_to_s3_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_fit(emb, n_cells=8)
+    path = str(tmp_path / "ivfb")
+    similarity.ivf_write_index(emb, centroids, path)
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    out = similarity.ivf_search_index_batch(spark, path, queries, k=7, nprobe=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["cos"]))
+    assert set(got) == set(range(6))
+    for qid in range(6):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        want = [
+            (r["vec_id"], r["cos"])
+            for r in similarity.ivf_search_index(spark, path, qv, k=7, nprobe=3).collect()
+        ]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == want, qid
+
+    # partition pruning: IN-list bounded by the union of probe sets
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*__cell__[^\]]*)\]", plan)
+    assert m, plan
+    in_list = _re.search(r"IN \(([^)]*)\)", m.group(1))
+    assert in_list and len(in_list.group(1).split(",")) <= 6 * 3
+
+    # guards: cap, empty side, non-integral id
+    with pytest.raises(KnnError, match="exceeds"):
+        similarity.ivf_search_index_batch(spark, path, queries, k=3, query_cap=2)
+    with pytest.raises(KnnError, match="empty"):
+        similarity.ivf_search_index_batch(
+            spark, path, emb.filter(F.col("vec_id") < 0), k=3
+        )
+    with pytest.raises(KnnError, match="integral"):
+        similarity.ivf_search_index_batch(
+            spark, path, queries.withColumn("vec_id", F.col("vec_id").cast("string")),
+            k=3,
+        )
