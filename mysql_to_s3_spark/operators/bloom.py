@@ -173,17 +173,31 @@ def write_bloom_sidecar(
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
     mode: str = "overwrite",
+    batch_bitmap: bytes | None = None,
 ) -> bytes:
     """Build (or extend) the ``bloom`` sidecar of a persisted dedup
-    index (`operators/dedup_index.py` layout) from its docs table's
-    fingerprints. ``mode='extend'`` ORs the fresh bitmap into the
-    existing sidecar — callers that appended a batch to the index
-    re-run this with either mode; extend exists so a batch-local
-    `bloom_build` over just the new docs can also be folded in without
-    re-reading the corpus. Returns the written bitmap."""
+    index (`operators/dedup_index.py` layout). ``mode='overwrite'``
+    rebuilds from the docs table's fingerprints (corpus-linear — the
+    first build, or recovery). ``mode='extend'`` ORs new bits into the
+    existing sidecar: pass ``batch_bitmap`` (a `bloom_build` over JUST
+    the appended batch's fingerprints) to keep the update
+    BATCH-linear — the corpus is never re-read; without it, extend
+    falls back to a corpus-linear rebuild-and-OR (correct, but it
+    saves nothing over overwrite). Returns the written bitmap."""
     if mode not in ("overwrite", "extend"):
         raise BloomError(f"mode must be 'overwrite' or 'extend', got {mode!r}")
-    fresh = bloom_build(spark.read.parquet(index_path + "/docs"), "fp", m_bits, k)
+    if batch_bitmap is not None and mode != "extend":
+        raise BloomError("batch_bitmap only composes with mode='extend'")
+    if batch_bitmap is not None and len(batch_bitmap) != m_bits // 8:
+        raise BloomError(
+            f"batch_bitmap is {len(batch_bitmap)} bytes but m_bits={m_bits} "
+            f"needs {m_bits // 8}"
+        )
+    fresh = (
+        batch_bitmap
+        if batch_bitmap is not None
+        else bloom_build(spark.read.parquet(index_path + "/docs"), "fp", m_bits, k)
+    )
     if mode == "extend":
         old = read_bloom_sidecar(index_path, spark)
         if (old["m_bits"], old["k"]) != (m_bits, k):

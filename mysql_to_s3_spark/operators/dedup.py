@@ -121,8 +121,10 @@ def url_blocklist_screen(
             "__suf__",
             "left_semi",
         )
+        # no distinct: a left_anti join is insensitive to right-side
+        # duplicates, and deduplicating here would cost an extra
+        # exchange+aggregate per screened batch for nothing
         .select(id_col)
-        .distinct()
     )
     return df.join(blocked_ids, id_col, "left_anti")
 
@@ -480,7 +482,10 @@ def simhash_pairs(
 def cosine(a: Column, b: Column) -> Column:
     """Exact cosine similarity of two float-array columns, accumulated in
     double precision (matches the DuckDB double-math oracle bit-for-bit at
-    6 decimals)."""
+    6 decimals). Zero-norm vectors score 0.0 against everything — the
+    SAME contract the Arrow kernels (knn_join, ivf_search_index_batch)
+    implement; the naive 0/0 would be NaN, which F.desc ranks ABOVE 1.0
+    and would put a zero/padding vector first in every top-k."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -488,7 +493,8 @@ def cosine(a: Column, b: Column) -> Column:
     )
     na = F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
     nb = F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    denom = F.sqrt(na) * F.sqrt(nb)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
 
 
 def embedding_dup_pairs(

@@ -254,10 +254,15 @@ _DISTINCT_AGGS = frozenset({"cardinality", "count_distinct", "one"})
 
 
 def _scalar_agg_class(s: SelectClause, approx: bool) -> int:
-    """0 = cheap partial-aggregable, 1 = exact percentile buffers,
-    2 = exact-distinct (Expand). approx mode demotes both heavy
-    classes to sketches, which aggregate like cheap columns."""
-    if not approx and s.aggregate in _PCT_AGGS and s.middle is None:
+    """0 = cheap partial-aggregable, 1 = whole-column buffers (exact
+    percentile / the stats bundle — incl. trimmed stats' collect_list),
+    2 = exact-distinct (Expand). approx demotes median/percentile to
+    the KLL sketch and cardinality to HLL (both class 0); it does NOT
+    demote the stats bundle (build_aggregate keeps its exact median)
+    or count_distinct (always exact by contract)."""
+    if s.aggregate == "stats":
+        return 1  # exact median inside the bundle; middle= is collect_list
+    if not approx and s.aggregate in _PCT_AGGS:
         return 1
     if s.aggregate in _DISTINCT_AGGS and not (approx and s.aggregate == "cardinality"):
         return 2
@@ -289,7 +294,10 @@ def _scalar_agg_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     for g in live:
         part = df.agg(*[_agg_column(df, s, schema, approx=q.approx) for s in groups[g]])
         out = part if out is None else out.crossJoin(part)
-    return out.select(*[F.col(s.name) for s in selects])
+    # backtick-quote: select names may contain dots (the engine's
+    # default name IS the value path, and nested paths are legal) —
+    # a bare F.col("a.b") would parse as field b of column a
+    return out.select(*[F.col(f"`{s.name}`") for s in selects])
 
 
 def _groupby_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:

@@ -441,10 +441,16 @@ def ivf_search_index_batch(
     qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     qn = np.sqrt((qm * qm).sum(axis=1))
     qn[qn == 0] = 1.0
-    # probe selection = squared L2 to each centroid, EXACTLY the
-    # single-query `_nearest_cells` metric (||q||^2 is constant per row,
-    # so -2 q.c + ||c||^2 orders identically) — one |Q| x n_cells GEMM;
-    # ties -> lower cell id, matching python sorted()'s stability there
+    # probe selection = squared L2 to each centroid, the single-query
+    # `_nearest_cells` metric (||q||^2 is constant per row, so
+    # -2 q.c + ||c||^2 orders identically IN EXACT ARITHMETIC) — one
+    # |Q| x n_cells GEMM; ties -> lower cell id, matching python
+    # sorted()'s stability. Caveat: the expanded form rounds differently
+    # from the python sum((x-y)^2), so centroids whose distances differ
+    # by less than the FP error of the expansion can swap at the
+    # nprobe boundary — probe-set parity with the single-query form is
+    # exact except at those FP-tie boundaries (where either probe set
+    # is an equally valid ANN choice)
     d2 = -2.0 * (qm @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
     npb = min(int(nprobe), centroids.shape[0])
     order = np.lexsort(

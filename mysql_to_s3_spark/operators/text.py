@@ -570,16 +570,27 @@ def gopher_repetition(col: Column, ws: Column | None = None) -> dict[str, Column
         n_chars > 0, F.least(num.cast("double") / n_chars, F.lit(1.0))
     ).otherwise(F.lit(0.0))
 
+    def _bind(expr: Column, fn) -> Column:
+        # single-element-array transform = let-binding (the
+        # trimmed_stats_of_list trick): the parts array is split +
+        # filtered ONCE per row instead of re-derived by each consumer
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
     out: dict[str, Column] = {}
-    for name, parts in (
+    for name, parts_expr in (
         ("line", F.filter(F.split(col, "\n"), lambda x: x != "")),
         ("para", F.filter(F.split(col, "\n\n"), lambda x: x != "")),
     ):
-        np = F.size(parts)
-        out[f"dup_{name}_frac"] = F.when(
-            np > 0, F.lit(1.0) - F.size(F.array_distinct(parts)).cast("double") / np
-        ).otherwise(F.lit(0.0))
-        out[f"dup_{name}_char_frac"] = cfrac(_dup_char_sum(parts, beyond_first=True))
+        def dup_frac(parts: Column) -> Column:
+            np = F.size(parts)
+            return F.when(
+                np > 0, F.lit(1.0) - F.size(F.array_distinct(parts)).cast("double") / np
+            ).otherwise(F.lit(0.0))
+
+        out[f"dup_{name}_frac"] = _bind(parts_expr, dup_frac)
+        out[f"dup_{name}_char_frac"] = _bind(
+            parts_expr, lambda parts: cfrac(_dup_char_sum(parts, beyond_first=True))
+        )
     for n in (2, 3, 4):
         out[f"top_{n}gram_char_frac"] = cfrac(_mode_char_coverage(word_ngrams(col, n, ws=ws)))
     for n in (5, 6, 7, 8, 9, 10):
@@ -590,14 +601,22 @@ def gopher_repetition(col: Column, ws: Column | None = None) -> dict[str, Column
 def url_host(col: Column) -> Column:
     """Lowercased host of a URL — userinfo, port, and a leading
     ``www.`` stripped (the same authority view `canonical_url` keys
-    on). NULL when the string has no ``scheme://`` authority. Pure
-    regexp Column algebra (RE2-safe), shuffle-free."""
+    on). An IPv6 bracket authority (``https://[2001:db8::1]/``) yields
+    the literal inside the brackets (a naive ``[^/:?#]*`` would stop at
+    the first ':' INSIDE the brackets and emit the garbage host '[').
+    NULL when the string has no ``scheme://`` authority. Pure regexp
+    Column algebra (RE2-safe), shuffle-free."""
+    v6 = F.lower(
+        F.regexp_extract(
+            col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?\[([^\]/?#]*)\]", 1
+        )
+    )
     host = F.lower(
         F.regexp_extract(
             col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)", 1
         )
     )
-    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(v6 != "", v6).otherwise(F.regexp_replace(host, r"^www\.", ""))
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 

@@ -116,3 +116,37 @@ def test_index_sidecar_roundtrip_and_screen(spark, tmp_path):
     assert flags2[200] is True
     with pytest.raises(BloomError, match="extend requested"):
         write_bloom_sidecar(path, spark, m_bits=8192, k=4, mode="extend")
+
+
+def test_extend_with_batch_bitmap_is_batch_linear(spark, tmp_path):
+    """extend + batch_bitmap must fold the batch in WITHOUT re-reading
+    the corpus, and equal the full rebuild bit-for-bit."""
+    from mysql_to_s3_spark.operators.dedup_index import write_dedup_index
+    from mysql_to_s3_spark.operators.text import fingerprint
+
+    path = str(tmp_path / "bb_index")
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} body") for i in range(30)], "doc_id long, text string"
+    )
+    write_dedup_index(corpus, path)
+    write_bloom_sidecar(path, spark, m_bits=2048, k=3)
+
+    batch = spark.createDataFrame(
+        [(100, "new batch doc body"), (101, "second new doc")],
+        "doc_id long, text string",
+    )
+    batch_bm = bloom_build(
+        batch.select(fingerprint(F.col("text")).alias("fp")), "fp", 2048, 3
+    )
+    write_dedup_index(batch, path, mode="append")
+    got = write_bloom_sidecar(
+        path, spark, m_bits=2048, k=3, mode="extend", batch_bitmap=batch_bm
+    )
+    want = bloom_build(spark.read.parquet(path + "/docs"), "fp", 2048, 3)
+    assert got == want
+    with pytest.raises(BloomError, match="only composes"):
+        write_bloom_sidecar(path, spark, m_bits=2048, k=3, batch_bitmap=batch_bm)
+    with pytest.raises(BloomError, match="batch_bitmap is"):
+        write_bloom_sidecar(
+            path, spark, m_bits=4096, k=3, mode="extend", batch_bitmap=batch_bm
+        )

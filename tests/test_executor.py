@@ -621,3 +621,40 @@ def test_scalar_agg_split_plan_and_values(spark, sf_dir, duck):
     }
     p2 = run(q2, spark=spark, sf_dir=sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_scalar_agg_split_dotted_select_name(spark, sf_dir):
+    """Mixed-class split must survive select names containing dots (the
+    engine's default name IS the value path) — regression for the bare
+    F.col(name) re-select parsing 'a.b' as a struct field access."""
+    from mysql_to_s3_spark.operators.executor import run
+
+    q = {
+        "from": "lineitem",
+        "select": [
+            {"name": "q.med", "value": "l_quantity", "aggregate": "median"},
+            {"name": "q.card", "value": "l_suppkey", "aggregate": "cardinality"},
+            {"name": "q.n", "value": "l_quantity", "aggregate": "count"},
+        ],
+    }
+    row = run(q, spark=spark, sf_dir=sf_dir).first()
+    assert row["q.n"] > 0 and row["q.med"] is not None and row["q.card"] > 0
+
+
+def test_scalar_agg_split_classes_stats_and_trimmed(spark, sf_dir):
+    """The stats bundle (plain AND middle=) is whole-column-buffer class:
+    mixing it with cheap aggregates must split them apart."""
+    from mysql_to_s3_spark.operators.executor import run
+
+    q = {
+        "from": "lineitem",
+        "select": [
+            {"name": "st", "value": "l_quantity", "aggregate": "stats", "middle": 0.8},
+            {"name": "s", "value": "l_quantity", "aggregate": "sum"},
+        ],
+    }
+    df = run(q, spark=spark, sf_dir=sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the split fired
+    row = df.first()
+    assert row["s"] is not None and row["st"]["count"] > 0

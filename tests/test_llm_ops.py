@@ -848,3 +848,22 @@ def test_ivf_search_index_batch_matches_single_query(spark, sf_dir, tmp_path):
             spark, path, queries.withColumn("vec_id", F.col("vec_id").cast("string")),
             k=3,
         )
+
+
+def test_cosine_zero_norm_scores_zero_and_ranks_last(spark):
+    """Zero-norm vectors score 0.0 (not NaN, which F.desc ranks FIRST) —
+    the knn_join contract, now shared by every Column cosine path."""
+    from mysql_to_s3_spark.operators.dedup import cosine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    q = [1.0, 0.0]
+    top = similarity.topk_cosine(df, q, k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 3, 2]
+    assert top[-1]["cos"] == 0.0
+    got = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", cosine(F.col("embedding"), F.array(F.lit(0.0), F.lit(0.0))).alias("c")
+    ).collect()}
+    assert got == {1: 0.0, 2: 0.0, 3: 0.0}

@@ -476,3 +476,17 @@ def test_blockword_frac_and_pipeline_gates(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM urlbl_stream_t").collect()
     )
     assert skept == kept
+
+
+def test_url_host_ipv6_bracket_authority(spark):
+    from mysql_to_s3_spark.operators.text import url_host
+
+    cases = [
+        ("https://[2001:db8::1]/page", "2001:db8::1"),
+        ("http://user@[::1]:8080/x", "::1"),
+        ("https://plain.example.com/x", "plain.example.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["h"] for r in df.select("i", url_host(F.col("url")).alias("h")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
