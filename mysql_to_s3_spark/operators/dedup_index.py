@@ -120,6 +120,61 @@ def write_dedup_index(
         ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
+def exact_screen_against_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Drop new docs whose EXACT normalized-text fingerprint is already
+    in the index (the exact half of incremental screening;
+    `dedup_against_index` is the near-dup half). One anti-join of the
+    batch's fps against the index docs table's fp column — column-
+    pruned, the old corpus text is never read.
+
+    With ``use_bloom`` (default) and a bloom sidecar present, the
+    Bloom screen routes the join: definitely-new docs (bloom False — a
+    HARD guarantee for exact fingerprints) bypass the index entirely,
+    and only the possibly-seen sliver anti-joins. This composition is
+    sound ONLY for exact fingerprints — do NOT bloom-gate the near-dup
+    screen, where a bloom-negative doc can still be a near-duplicate of
+    an indexed one. Missing sidecar falls back to the plain anti-join.
+    """
+    from mysql_to_s3_spark.operators.text import fingerprint
+
+    spark = new_df.sparkSession
+    index_fps = spark.read.parquet(path + "/docs").select("fp")
+    with_fp = new_df.withColumn("__fp__", fingerprint(F.col(text_col)))
+    if use_bloom:
+        from mysql_to_s3_spark.operators.bloom import (
+            BloomError,
+            bloom_might_contain,
+            read_bloom_sidecar,
+        )
+
+        try:
+            side = read_bloom_sidecar(path, spark)
+        except Exception as exc:  # missing sidecar -> plain anti-join
+            if not isinstance(exc, BloomError) and "PATH_NOT_FOUND" not in str(exc):
+                raise
+            side = None
+        if side is not None:
+            flag = bloom_might_contain(
+                F.col("__fp__"), side["bitmap"], side["m_bits"], side["k"]
+            )
+            flagged = with_fp.withColumn("__maybe__", flag)
+            definite_new = flagged.filter(~F.col("__maybe__")).drop("__maybe__")
+            maybe = flagged.filter(F.col("__maybe__")).drop("__maybe__")
+            screened = maybe.join(
+                index_fps.withColumnRenamed("fp", "__fp__"), "__fp__", "left_anti"
+            )
+            return definite_new.unionByName(screened).drop("__fp__")
+    return with_fp.join(
+        index_fps.withColumnRenamed("fp", "__fp__"), "__fp__", "left_anti"
+    ).drop("__fp__")
+
+
 def dedup_index_pairs(
     new_df: DataFrame,
     path: str,

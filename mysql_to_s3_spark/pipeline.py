@@ -223,6 +223,12 @@ class CorpusConfig:
     semantic_cells: int = 64
     semantic_max_cell: int = 200_000
     index_path: str | None = None  # screen against a persisted dedup index
+    # also run the EXACT half of incremental screening against that
+    # index first (dedup_index.exact_screen_against_index): drop docs
+    # whose normalized-text fingerprint was already ingested, using the
+    # bloom sidecar to route the anti-join when one exists (sound for
+    # exact fps only — the near-dup screen below is never bloom-gated).
+    index_exact: bool = False
     mixture_rates: Mapping[str, float] | None = None  # stratum -> keep rate
     strata_col: str = "lang"
     mixture_default_rate: float = 0.0
@@ -702,12 +708,23 @@ def prepare_corpus(
         out = dedup_by_components(out, pairs, id_col=cfg.id_col)
         stages.append(("near_dedup", out))
 
+    if cfg.index_exact and cfg.index_path is None:
+        raise PipelineError("index_exact requires index_path to be set")
     if cfg.index_path is not None:
         # incremental ingest: after IN-batch dedup, drop everything the
         # persisted corpus index already holds (exact or near) — the old
         # corpus is touched only through its index
         from mysql_to_s3_spark.operators.dedup_index import dedup_against_index
 
+        if cfg.index_exact:
+            from mysql_to_s3_spark.operators.dedup_index import (
+                exact_screen_against_index,
+            )
+
+            out = exact_screen_against_index(
+                out, cfg.index_path, id_col=cfg.id_col, text_col=cfg.text_col
+            )
+            stages.append(("index_exact", out))
         out = dedup_against_index(
             out,
             cfg.index_path,

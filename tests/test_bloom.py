@@ -150,3 +150,69 @@ def test_extend_with_batch_bitmap_is_batch_linear(spark, tmp_path):
         write_bloom_sidecar(
             path, spark, m_bits=4096, k=3, mode="extend", batch_bitmap=batch_bm
         )
+
+
+def test_exact_screen_against_index_bloom_routed(spark, tmp_path):
+    """The exact-vs-index screen drops re-ingested fps, keeps new docs,
+    and gives the SAME answer with and without the bloom routing."""
+    from mysql_to_s3_spark.operators.dedup_index import (
+        exact_screen_against_index,
+        write_dedup_index,
+    )
+
+    path = str(tmp_path / "es_index")
+    corpus = spark.createDataFrame(
+        [(i, f"indexed doc {i} body text") for i in range(40)],
+        "doc_id long, text string",
+    )
+    write_dedup_index(corpus, path)
+
+    new = spark.createDataFrame(
+        [(1000 + i, f"indexed doc {i} body text") for i in range(6)]     # re-ingests
+        + [(2000 + i, f"fresh doc {i} content") for i in range(10)],     # new
+        "doc_id long, text string",
+    )
+    # no sidecar yet: use_bloom falls back to the plain anti-join
+    plain = sorted(r["doc_id"] for r in exact_screen_against_index(new, path).collect())
+    assert plain == [2000 + i for i in range(10)]
+
+    write_bloom_sidecar(path, spark, m_bits=4096, k=4)
+    routed = sorted(r["doc_id"] for r in exact_screen_against_index(new, path).collect())
+    unrouted = sorted(
+        r["doc_id"]
+        for r in exact_screen_against_index(new, path, use_bloom=False).collect()
+    )
+    assert routed == unrouted == plain
+    # helper columns never leak
+    assert exact_screen_against_index(new, path).columns == new.columns
+
+
+def test_pipeline_index_exact_stage(spark, tmp_path):
+    from mysql_to_s3_spark.operators.dedup_index import write_dedup_index
+    from mysql_to_s3_spark.pipeline import (
+        CorpusConfig,
+        PipelineError,
+        prepare_corpus,
+    )
+
+    path = str(tmp_path / "pipe_index")
+    corpus = spark.createDataFrame(
+        [(i, f"already ingested doc {i} text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    write_dedup_index(corpus, path)
+    write_bloom_sidecar(path, spark, m_bits=4096, k=4)
+
+    new = spark.createDataFrame(
+        [(500, "already ingested doc 3 text"), (501, "a brand new doc body here")],
+        "doc_id long, text string",
+    )
+    cfg = CorpusConfig(exact=False, index_path=path, index_exact=True)
+    prep = prepare_corpus(new, cfg)
+    kept = sorted(r["doc_id"] for r in prep.docs.select("doc_id").collect())
+    assert kept == [501]
+    names = [n for n, _ in prep.stages]
+    assert names.index("index_exact") < names.index("index_dedup")
+
+    with pytest.raises(PipelineError, match="index_exact requires"):
+        prepare_corpus(new, CorpusConfig(exact=False, index_exact=True))
