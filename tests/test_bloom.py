@@ -216,3 +216,43 @@ def test_pipeline_index_exact_stage(spark, tmp_path):
 
     with pytest.raises(PipelineError, match="index_exact requires"):
         prepare_corpus(new, CorpusConfig(exact=False, index_exact=True))
+
+
+def test_bloom_might_contain_streaming_safe(spark, tmp_path):
+    """The screen is a stateless Arrow kernel — it must run unchanged
+    inside a Structured Streaming micro-batch."""
+    import os
+
+    import pandas as pd
+
+    from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+    members = [f"m{i}" for i in range(20)]
+    bm = bloom_build(
+        spark.createDataFrame([(v,) for v in members], "fp string"), "fp", 1024, 3
+    )
+    src = str(tmp_path / "bloom_stream")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "ts": pd.to_datetime(["2024-01-01"] * 6).astype("datetime64[us]"),
+            "fp": ["m1", "m2", "nope-a", "m3", "nope-b", None],
+        }
+    ).to_parquet(src + "/a.parquet")
+    sdf = read_parquet_stream(spark, src, spark.read.parquet(src).schema)
+    out = sdf.withColumn("maybe", bloom_might_contain(F.col("fp"), bm, 1024, 3))
+    q = (
+        out.writeStream.format("memory").queryName("bloom_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = {r["doc_id"]: r["maybe"] for r in spark.sql("SELECT * FROM bloom_stream_t").collect()}
+    assert got[0] and got[1] and got[3]          # members always flag
+    assert got[5] is False                        # null fp -> definitely new
+    # batch == stream decisions on the same rows
+    batch = spark.read.parquet(src).withColumn(
+        "maybe", bloom_might_contain(F.col("fp"), bm, 1024, 3)
+    )
+    bgot = {r["doc_id"]: r["maybe"] for r in batch.collect()}
+    assert bgot == got

@@ -177,11 +177,15 @@ def test_compression_ratio_matches_zlib_and_gates(spark):
 
 
 def _py_gopher_repetition(text):
-    """Pure-Python replica of the documented semantics."""
+    """Pure-Python replica of the documented semantics. re.ASCII is
+    load-bearing: Java and RE2 \\w are ASCII-only (Spark and DuckDB
+    agree with each other), while Python's default \\w is
+    Unicode-aware — the hypothesis harness found 'µ' counted as a word
+    here but not by either engine."""
     import re
     from collections import Counter
 
-    ws = re.findall(r"\w+", text)
+    ws = re.findall(r"\w+", text, re.ASCII)
     n_chars = len(text)
     out = {}
 
@@ -347,3 +351,36 @@ def test_pipeline_gopher_repetition_gate_batch_and_stream(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM gopher_rep_stream_t").collect()
     )
     assert skept == kept
+
+
+def test_gopher_repetition_hypothesis_docs_match_python(spark):
+    """Property form of the python-replica check: arbitrary unicode word
+    soup with random line/paragraph structure, batched into ONE Spark
+    job per example set (12 examples x ~8 docs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    sep = st.sampled_from([" ", "  ", "\n", "\n\n", " \n "])
+    doc = st.lists(st.tuples(word, sep), min_size=0, max_size=40).map(
+        lambda ps: "".join(w + s for w, s in ps)
+    )
+
+    @given(st.lists(doc, min_size=1, max_size=8))
+    @settings(
+        max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    def check(texts):
+        got = _spark_gopher_repetition(spark, texts)
+        for r, text in zip(got, texts):
+            want = _py_gopher_repetition(text)
+            for k, v in want.items():
+                assert abs(r[k] - v) < 1e-9, (repr(text[:60]), k, r[k], v)
+
+    check()
