@@ -19,7 +19,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # token pattern: words OR single non-space punctuation — a cheap BPE-ish
-# pre-tokenizer (word-level split with punctuation isolated)
+# pre-tokenizer (word-level split with punctuation isolated).
+# ENGINE CONTRACT: \w here is ASCII-only — Java regex (Spark) and RE2
+# (DuckDB) both define \w as [A-Za-z0-9_] by default, so the engine and
+# its oracle agree; note Python's re is Unicode-aware and needs
+# re.ASCII to replicate (a hypothesis harness caught 'µ' diverging).
+# Consequence: the word-based heuristics (language_id, quality_score,
+# the repetition family) see only ASCII-word text — fine for the
+# Latin-script profiles shipped here; a non-Latin corpus needs a
+# Unicode-aware WORD_RE AND a matching oracle dialect.
 TOKEN_RE = r"\w+|[^\w\s]"
 WORD_RE = r"\w+"
 
