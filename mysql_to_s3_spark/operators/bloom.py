@@ -193,10 +193,11 @@ def write_bloom_sidecar(
             f"batch_bitmap is {len(batch_bitmap)} bytes but m_bits={m_bits} "
             f"needs {m_bits // 8}"
         )
+    docs = spark.read.parquet(index_path + "/docs")
     fresh = (
         batch_bitmap
         if batch_bitmap is not None
-        else bloom_build(spark.read.parquet(index_path + "/docs"), "fp", m_bits, k)
+        else bloom_build(docs, "fp", m_bits, k)
     )
     if mode == "extend":
         old = read_bloom_sidecar(index_path, spark)
@@ -206,8 +207,13 @@ def write_bloom_sidecar(
                 f"extend requested ({m_bits}, {k})"
             )
         fresh = bloom_union(old["bitmap"], fresh)
+    # n_docs stamp = the docs-table row count this sidecar covers: the
+    # staleness guard `exact_screen_against_index` compares against (an
+    # index append without a sidecar update would otherwise silently
+    # break the no-false-negative routing guarantee)
     spark.createDataFrame(
-        [(m_bits, k, fresh)], "m_bits int, k int, bitmap binary"
+        [(m_bits, k, fresh, docs.count())],
+        "m_bits int, k int, bitmap binary, n_docs long",
     ).coalesce(1).write.mode("overwrite").parquet(index_path + "/bloom")
     return fresh
 
@@ -216,7 +222,14 @@ def read_bloom_sidecar(index_path: str, spark) -> dict:
     row = spark.read.parquet(index_path + "/bloom").first()
     if row is None:
         raise BloomError(f"no bloom sidecar at {index_path}/bloom")
-    return {"m_bits": row["m_bits"], "k": row["k"], "bitmap": bytes(row["bitmap"])}
+    d = row.asDict()
+    return {
+        "m_bits": d["m_bits"],
+        "k": d["k"],
+        "bitmap": bytes(d["bitmap"]),
+        # pre-stamp sidecars have no n_docs column: None = unknown
+        "n_docs": d.get("n_docs"),
+    }
 
 
 def bloom_screen(

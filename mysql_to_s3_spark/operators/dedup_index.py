@@ -123,7 +123,6 @@ def write_dedup_index(
 def exact_screen_against_index(
     new_df: DataFrame,
     path: str,
-    id_col: str = "doc_id",
     text_col: str = "text",
     use_bloom: bool = True,
 ) -> DataFrame:
@@ -133,43 +132,66 @@ def exact_screen_against_index(
     batch's fps against the index docs table's fp column — column-
     pruned, the old corpus text is never read.
 
-    With ``use_bloom`` (default) and a bloom sidecar present, the
-    Bloom screen routes the join: definitely-new docs (bloom False — a
-    HARD guarantee for exact fingerprints) bypass the index entirely,
-    and only the possibly-seen sliver anti-joins. This composition is
-    sound ONLY for exact fingerprints — do NOT bloom-gate the near-dup
-    screen, where a bloom-negative doc can still be a near-duplicate of
-    an indexed one. Missing sidecar falls back to the plain anti-join.
+    With ``use_bloom`` (default) and a FRESH bloom sidecar present,
+    the Bloom screen routes the join: definitely-new docs (bloom False
+    — a HARD guarantee for exact fingerprints) bypass the index
+    entirely, and only the possibly-seen sliver anti-joins. This
+    composition is sound ONLY for exact fingerprints — do NOT
+    bloom-gate the near-dup screen, where a bloom-negative doc can
+    still be a near-duplicate of an indexed one.
+
+    Staleness guard: the sidecar carries the docs-table row count it
+    was built/extended against (`n_docs`); when the index has MORE
+    docs than the stamp (an append without the sidecar update), the
+    bloom's no-false-negative guarantee no longer covers the corpus,
+    so the screen silently falls back to the plain anti-join — correct
+    either way, just without the routing. A missing sidecar (checked
+    by error CLASS, not message substring) falls back the same way.
+    The flagged frame is scope-cached: both route branches consume it,
+    and an uncached union would re-run the whole upstream lineage
+    (fingerprints + the Arrow bloom kernel included) once per branch.
     """
+    from pyspark.errors import AnalysisException
+
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+    from mysql_to_s3_spark.operators.bloom import (
+        BloomError,
+        bloom_might_contain,
+        read_bloom_sidecar,
+    )
     from mysql_to_s3_spark.operators.text import fingerprint
 
     spark = new_df.sparkSession
-    index_fps = spark.read.parquet(path + "/docs").select("fp")
+    docs_tbl = spark.read.parquet(path + "/docs")
+    index_fps = docs_tbl.select("fp")
     with_fp = new_df.withColumn("__fp__", fingerprint(F.col(text_col)))
+    side = None
     if use_bloom:
-        from mysql_to_s3_spark.operators.bloom import (
-            BloomError,
-            bloom_might_contain,
-            read_bloom_sidecar,
-        )
-
         try:
             side = read_bloom_sidecar(path, spark)
-        except Exception as exc:  # missing sidecar -> plain anti-join
-            if not isinstance(exc, BloomError) and "PATH_NOT_FOUND" not in str(exc):
+        except BloomError:
+            side = None
+        except AnalysisException as exc:
+            err = exc.getErrorClass() if hasattr(exc, "getErrorClass") else None
+            if err != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
                 raise
             side = None
-        if side is not None:
-            flag = bloom_might_contain(
-                F.col("__fp__"), side["bitmap"], side["m_bits"], side["k"]
-            )
-            flagged = with_fp.withColumn("__maybe__", flag)
-            definite_new = flagged.filter(~F.col("__maybe__")).drop("__maybe__")
-            maybe = flagged.filter(F.col("__maybe__")).drop("__maybe__")
-            screened = maybe.join(
-                index_fps.withColumnRenamed("fp", "__fp__"), "__fp__", "left_anti"
-            )
-            return definite_new.unionByName(screened).drop("__fp__")
+        if side is not None and side.get("n_docs") is not None:
+            if docs_tbl.count() > side["n_docs"]:
+                side = None  # stale sidecar: appended docs not in the bloom
+    if side is not None:
+        flag = bloom_might_contain(
+            F.col("__fp__"), side["bitmap"], side["m_bits"], side["k"]
+        )
+        flagged = cache_scoped(
+            with_fp.withColumn("__maybe__", flag), "dedup_index.bloom_flag"
+        )
+        definite_new = flagged.filter(~F.col("__maybe__")).drop("__maybe__")
+        maybe = flagged.filter(F.col("__maybe__")).drop("__maybe__")
+        screened = maybe.join(
+            index_fps.withColumnRenamed("fp", "__fp__"), "__fp__", "left_anti"
+        )
+        return definite_new.unionByName(screened).drop("__fp__")
     return with_fp.join(
         index_fps.withColumnRenamed("fp", "__fp__"), "__fp__", "left_anti"
     ).drop("__fp__")

@@ -217,6 +217,14 @@ def _leaf_columns(schema: T.StructType, prefix: str = "") -> list[str]:
 # aggregation
 
 
+def _qname(name: str) -> Column:
+    """Column reference by LITERAL name — backtick-quoted with backticks
+    escaped. Select names may contain dots (the engine's default name IS
+    the value path), and a bare F.col("a.b") parses as field b of
+    column a."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _agg_column(df: DataFrame, s: SelectClause, schema: Schema, approx: bool = False) -> Column:
     if s.value == ".":
         base = F.lit(1)
@@ -294,10 +302,7 @@ def _scalar_agg_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     for g in live:
         part = df.agg(*[_agg_column(df, s, schema, approx=q.approx) for s in groups[g]])
         out = part if out is None else out.crossJoin(part)
-    # backtick-quote: select names may contain dots (the engine's
-    # default name IS the value path, and nested paths are legal) —
-    # a bare F.col("a.b") would parse as field b of column a
-    return out.select(*[F.col(f"`{s.name}`") for s in selects])
+    return out.select(*[_qname(s.name) for s in selects])
 
 
 def _groupby_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
@@ -308,7 +313,7 @@ def _groupby_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     return out.select(
         *[F.col(k).alias(e.name) for k, e in zip(keys, q.groupby)],
-        *[F.col(s.name) for s in q.select if s.aggregate != "none"],
+        *[_qname(s.name) for s in q.select if s.aggregate != "none"],
     )
 
 
@@ -391,17 +396,20 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
         # (unbounded at scale) or be ignored. AQE converts this to a broadcast
         # join at runtime when the post-agg `sparse` is actually small.
         result = d.join(sp, on=cond, how="left")
+
+        # empty cells: count-family fills 0 (accumulator start state).
+        # Folded into the select as coalesce — fillna() resolves dict
+        # keys by parsing, so a dotted select name would fail there
+        def _cell(s: SelectClause) -> Column:
+            c = F.col("__sparse__.`" + s.name.replace("`", "``") + "`")
+            if s.aggregate in ("count", "cardinality", "count_distinct", "s0"):
+                c = F.coalesce(c, F.lit(0))
+            return c.alias(s.name)
+
         result = result.select(
             *[F.col(f"__dense__.{k}").alias(k) for k in keys],
-            *[F.col(f"__sparse__.{s.name}").alias(s.name) for s in sel_aggs],
+            *[_cell(s) for s in sel_aggs],
         )
-        # empty cells: count-family fills 0 (accumulator start state)
-        fills = {}
-        for s in sel_aggs:
-            if s.aggregate in ("count", "cardinality", "count_distinct", "s0"):
-                fills[s.name] = 0
-        if fills:
-            result = result.fillna(fills)
         # rows outside every domain part (bucket keys NULL but allowNulls
         # False) were joined away; drop disallowed null buckets
         for e, key in zip(q.edges, keys):
@@ -411,7 +419,7 @@ def _edges_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
 
     return sparse.select(
         *[F.col(k).alias(e.name) for k, e in zip(keys, q.edges)],
-        *[F.col(s.name) for s in sel_aggs],
+        *[_qname(s.name) for s in sel_aggs],
     )
 
 

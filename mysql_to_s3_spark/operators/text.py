@@ -395,6 +395,11 @@ def canonical_url(col: Column) -> Column:
     authority = F.regexp_replace(authority, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")
     authority = F.regexp_replace(authority, r"^(http://[^/:?]*):80$", "$1")
     authority = F.regexp_replace(authority, r"^(https://[^/:?]*):443$", "$1")
+    # IPv6 bracket authorities: the host contains ':', so the rules
+    # above can't match — strip default ports for brackets separately
+    # (keeps canonical_url and url_host agreeing on "same authority")
+    authority = F.regexp_replace(authority, r"^(http://\[[^\]]*\]):80$", "$1")
+    authority = F.regexp_replace(authority, r"^(https://\[[^\]]*\]):443$", "$1")
     path = F.regexp_replace(F.regexp_replace(base, r"^[^/?]*://[^/?]*", ""), r"/+$", "")
     kept = F.array_sort(
         F.filter(F.split(query, "&"), lambda p: ~p.rlike(TRACKING_PARAM_RE) & (p != ""))

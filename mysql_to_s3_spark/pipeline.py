@@ -722,7 +722,7 @@ def prepare_corpus(
             )
 
             out = exact_screen_against_index(
-                out, cfg.index_path, id_col=cfg.id_col, text_col=cfg.text_col
+                out, cfg.index_path, text_col=cfg.text_col
             )
             stages.append(("index_exact", out))
         out = dedup_against_index(

@@ -1386,7 +1386,11 @@ def _sql_dot(a: str, b: str, dim: int = 64) -> str:
 
 
 def _sql_cosine(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    # zero-norm -> 0.0 (NOT NaN), matching dedup.cosine's guard — the
+    # engine and its oracle must agree on padding/zero vectors even
+    # though the current fixtures contain none
+    denom = f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    return f"(CASE WHEN {denom} = 0 THEN 0.0 ELSE {_sql_dot(a, b)} / {denom} END)"
 
 
 def _sql_plane_dot(vec: str, plane: list[float]) -> str:

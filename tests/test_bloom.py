@@ -256,3 +256,35 @@ def test_bloom_might_contain_streaming_safe(spark, tmp_path):
     )
     bgot = {r["doc_id"]: r["maybe"] for r in batch.collect()}
     assert bgot == got
+
+
+def test_stale_sidecar_falls_back_to_plain_anti_join(spark, tmp_path):
+    """An index append WITHOUT a sidecar update must not let exact
+    re-ingests of the appended docs through the bloom fast path."""
+    from mysql_to_s3_spark.operators.dedup_index import (
+        exact_screen_against_index,
+        write_dedup_index,
+    )
+
+    path = str(tmp_path / "stale_index")
+    write_dedup_index(
+        spark.createDataFrame([(i, f"doc {i}") for i in range(10)],
+                              "doc_id long, text string"),
+        path,
+    )
+    write_bloom_sidecar(path, spark, m_bits=2048, k=3)
+    write_dedup_index(
+        spark.createDataFrame([(100, "late appended doc")], "doc_id long, text string"),
+        path,
+        mode="append",
+    )  # sidecar is now STALE (n_docs stamp < docs count)
+    new = spark.createDataFrame(
+        [(200, "late appended doc"), (201, "truly new body")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_screen_against_index(new, path).collect())
+    assert kept == [201]
+    # refreshing the sidecar restores the bloom routing with the same answer
+    write_bloom_sidecar(path, spark, m_bits=2048, k=3)
+    kept2 = sorted(r["doc_id"] for r in exact_screen_against_index(new, path).collect())
+    assert kept2 == [201]

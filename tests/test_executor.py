@@ -658,3 +658,45 @@ def test_scalar_agg_split_classes_stats_and_trimmed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # the split fired
     row = df.first()
     assert row["s"] is not None and row["st"]["count"] > 0
+
+
+def test_grouped_and_edges_dotted_select_names(spark, sf_dir, duck):
+    """Dotted select names work in the GROUPED and EDGES paths too (they
+    re-select aggregate outputs by name like the scalar path does)."""
+    from mysql_to_s3_spark.operators.executor import run
+
+    g = run(
+        {
+            "from": "lineitem",
+            "groupby": ["l_returnflag"],
+            "select": [
+                {"name": "q.med", "value": "l_quantity", "aggregate": "median"},
+                {"name": "q.n", "value": "l_quantity", "aggregate": "count"},
+            ],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    got = sorted((r["l_returnflag"], r["q.med"], r["q.n"]) for r in g.collect())
+    want = duck.execute(
+        "SELECT l_returnflag, quantile_cont(l_quantity, 0.5), count(l_quantity) "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+    e = run(
+        {
+            "from": "customer",
+            "edges": [{"value": "c_mktsegment", "domain": {
+                "type": "set", "partitions": ["AUTOMOBILE", "NOSUCH"]}}],
+            "select": [{"name": "seg.n", "value": ".", "aggregate": "count"}],
+        },
+        spark=spark,
+        sf_dir=sf_dir,
+    )
+    rows = {r["c_mktsegment"]: r["seg.n"] for r in e.collect()}
+    n_auto = duck.execute(
+        "SELECT count(*) FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+    ).fetchone()[0]
+    assert rows.get("AUTOMOBILE") == n_auto
+    assert rows.get("NOSUCH") == 0  # dense empty cell count-fills 0

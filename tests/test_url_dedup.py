@@ -26,6 +26,10 @@ CASES = [
     ("http://example.com/x?ref=hn&gclid=1&utm_campaign=c", "http://example.com/x"),
     ("http://wwwx.example.com/a", "http://wwwx.example.com/a"),  # www-prefix needs the dot
     ("HTTPS://EX.COM/A#x?y=1", "https://ex.com/A"),  # fragment strips before query parse
+    # IPv6 bracket authorities: default ports strip, explicit ports keep
+    ("https://[2001:db8::1]:443/x", "https://[2001:db8::1]/x"),
+    ("http://[::1]:80/y", "http://[::1]/y"),
+    ("https://[2001:db8::1]:8443/x", "https://[2001:db8::1]:8443/x"),
 ]
 
 
