@@ -174,31 +174,44 @@ def write_bloom_sidecar(
     k: int = BLOOM_K,
     mode: str = "overwrite",
     batch_bitmap: bytes | None = None,
+    batch_n_docs: int | None = None,
 ) -> bytes:
     """Build (or extend) the ``bloom`` sidecar of a persisted dedup
     index (`operators/dedup_index.py` layout). ``mode='overwrite'``
     rebuilds from the docs table's fingerprints (corpus-linear — the
     first build, or recovery). ``mode='extend'`` ORs new bits into the
     existing sidecar: pass ``batch_bitmap`` (a `bloom_build` over JUST
-    the appended batch's fingerprints) to keep the update
-    BATCH-linear — the corpus is never re-read; without it, extend
-    falls back to a corpus-linear rebuild-and-OR (correct, but it
-    saves nothing over overwrite). Returns the written bitmap."""
+    the appended batch's fingerprints) plus ``batch_n_docs`` (that
+    batch's row count) to keep the update BATCH-linear — the corpus is
+    never re-read; without a batch bitmap, extend falls back to a
+    corpus-linear rebuild-and-OR (correct, but it saves nothing over
+    overwrite). Returns the written bitmap.
+
+    The n_docs stamp is only advanced when it is PROVEN the batch
+    bitmap accounts for every doc added since the old stamp:
+    ``old n_docs + batch_n_docs == docs.count()``. If two appends
+    happened but only the last batch's bitmap was passed, stamping
+    would legitimize an under-covering bloom and defeat the staleness
+    guard — so any mismatch (or an unstamped old sidecar) falls back
+    to the corpus-linear rebuild instead."""
     if mode not in ("overwrite", "extend"):
         raise BloomError(f"mode must be 'overwrite' or 'extend', got {mode!r}")
     if batch_bitmap is not None and mode != "extend":
         raise BloomError("batch_bitmap only composes with mode='extend'")
+    if batch_bitmap is not None and batch_n_docs is None:
+        raise BloomError(
+            "batch_bitmap requires batch_n_docs (the batch's row count) so the "
+            "n_docs stamp can be proven to cover every append since the old one"
+        )
     if batch_bitmap is not None and len(batch_bitmap) != m_bits // 8:
         raise BloomError(
             f"batch_bitmap is {len(batch_bitmap)} bytes but m_bits={m_bits} "
             f"needs {m_bits // 8}"
         )
     docs = spark.read.parquet(index_path + "/docs")
-    fresh = (
-        batch_bitmap
-        if batch_bitmap is not None
-        else bloom_build(docs, "fp", m_bits, k)
-    )
+    n_docs_now = docs.count()
+    use_batch = batch_bitmap is not None
+    old = None
     if mode == "extend":
         old = read_bloom_sidecar(index_path, spark)
         if (old["m_bits"], old["k"]) != (m_bits, k):
@@ -206,13 +219,22 @@ def write_bloom_sidecar(
                 f"sidecar at {index_path} has (m_bits={old['m_bits']}, k={old['k']}); "
                 f"extend requested ({m_bits}, {k})"
             )
+        if use_batch and (
+            old["n_docs"] is None or old["n_docs"] + batch_n_docs != n_docs_now
+        ):
+            # the batch bitmap provably does NOT cover everything added
+            # since the old stamp (or the old sidecar carries no stamp
+            # to prove it against): rebuild corpus-linear
+            use_batch = False
+    fresh = batch_bitmap if use_batch else bloom_build(docs, "fp", m_bits, k)
+    if mode == "extend":
         fresh = bloom_union(old["bitmap"], fresh)
     # n_docs stamp = the docs-table row count this sidecar covers: the
     # staleness guard `exact_screen_against_index` compares against (an
     # index append without a sidecar update would otherwise silently
     # break the no-false-negative routing guarantee)
     spark.createDataFrame(
-        [(m_bits, k, fresh, docs.count())],
+        [(m_bits, k, fresh, n_docs_now)],
         "m_bits int, k int, bitmap binary, n_docs long",
     ).coalesce(1).write.mode("overwrite").parquet(index_path + "/bloom")
     return fresh
@@ -243,10 +265,25 @@ def bloom_screen(
     ``flag_col`` (False = definitely not in the index — skip the exact
     screen for these; True = run `dedup_against_index` on this sliver).
     The fingerprint is the SAME normalized-text fp the index stores, so
-    the no-false-negative guarantee carries over exactly."""
+    the no-false-negative guarantee carries over exactly.
+
+    Staleness guard (same contract as `exact_screen_against_index`):
+    when the index docs table has MORE rows than the sidecar's n_docs
+    stamp — an append without a sidecar update — or the sidecar
+    carries no stamp at all, the bloom no longer covers the corpus and
+    a False could be a false negative for the appended fingerprints.
+    Every row then flags True (= "run the exact screen"), which keeps
+    callers who skip the exact screen on False rows correct, at the
+    cost of routing nothing."""
     from mysql_to_s3_spark.operators.text import fingerprint
 
-    side = read_bloom_sidecar(index_path, new_df.sparkSession)
+    spark = new_df.sparkSession
+    side = read_bloom_sidecar(index_path, spark)
+    if (
+        side.get("n_docs") is None
+        or spark.read.parquet(index_path + "/docs").count() > side["n_docs"]
+    ):
+        return new_df.withColumn(flag_col, F.lit(True))
     return new_df.withColumn(
         flag_col,
         bloom_might_contain(

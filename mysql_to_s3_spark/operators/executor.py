@@ -289,7 +289,17 @@ def _scalar_agg_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
     that with one extra column-pruned scan per extra class — the right
     trade until the scan itself dominates, at which point the 100 TB
     answer is `approx:true` (KLL/HLL sketches aggregate like cheap
-    columns and the query collapses back to ONE scan)."""
+    columns and the query collapses back to ONE scan).
+
+    Consistency caveat: the split runs up to three INDEPENDENT scans
+    of the input, so for non-deterministic lineage (rand()-derived
+    columns, sampling without a seed, a source mutating between jobs)
+    the per-class aggregates in the single output row can disagree
+    about what data they saw, where the old single .agg() saw one
+    snapshot. Registered queries all read immutable parquet with
+    deterministic lineage, so this is a caveat, not a bug; callers
+    feeding non-deterministic frames should `df.localCheckpoint()`
+    (or cache + materialize) before the scalar aggregate."""
     _check_agg_selects(q, set())
     selects = [s for s in q.select if s.aggregate != "none"]
     groups: dict[int, list] = {0: [], 1: [], 2: []}

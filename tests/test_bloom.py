@@ -140,16 +140,98 @@ def test_extend_with_batch_bitmap_is_batch_linear(spark, tmp_path):
     )
     write_dedup_index(batch, path, mode="append")
     got = write_bloom_sidecar(
-        path, spark, m_bits=2048, k=3, mode="extend", batch_bitmap=batch_bm
+        path, spark, m_bits=2048, k=3, mode="extend",
+        batch_bitmap=batch_bm, batch_n_docs=2,
     )
     want = bloom_build(spark.read.parquet(path + "/docs"), "fp", 2048, 3)
     assert got == want
+    assert read_bloom_sidecar(path, spark)["n_docs"] == 32
     with pytest.raises(BloomError, match="only composes"):
-        write_bloom_sidecar(path, spark, m_bits=2048, k=3, batch_bitmap=batch_bm)
+        write_bloom_sidecar(
+            path, spark, m_bits=2048, k=3, batch_bitmap=batch_bm, batch_n_docs=2
+        )
     with pytest.raises(BloomError, match="batch_bitmap is"):
         write_bloom_sidecar(
-            path, spark, m_bits=4096, k=3, mode="extend", batch_bitmap=batch_bm
+            path, spark, m_bits=4096, k=3, mode="extend",
+            batch_bitmap=batch_bm, batch_n_docs=2,
         )
+    with pytest.raises(BloomError, match="requires batch_n_docs"):
+        write_bloom_sidecar(
+            path, spark, m_bits=2048, k=3, mode="extend", batch_bitmap=batch_bm
+        )
+
+
+def test_extend_under_covering_batch_falls_back_to_rebuild(spark, tmp_path):
+    """Two appends, ONE batch bitmap: stamping would legitimize an
+    under-covering bloom — extend must rebuild corpus-linear instead,
+    so the written sidecar still covers the first append's fps."""
+    from mysql_to_s3_spark.operators.dedup_index import write_dedup_index
+    from mysql_to_s3_spark.operators.text import fingerprint
+
+    path = str(tmp_path / "uc_index")
+    write_dedup_index(
+        spark.createDataFrame([(i, f"base doc {i}") for i in range(10)],
+                              "doc_id long, text string"),
+        path,
+    )
+    write_bloom_sidecar(path, spark, m_bits=2048, k=3)
+    first = spark.createDataFrame([(100, "first appended doc")], "doc_id long, text string")
+    second = spark.createDataFrame([(101, "second appended doc")], "doc_id long, text string")
+    write_dedup_index(first, path, mode="append")
+    write_dedup_index(second, path, mode="append")
+    second_bm = bloom_build(
+        second.select(fingerprint(F.col("text")).alias("fp")), "fp", 2048, 3
+    )
+    # batch covers only the SECOND append: 10 + 1 != 12 -> rebuild
+    got = write_bloom_sidecar(
+        path, spark, m_bits=2048, k=3, mode="extend",
+        batch_bitmap=second_bm, batch_n_docs=1,
+    )
+    want = bloom_build(spark.read.parquet(path + "/docs"), "fp", 2048, 3)
+    assert got == want  # covers BOTH appends, not just the passed batch
+    assert read_bloom_sidecar(path, spark)["n_docs"] == 12
+    flags = {
+        r["doc_id"]: r["might_dup"]
+        for r in bloom_screen(
+            spark.createDataFrame(
+                [(200, "first appended doc"), (201, "second appended doc")],
+                "doc_id long, text string",
+            ),
+            path,
+        ).collect()
+    }
+    assert flags[200] is True and flags[201] is True
+
+
+def test_bloom_screen_stale_sidecar_flags_everything_true(spark, tmp_path):
+    """bloom_screen on a STALE sidecar (index appended, sidecar not
+    updated) must not emit False for the appended fingerprints — it
+    flags every row True so exact-screen-skipping callers stay
+    correct."""
+    from mysql_to_s3_spark.operators.dedup_index import write_dedup_index
+
+    path = str(tmp_path / "bs_stale")
+    write_dedup_index(
+        spark.createDataFrame([(i, f"doc {i}") for i in range(10)],
+                              "doc_id long, text string"),
+        path,
+    )
+    write_bloom_sidecar(path, spark, m_bits=2048, k=3)
+    write_dedup_index(
+        spark.createDataFrame([(100, "late appended doc")], "doc_id long, text string"),
+        path,
+        mode="append",
+    )
+    new = spark.createDataFrame(
+        [(200, "late appended doc"), (201, "some brand new body")],
+        "doc_id long, text string",
+    )
+    flags = {r["doc_id"]: r["might_dup"] for r in bloom_screen(new, path).collect()}
+    assert flags == {200: True, 201: True}
+    # refresh -> routing returns: the appended fp still flags, the new one may not
+    write_bloom_sidecar(path, spark, m_bits=2048, k=3)
+    flags2 = {r["doc_id"]: r["might_dup"] for r in bloom_screen(new, path).collect()}
+    assert flags2[200] is True
 
 
 def test_exact_screen_against_index_bloom_routed(spark, tmp_path):
