@@ -109,6 +109,12 @@ class QueryOp:
     limit: int | None = None
     format: str = "list"
     destination: Any = None
+    # post-aggregate filter over the RESULT schema (select/edge names).
+    # The reference parses `having` then drops it (query.py:244), so the
+    # default wrap keeps parity and REJECTS it; pass allow_having=True
+    # (the executor does when spark conf mysql_to_s3_spark.allowHaving
+    # is set) to accept — free in Spark: a filter after the aggregate.
+    having: Any = None
     # scale switch (no reference analog): percentile/median via KLL sketch
     # (percentile_approx) and cardinality via HLL instead of the exact
     # sort-based / expand forms — the 100 TB recommendation for

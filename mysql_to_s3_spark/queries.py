@@ -1173,9 +1173,17 @@ _BLOCK_WORDS = ("SLOW", "spam", "big")
 
 
 def _sql_stop_hits(col: str, vocab: tuple[str, ...]) -> str:
+    return _sql_stop_hits_list(_sql_words(col), vocab)
+
+
+def _sql_stop_hits_list(ws: str, vocab: tuple[str, ...]) -> str:
+    """Vocab-hit count over a PRE-BOUND words list — bind the list via
+    LATERAL first: DuckDB does not CSE a words expression repeated
+    inside lambdas, and the re-derivation is the difference between
+    0.06 s and 67 s at sf0.01 for the top-bigram column alone."""
     lst = ", ".join(f"'{w}'" for w in vocab)
     return (
-        f"coalesce(list_sum(list_transform({_sql_words(col)}, "
+        f"coalesce(list_sum(list_transform({ws}, "
         f"w -> CASE WHEN list_contains([{lst}], lower(w)) THEN 1 ELSE 0 END)), 0)"
     )
 
@@ -1231,7 +1239,13 @@ def _sql_dup_ngram_chars(ng: str) -> str:
 def _text_stats_sql() -> str:
     from mysql_to_s3_spark.operators.text import LANG_PROFILES, TOKEN_RE
 
-    stop = _sql_stop_hits("text", LANG_PROFILES["en"])
+    # every text-words signal reads the LATERAL-bound `tw` (and the
+    # top-bigram its bound `tbg`): with the words expression inlined,
+    # DuckDB re-derives the regexp inside each lambda ELEMENT and the
+    # top-bigram column alone cost 67 s at sf0.01 (bound: 0.06 s) —
+    # the r9 "unmaterialized-HOF pathology" that kept this oracle out
+    # of the sf0.1 ratio re-time (tools/bench_oracle.py)
+    stop = _sql_stop_hits_list("tw", LANG_PROFILES["en"])
     # r9s3: the complete Gopher repetition family over synth2 — a
     # repetition-rich doc built from the corpus text by doc_id
     # arithmetic (dup lines when d%2=0, a 1-3x repeated 10-word segment
@@ -1264,20 +1278,21 @@ def _text_stats_sql() -> str:
     SELECT doc_id,
            length(text) AS n_chars,
            len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
-           len({_sql_words('text')}) AS n_words,
-           round(CASE WHEN len({_sql_words('text')}) > 0
-                 THEN coalesce(list_sum(list_transform({_sql_words('text')}, w -> length(w))), 0)::DOUBLE
-                      / len({_sql_words('text')}) ELSE 0.0 END, 6) AS avg_word_len,
+           len(tw) AS n_words,
+           round(CASE WHEN len(tw) > 0
+                 THEN coalesce(list_sum(list_transform(tw, w -> length(w))), 0)::DOUBLE
+                      / len(tw) ELSE 0.0 END, 6) AS avg_word_len,
            round(CASE WHEN length(text) > 0
                  THEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / length(text)
                  ELSE 0.0 END, 6) AS punct_ratio,
-           round(CASE WHEN len({_sql_words('text')}) > 0
-                 THEN {stop}::DOUBLE / len({_sql_words('text')}) ELSE 0.0 END, 6) AS stopword_ratio,
-           round(CASE WHEN len({_sql_words('text')}) > 0
-                 THEN 1.0 - len(list_distinct({_sql_words('text')}))::DOUBLE / len({_sql_words('text')})
+           round(CASE WHEN len(tw) > 0
+                 THEN {stop}::DOUBLE / len(tw) ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN len(tw) > 0
+                 THEN 1.0 - len(list_distinct(tw))::DOUBLE / len(tw)
                  ELSE 0.0 END, 6) AS dup_word_frac,
-           round(CASE WHEN len({_sql_words('text')}) > 1
-                 THEN {_sql_top_bigram('text')}::DOUBLE / (len({_sql_words('text')}) - 1)
+           round(CASE WHEN len(tw) > 1
+                 THEN list_max(list_transform(list_distinct(tbg),
+                        d -> len(list_filter(tbg, x -> x = d))))::DOUBLE / (len(tw) - 1)
                  ELSE 0.0 END, 6) AS top_bigram_frac,
            round(CASE WHEN len(sw) > 0
                  THEN (len(regexp_extract_all(synth, '#'))
@@ -1293,9 +1308,9 @@ def _text_stats_sql() -> str:
            round(CASE WHEN len(sw) > 0
                  THEN len(list_filter(sw, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
                       / len(sw) ELSE 0.0 END, 6) AS alpha_word_frac,
-           round(CASE WHEN len({_sql_words('text')}) > 0
-                 THEN {_sql_stop_hits('text', tuple(w.lower() for w in _BLOCK_WORDS))}::DOUBLE
-                      / len({_sql_words('text')}) ELSE 0.0 END, 6) AS blockword_frac,
+           round(CASE WHEN len(tw) > 0
+                 THEN {_sql_stop_hits_list('tw', tuple(w.lower() for w in _BLOCK_WORDS))}::DOUBLE
+                      / len(tw) ELSE 0.0 END, 6) AS blockword_frac,
            {dup_line_frac} AS dup_line_frac,
            {dup_line_chars} AS dup_line_char_frac,
            {dup_para_frac} AS dup_para_frac,
@@ -1312,8 +1327,11 @@ def _text_stats_sql() -> str:
                  || CASE WHEN doc_id % 4 = 0 THEN '# t4g 42' ELSE 'only words here' END
                    AS synth
           FROM documents),
+         LATERAL (SELECT {_sql_words('text')} AS tw) _tw,
+         LATERAL (SELECT list_transform(range(1, greatest(len(tw) - 1, 0) + 1),
+                    i -> tw[i] || ' ' || tw[i + 1]) AS tbg) _tbg,
          LATERAL (SELECT {_sql_words('synth')} AS sw) _w,
-         LATERAL (SELECT array_to_string(list_slice({_sql_words('text')}, 1, 10), ' ')
+         LATERAL (SELECT array_to_string(list_slice(tw, 1, 10), ' ')
                     AS seg) _sg,
          LATERAL (SELECT CASE doc_id % 3 WHEN 0 THEN seg
                            WHEN 1 THEN seg || ' ' || seg
@@ -1554,6 +1572,9 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       source, and default-port docs collide with port-less docs),
       binding the keeper-min and grouping semantics, not just the
       string.
+    - `surl` (r10): stream_url_dedup drained in-row over the messy
+      docs + 20 unusable-address docs — one survivor per canonical
+      url, every url-less doc kept (see the leg comment below).
     """
     from pyspark.sql import functions as F
 
@@ -1710,7 +1731,89 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dupes",
         )
     )
-    return (batch.unionByName(stream).unionByName(url_leg).unionByName(urlk_leg).unionByName(urlf_leg).unionByName(bloom_leg))
+
+    # r10 `surl` leg: stream_url_dedup (the streaming identity-dedup
+    # front of prepare_corpus_stream) drained in-row. Input = the 240
+    # messy-url docs PLUS 20 docs with UNUSABLE addresses (null / '' /
+    # a fragment-only url whose canonical is blank) exercising the
+    # stateless keep-all bypass. Binds the operator's two invariants:
+    # exactly ONE survivor per distinct canonical url (fp = the
+    # canonical, n_dupes = survivor count, 1 everywhere), and EVERY
+    # url-less doc kept (one row per doc, fp = ''). WHICH doc survives
+    # a canonical group is intra-batch arrival order, same as the
+    # `stream` leg — keeper identity stays batch-leg-only (`urlk`).
+    from mysql_to_s3_spark.operators.text import usable_url
+
+    unusable = docs.filter((d >= 240) & (d < 260)).select(
+        "doc_id",
+        F.when(d % 3 == 0, F.lit(None).cast("string"))
+        .when(d % 3 == 1, F.lit(""))
+        .otherwise(F.lit("#frag"))
+        .alias("url"),
+    )
+    stream_in = messy.unionByName(unusable)
+
+    def _run_stream_url():
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from mysql_to_s3_spark.streaming.stream_extract import (
+            read_parquet_stream,
+            stream_url_dedup,
+        )
+
+        pdf = stream_in.orderBy("doc_id").toPandas()
+        pdf["ts"] = (
+            pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s")
+        ).astype("datetime64[us]")
+        src = _write_stream_chunks(pdf, pdf.iloc[0:0], "url_stream_")
+        schema = spark.read.parquet(src).schema
+        out = stream_url_dedup(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            "ts",
+            "url",
+            lateness="365 days",
+        )
+        name = f"surl_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        return sorted(
+            int(r["doc_id"]) for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+        )
+
+    surl_ids = _fit_drained(spark, sf_dir, "url_stream", _run_stream_url)
+    surl_surv = stream_in.join(
+        F.broadcast(spark.createDataFrame([(i,) for i in surl_ids], "doc_id bigint")),
+        "doc_id",
+        "left_semi",
+    )
+    has_url = usable_url(F.col("url"))
+    surl_u = (
+        surl_surv.filter(has_url)
+        .groupBy(canonical_url(F.col("url")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_dupes"))
+        .select(
+            F.lit("surl").alias("leg"),
+            "fp",
+            F.lit(None).cast("bigint").alias("keeper"),
+            "n_dupes",
+        )
+    )
+    surl_n = surl_surv.filter(~has_url).select(
+        F.lit("surl").alias("leg"),
+        F.lit("").alias("fp"),
+        F.col("doc_id").alias("keeper"),
+        F.lit(1).cast("bigint").alias("n_dupes"),
+    )
+    return (
+        batch.unionByName(stream).unionByName(url_leg).unionByName(urlk_leg)
+        .unionByName(urlf_leg).unionByName(bloom_leg)
+        .unionByName(surl_u).unionByName(surl_n)
+    )
 
 
 def _dedup_ngram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2554,7 +2657,17 @@ _q(
                      AND ('0x' || substr(md5(fp || ':1'), 1, 15))::BIGINT % 1024 IN (SELECT pos FROM ins)
                      AND ('0x' || substr(md5(fp || ':2'), 1, 15))::BIGINT % 1024 IN (SELECT pos FROM ins)
                     THEN 1 ELSE 0 END::BIGINT AS n_dupes
-        FROM fps""",
+        FROM fps
+        UNION ALL
+        -- surl: streaming url-dedup — one survivor per canonical url,
+        -- every unusable-address doc (240 <= id < 260) kept untouched
+        SELECT 'surl' AS leg, cu AS fp, NULL::BIGINT AS keeper,
+               CAST(1 AS BIGINT) AS n_dupes
+        FROM (SELECT DISTINCT cu FROM curl)
+        UNION ALL
+        SELECT 'surl' AS leg, '' AS fp, doc_id AS keeper,
+               CAST(1 AS BIGINT) AS n_dupes
+        FROM documents WHERE doc_id >= 240 AND doc_id < 260""",
 )
 _q("dedup_ngram_jaccard", _dedup_ngram_spark, _SQL_JACCARD_PAIRS)
 # minhash verifies candidates with exact Jaccard, so it matches the exact
@@ -2856,7 +2969,10 @@ def _write_stream_chunks(pdf, pusher, prefix: str, n_chunks: int = 3) -> str:
     pre-sort by event time so the file sequence replays the corpus in
     ts order) plus a final watermark-pusher file, with strictly
     increasing mtimes so ``maxFilesPerTrigger=1`` reads them as ordered
-    micro-batches (the r8 counters-leg drain protocol). Returns the
+    micro-batches (the r8 counters-leg drain protocol). ``pusher=None``
+    skips the pusher file — for stateless foreachBatch sinks an empty
+    trailing micro-batch is not harmless (an empty shard write has no
+    schema to manifest), and no watermark needs pushing. Returns the
     source dir; the temp root is registered for atexit cleanup."""
     import atexit as _atexit
     import os as _os
@@ -2875,9 +2991,10 @@ def _write_stream_chunks(pdf, pusher, prefix: str, n_chunks: int = 3) -> str:
         pdf.iloc[a:b].to_parquet(p)
         t0 = t0 if t0 is not None else _os.path.getmtime(p)
         _os.utime(p, (t0 + 10 * i, t0 + 10 * i))
-    p = f"{src}/zz_pusher.parquet"
-    pusher.to_parquet(p)
-    _os.utime(p, (t0 + 10 * n_chunks + 10, t0 + 10 * n_chunks + 10))
+    if pusher is not None:
+        p = f"{src}/zz_pusher.parquet"
+        pusher.to_parquet(p)
+        _os.utime(p, (t0 + 10 * n_chunks + 10, t0 + 10 * n_chunks + 10))
     return src
 
 
@@ -3702,6 +3819,67 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sig").alias("content_hash"),
         F.lit(ok).alias("fill_frac"),
     )
+
+    # sshard (r10): the STREAMING shard writer under the hard gate —
+    # stream_write_training_shards drained availableNow over a 3-chunk
+    # doc_id-ordered replay (no pusher: the sink is stateless). Each
+    # micro-batch packs independently into batch=<epoch>/bucket=*/ with
+    # its own manifest; the leg binds every per-(batch, bucket) receipt
+    # (n_docs, n_seqs, tokens_total, the portable md5-prefix sig) PLUS
+    # the per-batch verify_shards verdict to an oracle that re-packs
+    # each deterministic corpus third through shard_receipt_sql — a
+    # wrong batch boundary, a cross-batch sequence, a mis-bucketed doc,
+    # or one flipped payload byte all break the row hash.
+    def _run_stream_shards():
+        import os as _os
+        import tempfile as _tempfile
+
+        from mysql_to_s3_spark.pipeline import stream_write_training_shards
+
+        pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        src = _write_stream_chunks(pdf, None, "shard_stream_")
+        out_root = _tempfile.mkdtemp(prefix="shard_stream_out_")
+        atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+        out = _os.path.join(out_root, "shards")
+        schema = spark.read.parquet(src).schema
+        from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+        q = stream_write_training_shards(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            out,
+            budget=2048,
+            n_buckets=8,
+            manifest=True,
+            checkpoint=_os.path.join(out_root, "ckpt"),
+            available_now=True,
+        )
+        _drain_available_now(q)
+        rows = []
+        for b in range(3):
+            bdir = f"{out}/batch={b}"
+            verdict = 1.0 if not verify_shards(spark, bdir) else 0.0
+            for r in _shard_stats_frame(spark, bdir).collect():
+                rows.append(
+                    (
+                        b * 8 + int(r["bucket"]),
+                        int(r["n_seqs"]),
+                        int(r["tokens_total"]),
+                        int(r["n_docs"]),
+                        r["sig"],
+                        verdict,
+                    )
+                )
+        return rows
+
+    sshard_rows = _fit_drained(spark, sf_dir, "shard_stream", _run_stream_shards)
+    sshard = spark.createDataFrame(
+        sshard_rows,
+        "key1 bigint, key2 bigint, n_tokens bigint, n_items bigint, "
+        "content_hash string, fill_frac double",
+    ).select(
+        F.lit("sshard").alias("leg"),
+        "key1", "key2", "n_tokens", "n_items", "content_hash", "fill_frac",
+    )
     a0, b0 = model.merges[0]
     a1, b1 = model.merges[1]
     first = spark.createDataFrame(
@@ -3783,6 +3961,7 @@ def _chunk_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe)
         .unionByName(first)
         .unionByName(shard)
+        .unionByName(sshard)
         .unionByName(dcap)
     )
 
@@ -3875,6 +4054,23 @@ def _chunk_pack_oracle() -> str:
     shuf = epoch_shuffle_sql("documents", epoch=3, n_shards=8)
     rep = repeat_epochs_sql("documents", 2.45)
     shard_receipt = shard_receipt_sql("documents", budget=2048, n_buckets=8)
+    # sshard: one receipt set per micro-batch — the staged replay cuts
+    # the doc_id-ordered corpus at n*i//3 (the _write_stream_chunks
+    # boundary arithmetic), and each third re-packs independently
+    sshard_batches = "\n      UNION ALL\n".join(
+        f"""      SELECT 'sshard' AS leg, {b} * 8 + bucket AS key1,
+             n_seqs AS key2, tokens_total AS n_tokens, n_docs AS n_items,
+             sig AS content_hash, 1.0 AS fill_frac
+      FROM ({shard_receipt_sql(
+          f'''(SELECT doc_id, text FROM
+               (SELECT doc_id, text,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS r,
+                       count(*) OVER () AS n
+                FROM documents)
+               WHERE r >= n * {b} // 3 AND r < n * {b + 1} // 3)''',
+          budget=2048, n_buckets=8)})"""
+        for b in range(3)
+    )
     return f"""
       SELECT 'chunk' AS leg, CAST(doc_id AS BIGINT) AS key1, chunk_idx AS key2,
              n_tokens, CAST(1 AS BIGINT) AS n_items, content_hash,
@@ -3904,6 +4100,8 @@ def _chunk_pack_oracle() -> str:
              tokens_total AS n_tokens, n_docs AS n_items,
              sig AS content_hash, 1.0 AS fill_frac
       FROM ({shard_receipt})
+      UNION ALL
+{sshard_batches}
       UNION ALL
       SELECT 'dcap' AS leg, CAST(doc_id AS BIGINT) AS key1,
              CAST(NULL AS BIGINT) AS key2, CAST(NULL AS BIGINT) AS n_tokens,
@@ -3941,6 +4139,24 @@ def _pipeline_prepare_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `funnel`: per-stage surviving-row counts (the PreparedCorpus.funnel
                 diagnostic, built lazily here), vs the oracle's counts of
                 the same CTE chain.
+    - `sprep` (r10): the STREAMING composition — prepare_corpus_stream
+                with the streaming-compatible subset of the same config
+                (quality -> language -> stream exact dedup -> stream
+                decontaminate -> split; near-dup is refused by design in
+                the streaming form, so it is absent from BOTH sides of
+                this leg) drained availableNow in-row over a 3-chunk
+                ts-ordered replay of the corpus. Binds the surviving
+                FINGERPRINT set (one row per fp, count 1): a doc wrongly
+                gated, a lost fp, a surviving duplicate, or a wrong
+                decontam decision anywhere in the composed stream breaks
+                the hash. Fp-level, not id-level, because WHICH copy of
+                an equal-fp pair survives stream dedup is intra-batch
+                arrival order (same caveat as dedup_exact's `stream`
+                leg; all equal-fp docs in the testdata carry byte-equal
+                raw text, so every downstream gate decision is
+                fp-deterministic — would a dup group ever straddle bench
+                membership, the self-pair exclusion could diverge, which
+                is a property of the data, not the operator).
 
     The oracle replicates each stage from the SAME module constants the
     operators use (quality/langid exprs, fp, char-5 shingles, recursive-
@@ -3983,7 +4199,70 @@ def _pipeline_prepare_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-    return out
+
+    def _run_stream_prep():
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from mysql_to_s3_spark.pipeline import prepare_corpus_stream
+        from mysql_to_s3_spark.streaming.stream_extract import read_parquet_stream
+
+        bench_rows = [
+            (int(r["doc_id"]), r["text"])
+            for r in bench.select("doc_id", "text").collect()
+        ]
+        pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+        pdf["ts"] = (
+            pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s")
+        ).astype("datetime64[us]")
+        src = _write_stream_chunks(pdf, pdf.iloc[0:0], "prep_stream_")
+        schema = spark.read.parquet(src).schema
+        scfg = CorpusConfig(
+            min_quality=_PIPE_CFG["min_quality"],
+            languages=_PIPE_CFG["languages"],
+            exact=_PIPE_CFG["exact"],
+            decontam_threshold=_PIPE_CFG["decontam_threshold"],
+            splits=_SPLIT_FRACTIONS,
+        )
+        out = prepare_corpus_stream(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            scfg,
+            ts_col="ts",
+            bench_rows=bench_rows,
+            lateness="365 days",
+        )
+        name = f"sprep_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain_available_now(q)
+        return sorted(
+            int(r["doc_id"]) for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+        )
+
+    sprep_ids = _fit_drained(spark, sf_dir, "prep_stream", _run_stream_prep)
+    from mysql_to_s3_spark.operators.text import fingerprint as _fp
+
+    sprep = (
+        docs.join(
+            F.broadcast(
+                spark.createDataFrame([(i,) for i in sprep_ids], "doc_id bigint")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy(_fp(F.col("text")).alias("tag"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("sprep").alias("leg"),
+            F.lit(None).cast("bigint").alias("key"),
+            "tag",
+            "n",
+        )
+    )
+    return out.unionByName(sprep)
 
 
 def _pipeline_prepare_oracle() -> str:
@@ -4021,7 +4300,17 @@ def _pipeline_prepare_oracle() -> str:
                JOIN bsh b ON t.doc_id != b.bench_id
                WHERE round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6)
                      >= {q["decontam_threshold"]}),
-    kept AS (SELECT doc_id FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+    kept AS (SELECT doc_id FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    -- sprep: the streaming composition has no near-dup stage, so the
+    -- decontam screen runs over the exact-dedup survivors (ded), and
+    -- the binding is the surviving fingerprint set (see the Spark-side
+    -- docstring for why fp-level, not id-level)
+    sded AS (SELECT doc_id, text, {_SQL_FP} AS fp FROM ded),
+    scontam AS (SELECT DISTINCT t.doc_id
+                FROM (SELECT doc_id, {_sql_shingles(5)} AS s FROM sded) t
+                JOIN bsh b ON t.doc_id != b.bench_id
+                WHERE round(len(list_intersect(t.s, b.bs))::DOUBLE / len(b.bs), 6)
+                      >= {q["decontam_threshold"]})
     SELECT 'kept' AS leg, doc_id AS key,
            {hash_split_sql("doc_id", _SPLIT_FRACTIONS)} AS tag, CAST(1 AS BIGINT) AS n
     FROM kept
@@ -4031,7 +4320,10 @@ def _pipeline_prepare_oracle() -> str:
     UNION ALL SELECT 'funnel', 3, 'exact_dedup', count(*) FROM ded
     UNION ALL SELECT 'funnel', 4, 'near_dedup', count(*) FROM nd
     UNION ALL SELECT 'funnel', 5, 'decontam',   count(*) FROM kept
-    UNION ALL SELECT 'funnel', 6, 'split',      count(*) FROM kept"""
+    UNION ALL SELECT 'funnel', 6, 'split',      count(*) FROM kept
+    UNION ALL
+    SELECT 'sprep', NULL::BIGINT, fp, CAST(1 AS BIGINT)
+    FROM sded WHERE doc_id NOT IN (SELECT doc_id FROM scontam)"""
 
 
 _q("pipeline_prepare", _pipeline_prepare_spark, _pipeline_prepare_oracle())

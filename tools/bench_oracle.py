@@ -24,12 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SKIP = {
     "agg_scalar_moments_approx": "no oracle (approx sketches)",
-    "text_stats": (
-        "DuckDB's unmaterialized-HOF pathology made this the documented "
-        "417-467 s outlier BEFORE r9s3 added twelve O(L^2) "
-        "list-comprehension repetition columns; the sf0.01 hard gate "
-        "still verifies every column — this re-time just can't afford it"
-    ),
+    # text_stats returned to the tractable set in r10: binding the text
+    # words/bigram arrays via LATERAL (instead of re-deriving the regexp
+    # inside each signal's lambdas) took the oracle from 417+ s to ~16 s
+    # at sf0.1 — same rows, hash-identical (see _text_stats_sql)
     "dedup_minhash_lsh": "all-pairs oracle >15 min at sf0.1",
     "dedup_cluster_components": "all-pairs + recursive-CTE closure oracle >15 min at sf0.1",
     "text_decontaminate": "oracle >300 s at sf0.1",
