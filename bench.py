@@ -128,6 +128,8 @@ ROW_TAGS = {
         "verify": [],
     },
     "window_lead_lag": {"ops": ["prev_value", "k_val"], "verify": ["gseq"]},
+    # r10: having = the conf-gated post-aggregate filter extension
+    "groupby_expr_bucket": {"ops": ["bucket", "nullkey", "having"], "verify": []},
 }
 
 

@@ -50,6 +50,16 @@ class ExecutionError(ValueError):
     pass
 
 
+ALLOW_HAVING_CONF = "mysql_to_s3_spark.allowHaving"
+
+
+def _allow_having(spark: SparkSession | None) -> bool:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        return False
+    return str(s.conf.get(ALLOW_HAVING_CONF, "false")).lower() == "true"
+
+
 def run(
     query: dict | QueryOp,
     spark: SparkSession | None = None,
@@ -62,8 +72,19 @@ def run(
     ``containers`` dict, then ``{sf_dir}/{name}.parquet``, then a Spark
     temp view — the Spark analog of the reference's container registry
     (jx_base/container.py:22 type2container).
+
+    ``having`` (beyond-reference, conf-gated): with spark conf
+    ``mysql_to_s3_spark.allowHaving=true`` an aggregate query may carry
+    a ``having`` JX expression, compiled against the RESULT schema
+    (select + edge names) and applied as a plain post-aggregate filter
+    — the Spark plan is the same HashAggregate with a Filter on top, no
+    extra shuffle. Default stays reference-parity: QueryError.
     """
-    q = query if isinstance(query, QueryOp) else QueryOp.wrap(query)
+    q = (
+        query
+        if isinstance(query, QueryOp)
+        else QueryOp.wrap(query, allow_having=_allow_having(spark))
+    )
     df = _resolve_from(q.frum, spark, containers, sf_dir)
     schema = Schema.from_spark(df.schema)
 
@@ -86,6 +107,8 @@ def run(
         df = _groupby_op(df, q, schema)
     elif any(s.aggregate != "none" for s in q.select):
         df = _scalar_agg_op(df, q, schema)
+    elif q.having is not None:
+        raise ExecutionError("having requires groupby, edges, or an aggregate select")
     else:
         # set-op order is filter -> sort -> select (jx.py:95-99): sort keys
         # need not appear in the projection. Aliases of computed selects are
@@ -95,6 +118,12 @@ def run(
         if q.limit is not None:
             df = df.limit(q.limit)
         return _set_op(df, q, schema)
+
+    if q.having is not None:
+        # filter context over the result schema, same null->drop stance
+        # as `where` (a NULL having verdict drops the group like FALSE)
+        hcond = compile_expression(q.having, Schema.from_spark(df.schema))
+        df = df.filter(hcond.fcol.cast("boolean"))
 
     # aggregate paths sort the RESULT (edge/agg names), nulls least
     if q.sort:

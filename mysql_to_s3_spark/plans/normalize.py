@@ -3,7 +3,9 @@
 Reimplements the backend-neutral normalization of the reference's
 ``QueryOp.wrap`` (vendor/jx_base/query.py:208-795): select/edges/groupby/
 window/sort normalization, DEFAULT_LIMIT/MAX_LIMIT caps, groupby-vs-edges
-exclusivity, ``having`` parsed-but-rejected.
+exclusivity, ``having`` parsed-but-rejected by default (conf-gated
+post-aggregate filter extension behind ``allow_having=True`` /
+spark conf ``mysql_to_s3_spark.allowHaving``).
 
 The normalized form:
 
@@ -122,14 +124,28 @@ class QueryOp:
     approx: bool = False
 
     @classmethod
-    def wrap(cls, query: dict) -> "QueryOp":
+    def wrap(cls, query: dict, allow_having: bool = False) -> "QueryOp":
         if not isinstance(query, dict):
             raise QueryError("JX query must be a JSON object")
         if query.get("groupby") is not None and query.get("edges") is not None:
             raise QueryError("groupby and edges are mutually exclusive (query.py:230)")
-        if query.get("having") is not None:
+        having = query.get("having")
+        if having is not None and not allow_having:
             # reference parses it then sets None (query.py:244); we keep parity
-            raise QueryError("having is not supported (unimplemented in reference)")
+            raise QueryError(
+                "having is not supported (unimplemented in reference); set "
+                "spark conf mysql_to_s3_spark.allowHaving=true to enable the "
+                "post-aggregate filter extension"
+            )
+        if having is not None and (
+            query.get("groupby") is None
+            and query.get("edges") is None
+            and not any(
+                isinstance(s, dict) and s.get("aggregate")
+                for s in _listify(query.get("select"))
+            )
+        ):
+            raise QueryError("having requires groupby, edges, or an aggregate select")
 
         frum = query.get("from")
         if frum is None:
@@ -171,6 +187,7 @@ class QueryOp:
             format=fmt,
             destination=query.get("destination"),
             approx=bool(query.get("approx", False)),
+            having=having,
         )
 
 

@@ -580,7 +580,41 @@ def _groupby_bucket_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_price"),
         F.lit(None).cast("double").alias("max_price"),
     )
-    return bucket.unionByName(nullkey)
+    # having leg (r10): the conf-gated post-aggregate filter — same
+    # bucket groupby gated on an AGGREGATE column (avg_price > 200000
+    # keeps ~half the buckets at every sf; the counts are uniform, so a
+    # count gate would be all-or-nothing), compiled against the result
+    # schema and planned as a Filter on top of the same HashAggregate
+    # (no extra shuffle — plan-asserted in test_executor.py). The
+    # default conf stays parity-reject; the leg scopes the flag to this
+    # one build.
+    from mysql_to_s3_spark.operators.executor import ALLOW_HAVING_CONF
+
+    old = spark.conf.get(ALLOW_HAVING_CONF, None)
+    spark.conf.set(ALLOW_HAVING_CONF, "true")
+    try:
+        having = _rounded({
+            "from": "orders",
+            "groupby": [{"name": "bucket", "value": {"floor": ["o_totalprice", 50000]}}],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "avg_price", "value": "o_totalprice", "aggregate": "avg"},
+                {"name": "max_price", "value": "o_totalprice", "aggregate": "max"},
+            ],
+            "having": {"gt": ["avg_price", 200000]},
+        }, ["avg_price"])(spark, sf_dir).select(
+            F.lit("having").alias("leg"),
+            F.col("bucket").cast("double").alias("key"),
+            F.col("n").cast("bigint").alias("n"),
+            "avg_price",
+            "max_price",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(ALLOW_HAVING_CONF)
+        else:
+            spark.conf.set(ALLOW_HAVING_CONF, old)
+    return bucket.unionByName(nullkey).unionByName(having)
 
 
 _q(
@@ -594,7 +628,11 @@ _q(
        UNION ALL
        SELECT 'nullkey', CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DOUBLE),
               count(*), NULL, NULL
-       FROM lineitem GROUP BY 2""",
+       FROM lineitem GROUP BY 2
+       UNION ALL
+       SELECT 'having', CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE),
+              count(*), round(avg(o_totalprice), 6), max(o_totalprice)
+       FROM orders GROUP BY 2 HAVING avg(o_totalprice) > 200000""",
 )
 
 # -- edges + domains (§2.1, §2.7): DENSE output --
