@@ -108,8 +108,9 @@ ROW_TAGS = {
     # operators/codecs.py) + the crawl-ingest legs (warc = distributed
     # WARC read-back, html = html_to_text, nfc = unicode normalize)
     # co-host with the byte-feature headline
+    # r10: png = the stdlib-zlib PNG codec (all five scanline filters)
     "multimodal_features": {
-        "ops": ["img", "wav", "y4m", "rsz", "warc", "html", "nfc"],
+        "ops": ["img", "png", "wav", "y4m", "rsz", "warc", "html", "nfc"],
         "verify": [],
     },
     "similarity_ivf": {"ops": ["ivf", "pq", "ivfpq", "knn"], "verify": ["exact"]},

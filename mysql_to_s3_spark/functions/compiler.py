@@ -220,7 +220,18 @@ class _Compiler:
         if name == ".":
             raise JXError("whole-row variable '.' must be handled by the executor")
         jxtype = self.schema.type_of(name)
-        return Compiled(F.col(name), jxtype, spark_type=self.schema.spark_type_of(name))
+        # an EXACT top-level column wins over path parsing: F.col("a.b")
+        # parses as field b of struct a (and a backtick in the name is a
+        # syntax error), so a variable that literally names an existing
+        # column — a dotted select alias, a window output, anything a
+        # user renamed — is referenced backtick-quoted. Only when no
+        # top-level column matches does the name fall through to Spark's
+        # dotted-path resolution (nested struct access).
+        if name in self.schema.columns:
+            col = F.col("`" + name.replace("`", "``") + "`")
+        else:
+            col = F.col(name)
+        return Compiled(col, jxtype, spark_type=self.schema.spark_type_of(name))
 
     def op_literal(self, term, expr=None) -> Compiled:
         if term is None:

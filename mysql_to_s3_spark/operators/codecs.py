@@ -15,9 +15,14 @@ publicly specified formats need none:
   ``FRAME\\n`` + planar payloads. We use the C444 colorspace (no chroma
   subsampling) so a frame is exactly ``3*W*H`` bytes.
 
+- **PNG** (r10): the container is CRC'd chunks and the payload is one
+  stdlib-``zlib`` stream of filter-prefixed scanlines — the five filter
+  algebras are byte arithmetic mod 256, implemented with numpy below.
+
 These give `operators/multimodal.py` genuinely working decode / resize /
-frame-sample paths in THIS environment; compressed formats (PNG/JPEG,
-MP3, H.264) stay behind the optional-PIL/ffmpeg seams.
+frame-sample paths in THIS environment; the remaining compressed
+formats (JPEG, GIF, MP3, H.264) stay behind the optional-PIL/ffmpeg
+seams.
 
 Reference parity note: the reference (klahnakoski/MySQL-to-S3) has no
 media handling at all — this family is part of the beyond-reference
@@ -348,6 +353,201 @@ def y4m_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
         pos = b.find(b"\n", pos) + 1  # skip the target's FRAME line
     planes = np.frombuffer(b, dtype=np.uint8, count=frame_bytes, offset=pos)
     return np.ascontiguousarray(planes.reshape(3, h, w).transpose(1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# PNG — stdlib zlib + the five scanline filters (r10). PNG is a
+# COMPRESSED format that needs no imaging library: the container is
+# length-typed chunks with CRC-32, the payload is one zlib stream of
+# scanlines, each prefixed by a filter byte (0 None, 1 Sub, 2 Up,
+# 3 Average, 4 Paeth — the whole filter algebra is byte arithmetic mod
+# 256). Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+# 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7
+# interlace and 16-bit depth refuse loudly (CodecError) — rare in web
+# corpora and cheap to add if they ever matter. Spec: the public
+# PNG (ISO/IEC 15948) chunk + filter definitions.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over int arrays (left, up, up-left)."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode uint8 HxW (gray), HxWx2 (gray+alpha), HxWx3 (RGB), or
+    HxWx4 (RGBA) as an 8-bit non-interlaced PNG. ``filter_type``
+    applies one of the five scanline filters to EVERY row (0 is the
+    always-valid default; 1-4 exist so tests can drive the decoder's
+    whole unfilter algebra through real streams)."""
+    import zlib
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise CodecError(f"encode_png wants uint8, got {a.dtype}")
+    if a.ndim == 2:
+        color_type = 0
+        a3 = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        color_type = {2: 4, 3: 2, 4: 6}[a.shape[2]]
+        a3 = a
+    else:
+        raise CodecError(f"encode_png wants HxW or HxWx{{2,3,4}}, got {a.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise CodecError(f"filter_type must be 0-4, got {filter_type}")
+    h, w, ch = a3.shape
+    flat = a3.reshape(h, w * ch).astype(np.int32)
+    # per-row predictors from the RECONSTRUCTED (original) bytes
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, ch:] = flat[:-1, :-ch]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - (left + up) // 2
+    else:
+        filt = flat - _paeth(
+            left.astype(np.uint8), up.astype(np.uint8), upleft.astype(np.uint8)
+        )
+    raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = (filt % 256).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to uint8 — HxW for grayscale,
+    HxWx2 for gray+alpha, HxWx3 for RGB and palette (expanded through
+    PLTE), HxWx4 for RGBA. All five scanline filters handled; Adam7
+    interlace, 16-bit depth, and malformed streams refuse loudly."""
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise CodecError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise CodecError("truncated PNG chunk")
+        (want_crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != want_crc:
+            raise CodecError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        pos += 12 + length
+        if typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise CodecError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise CodecError(f"only bit depth 8 supported, got {depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise CodecError(f"unsupported PNG color type {color_type}")
+    if comp != 0 or filt_method != 0:
+        raise CodecError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise CodecError("Adam7 interlaced PNG not supported")
+    if w <= 0 or h <= 0:
+        raise CodecError(f"bad PNG dims {w}x{h}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise CodecError(
+            f"PNG scanline payload is {len(raw)} bytes, want {h * (1 + stride)}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            recon = cur
+        elif ft == 1:
+            # Sub: per-channel prefix sum mod 256
+            recon = np.cumsum(cur.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif ft == 2:
+            recon = (cur + prev) % 256
+        elif ft in (3, 4):
+            # Average/Paeth depend on the current row's own left pixel:
+            # sequential in x, vectorized over channels
+            recon = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = x * ch
+                up = prev[s : s + ch]
+                if ft == 3:
+                    px = (cur[s : s + ch] + (left + up) // 2) % 256
+                else:
+                    upleft = (
+                        prev[s - ch : s] if x else np.zeros(ch, dtype=np.int32)
+                    )
+                    px = (
+                        cur[s : s + ch]
+                        + _paeth(
+                            left.astype(np.uint8),
+                            up.astype(np.uint8),
+                            upleft.astype(np.uint8),
+                        )
+                    ) % 256
+                recon[s : s + ch] = px
+                left = px
+        else:
+            raise CodecError(f"unknown PNG scanline filter {ft} at row {y}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon.astype(np.int32)
+    if color_type == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise CodecError("palette PNG without a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise CodecError("PNG palette index out of range")
+        return np.ascontiguousarray(pal[idx])
+    if ch == 1:
+        return out.reshape(h, w).copy()
+    return out.reshape(h, w, ch).copy()
 
 
 # ---------------------------------------------------------------------------

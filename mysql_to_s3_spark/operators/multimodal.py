@@ -5,11 +5,13 @@ columns with a typed metadata struct, processed by Arrow-batched
 The Spark-side plumbing is real and tested — schema contract, binary
 payload column, Arrow batch shape, partition-preserving mapInPandas.
 Decode is REAL for every format with a library-free public spec
-(``operators/codecs.py``): BMP 24-bit, PPM/PGM, PCM WAV (stdlib
-``wave``), and Y4M uncompressed video — decode_image / decode_audio /
+(``operators/codecs.py``): BMP 24-bit, PPM/PGM, PNG (8-bit, stdlib
+zlib + the five scanline filters — r10), PCM WAV (stdlib ``wave``),
+and Y4M uncompressed video — decode_image / decode_audio /
 resize_image / frame grabs all work on those payloads in this
-container. Compressed formats (PNG/JPEG via PIL, H.264 via ffmpeg)
-stay behind optional-import seams that raise ``NotImplementedError``
+container. The remaining compressed formats (JPEG/GIF via PIL, H.264
+via ffmpeg, MP3 via an audio library) stay behind optional-import
+seams that raise ``NotImplementedError``
 until the library appears; ``binary_features`` computes deterministic
 byte-level features (length + md5) through the same batch path so the
 pipeline shape is exercised end-to-end on arbitrary payloads.
@@ -72,10 +74,11 @@ def _pil_image():
 
 
 def decode_image(payload: bytes) -> Any:
-    """Decode an image payload to an HxWxC numpy array. BMP (24-bit)
-    and PPM/PGM decode natively (pure numpy, ``operators/codecs.py``);
-    compressed formats go through PIL when available and raise
-    NotImplementedError otherwise."""
+    """Decode an image payload to an HxWxC numpy array. BMP (24-bit),
+    PPM/PGM, and PNG (8-bit, all five scanline filters, palette
+    expansion — stdlib zlib + numpy, ``operators/codecs.py``) decode
+    natively; the remaining compressed formats (JPEG/GIF) go through
+    PIL when available and raise NotImplementedError otherwise."""
     from mysql_to_s3_spark.operators import codecs
 
     kind = codecs.sniff_media(payload)
@@ -83,11 +86,13 @@ def decode_image(payload: bytes) -> Any:
         return codecs.decode_bmp(payload)
     if kind in ("ppm", "pgm"):
         return codecs.decode_ppm(payload)
+    if kind == "png":
+        return codecs.decode_png(payload)
     Image = _pil_image()
     if Image is None:
         raise NotImplementedError(
             f"image format {kind or 'unknown'} needs an imaging library (PIL/cv2); "
-            "only BMP/PPM/PGM decode natively here"
+            "only BMP/PPM/PGM/PNG decode natively here"
         )
     import io
 
@@ -112,9 +117,9 @@ def decode_audio(payload: bytes) -> Any:
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload (decode, resize, re-encode in the SAME
-    format — the shape a mapInPandas batch uses). BMP/PPM resize
-    natively via integer nearest-neighbor (bit-deterministic across
-    platforms); other formats go through PIL when available."""
+    format — the shape a mapInPandas batch uses). BMP/PPM/PGM/PNG
+    resize natively via integer nearest-neighbor (bit-deterministic
+    across platforms); other formats go through PIL when available."""
     from mysql_to_s3_spark.operators import codecs
 
     kind = codecs.sniff_media(payload)
@@ -122,11 +127,17 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         return codecs.encode_bmp(codecs.resize_nearest(codecs.decode_bmp(payload), width, height))
     if kind in ("ppm", "pgm"):
         return codecs.encode_ppm(codecs.resize_nearest(codecs.decode_ppm(payload), width, height))
+    if kind == "png":
+        # palette PNGs come back expanded to RGB — re-encoding as
+        # truecolor preserves the pixels, which is the contract here
+        return codecs.encode_png(
+            codecs.resize_nearest(codecs.decode_png(payload), width, height)
+        )
     Image = _pil_image()
     if Image is None:
         raise NotImplementedError(
             f"image format {kind or 'unknown'} needs an imaging library (PIL/cv2) to "
-            "resize; only BMP/PPM/PGM resize natively here"
+            "resize; only BMP/PPM/PGM/PNG resize natively here"
         )
     import io
 

@@ -2123,6 +2123,10 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
       nearest-neighbor 16x12 -> 8x6 -> re-encode) -> decode -> pixel
       sum; the floor index map (y*2, x*2 source pixels) is replicated
       in SQL, binding the exact resize arithmetic.
+    - `png` (r10): the same synth pixels through the stdlib-zlib PNG
+      codec with per-doc scanline filter doc_id % 5 — all five filter
+      reconstructions (None/Sub/Up/Average/Paeth) sit under the
+      pixel-sum hash.
 
     The decode legs run on doc_id < 60 (fixed work at any sf) inside
     ONE Arrow mapInPandas stage — per-doc numpy kernels, zero shuffle;
@@ -2162,6 +2166,21 @@ def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dec = multimodal.decode_image(bmp)
                 rows.append(
                     ("img", d, int(dec.astype(np.int64).sum()), f"{dec.shape[1]}x{dec.shape[0]}")
+                )
+                # r10 `png` leg: the stdlib-zlib PNG codec, per-doc
+                # scanline filter d % 5 — all five filter algebras sit
+                # under the pixel-sum hash (a wrong Sub/Up/Average/
+                # Paeth reconstruction anywhere shifts the sum)
+                pdec = multimodal.decode_image(
+                    codecs.encode_png(img, filter_type=d % 5)
+                )
+                rows.append(
+                    (
+                        "png",
+                        d,
+                        int(pdec.astype(np.int64).sum()),
+                        f"{pdec.shape[1]}x{pdec.shape[0]}:f{d % 5}",
+                    )
                 )
                 wav_samples, rate = multimodal.decode_audio(
                     codecs.encode_wav(codecs.synth_audio(d), 16_000)
@@ -3193,6 +3212,15 @@ _q(
        SELECT 'img' AS leg, d.doc_id,
               CAST(SUM((d.doc_id + r.i) % 256) AS BIGINT) AS n_bytes,
               '16x12' AS digest
+       FROM documents d CROSS JOIN range(576) r(i)
+       WHERE d.doc_id < 60 GROUP BY d.doc_id
+       UNION ALL
+       -- png (r10): same pixels through the stdlib-zlib PNG codec,
+       -- scanline filter doc_id % 5 — decode must reproduce the exact
+       -- synth pixels whatever filter encoded them
+       SELECT 'png' AS leg, d.doc_id,
+              CAST(SUM((d.doc_id + r.i) % 256) AS BIGINT) AS n_bytes,
+              '16x12:f' || CAST(d.doc_id % 5 AS VARCHAR) AS digest
        FROM documents d CROSS JOIN range(576) r(i)
        WHERE d.doc_id < 60 GROUP BY d.doc_id
        UNION ALL

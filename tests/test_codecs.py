@@ -209,12 +209,16 @@ def test_frame_sample_real_y4m():
 def test_compressed_formats_still_gated():
     if multimodal._pil_image() is not None:
         pytest.skip("imaging library present; gate contract not applicable")
-    with pytest.raises(NotImplementedError, match="BMP/PPM/PGM"):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
+    with pytest.raises(NotImplementedError, match="BMP/PPM/PGM/PNG"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 64)  # JPEG
     with pytest.raises(NotImplementedError, match="PCM WAV"):
         multimodal.decode_audio(b"ID3\x04" + b"x" * 64)
     with pytest.raises(NotImplementedError, match="Y4M"):
         multimodal.frame_sample(b"\x00\x00\x00 ftypisom" + b"x" * 64)
+    # PNG no longer gates (r10: native decode) — a malformed PNG now
+    # refuses through the codec, not the library seam
+    with pytest.raises(CodecError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
 
 
 # ---------------------------------------------------------------------------
@@ -344,3 +348,111 @@ def test_frame_sample_zero_duration_and_negative_ts():
     b = encode_y4m(synth_video(1, 2))
     with pytest.raises(CodecError, match="negative"):
         y4m_frame_at(b, -200)
+
+
+# ---------------------------------------------------------------------------
+# PNG (r10): stdlib zlib + the five scanline filters
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    from mysql_to_s3_spark.operators.codecs import decode_png, encode_png
+
+    rng = _rng(11)
+    for shape in [(12, 16), (12, 16, 2), (12, 16, 3), (12, 16, 4), (1, 1, 3), (7, 1)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            b = encode_png(a, filter_type=ft)
+            assert sniff_media(b) == "png"
+            d = decode_png(b)
+            assert d.shape == a.shape and (d == a).all(), (shape, ft)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 17), w=st.integers(1, 17), ft=st.integers(0, 4),
+       seed=st.integers(0, 2**31))
+def test_png_roundtrip_property(h, w, ft, seed):
+    from mysql_to_s3_spark.operators.codecs import decode_png, encode_png
+
+    a = _rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(a, filter_type=ft)) == a).all()
+
+
+def test_png_palette_expansion():
+    """A hand-built color-type-3 stream expands through PLTE to RGB."""
+    import struct
+    import zlib
+
+    from mysql_to_s3_spark.operators.codecs import decode_png
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    w, h = 4, 3
+    idx = (np.arange(w * h, dtype=np.uint8).reshape(h, w) % 3)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    d = decode_png(png)
+    assert d.shape == (3, 4, 3)
+    assert (d[0, 0] == [255, 0, 0]).all() and (d[0, 1] == [0, 255, 0]).all()
+    # palette index out of range refuses loudly
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal[:6])
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    with pytest.raises(CodecError, match="palette index"):
+        decode_png(bad)
+
+
+def test_png_malformed_and_unsupported():
+    import struct
+    import zlib
+
+    from mysql_to_s3_spark.operators.codecs import decode_png, encode_png
+
+    a = synth_image(5)
+    good = encode_png(a)
+    with pytest.raises(CodecError, match="not a PNG"):
+        decode_png(b"XPNG" + good[4:])
+    # flipped payload byte -> CRC mismatch, never silent garbage
+    raw = bytearray(good)
+    raw[40] ^= 0xFF
+    with pytest.raises(CodecError, match="CRC mismatch"):
+        decode_png(bytes(raw))
+    # Adam7 refuses loudly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    adam = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    with pytest.raises(CodecError, match="Adam7"):
+        decode_png(adam)
+    # 16-bit depth refuses loudly
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
+    with pytest.raises(CodecError, match="bit depth"):
+        decode_png(deep)
+    with pytest.raises(CodecError, match="filter_type"):
+        encode_png(a, filter_type=7)
+
+
+def test_png_multimodal_wiring():
+    """decode_image and resize_image route PNG natively (no PIL)."""
+    from mysql_to_s3_spark.operators.codecs import encode_png
+
+    a = synth_image(9)  # 12x16x3
+    png = encode_png(a, filter_type=4)
+    assert (multimodal.decode_image(png) == a).all()
+    r = multimodal.decode_image(multimodal.resize_image(png, 8, 6))
+    assert r.shape == (6, 8, 3)
+    assert (r == resize_nearest(a, 8, 6)).all()
