@@ -137,6 +137,73 @@ def gopher_stats(col: Column) -> dict[str, Column]:
     }
 
 
+# C4's terminal-punctuation line rule: a line "ends in terminal
+# punctuation" when its rtrim ends with . ! or ?, optionally followed
+# by one closing quote. RE2-safe (no lookaround), so the DuckDB oracle
+# replicates it verbatim.
+C4_TERMINAL_RE = "[.!?][\"']?$"
+
+
+def c4_stats(col: Column) -> dict[str, Column]:
+    """The C4 document-quality signals (Raffel et al. 2020 §2.2, the
+    published 'Colossal Clean Crawled Corpus' heuristics — the other
+    canonical rule family next to Gopher's table A1):
+
+    - ``c4_term_line_frac``: fraction of lines ending in terminal
+      punctuation (C4 keeps only such lines),
+    - ``c4_short_line_frac``: fraction of lines with fewer than 3
+      words (C4 drops them),
+    - ``c4_sentences``: sentence count as the number of terminal
+      marks [.!?] (C4 used a sentence splitter; the mark count is the
+      deterministic engine-portable form — documented simplification),
+    - ``c4_has_brace``: '{' appears anywhere (C4 drops code pages),
+    - ``c4_has_lorem``: 'lorem ipsum' appears (case-insensitive),
+    - ``c4_has_js_line``: some line contains the word 'javascript'
+      (C4 removes such LINES; the flag is the doc-level signal).
+
+    Shuffle-free Column algebra over line/word HOFs; empty docs yield
+    0 fractions. `c4_line_clean` is the rewrite half."""
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    line_words = lambda l: F.regexp_extract_all(l, F.lit(r"\w+"), 0)  # noqa: E731
+    has_js = lambda l: F.exists(  # noqa: E731
+        line_words(l), lambda w: F.lower(w) == "javascript"
+    )
+    n_term = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(C4_TERMINAL_RE)))
+    n_short = F.size(F.filter(lines, lambda l: F.size(line_words(l)) < 3))
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    return {
+        "c4_term_line_frac": frac(n_term, n_lines),
+        "c4_short_line_frac": frac(n_short, n_lines),
+        "c4_sentences": F.regexp_count(col, F.lit("[.!?]")).cast("bigint"),
+        "c4_has_brace": col.contains("{"),
+        "c4_has_lorem": F.lower(col).contains("lorem ipsum"),
+        "c4_has_js_line": F.exists(lines, has_js),
+    }
+
+
+def c4_line_clean(col: Column) -> Column:
+    """C4's line-level clean (the REWRITE half of `c4_stats`): keep
+    only lines that end in terminal punctuation AND carry at least 3
+    words AND do not contain the word 'javascript'; rejoin with \\n.
+    A doc whose every line fails comes back as '' (the downstream
+    gates treat '' as missing — JX semantics — so such docs fall out
+    at the next quality cut rather than silently surviving empty).
+    Per-row Column algebra: zero shuffle, streaming-safe, identical in
+    batch and stream pipeline forms."""
+    lines = F.split(col, "\n")
+    line_words = lambda l: F.regexp_extract_all(l, F.lit(r"\w+"), 0)  # noqa: E731
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(C4_TERMINAL_RE)
+        & (F.size(line_words(l)) >= 3)
+        & ~F.exists(line_words(l), lambda w: F.lower(w) == "javascript"),
+    )
+    return F.array_join(kept, "\n")
+
+
 def compression_ratio(col: Column, level: int = 6) -> Column:
     """zlib compressed-size / raw-size per document (the Dolma/Gopher
     "compression ratio" quality signal: repetitive boilerplate

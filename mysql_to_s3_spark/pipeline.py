@@ -125,6 +125,19 @@ class CorpusConfig:
     max_bullet_line_frac: float | None = None
     max_ellipsis_line_frac: float | None = None
     min_alpha_word_frac: float | None = None
+    # C4 rule family (Raffel et al. 2020 §2.2, operators/text.c4_*):
+    # c4_line_clean rewrites every doc keeping only lines that end in
+    # terminal punctuation, carry >= 3 words, and don't contain the
+    # word 'javascript' (the published line-level clean; runs with the
+    # early rewrite stages, BEFORE the quality gates so scores see the
+    # cleaned text). The doc-level rules gate AFTER the clean:
+    # c4_min_sentences (C4 used 5), c4_block_braces ('{' = code page),
+    # c4_block_lorem ('lorem ipsum'). All per-row Column algebra —
+    # shuffle-free, streaming-safe, identical in both pipeline forms.
+    c4_line_clean: bool = False
+    c4_min_sentences: int | None = None
+    c4_block_braces: bool = False
+    c4_block_lorem: bool = False
     # zlib compression-ratio band (operators/text.compression_ratio,
     # the Dolma-style signal): below min = repetitive boilerplate,
     # above max = random noise. Arrow pandas_udf per row —
@@ -435,6 +448,49 @@ def _apply_blockword_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return out.filter(bf <= F.lit(float(cfg.max_blockword_frac)))
 
 
+def _c4_gate_on(cfg: CorpusConfig) -> bool:
+    return (
+        cfg.c4_min_sentences is not None
+        or cfg.c4_block_braces
+        or cfg.c4_block_lorem
+    )
+
+
+def _apply_c4_clean(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """C4 line-level clean: rewrite the text column in place. Null text
+    stays null (nothing to clean — downstream gates already treat null
+    as missing)."""
+    from mysql_to_s3_spark.operators.text import c4_line_clean
+
+    txt = F.col(cfg.text_col)
+    return out.withColumn(
+        cfg.text_col, F.when(txt.isNotNull(), c4_line_clean(txt))
+    )
+
+
+def _apply_c4_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Shared batch/stream C4 doc-level gate (sentence floor, brace and
+    lorem-ipsum blocks) — per-row Column algebra, zero shuffles,
+    streaming-safe. Null text passes the block rules (contains -> null
+    -> coalesced to keep: a different rule's job) but FAILS a sentence
+    floor (no sentences to count — same stance as the LM gate's null
+    score)."""
+    from mysql_to_s3_spark.operators.text import c4_stats
+
+    s = c4_stats(F.col(cfg.text_col))
+    cond = F.lit(True)
+    if cfg.c4_min_sentences is not None:
+        cond = cond & (
+            F.coalesce(s["c4_sentences"], F.lit(0))
+            >= F.lit(int(cfg.c4_min_sentences))
+        )
+    if cfg.c4_block_braces:
+        cond = cond & ~F.coalesce(s["c4_has_brace"], F.lit(False))
+    if cfg.c4_block_lorem:
+        cond = cond & ~F.coalesce(s["c4_has_lorem"], F.lit(False))
+    return out.filter(cond)
+
+
 def _gopher_gate_on(cfg: CorpusConfig) -> bool:
     return any(
         v is not None
@@ -589,6 +645,15 @@ def prepare_corpus(
             cfg.id_col,
         )
         stages.append(("boilerplate", out))
+
+    if cfg.c4_line_clean:
+        # rewrite BEFORE the scoring gates, so quality/LM/dedup all see
+        # the cleaned text (the published C4 order)
+        out = _apply_c4_clean(out, cfg)
+        stages.append(("c4_clean", out))
+    if _c4_gate_on(cfg):
+        out = _apply_c4_gate(out, cfg)
+        stages.append(("c4_shape", out))
 
     if cfg.min_quality is not None:
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
@@ -933,6 +998,11 @@ def prepare_corpus_stream(
         from mysql_to_s3_spark.streaming.stream_extract import stream_url_dedup
 
         out = stream_url_dedup(out, ts_col, cfg.url_col, lateness)
+    if cfg.c4_line_clean:
+        # per-row rewrite, stateless — same stage order as batch
+        out = _apply_c4_clean(out, cfg)
+    if _c4_gate_on(cfg):
+        out = _apply_c4_gate(out, cfg)
     if cfg.min_quality is not None:
         out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
     if cfg.languages is not None:

@@ -1355,6 +1355,23 @@ def _text_stats_sql() -> str:
            {dup_para_chars} AS dup_para_char_frac,
            {top_cols},
            {dup_cols},
+           round(len(list_filter(l3, l -> regexp_matches(rtrim(l), '[.!?]["'']?$')))::DOUBLE
+                 / len(l3), 6) AS c4_term_line_frac,
+           round(len(list_filter(l3, l -> len(regexp_extract_all(l, '\\w+')) < 3))::DOUBLE
+                 / len(l3), 6) AS c4_short_line_frac,
+           CAST(len(regexp_extract_all(synth3, '[.!?]')) AS BIGINT) AS c4_sentences,
+           CAST(CASE WHEN contains(synth3, '{{') THEN 1 ELSE 0 END
+                + CASE WHEN contains(lower(synth3), 'lorem ipsum') THEN 2 ELSE 0 END
+                + CASE WHEN len(list_filter(l3,
+                        l -> len(list_filter(regexp_extract_all(l, '\\w+'),
+                                             w -> lower(w) = 'javascript')) > 0)) > 0
+                       THEN 4 ELSE 0 END AS BIGINT) AS c4_flags,
+           md5(coalesce(array_to_string(list_filter(l3,
+                 l -> regexp_matches(rtrim(l), '[.!?]["'']?$')
+                      AND len(regexp_extract_all(l, '\\w+')) >= 3
+                      AND len(list_filter(regexp_extract_all(l, '\\w+'),
+                                          w -> lower(w) = 'javascript')) = 0),
+               chr(10)), '')) AS c4_clean_md5,
            {_SQL_FP} AS fp
     FROM (SELECT *,
                  text || chr(10)
@@ -1385,6 +1402,17 @@ def _text_stats_sql() -> str:
                          list_filter(string_split(synth2, chr(10)), x -> x != '') AS ls,
                          list_filter(string_split(synth2, chr(10) || chr(10)),
                                      x -> x != '') AS ps) _w2,
+         LATERAL (SELECT synth || chr(10)
+                         || CASE WHEN doc_id % 7 = 0
+                                 THEN 'the javascript menu loads fine.'
+                                 ELSE 'the simple menu loads fine.' END
+                         || chr(10)
+                         || CASE WHEN doc_id % 5 = 0 THEN 'code {{ block'
+                                 WHEN doc_id % 11 = 0
+                                 THEN 'more lorem ipsum filler here.'
+                                 ELSE 'plain closing sentence here.' END
+                    AS synth3) _s3,
+         LATERAL (SELECT string_split(synth3, chr(10)) AS l3) _l3,
          {ng_binds},
          {mx_binds}"""
 
@@ -1560,6 +1588,31 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep2 = gopher_repetition(F.col("__synth2__"), ws=F.col("__ws2__"))
     from mysql_to_s3_spark.operators.text import blockword_frac
 
+    # r10: the C4 rule family (text.c4_stats + c4_line_clean) over
+    # synth3 = synth + two deterministic closing lines that make every
+    # rule fire somewhere: a javascript-word line on d%7 (terminal,
+    # >=3 words — removable ONLY by the js rule), and a brace /
+    # lorem-ipsum / plain terminal line by d%5 / d%11. The flags pack
+    # as a bitmask; c4_clean_md5 binds the full line-clean REWRITE
+    # (keep = terminal-punct AND >=3 words AND no 'javascript' word).
+    from mysql_to_s3_spark.operators.text import c4_line_clean, c4_stats
+
+    jsline = F.when(d % 7 == 0, F.lit("the javascript menu loads fine.")).otherwise(
+        F.lit("the simple menu loads fine.")
+    )
+    closing = (
+        F.when(d % 5 == 0, F.lit("code { block"))
+        .when(d % 11 == 0, F.lit("more lorem ipsum filler here."))
+        .otherwise(F.lit("plain closing sentence here."))
+    )
+    docs = docs.withColumn("__synth3__", F.concat_ws("\n", synth, jsline, closing))
+    c4 = c4_stats(F.col("__synth3__"))
+    c4_flags = (
+        c4["c4_has_brace"].cast("bigint")
+        + c4["c4_has_lorem"].cast("bigint") * 2
+        + c4["c4_has_js_line"].cast("bigint") * 4
+    )
+
     return docs.select(
         F.col("doc_id"),
         *[c.alias(n) for n, c in st.items()],
@@ -1567,6 +1620,11 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(c, 6).alias(n) for n, c in gop.items()],
         F.round(blockword_frac(F.col("text"), _BLOCK_WORDS), 6).alias("blockword_frac"),
         *[F.round(c, 6).alias(n) for n, c in rep2.items()],
+        F.round(c4["c4_term_line_frac"], 6).alias("c4_term_line_frac"),
+        F.round(c4["c4_short_line_frac"], 6).alias("c4_short_line_frac"),
+        c4["c4_sentences"].alias("c4_sentences"),
+        c4_flags.alias("c4_flags"),
+        F.md5(c4_line_clean(F.col("__synth3__"))).alias("c4_clean_md5"),
         fingerprint(F.col("text")).alias("fp"),
     )
 
