@@ -135,10 +135,59 @@ def asof_join(
     ``by`` must be non-empty: a keyless as-of is a single global window
     task — at scale, bucket time first (edges time domain) or add a key.
     """
-    if direction not in ("backward", "forward", "nearest"):
-        raise JoinError(
-            f"direction must be backward|forward|nearest, got {direction!r}"
-        )
+    out = asof_join_multi(
+        probe,
+        quote,
+        by,
+        value_cols,
+        [("m", direction, tolerance)],
+        probe_ts=probe_ts,
+        quote_ts=quote_ts,
+        allow_exact_matches=allow_exact_matches,
+        quote_tiebreak=quote_tiebreak,
+        leg_col="__asof_leg__",
+    )
+    return out.drop("__asof_leg__")
+
+
+def asof_join_multi(
+    probe: DataFrame,
+    quote: DataFrame,
+    by: list[str],
+    value_cols: list[str],
+    specs: list[tuple[str, str, str | None]],
+    probe_ts: str = "ts",
+    quote_ts: str = "ts",
+    allow_exact_matches: bool = True,
+    quote_tiebreak: str | None = None,
+    leg_col: str = "leg",
+) -> DataFrame:
+    """Several as-of matches of the SAME (probe, quote) pair in ONE
+    shuffle: ``specs`` is a list of ``(name, direction, tolerance)``
+    triples, and the result carries one row per probe row per spec,
+    tagged ``leg_col = name`` — row-for-row equal to concatenating
+    ``asof_join(probe, quote, ..., direction=d, tolerance=t)`` per spec
+    (each tagged with its name), but the union+window plan is built
+    once.
+
+    Why this exists (optimization-round shape, guide §2.4): the
+    backward and forward window passes differ only in sort order, and
+    ``tolerance``/``nearest`` are pure column arithmetic ON TOP of
+    those two passes — so N directional legs over the same inputs need
+    ONE Exchange and at most two window sorts, not N Exchanges and N
+    sorts. The per-leg fan-out is a single ``explode`` over an
+    N-element struct array (no join, no second shuffle).
+    """
+    names = [s[0] for s in specs]
+    if len(set(names)) != len(names):
+        raise JoinError(f"duplicate spec names: {names}")
+    if not specs:
+        raise JoinError("asof_join_multi requires at least one spec")
+    for _, direction, _ in specs:
+        if direction not in ("backward", "forward", "nearest"):
+            raise JoinError(
+                f"direction must be backward|forward|nearest, got {direction!r}"
+            )
     if not by:
         raise JoinError("asof_join requires at least one `by` key (a keyless "
                         "as-of join is one global window task)")
@@ -147,6 +196,8 @@ def asof_join(
         raise JoinError(f"value_cols collide with probe columns: {sorted(clash)}")
     if "__asof_ts__" in value_cols:
         raise JoinError("__asof_ts__ is reserved")
+    if leg_col in probe.columns or leg_col in value_cols:
+        raise JoinError(f"leg_col {leg_col!r} collides with an output column")
     missing = {*by, *value_cols, quote_ts} - set(quote.columns)
     if missing:
         raise JoinError(f"quote side lacks columns: {sorted(missing)}")
@@ -202,11 +253,21 @@ def asof_join(
 
     # backward walks time ascending (last preceding quote wins); forward
     # walks it DESCENDING, so "last" is the earliest following quote —
-    # the side/tiebreak ordering is direction-independent
+    # the side/tiebreak ordering is direction-independent. Only the
+    # passes some spec actually needs are planned: both sorts share the
+    # ONE key exchange, so N specs never cost more than two sorts.
+    need_back = any(d in ("backward", "nearest") for _, d, _ in specs)
+    need_fwd = any(d in ("forward", "nearest") for _, d, _ in specs)
     m_back = F.last(F.col("__q__"), True).over(_w(F.col("__t__").asc()))
     m_fwd = F.last(F.col("__q__"), True).over(_w(F.col("__t__").desc()))
 
-    def _tol(m, side):
+    u = q.unionByName(p)
+    if need_back:
+        u = u.withColumn("__mb__", m_back)
+    if need_fwd:
+        u = u.withColumn("__mf__", m_fwd)
+
+    def _tol(m, side, tolerance):
         if tolerance is None:
             return m
         iv = F.expr(f"INTERVAL {tolerance}")
@@ -217,11 +278,11 @@ def asof_join(
         )
         return F.when(ok, m)
 
-    if direction == "backward":
-        matched = _tol(m_back, "backward")
-    elif direction == "forward":
-        matched = _tol(m_fwd, "forward")
-    else:
+    def _matched(direction, tolerance) -> Column:
+        if direction == "backward":
+            return _tol(F.col("__mb__"), "backward", tolerance)
+        if direction == "forward":
+            return _tol(F.col("__mf__"), "forward", tolerance)
         from pyspark.sql import types as T
 
         def _num(c, dtype):
@@ -235,27 +296,38 @@ def asof_join(
 
         qt = quote.schema[quote_ts].dataType
         pt = probe.schema[probe_ts].dataType
-        mb, mf = _tol(m_back, "backward"), _tol(m_fwd, "forward")
+        mb = _tol(F.col("__mb__"), "backward", tolerance)
+        mf = _tol(F.col("__mf__"), "forward", tolerance)
         d_b = _num(F.col("__t__"), pt) - _num(mb.getField("__asof_ts__"), qt)
         d_f = _num(mf.getField("__asof_ts__"), qt) - _num(F.col("__t__"), pt)
         # ties (d_f == d_b) take the backward match — pandas convention
-        matched = (
+        return (
             F.when(mb.isNull(), mf)
             .when(mf.isNull(), mb)
             .when(d_f < d_b, mf)
             .otherwise(mb)
         )
-    is_probe = F.col("__side__") == probe_side
-    out = q.unionByName(p).select(
-        *[F.col(f"__p_{c}__").alias(c) for c in probe_cols],
-        F.when(is_probe, matched).alias("__m__"),
-        F.col("__side__"),
-        F.col("__t__"),
-    ).filter(F.col("__side__") == probe_side)
-    m: Column = F.col("__m__")
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("__leg__"), _matched(d, t).alias("__m__")
+            )
+            for nm, d, t in specs
+        ]
+    )
+    out = (
+        u.filter(F.col("__side__") == probe_side)
+        .select(
+            *[F.col(f"__p_{c}__").alias(c) for c in probe_cols],
+            F.explode(entries).alias("__e__"),
+        )
+    )
+    e: Column = F.col("__e__")
     return out.select(
         *probe_cols,
-        *[m.getField(c).alias(c) for c in value_cols],
+        e.getField("__leg__").alias(leg_col),
+        *[e.getField("__m__").getField(c).alias(c) for c in value_cols],
     )
 
 

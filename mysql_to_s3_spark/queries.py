@@ -5301,7 +5301,7 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from mysql_to_s3_spark.functions.cachepool import cache_scoped
-    from mysql_to_s3_spark.operators.joins import asof_join, interval_join
+    from mysql_to_s3_spark.operators.joins import interval_join
     from mysql_to_s3_spark.operators.sessions import funnel, funnel_within, session_stats
     from mysql_to_s3_spark.sources.registry import load_table
 
@@ -5310,50 +5310,41 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote = ev.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", F.col("value").alias("sv")
     )
-    asof = asof_join(
-        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv"
+    # r10 optimization (guide §2.4): the four directional as-of legs
+    # differ only in sort order / tolerance arithmetic, so they are
+    # computed in ONE union+window pass (1 Exchange + 2 window sorts +
+    # an explode) instead of four independent union+window plans (4
+    # Exchanges, 5 sorts). Leg-for-leg row equality with the four
+    # separate asof_join calls is pinned by tests/test_joins.py.
+    from mysql_to_s3_spark.operators.joins import asof_join_multi
+
+    asof4 = asof_join_multi(
+        probe,
+        quote,
+        by=["user_id"],
+        value_cols=["sv"],
+        quote_tiebreak="sv",
+        specs=[
+            ("asof", "backward", None),
+            ("asoff", "forward", None),
+            ("asofn", "nearest", None),
+            ("asoft", "backward", "2 days"),
+        ],
     ).select(
-        F.lit("asof").alias("leg"),
+        F.col("leg"),
         F.col("event_id").alias("a"),
         F.col("user_id").alias("b"),
         F.col("ts").alias("t1"),
         F.lit(None).cast("timestamp_ntz").alias("t2"),
         F.col("sv").cast("double").alias("x"),
     )
-    asoff = asof_join(
-        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv",
-        direction="forward",
-    ).select(
-        F.lit("asoff").alias("leg"),
-        F.col("event_id").alias("a"),
-        F.col("user_id").alias("b"),
-        F.col("ts").alias("t1"),
-        F.lit(None).cast("timestamp_ntz").alias("t2"),
-        F.col("sv").cast("double").alias("x"),
+    # pooled (r10): sess feeds THREE consumers (the sess leg, the
+    # interval-join probe resolution, and the srange stream staging) —
+    # one window pass instead of three
+    sess = cache_scoped(
+        session_stats(ev, by=["user_id"], gap="30 minutes"),
+        "temporal_events:sess",
     )
-    asofn = asof_join(
-        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv",
-        direction="nearest",
-    ).select(
-        F.lit("asofn").alias("leg"),
-        F.col("event_id").alias("a"),
-        F.col("user_id").alias("b"),
-        F.col("ts").alias("t1"),
-        F.lit(None).cast("timestamp_ntz").alias("t2"),
-        F.col("sv").cast("double").alias("x"),
-    )
-    asoft = asof_join(
-        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv",
-        tolerance="2 days",
-    ).select(
-        F.lit("asoft").alias("leg"),
-        F.col("event_id").alias("a"),
-        F.col("user_id").alias("b"),
-        F.col("ts").alias("t1"),
-        F.lit(None).cast("timestamp_ntz").alias("t2"),
-        F.col("sv").cast("double").alias("x"),
-    )
-    sess = session_stats(ev, by=["user_id"], gap="30 minutes")
     rng = interval_join(
         ev.select("event_id", "user_id", "ts"),
         sess.select(
@@ -5684,10 +5675,7 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("srange", eid, sq, t1, None, None) for eid, sq, t1 in rngrows], leg_schema
     )
     return (
-        asof.unionByName(asoff)
-        .unionByName(asofn)
-        .unionByName(asoft)
-        .unionByName(rng)
+        asof4.unionByName(rng)
         .unionByName(sessrow)
         .unionByName(fn)
         .unionByName(fw)

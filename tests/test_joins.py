@@ -855,3 +855,98 @@ def test_stream_asof_nearest_picks_closer_ties_backward(spark, tmp_path):
         if r.k == "k1"
     }
     assert got == {1: 12.0, 4: 28.0, 7: None}
+
+
+def test_asof_join_multi_equals_separate_directional_joins(spark, sf_dir):
+    """r10 optimization gate: the fused multi-direction as-of (one
+    union+window pass, guide §2.4) is row-for-row equal to the four
+    independent asof_join calls it replaced in temporal_events — same
+    probe/quote/tiebreak, specs covering backward, forward, nearest,
+    and backward+tolerance."""
+    from mysql_to_s3_spark.operators.joins import asof_join_multi
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    quote = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    specs = [
+        ("asof", "backward", None),
+        ("asoff", "forward", None),
+        ("asofn", "nearest", None),
+        ("asoft", "backward", "2 days"),
+    ]
+    fused = asof_join_multi(
+        probe, quote, by=["user_id"], value_cols=["sv"],
+        quote_tiebreak="sv", specs=specs,
+    )
+    got = {
+        leg: sorted(
+            (r.event_id, r.sv)
+            for r in fused.filter(F.col("leg") == leg).collect()
+        )
+        for leg, _, _ in specs
+    }
+    for leg, direction, tolerance in specs:
+        want = sorted(
+            (r.event_id, r.sv)
+            for r in asof_join(
+                probe, quote, by=["user_id"], value_cols=["sv"],
+                quote_tiebreak="sv", direction=direction, tolerance=tolerance,
+            ).collect()
+        )
+        assert got[leg] == want, f"leg {leg} diverged from asof_join"
+        assert len(want) > 0
+
+
+def test_asof_join_multi_plan_has_single_exchange(spark, sf_dir):
+    """The point of the fusion: ONE shuffle for all four directional
+    legs (the separate plans paid one Exchange each)."""
+    from mysql_to_s3_spark.operators.joins import asof_join_multi
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    quote = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    fused = asof_join_multi(
+        probe, quote, by=["user_id"], value_cols=["sv"], quote_tiebreak="sv",
+        specs=[
+            ("asof", "backward", None),
+            ("asoff", "forward", None),
+            ("asofn", "nearest", None),
+            ("asoft", "backward", "2 days"),
+        ],
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 exchange, plan had {n_exchange}:\n{plan}"
+
+
+def test_asof_join_multi_validation(spark):
+    import datetime as dt
+
+    from mysql_to_s3_spark.operators.joins import asof_join_multi
+
+    t0 = dt.datetime(2024, 1, 1)
+    probe = spark.createDataFrame([(1, "k", t0)], "id long, k string, ts timestamp")
+    quote = spark.createDataFrame(
+        [("k", t0, 1.0)], "k string, ts timestamp, v double"
+    )
+    with pytest.raises(JoinError, match="duplicate spec names"):
+        asof_join_multi(
+            probe, quote, ["k"], ["v"],
+            [("a", "backward", None), ("a", "forward", None)],
+        )
+    with pytest.raises(JoinError, match="at least one spec"):
+        asof_join_multi(probe, quote, ["k"], ["v"], [])
+    with pytest.raises(JoinError, match="backward|forward|nearest"):
+        asof_join_multi(probe, quote, ["k"], ["v"], [("a", "sideways", None)])
+    with pytest.raises(JoinError, match="leg_col"):
+        asof_join_multi(
+            probe, quote, ["k"], ["v"], [("a", "backward", None)], leg_col="id"
+        )
