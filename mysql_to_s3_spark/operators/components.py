@@ -20,8 +20,12 @@ Step 1 alone converges in O(diameter) rounds (bad for chain-shaped
 clusters); step 2 halves the remaining pointer depth each round, giving
 O(log n) rounds overall.
 
-100 TB story: each round is two shuffle joins + one partial-agg min on
-the node key — no collect, no driver-side graph. The edge frame is
+100 TB story: the pair graph is the OUTPUT of a >=t similarity filter,
+orders of magnitude smaller than its corpus, so it is first sized with
+one count and — at or below a conf-capped edge budget — solved exactly
+on the driver by union-find (two long columns over Arrow; zero shuffle
+rounds). Above the cap, each round is two shuffle joins + one
+partial-agg min on the node key — no collect, no driver-side graph. The edge frame is
 symmetrized once, hash-partitioned on the join key, and cached; labels
 are `localCheckpoint`ed each round to truncate the otherwise-exponential
 iterative lineage (Spark's standard idiom for iterative algorithms —
@@ -46,9 +50,43 @@ from pyspark.sql import DataFrame, functions as F
 
 log = logging.getLogger(__name__)
 
+# Edge-count valve for the driver fast path: a symmetrized pair graph at
+# or below this many edges is solved by an exact union-find on the
+# driver (two long columns via Arrow — ~16 MB at the default cap)
+# instead of the iterative shuffle rounds. Near-dup pair graphs are tiny
+# relative to their corpus (pairs are the *output* of a >=t similarity
+# filter), so in practice even 100 TB corpora produce graphs the valve
+# catches; the distributed pointer-jumping path stays the fallback and
+# is what the property tests pin (conf 0 forces it).
+SMALL_GRAPH_EDGES_CONF = "mysql_to_s3_spark.components.smallGraphEdges"
+DEFAULT_SMALL_GRAPH_EDGES = 1_000_000
+
 
 class ComponentsError(ValueError):
     """Raised when the iteration cap is hit before convergence."""
+
+
+def _driver_min_label(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Exact min-label components via union-find with path compression.
+    Union-by-min keeps every tree root == the minimum id of its set, so
+    find(x) IS the component label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return [(n, find(n)) for n in parent]
 
 
 def connected_components(
@@ -89,6 +127,33 @@ def connected_components(
         .repartition("v")
         .localCheckpoint(eager=False)
     )
+    # One count materializes the checkpoint (the first round's action
+    # previously did) and sizes the graph for the driver valve. At or
+    # below the cap the iteration's per-round shuffle jobs cost far more
+    # than the graph itself: collect the two long columns and solve
+    # exactly on the driver, one job total.
+    n_edges = edges.count()
+    try:
+        raw = pairs.sparkSession.conf.get(SMALL_GRAPH_EDGES_CONF, None)
+    except Exception:
+        raw = None
+    cap = int(raw) if raw is not None else DEFAULT_SMALL_GRAPH_EDGES
+    if n_edges <= cap:
+        import pandas as pd
+
+        # Arrow transfer both ways: two long columns in, two out.
+        epdf = edges.select("u", "v").toPandas()
+        assign = _driver_min_label(list(zip(epdf["u"].tolist(), epdf["v"].tolist())))
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver"
+        log.info("connected_components solved %d edges on the driver", n_edges)
+        out = pd.DataFrame(assign, columns=["doc_id", "component"])
+        return pairs.sparkSession.createDataFrame(
+            out.astype("int64"), "doc_id: long, component: long"
+        )
+    if stats is not None:
+        stats["mode"] = "distributed"
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )

@@ -242,7 +242,15 @@ def ngram_jaccard_pairs(
         .filter(F.round(h_j, 6) >= F.lit(t) - F.lit(0.01))
         .select("a", "b")
     )
-    return _verify_jaccard(likely, sets.select("id", "sh"), threshold)
+    # pooled: the pair set is tiny relative to the corpus (it is the
+    # output of the >=t filter) but expensive to produce; consumers
+    # reference it more than once per plan (connected_components
+    # symmetrizes it via a two-branch union) and the bench/driver
+    # protocol re-builds it per action
+    return cache_scoped(
+        _verify_jaccard(likely, sets.select("id", "sh"), threshold),
+        "dedup.ngram.pairs",
+    )
 
 
 def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> Column:

@@ -7,12 +7,26 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from mysql_to_s3_spark.operators.components import (
+    SMALL_GRAPH_EDGES_CONF,
     ComponentsError,
     component_summary,
     connected_components,
     dedup_by_components,
 )
+
+
+@contextmanager
+def force_distributed(spark):
+    """Pin the iterative pointer-jumping path (valve cap 0) so the tests
+    that are ABOUT the distributed algorithm keep exercising it."""
+    spark.conf.set(SMALL_GRAPH_EDGES_CONF, "0")
+    try:
+        yield
+    finally:
+        spark.conf.unset(SMALL_GRAPH_EDGES_CONF)
 
 
 def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -62,6 +76,32 @@ def test_random_graphs_match_union_find(spark):
         assert _run(spark, pairs) == _union_find(pairs)
 
 
+def test_driver_valve_matches_distributed(spark):
+    """The small-graph driver valve must be bit-identical to the
+    iterative path on the same graph (chain + star + islands + random)."""
+    rng = random.Random(20260817)
+    pairs = (
+        [(i, i + 1) for i in range(300, 364)]
+        + [(9000, 9000 + i) for i in range(1, 40)]
+        + [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    s_valve: dict = {}
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    got_valve = {
+        r.doc_id: r.component for r in connected_components(df, stats=s_valve).collect()
+    }
+    assert s_valve["mode"] == "driver" and s_valve["rounds"] == 0
+    with force_distributed(spark):
+        s_dist: dict = {}
+        got_dist = {
+            r.doc_id: r.component
+            for r in connected_components(df, stats=s_dist).collect()
+        }
+    assert s_dist["mode"] == "distributed" and s_dist["rounds"] >= 1
+    assert got_valve == got_dist == _union_find(pairs)
+
+
 def test_component_summary_sizes(spark):
     pairs = [(1, 2), (2, 3), (50, 51)]
     df = spark.createDataFrame(pairs, "a: long, b: long")
@@ -84,7 +124,8 @@ def test_long_chain_and_wide_star_converge(spark):
     chain = [(i, i + 1) for i in range(1000, 1256)]
     star = [(5000, 5000 + i) for i in range(1, 2001)]
     df = spark.createDataFrame(chain + star, "a: long, b: long")
-    out = connected_components(df, max_iter=12).collect()
+    with force_distributed(spark):
+        out = connected_components(df, max_iter=12).collect()
     comps = {r.doc_id: r.component for r in out}
     assert all(comps[i] == 1000 for i in range(1000, 1257))
     assert all(comps[5000 + i] == 5000 for i in range(2001))
@@ -92,7 +133,7 @@ def test_long_chain_and_wide_star_converge(spark):
 
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
-    with pytest.raises(ComponentsError):
+    with force_distributed(spark), pytest.raises(ComponentsError):
         connected_components(df, max_iter=0)
 
 
@@ -118,20 +159,24 @@ def test_round_count_observability(spark, sf_dir):
     star = spark.createDataFrame(
         [(5000, 5000 + i) for i in range(1, 101)], "a: long, b: long"
     )
-    s: dict = {}
-    connected_components(star, stats=s).collect()
-    assert s["rounds"] <= 3
+    with force_distributed(spark):
+        s: dict = {}
+        connected_components(star, stats=s).collect()
+        assert s["rounds"] <= 3
 
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1000, 1256)], "a: long, b: long"
-    )
-    s = {}
-    connected_components(chain, max_iter=12, stats=s).collect()
-    assert s["rounds"] <= 11  # log2(256) + 3
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1000, 1256)], "a: long, b: long"
+        )
+        s = {}
+        connected_components(chain, max_iter=12, stats=s).collect()
+        assert s["rounds"] <= 11  # log2(256) + 3
 
+    # the corpus pair graph rides the default valve: small graphs are
+    # solved on the driver in zero rounds (<= 4 trivially holds)
     pairs = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.9
     )
     s = {}
     connected_components(pairs, stats=s).collect()
     assert s["rounds"] <= 4, f"driver corpus took {s['rounds']} rounds"
+    assert s["mode"] == "driver"
