@@ -2929,6 +2929,7 @@ def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
     from mysql_to_s3_spark.operators.decontam import contamination_pairs
     from mysql_to_s3_spark.sources.registry import load_table
 
@@ -2943,8 +2944,15 @@ def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles are rare — that is what keeps the shared-shingle join
     # sparse (df_bench per shingle ~1) AND what makes a hit meaningful
     nb = F.lit(None).cast("bigint")
-    pairs = contamination_pairs(docs, bench, threshold=0.5, k=13).select(
-        F.lit("pair").alias("leg"), "train_id", "bench_id", "overlap", "overlap_frac"
+    # broadcast=True: the bench frame IS a fixed-size eval suite (the
+    # operator's documented fast path) — skips the per-build guard job.
+    # Pooled: the row's three bench actions each re-ran the containment
+    # join (~6 s at sf0.1) for an output of a few dozen pairs.
+    pairs = cache_scoped(
+        contamination_pairs(docs, bench, threshold=0.5, k=13, broadcast=True).select(
+            F.lit("pair").alias("leg"), "train_id", "bench_id", "overlap", "overlap_frac"
+        ),
+        "decontam.pairs",
     )
 
     def _run_stream_decontam():
