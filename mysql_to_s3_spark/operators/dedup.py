@@ -834,11 +834,17 @@ def strip_duplicated_spans(
             F.lower(F.array_join(F.slice(F.col("rt"), F.col("start"), k), SPAN_SEP))
         ).alias("key"),
     )
-    ks = wins.groupBy("key").agg(
-        F.count_distinct("id").alias("__nd__"), F.min("id").alias("__keeper__")
-    )
+    # per-key stats as WINDOW functions over ONE key exchange instead of
+    # a groupBy + join back: the join form evaluates the whole `wins`
+    # subtree (tokenize + window explode + md5) twice per action, and
+    # max(dense_rank) over the key partition IS count_distinct(id) when
+    # ordered by id — same rows, one shuffle, no Expand.
+    wk = Window.partitionBy("key")
+    wko = wk.orderBy("id")
     covered = (
-        wins.join(ks, "key")
+        wins.withColumn("__dr__", F.dense_rank().over(wko))
+        .withColumn("__nd__", F.max("__dr__").over(wk))
+        .withColumn("__keeper__", F.min("id").over(wk))
         .filter((F.col("__nd__") >= min_docs) & (F.col("id") != F.col("__keeper__")))
         .select(
             "id",
@@ -847,6 +853,10 @@ def strip_duplicated_spans(
             ).alias("pos"),
         )
     )
+    # pooled: consumed by BOTH the (id,pos) anti-join and the affected-id
+    # distinct below — two narrow int columns, tiny relative to the
+    # token stream it would otherwise re-derive per consumer
+    covered = cache_scoped(covered, "dedup.span.covered")
     affected = covered.select("id").distinct()
     toks_hit = toks.join(affected, "id", "left_semi")
     stream = toks_hit.select(
