@@ -1804,13 +1804,16 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ),
     )
+    # fingerprint bound once (a select boundary), not inlined twice —
+    # the normalize+md5 expression would otherwise evaluate per doc for
+    # the fp column AND again inside each of the 3 bloom probes
     bloom_leg = docs.select(
+        d.alias("keeper"), fingerprint(F.col("text")).alias("fp")
+    ).select(
         F.lit("bloomf").alias("leg"),
-        fingerprint(F.col("text")).alias("fp"),
-        d.alias("keeper"),
-        bloom_might_contain(fingerprint(F.col("text")), bm, 1024, 3)
-        .cast("bigint")
-        .alias("n_dupes"),
+        "fp",
+        "keeper",
+        bloom_might_contain(F.col("fp"), bm, 1024, 3).cast("bigint").alias("n_dupes"),
     )
 
     surv_ids = _fit_drained(spark, sf_dir, "dedup_stream", _run_stream_dedup)
