@@ -5345,18 +5345,21 @@ def _temporal_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate asof_join calls is pinned by tests/test_joins.py.
     from mysql_to_s3_spark.operators.joins import asof_join_multi
 
-    asof4 = asof_join_multi(
-        probe,
-        quote,
-        by=["user_id"],
-        value_cols=["sv"],
-        quote_tiebreak="sv",
-        specs=[
-            ("asof", "backward", None),
-            ("asoff", "forward", None),
-            ("asofn", "nearest", None),
-            ("asoft", "backward", "2 days"),
-        ],
+    asof4 = cache_scoped(
+        asof_join_multi(
+            probe,
+            quote,
+            by=["user_id"],
+            value_cols=["sv"],
+            quote_tiebreak="sv",
+            specs=[
+                ("asof", "backward", None),
+                ("asoff", "forward", None),
+                ("asofn", "nearest", None),
+                ("asoft", "backward", "2 days"),
+            ],
+        ),
+        "temporal_events:asof4",
     ).select(
         F.col("leg"),
         F.col("event_id").alias("a"),
