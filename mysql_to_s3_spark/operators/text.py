@@ -195,11 +195,21 @@ def c4_line_clean(col: Column) -> Column:
     batch and stream pipeline forms."""
     lines = F.split(col, "\n")
     line_words = lambda l: F.regexp_extract_all(l, F.lit(r"\w+"), 0)  # noqa: E731
-    kept = F.filter(
-        lines,
-        lambda l: F.rtrim(l).rlike(C4_TERMINAL_RE)
-        & (F.size(line_words(l)) >= 3)
-        & ~F.exists(line_words(l), lambda w: F.lower(w) == "javascript"),
+    # bind each line's word array ONCE (the single-pass struct-transform
+    # let-binding idiom): the keep predicate reads it twice (word count
+    # + javascript probe), and an unbound line_words(l) would re-run the
+    # regex per read — 2x the regex cost of the whole clean
+    bound = F.transform(
+        lines, lambda l: F.struct(l.alias("l"), line_words(l).alias("w"))
+    )
+    kept = F.transform(
+        F.filter(
+            bound,
+            lambda s: F.rtrim(s.getField("l")).rlike(C4_TERMINAL_RE)
+            & (F.size(s.getField("w")) >= 3)
+            & ~F.exists(s.getField("w"), lambda w: F.lower(w) == "javascript"),
+        ),
+        lambda s: s.getField("l"),
     )
     return F.array_join(kept, "\n")
 
