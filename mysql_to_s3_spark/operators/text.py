@@ -65,9 +65,14 @@ def _occurrence_fraction(ws: Column, vocab: tuple[str, ...]) -> Column:
     return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
 
 
-def _raw_stats(col: Column) -> dict[str, Column]:
-    """Unrounded per-document features (one projection, shuffle-free)."""
-    ws = words(col)
+def _raw_stats(col: Column, ws: Column | None = None) -> dict[str, Column]:
+    """Unrounded per-document features (one projection, shuffle-free).
+    Pass ``ws`` as a MATERIALIZED `words` column when co-selecting with
+    other word-derived signals — each inline ``words(col)`` re-runs the
+    regex per consuming column (HOFs are codegen-fallback, so Catalyst
+    never CSEs across output columns)."""
+    if ws is None:
+        ws = words(col)
     n_chars = F.length(col)
     n_words = F.size(ws)
     word_chars = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
@@ -84,9 +89,10 @@ def _raw_stats(col: Column) -> dict[str, Column]:
     }
 
 
-def text_stats(col: Column) -> dict[str, Column]:
-    """Per-document quality features (all O(1)-per-row, shuffle-free)."""
-    s = _raw_stats(col)
+def text_stats(col: Column, ws: Column | None = None) -> dict[str, Column]:
+    """Per-document quality features (all O(1)-per-row, shuffle-free).
+    ``ws``: optional materialized `words` column (see `_raw_stats`)."""
+    s = _raw_stats(col, ws=ws)
     return {
         "n_chars": s["n_chars"].cast("bigint"),
         "n_tokens": token_count(col).cast("bigint"),
@@ -97,7 +103,9 @@ def text_stats(col: Column) -> dict[str, Column]:
     }
 
 
-def gopher_stats(col: Column) -> dict[str, Column]:
+def gopher_stats(
+    col: Column, ws: Column | None = None, lines: Column | None = None
+) -> dict[str, Column]:
     """The remaining Gopher document-quality signals (Rae et al. 2021
     table A1 — the published rule set; `repetition_stats` covers the
     duplication half, `_raw_stats` the length/word-shape half):
@@ -111,10 +119,15 @@ def gopher_stats(col: Column) -> dict[str, Column]:
 
     Shuffle-free Column algebra (regexp + line/word HOFs), RE2-safe
     patterns so the DuckDB oracle replicates them exactly. Empty docs
-    yield 0 ratios (not null), matching the other stats."""
-    ws = words(col)
+    yield 0 ratios (not null), matching the other stats. ``ws`` /
+    ``lines``: optional materialized word/line arrays (see
+    `_raw_stats` — binding them once pays off when co-selected with
+    the other signal families)."""
+    if ws is None:
+        ws = words(col)
     n_words = F.size(ws)
-    lines = F.split(col, "\n")
+    if lines is None:
+        lines = F.split(col, "\n")
     n_lines = F.size(lines)
     n_sym = (
         F.regexp_count(col, F.lit("#"))
@@ -144,7 +157,7 @@ def gopher_stats(col: Column) -> dict[str, Column]:
 C4_TERMINAL_RE = "[.!?][\"']?$"
 
 
-def c4_stats(col: Column) -> dict[str, Column]:
+def c4_stats(col: Column, lines: Column | None = None) -> dict[str, Column]:
     """The C4 document-quality signals (Raffel et al. 2020 §2.2, the
     published 'Colossal Clean Crawled Corpus' heuristics — the other
     canonical rule family next to Gopher's table A1):
@@ -162,8 +175,10 @@ def c4_stats(col: Column) -> dict[str, Column]:
       (C4 removes such LINES; the flag is the doc-level signal).
 
     Shuffle-free Column algebra over line/word HOFs; empty docs yield
-    0 fractions. `c4_line_clean` is the rewrite half."""
-    lines = F.split(col, "\n")
+    0 fractions. `c4_line_clean` is the rewrite half. ``lines``:
+    optional materialized line array (see `_raw_stats`)."""
+    if lines is None:
+        lines = F.split(col, "\n")
     n_lines = F.size(lines)
     line_words = lambda l: F.regexp_extract_all(l, F.lit(r"\w+"), 0)  # noqa: E731
     has_js = lambda l: F.exists(  # noqa: E731
@@ -184,7 +199,7 @@ def c4_stats(col: Column) -> dict[str, Column]:
     }
 
 
-def c4_line_clean(col: Column) -> Column:
+def c4_line_clean(col: Column, lines: Column | None = None) -> Column:
     """C4's line-level clean (the REWRITE half of `c4_stats`): keep
     only lines that end in terminal punctuation AND carry at least 3
     words AND do not contain the word 'javascript'; rejoin with \\n.
@@ -192,8 +207,10 @@ def c4_line_clean(col: Column) -> Column:
     gates treat '' as missing — JX semantics — so such docs fall out
     at the next quality cut rather than silently surviving empty).
     Per-row Column algebra: zero shuffle, streaming-safe, identical in
-    batch and stream pipeline forms."""
-    lines = F.split(col, "\n")
+    batch and stream pipeline forms. ``lines``: optional materialized
+    line array (see `_raw_stats`)."""
+    if lines is None:
+        lines = F.split(col, "\n")
     line_words = lambda l: F.regexp_extract_all(l, F.lit(r"\w+"), 0)  # noqa: E731
     # bind each line's word array ONCE (the single-pass struct-transform
     # let-binding idiom): the keep predicate reads it twice (word count
@@ -244,14 +261,15 @@ def compression_ratio(col: Column, level: int = 6) -> Column:
     return _ratio(col)
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, ws: Column | None = None) -> Column:
     """[0,1] doc-quality heuristic: in-band length, low punctuation noise,
     presence of function words. Weights in QUALITY_WEIGHTS.
 
     Computed from RAW ratios (rounding only the final score): pre-rounded
     6dp inputs make the weighted sum land exactly on .5 decimal
-    boundaries, where engines' rounding implementations disagree."""
-    s = _raw_stats(col)
+    boundaries, where engines' rounding implementations disagree.
+    ``ws``: optional materialized `words` column (see `_raw_stats`)."""
+    s = _raw_stats(col, ws=ws)
     len_ok = F.when((s["n_words"] >= 5) & (s["n_words"] <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - s["punct_ratio"] * 4)
     stop_ok = F.least(F.lit(1.0), s["stopword_ratio"] * 5)
@@ -259,11 +277,17 @@ def quality_score(col: Column) -> Column:
     return F.round(w["len"] * len_ok + w["punct"] * punct_ok + w["stop"] * stop_ok, 6)
 
 
-def language_id(col: Column) -> Column:
+def language_id(col: Column, dws: Column | None = None) -> Column:
     """Stopword-profile language ID: argmax word-set overlap with each
     language profile; 'und' when nothing matches. Tie-break = LANG_PROFILES
-    order."""
-    ws = F.array_distinct(F.transform(words(col), F.lower))
+    order.
+
+    ``dws``: optional MATERIALIZED distinct-lowercased word array
+    (``array_distinct(transform(words(col), lower))``). The argmax
+    when-chain references the per-language scores ~13x, and each
+    unbound reference re-derives the regex + distinct per row (HOFs are
+    codegen-fallback, so Catalyst never CSEs them — see `_raw_stats`)."""
+    ws = dws if dws is not None else F.array_distinct(F.transform(words(col), F.lower))
     scores = {lang: F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in prof])))
               for lang, prof in LANG_PROFILES.items()}
     langs = list(LANG_PROFILES)
@@ -496,7 +520,9 @@ def word_bigrams(col: Column) -> Column:
     )
 
 
-def repetition_stats(col: Column, bg: Column | None = None) -> dict[str, Column]:
+def repetition_stats(
+    col: Column, bg: Column | None = None, ws: Column | None = None
+) -> dict[str, Column]:
     """Gopher-style repetition signals (Rae et al. 2021, table A1 —
     public quality-filter rules): ``dup_word_frac`` = 1 - distinct/total
     words, ``top_bigram_frac`` = share of the most frequent word bigram.
@@ -510,8 +536,10 @@ def repetition_stats(col: Column, bg: Column | None = None) -> dict[str, Column]
     12.3 s vs 0.9 s on 50k docs). Same plan trap, same fix as the
     winnowing row. For multi-MB docs switch to the linear explode ->
     groupBy(doc, bigram) -> max form and pay the shuffle instead.
+    ``ws``: optional materialized `words` column (see `_raw_stats`).
     """
-    ws = words(col)
+    if ws is None:
+        ws = words(col)
     nw = F.size(ws)
     dup_word = F.when(
         nw > 0, F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / nw
@@ -742,9 +770,14 @@ def url_blocked(col: Column, hosts: tuple[str, ...]) -> Column:
     )
 
 
-def blockword_frac(col: Column, vocab: tuple[str, ...]) -> Column:
+def blockword_frac(
+    col: Column, vocab: tuple[str, ...], ws: Column | None = None
+) -> Column:
     """Fraction of word OCCURRENCES that are in ``vocab`` (lowercased)
     — the word-blocklist quality signal public crawl pipelines pair
     with the URL blocklist (RefinedWeb's "curated resources" filter).
-    0.0 for wordless docs. Per-row fold, shuffle-free, streaming-safe."""
-    return _occurrence_fraction(words(col), tuple(w.lower() for w in vocab))
+    0.0 for wordless docs. Per-row fold, shuffle-free, streaming-safe.
+    ``ws``: optional materialized `words` column (see `_raw_stats`)."""
+    if ws is None:
+        ws = words(col)
+    return _occurrence_fraction(ws, tuple(w.lower() for w in vocab))

@@ -76,11 +76,7 @@ from mysql_to_s3_spark.operators.dedup import (
     simhash_pairs,
 )
 from mysql_to_s3_spark.operators.sampling import hash_split, stratified_hash_sample
-from mysql_to_s3_spark.operators.text import (
-    language_id,
-    quality_score,
-    redact_pii,
-)
+from mysql_to_s3_spark.operators.text import redact_pii
 
 
 class PipelineError(ValueError):
@@ -385,10 +381,12 @@ def _near_dup_pairs(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
 
 def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     """Shared batch/stream Gopher repetition gate — per-row Column
-    algebra (zero shuffles, streaming-safe). The bigram array is
-    materialized as a column first: repetition_stats' documented plan
+    algebra (zero shuffles, streaming-safe). The bigram AND word arrays
+    are materialized as columns first: repetition_stats' documented plan
     trap (an inline bigram expression re-derives the array per outer
-    HOF element — O(len^3))."""
+    HOF element — O(len^3)), and the unbound word array re-runs the
+    word regex per referencing signal (r10 plan count: 20x on the
+    text_stats row before binding)."""
     from mysql_to_s3_spark.operators.text import (
         gopher_repetition,
         repetition_stats,
@@ -397,8 +395,10 @@ def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     )
 
     txt = F.col(cfg.text_col)
-    tmp = out.withColumn("__bg__", word_bigrams(txt))
-    stats = repetition_stats(txt, bg=F.col("__bg__"))
+    tmp = out.withColumn("__bg__", word_bigrams(txt)).withColumn(
+        "__ws__", words(txt)
+    )
+    stats = repetition_stats(txt, bg=F.col("__bg__"), ws=F.col("__ws__"))
     cond = F.lit(True)
     if cfg.max_dup_word_frac is not None:
         cond = cond & (
@@ -408,10 +408,8 @@ def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
         cond = cond & (
             stats["top_bigram_frac"] <= F.lit(float(cfg.max_top_bigram_frac))
         )
-    dropped = ["__bg__"]
+    dropped = ["__bg__", "__ws__"]
     if cfg.gopher_repetition_max:
-        tmp = tmp.withColumn("__ws__", words(txt))
-        dropped.append("__ws__")
         rep = gopher_repetition(txt, ws=F.col("__ws__"))
         unknown = sorted(set(cfg.gopher_repetition_max) - set(rep))
         if unknown:
@@ -440,12 +438,48 @@ def _apply_blockword_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     shuffle-free, streaming-safe. Null text scores 0.0 (kept): the
     other heuristic gates map null text to passing 0 ratios, and this
     gate should not drop a row on a different rule's behalf."""
-    from mysql_to_s3_spark.operators.text import blockword_frac
+    from mysql_to_s3_spark.operators.text import blockword_frac, words
 
+    # bind the word array once (the occurrence fold references it 3x,
+    # and each unbound reference re-runs the word regex per row)
+    tmp = out.withColumn("__bws__", words(F.col(cfg.text_col)))
     bf = F.coalesce(
-        blockword_frac(F.col(cfg.text_col), tuple(cfg.block_words)), F.lit(0.0)
+        blockword_frac(
+            F.col(cfg.text_col), tuple(cfg.block_words), ws=F.col("__bws__")
+        ),
+        F.lit(0.0),
     )
-    return out.filter(bf <= F.lit(float(cfg.max_blockword_frac)))
+    return tmp.filter(bf <= F.lit(float(cfg.max_blockword_frac))).drop("__bws__")
+
+
+def _apply_quality_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Shared batch/stream quality-score gate — per-row, shuffle-free,
+    streaming-safe. Binds the word array once (the score's length/
+    stopword terms reference it ~5x; unbound references re-run the
+    word regex per row)."""
+    from mysql_to_s3_spark.operators.text import quality_score, words
+
+    txt = F.col(cfg.text_col)
+    tmp = out.withColumn("__qws__", words(txt))
+    return tmp.filter(
+        quality_score(txt, ws=F.col("__qws__")) >= F.lit(float(cfg.min_quality))
+    ).drop("__qws__")
+
+
+def _apply_language_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Shared batch/stream language-ID gate — per-row, shuffle-free,
+    streaming-safe. Binds the distinct-lowercased word array once: the
+    argmax when-chain references the per-language scores ~13x, and each
+    unbound reference re-derives the regex + distinct per row."""
+    from mysql_to_s3_spark.operators.text import language_id, words
+
+    txt = F.col(cfg.text_col)
+    tmp = out.withColumn(
+        "__dws__", F.array_distinct(F.transform(words(txt), F.lower))
+    )
+    return tmp.filter(
+        language_id(txt, dws=F.col("__dws__")).isin(*cfg.languages)
+    ).drop("__dws__")
 
 
 def _c4_gate_on(cfg: CorpusConfig) -> bool:
@@ -508,10 +542,16 @@ def _gopher_gate_on(cfg: CorpusConfig) -> bool:
 def _apply_gopher_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     """Shared batch/stream Gopher shape gate (symbol/bullet/ellipsis/
     alpha rules) — per-row Column algebra, zero shuffles,
-    streaming-safe."""
-    from mysql_to_s3_spark.operators.text import gopher_stats
+    streaming-safe. The word/line arrays are bound once per row (the
+    rules reference them several times each, and unbound references
+    re-run the regex/split per row)."""
+    from mysql_to_s3_spark.operators.text import gopher_stats, words
 
-    g = gopher_stats(F.col(cfg.text_col))
+    txt = F.col(cfg.text_col)
+    out = out.withColumn("__gws__", words(txt)).withColumn(
+        "__gln__", F.split(txt, "\n")
+    )
+    g = gopher_stats(txt, ws=F.col("__gws__"), lines=F.col("__gln__"))
     cond = F.lit(True)
     if cfg.max_symbol_word_ratio is not None:
         cond = cond & (g["symbol_word_ratio"] <= F.lit(float(cfg.max_symbol_word_ratio)))
@@ -533,7 +573,7 @@ def _apply_gopher_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
             cond = cond & (cr >= F.lit(float(cfg.min_compression_ratio)))
         if cfg.max_compression_ratio is not None:
             cond = cond & (cr <= F.lit(float(cfg.max_compression_ratio)))
-    return out.filter(cond)
+    return out.filter(cond).drop("__gws__", "__gln__")
 
 
 def _apply_classifier_gate(out: DataFrame, cfg: CorpusConfig, classifier) -> DataFrame:
@@ -656,10 +696,10 @@ def prepare_corpus(
         stages.append(("c4_shape", out))
 
     if cfg.min_quality is not None:
-        out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
+        out = _apply_quality_gate(out, cfg)
         stages.append(("quality", out))
     if cfg.languages is not None:
-        out = out.filter(language_id(txt).isin(*cfg.languages))
+        out = _apply_language_gate(out, cfg)
         stages.append(("language", out))
 
     if cfg.block_words is not None:
@@ -1015,9 +1055,9 @@ def prepare_corpus_stream(
     if _c4_gate_on(cfg):
         out = _apply_c4_gate(out, cfg)
     if cfg.min_quality is not None:
-        out = out.filter(quality_score(txt) >= F.lit(float(cfg.min_quality)))
+        out = _apply_quality_gate(out, cfg)
     if cfg.languages is not None:
-        out = out.filter(language_id(txt).isin(*cfg.languages))
+        out = _apply_language_gate(out, cfg)
     if cfg.block_words is not None:
         out = _apply_blockword_gate(out, cfg)
     if (cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None

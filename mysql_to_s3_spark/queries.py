@@ -1536,9 +1536,18 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references a column, not an expression Catalyst re-derives per
     # outer element (the O(len^3) trap — see repetition_stats docstring)
     docs = docs.withColumn("__bg__", word_bigrams(F.col("text")))
-    st = text_stats(F.col("text"))
+    # r10: bind words(text) ONCE for the whole row — HOF expressions are
+    # codegen-fallback, so Catalyst never CSEs them across output
+    # columns, and the unbound form evaluated regexp_extract_all(text)
+    # 20x per row (plan-counted, plans/r10/text_stats_before.txt); a
+    # multi-referenced non-cheap alias survives CollapseProject as a
+    # real project boundary, so every consumer reads the same array
+    from mysql_to_s3_spark.operators.text import words as _words
+
+    docs = docs.withColumn("__wt__", _words(F.col("text")))
+    st = text_stats(F.col("text"), ws=F.col("__wt__"))
     # + Gopher-style repetition legs (dup_word_frac, top_bigram_frac)
-    rep = repetition_stats(F.col("text"), bg=F.col("__bg__"))
+    rep = repetition_stats(F.col("text"), bg=F.col("__bg__"), ws=F.col("__wt__"))
     # r9 session 2: the remaining Gopher table-A1 shape rules
     # (text.gopher_stats) over a SYNTHESIZED multi-line doc — the
     # corpus text is single-line and symbol-free, so bullets, ellipsis
@@ -1554,7 +1563,16 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 2 == 0, F.lit("trail...")).otherwise(F.lit("trail")),
         F.when(d % 4 == 0, F.lit("# t4g 42")).otherwise(F.lit("only words here")),
     )
-    gop = gopher_stats(synth)
+    # r10: bind the synth doc AND its word/line arrays once (the
+    # unbound form re-ran words(concat_ws..) 8x and split(concat_ws..)
+    # 6x per row — plan-counted); gopher_stats reads the bound arrays
+    docs = docs.withColumn("__synth__", synth)
+    docs = docs.withColumn("__wsyn__", _words(F.col("__synth__"))).withColumn(
+        "__lsyn__", F.split(F.col("__synth__"), "\n")
+    )
+    gop = gopher_stats(
+        F.col("__synth__"), ws=F.col("__wsyn__"), lines=F.col("__lsyn__")
+    )
     # r9s3: the COMPLETE Gopher repetition family (text.gopher_repetition)
     # over synth2 — repetition injected by doc_id arithmetic (dup lines
     # when d%2=0, a 1-3x repeated 10-word segment per d%3, a duplicated
@@ -1563,7 +1581,7 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windows, the mode tie-break, and the overlap cap
     from mysql_to_s3_spark.operators.text import gopher_repetition, words
 
-    seg = F.array_join(F.slice(words(F.col("text")), 1, 10), " ")
+    seg = F.array_join(F.slice(F.col("__wt__"), 1, 10), " ")
     docs = docs.withColumn("__seg__", seg)
     sg = F.col("__seg__")
     docs = docs.withColumn(
@@ -1605,8 +1623,13 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 11 == 0, F.lit("more lorem ipsum filler here."))
         .otherwise(F.lit("plain closing sentence here."))
     )
-    docs = docs.withColumn("__synth3__", F.concat_ws("\n", synth, jsline, closing))
-    c4 = c4_stats(F.col("__synth3__"))
+    docs = docs.withColumn(
+        "__synth3__", F.concat_ws("\n", F.col("__synth__"), jsline, closing)
+    )
+    # bind the synth3 line array once for c4_stats + c4_line_clean
+    # (the unbound form split __synth3__ 8x per row — plan-counted)
+    docs = docs.withColumn("__l3__", F.split(F.col("__synth3__"), "\n"))
+    c4 = c4_stats(F.col("__synth3__"), lines=F.col("__l3__"))
     c4_flags = (
         c4["c4_has_brace"].cast("bigint")
         + c4["c4_has_lorem"].cast("bigint") * 2
@@ -1618,13 +1641,17 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(n) for n, c in st.items()],
         *[c.alias(n) for n, c in rep.items()],
         *[F.round(c, 6).alias(n) for n, c in gop.items()],
-        F.round(blockword_frac(F.col("text"), _BLOCK_WORDS), 6).alias("blockword_frac"),
+        F.round(
+            blockword_frac(F.col("text"), _BLOCK_WORDS, ws=F.col("__wt__")), 6
+        ).alias("blockword_frac"),
         *[F.round(c, 6).alias(n) for n, c in rep2.items()],
         F.round(c4["c4_term_line_frac"], 6).alias("c4_term_line_frac"),
         F.round(c4["c4_short_line_frac"], 6).alias("c4_short_line_frac"),
         c4["c4_sentences"].alias("c4_sentences"),
         c4_flags.alias("c4_flags"),
-        F.md5(c4_line_clean(F.col("__synth3__"))).alias("c4_clean_md5"),
+        F.md5(c4_line_clean(F.col("__synth3__"), lines=F.col("__l3__"))).alias(
+            "c4_clean_md5"
+        ),
         fingerprint(F.col("text")).alias("fp"),
     )
 
