@@ -2489,11 +2489,24 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=25,
         weight_col="w6",
     ).select("doc_id", F.lit(True).alias("dsir_top25"))
-    base = docs.select(
-        F.col("doc_id"),
-        quality_score(F.col("text")).alias("quality"),
-        language_id(F.col("text")).alias("lang_guess"),
-        hash_split(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
+    # r10: bind the word array and its distinct-lowercased form once —
+    # quality_score references the words ~5x and language_id's argmax
+    # when-chain references the distinct array ~13x per row; unbound,
+    # each reference re-runs the regex/distinct (HOFs are
+    # codegen-fallback, no cross-reference CSE)
+    from mysql_to_s3_spark.operators.text import words as _words
+
+    base = (
+        docs.withColumn("__qws__", _words(F.col("text")))
+        .withColumn(
+            "__dws__", F.array_distinct(F.transform(F.col("__qws__"), F.lower))
+        )
+        .select(
+            F.col("doc_id"),
+            quality_score(F.col("text"), ws=F.col("__qws__")).alias("quality"),
+            language_id(F.col("text"), dws=F.col("__dws__")).alias("lang_guess"),
+            hash_split(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
+        )
     )
     # ppl_bucket (r8): CCNet's head/middle/tail split over the unigram-LM
     # scores — exact interpolated terciles of the ROUNDED score, so the
