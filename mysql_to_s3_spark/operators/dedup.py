@@ -50,11 +50,23 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k))))
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str | None = None,
+) -> DataFrame:
     """Exact dedup on the normalized-text fingerprint: one row per distinct
-    fingerprint with the cluster size and the canonical (min-id) keeper."""
+    fingerprint with the cluster size and the canonical (min-id) keeper.
+
+    ``fp_col``: optional PRE-COMPUTED fingerprint column to group on
+    instead of deriving one from ``text_col`` — callers that consume the
+    fingerprint in several places (a dedup pass + a Bloom screen + a
+    survivor re-group) should compute it once and share it, since the
+    normalize+md5 is an O(doc length) regex per evaluation."""
+    fp = F.col(fp_col) if fp_col is not None else fingerprint(F.col(text_col))
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        df.select(F.col(id_col), fp.alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dupes"))
     )

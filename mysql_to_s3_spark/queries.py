@@ -1706,7 +1706,20 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.sources.registry import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    batch = exact_dedup(docs).select(
+    # r10: pool ONE (doc_id, fp) frame across the row's legs — the
+    # normalize+md5 fingerprint is an O(doc length) regex pass over the
+    # full corpus, and the batch, stream, and bloomf legs each consumed
+    # it independently (3 full-corpus evaluations per action; measured
+    # 35-47 executor-CPU-seconds warm at sf0.1). cache_scoped on a
+    # reduced projection (never the bare scan — the CacheManager
+    # substitution hazard) computes it once per session.
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped
+
+    fpf = cache_scoped(
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp")),
+        "dedup_exact:fp",
+    )
+    batch = exact_dedup(fpf, fp_col="fp").select(
         F.lit("batch").alias("leg"), "fp", "keeper", "n_dupes"
     )
 
@@ -1824,30 +1837,22 @@ def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "bloomf",
-        lambda: bloom_build(
-            docs.filter(d % 3 == 0).select(fingerprint(F.col("text")).alias("fp")),
-            "fp",
-            1024,
-            3,
-        ),
+        lambda: bloom_build(fpf.filter(d % 3 == 0).select("fp"), "fp", 1024, 3),
     )
-    # fingerprint bound once (a select boundary), not inlined twice —
-    # the normalize+md5 expression would otherwise evaluate per doc for
-    # the fp column AND again inside each of the 3 bloom probes
-    bloom_leg = docs.select(
-        d.alias("keeper"), fingerprint(F.col("text")).alias("fp")
-    ).select(
+    # fp read from the pooled frame (computed once per session), so the
+    # 3 bloom probes hash a materialized 16-char column, never the doc
+    bloom_leg = fpf.select(
         F.lit("bloomf").alias("leg"),
         "fp",
-        "keeper",
+        d.alias("keeper"),
         bloom_might_contain(F.col("fp"), bm, 1024, 3).cast("bigint").alias("n_dupes"),
     )
 
     surv_ids = _fit_drained(spark, sf_dir, "dedup_stream", _run_stream_dedup)
     surv = spark.createDataFrame([(i,) for i in surv_ids], "doc_id bigint")
     stream = (
-        docs.join(F.broadcast(surv), "doc_id", "left_semi")
-        .select(fingerprint(F.col("text")).alias("fp"))
+        fpf.join(F.broadcast(surv), "doc_id", "left_semi")
+        .select("fp")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_dupes"))
         .select(

@@ -867,3 +867,28 @@ def test_cosine_zero_norm_scores_zero_and_ranks_last(spark):
         "vec_id", cosine(F.col("embedding"), F.array(F.lit(0.0), F.lit(0.0))).alias("c")
     ).collect()}
     assert got == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_exact_dedup_precomputed_fp_col_matches(spark):
+    """exact_dedup(fp_col=...) over a pre-computed fingerprint column is
+    row-identical to the derive-from-text default — the r10 pooling in
+    the dedup_exact row shares one (doc_id, fp) frame across legs."""
+    from mysql_to_s3_spark.operators.text import fingerprint
+
+    df = _docs(
+        spark,
+        [
+            (1, "The  quick brown fox"),
+            (2, "the quick BROWN fox "),   # same normalized fingerprint as 1
+            (3, "a different document"),
+            (4, "a different document"),
+            (5, None),
+        ],
+    )
+    base = {tuple(r) for r in dedup.exact_dedup(df).collect()}
+    pre = df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    via = {tuple(r) for r in dedup.exact_dedup(pre, fp_col="fp").collect()}
+    assert via == base
+    # the collision collapsed and the keeper is the min id
+    by_keeper = {r["keeper"]: r["n_dupes"] for r in dedup.exact_dedup(df).collect()}
+    assert by_keeper.get(1) == 2 and by_keeper.get(3) == 2
