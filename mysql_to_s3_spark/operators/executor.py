@@ -212,10 +212,12 @@ def _set_op(df: DataFrame, q: QueryOp, schema: Schema) -> DataFrame:
 def _select_columns(df: DataFrame, s: SelectClause, schema: Schema) -> list[Column]:
     v = s.value
     if v == ".":
-        # whole document
+        # whole document — reference physical columns by LITERAL name
+        # (backtick-quoted): a column named '.' or 'a.b' must not be
+        # parsed as a dotted path here
         if s.name == ".":
-            return [F.col(c) for c in df.columns]
-        return [F.struct(*[F.col(c) for c in df.columns]).alias(s.name)]
+            return [_qname(c) for c in df.columns]
+        return [F.struct(*[_qname(c) for c in df.columns]).alias(s.name)]
     if v == "*":
         return [F.col(c).alias(c) for c in _leaf_columns(df.schema)]
     if isinstance(v, str) and v.endswith(".*"):
