@@ -906,6 +906,14 @@ def test_asof_join_multi_plan_has_single_exchange(spark, sf_dir):
     legs (the separate plans paid one Exchange each)."""
     from mysql_to_s3_spark.operators.joins import asof_join_multi
 
+    # the temporal row POOLS its fused as-of frame (cache_scoped); when
+    # the full suite has built that row first, the CacheManager
+    # substitutes an InMemoryTableScan into this identical plan and the
+    # stored plan text doubles the Exchange count — assert on the
+    # uncached plan (the test_plans.py precedent; cache_scoped
+    # re-caches stale hits, so pooled rows are unaffected)
+    spark.catalog.clearCache()
+
     ev = load_table(spark, sf_dir, "events")
     probe = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
