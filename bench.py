@@ -180,17 +180,29 @@ def main() -> None:
     # per row — for result-heavy rows (counters at sf1 returns 2.5M rows)
     # the collect number is transfer-bound and the count number is the
     # engine's actual cost.
+    # r11 measurement-honesty fix (r10 verdict item 1): before EVERY
+    # timed action, drop the cross-action warm state (pooled
+    # cache_scoped frames + the prep_plan composition memo) so min-of-2
+    # prices each operator's per-execution cost, not a warm cache read.
+    # Genuine one-time fits (classifier, IVF/PQ, BPE, bloom, lifecycle
+    # receipts, streaming-drain receipts) stay session-cached — the
+    # blessed convention since r6. Expect pipeline_prepare /
+    # text_decontaminate / dedup_cluster_components / temporal_events to
+    # read HIGHER than BENCH_r10 (which priced warm pools); the r10
+    # numbers are kept in BENCH_r10.json and OPTIMIZATION_r11.md.
     times: dict[str, float] = {}
     engine_counts: dict[str, float] = {}
     for name in HEADLINE:
         best = None
         for _ in range(2):
+            catalog.release_plan_memos(spark)
             t0 = time.perf_counter()
             df = catalog.build(name)(spark, sf_dir)
             df.collect()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
+        catalog.release_plan_memos(spark)
         t0 = time.perf_counter()
         catalog.build(name)(spark, sf_dir).count()
         engine_counts[name] = round(time.perf_counter() - t0, 4)
@@ -214,7 +226,12 @@ def main() -> None:
                 "row_tags": ROW_TAGS,
                 "protocol": (
                     "per query: min-of-2 full collect() (headline line) + "
-                    "one engine-side count() (driver-transfer-free). "
+                    "one engine-side count() (driver-transfer-free); since "
+                    "r11, pooled caches + plan memos are cleared before "
+                    "every timed action (release_plan_memos), so each "
+                    "number is the operator's COLD per-execution cost — "
+                    "only one-time model/index fits and streaming-drain "
+                    "receipts stay session-cached. "
                     "row_tags marks rows whose time covers several co-hosted "
                     "operators (ops) and oracle-binding-only legs (verify) — "
                     "BASELINE rows price ONE operator. Host note: totals "

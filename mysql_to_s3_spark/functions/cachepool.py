@@ -104,6 +104,17 @@ def cache_scoped(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def release(key: str) -> None:
+    """Drop every pooled plan of ONE family (across sessions) — the
+    targeted alternative to ``spark.catalog.clearCache()`` for callers
+    (e.g. plan-shape tests) that must see an uncached plan without
+    wiping every other family's warm pool session-wide."""
+    for slot_key in [sk for sk in _POOL if sk[1] == key]:
+        for df in _POOL[slot_key].values():
+            _unpersist(df)
+        _POOL.pop(slot_key, None)
+
+
 def release_all() -> None:
     """Drop every pooled cache (e.g. at the end of a bench run)."""
     for plans in _POOL.values():

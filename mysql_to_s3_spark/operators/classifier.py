@@ -110,6 +110,40 @@ def _feature_stages(text_col: str, n_features: int, bigrams: bool):
     return [tok, tf1, ng, tf2, asm], _TMP[4]
 
 
+def fit_partitions(
+    df: DataFrame,
+    floor: int = 4,
+    bytes_per_partition: int = 128 << 20,
+) -> int:
+    """Partition count for an LBFGS training frame. Every one of the
+    fit's ``max_iter`` iterations pays one gradient job over the frame,
+    so dozens of near-empty partitions are pure scheduler overhead
+    (r10: 50 iterations x 32 micro-partitions measured 29.8 s vs 13.5 s
+    after narrowing). Conf ``mysql_to_s3_spark.classifier.fitPartitions``
+    pins the value; otherwise it is derived from the optimizer's size
+    estimate of the (label, text) projection — one partition per
+    ``bytes_per_partition``, floored at ``floor`` and capped at
+    ``defaultParallelism`` (gradient jobs cannot use more slots than
+    the cluster has cores; beyond that every extra partition is pure
+    per-iteration overhead) — so a corpus-scale fit keeps cluster-wide
+    parallelism while a local fit is not scheduler-bound. The cap also
+    bounds plans whose size estimate is a placeholder (local
+    relations): a too-large value merely makes the ``coalesce`` a
+    no-op. Use with ``coalesce`` (only ever narrows)."""
+    import math
+
+    spark = df.sparkSession
+    pinned = int(spark.conf.get("mysql_to_s3_spark.classifier.fitPartitions", "0"))
+    if pinned > 0:
+        return pinned
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 0
+    derived = max(int(floor), math.ceil(size / bytes_per_partition))
+    return min(derived, max(int(floor), spark.sparkContext.defaultParallelism))
+
+
 def train_text_classifier(
     df: DataFrame,
     label_col: str,

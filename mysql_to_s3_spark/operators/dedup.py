@@ -624,6 +624,12 @@ def token_span_keys(col: Column, k: int = 5) -> Column:
     replicate the key exactly) and (b) a FIXED 32-byte shuffle key, vs a
     raw k-token span string that averages ~8k bytes of shuffle per window
     at k=50. Docs shorter than k tokens yield an empty array.
+
+    PLAN TRAP (r11): the token array here is INLINE in the transform
+    lambda, so the tokenize regex re-runs once per window position
+    (O(len^2) per doc). Fine for tests/small frames; production paths
+    (duplicated_span_fraction) materialize the token array as a column
+    first and build the same keys from ``F.col(...)``.
     """
     t = F.regexp_extract_all(F.lower(col), F.lit(r"\w+|[^\w\s]"), 0)
     n = F.size(t) - F.lit(k - 1)
@@ -671,21 +677,33 @@ def duplicated_span_fraction(
     if toks is not None:
         _require_toks(toks, "duplicated_span_fraction")
         ids = toks.select("id")
-        n = F.size(F.col("lt")) - F.lit(k - 1)
-        keys = F.when(
-            n >= 1,
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                lambda i: F.md5(F.array_join(F.slice(F.col("lt"), i, k), SPAN_SEP)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        spans = toks.select("id", F.explode(keys).alias("s"))
+        lted = toks.select("id", "lt")
     else:
         ids = df.select(F.col(id_col).alias("id"))
-        spans = df.select(
+        # materialize the lowercased token array as a COLUMN before the
+        # window transform (r11): token_span_keys' lambda slices the
+        # token array once per window position, and an INLINE
+        # regexp_extract_all subtree re-runs the whole tokenize regex at
+        # every lambda evaluation (HOF bodies re-evaluate their non-
+        # lambda subtrees per element — invisible to plan-text counting,
+        # it is ONE occurrence evaluated O(windows) times). A bound
+        # column turns that into an O(k) array slice per window: same
+        # md5 keys, same output, O(len^2) -> O(len*k) per doc.
+        lted = df.select(
             F.col(id_col).alias("id"),
-            F.explode(token_span_keys(F.col(text_col), k)).alias("s"),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"\w+|[^\w\s]"), 0
+            ).alias("lt"),
         )
+    n = F.size(F.col("lt")) - F.lit(k - 1)
+    keys = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice(F.col("lt"), i, k), SPAN_SEP)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = lted.select("id", F.explode(keys).alias("s"))
     per_span_doc = spans.groupBy("s", "id").agg(F.count(F.lit(1)).alias("w"))
     nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
     flagged = per_span_doc.withColumn("__nd__", nd)

@@ -511,9 +511,17 @@ def canonical_url(col: Column) -> Column:
     return F.concat(authority, path, qcanon)
 
 
-def word_bigrams(col: Column) -> Column:
-    """Adjacent word bigrams as "w1 w2" strings (empty when < 2 words)."""
-    ws = words(col)
+def word_bigrams(col: Column, ws: Column | None = None) -> Column:
+    """Adjacent word bigrams as "w1 w2" strings (empty when < 2 words).
+
+    ``ws``: optional MATERIALIZED `words` column. The transform lambda
+    references the word array twice PER ELEMENT, so an inline
+    ``words(col)`` re-runs the regex O(len) times per row (the same
+    HOF no-CSE trap as repetition_stats' ``bg``); callers that already
+    bind the word array should pass it here.
+    """
+    if ws is None:
+        ws = words(col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),

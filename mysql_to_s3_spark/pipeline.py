@@ -379,6 +379,21 @@ def _near_dup_pairs(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return pairs.select("a", "b")
 
 
+def _bind_tmp(out: DataFrame, name: str, col: Column) -> DataFrame:
+    """Bind a gate-internal temp column, refusing to shadow a real one:
+    ``withColumn`` silently REPLACES an existing column, so a corpus
+    that legitimately carries a column with a gate temp name would be
+    overwritten and then dropped from the gate's output. Raising names
+    the collision instead (r10 advice)."""
+    if name in out.columns:
+        raise PipelineError(
+            f"corpus already carries a column named {name!r}, which a "
+            "pipeline gate binds as an internal temp column; rename it "
+            "upstream of prepare_corpus"
+        )
+    return out.withColumn(name, col)
+
+
 def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     """Shared batch/stream Gopher repetition gate — per-row Column
     algebra (zero shuffles, streaming-safe). The bigram AND word arrays
@@ -395,9 +410,11 @@ def _apply_repetition_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     )
 
     txt = F.col(cfg.text_col)
-    tmp = out.withColumn("__bg__", word_bigrams(txt)).withColumn(
-        "__ws__", words(txt)
-    )
+    # word array first, bigrams FROM it: word_bigrams' lambda reads the
+    # array twice per element, so an unbound form re-runs the word
+    # regex O(len) times per row (r10 advice)
+    tmp = _bind_tmp(out, "__ws__", words(txt))
+    tmp = _bind_tmp(tmp, "__bg__", word_bigrams(txt, ws=F.col("__ws__")))
     stats = repetition_stats(txt, bg=F.col("__bg__"), ws=F.col("__ws__"))
     cond = F.lit(True)
     if cfg.max_dup_word_frac is not None:
@@ -442,7 +459,7 @@ def _apply_blockword_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
 
     # bind the word array once (the occurrence fold references it 3x,
     # and each unbound reference re-runs the word regex per row)
-    tmp = out.withColumn("__bws__", words(F.col(cfg.text_col)))
+    tmp = _bind_tmp(out, "__bws__", words(F.col(cfg.text_col)))
     bf = F.coalesce(
         blockword_frac(
             F.col(cfg.text_col), tuple(cfg.block_words), ws=F.col("__bws__")
@@ -460,7 +477,7 @@ def _apply_quality_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     from mysql_to_s3_spark.operators.text import quality_score, words
 
     txt = F.col(cfg.text_col)
-    tmp = out.withColumn("__qws__", words(txt))
+    tmp = _bind_tmp(out, "__qws__", words(txt))
     return tmp.filter(
         quality_score(txt, ws=F.col("__qws__")) >= F.lit(float(cfg.min_quality))
     ).drop("__qws__")
@@ -474,8 +491,8 @@ def _apply_language_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     from mysql_to_s3_spark.operators.text import language_id, words
 
     txt = F.col(cfg.text_col)
-    tmp = out.withColumn(
-        "__dws__", F.array_distinct(F.transform(words(txt), F.lower))
+    tmp = _bind_tmp(
+        out, "__dws__", F.array_distinct(F.transform(words(txt), F.lower))
     )
     return tmp.filter(
         language_id(txt, dws=F.col("__dws__")).isin(*cfg.languages)
@@ -548,9 +565,8 @@ def _apply_gopher_gate(out: DataFrame, cfg: CorpusConfig) -> DataFrame:
     from mysql_to_s3_spark.operators.text import gopher_stats, words
 
     txt = F.col(cfg.text_col)
-    out = out.withColumn("__gws__", words(txt)).withColumn(
-        "__gln__", F.split(txt, "\n")
-    )
+    out = _bind_tmp(out, "__gws__", words(txt))
+    out = _bind_tmp(out, "__gln__", F.split(txt, "\n"))
     g = gopher_stats(txt, ws=F.col("__gws__"), lines=F.col("__gln__"))
     cond = F.lit(True)
     if cfg.max_symbol_word_ratio is not None:

@@ -1532,10 +1532,6 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.operators.text import gopher_stats
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # materialize the bigram array once; the nested top-bigram HOF then
-    # references a column, not an expression Catalyst re-derives per
-    # outer element (the O(len^3) trap — see repetition_stats docstring)
-    docs = docs.withColumn("__bg__", word_bigrams(F.col("text")))
     # r10: bind words(text) ONCE for the whole row — HOF expressions are
     # codegen-fallback, so Catalyst never CSEs them across output
     # columns, and the unbound form evaluated regexp_extract_all(text)
@@ -1545,6 +1541,12 @@ def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_s3_spark.operators.text import words as _words
 
     docs = docs.withColumn("__wt__", _words(F.col("text")))
+    # materialize the bigram array once (the nested top-bigram HOF
+    # references it per outer element — the O(len^3) trap, see
+    # repetition_stats docstring), built FROM the bound word array:
+    # word_bigrams' own lambda reads the array twice per element, so an
+    # unbound form re-ran words(text) O(len) times per row (r10 advice)
+    docs = docs.withColumn("__bg__", word_bigrams(F.col("text"), ws=F.col("__wt__")))
     st = text_stats(F.col("text"), ws=F.col("__wt__"))
     # + Gopher-style repetition legs (dup_word_frac, top_bigram_frac)
     rep = repetition_stats(F.col("text"), bg=F.col("__bg__"), ws=F.col("__wt__"))
@@ -2451,15 +2453,21 @@ def _text_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule = F.when(
         F.lower(txt).contains("dup"), F.lit("dup")
     ).otherwise(F.lit("std"))
-    # coalesce(4): LBFGS pays one near-empty job per iteration, so 50
-    # iterations over 32 micro-partitions are dominated by scheduler
-    # overhead (measured 29.8 s -> 13.5 s at sf0.1 with predictions
-    # IDENTICAL — gradient-sum order shifts stay far inside the wide
-    # separation margins). Training-frame-only; scoring stays wide.
+    # narrow the training frame: LBFGS pays one near-empty job per
+    # iteration, so 50 iterations over 32 micro-partitions are dominated
+    # by scheduler overhead (measured 29.8 s -> 13.5 s at sf0.1 with
+    # predictions IDENTICAL — gradient-sum order shifts stay far inside
+    # the wide separation margins). The count is conf/size-derived
+    # (classifier.fit_partitions, r11 — no local-scale literal): one
+    # partition per 128 MB of the labeled projection, floor 4.
+    # Training-frame-only; scoring stays wide.
+    from mysql_to_s3_spark.operators.classifier import fit_partitions
+
+    _train = docs.select(txt.alias("text"), rule.alias("label"))
     clf = _fit_cached(
         spark, sf_dir, "clsgate",
         lambda: train_text_classifier(
-            docs.select(txt.alias("text"), rule.alias("label")).coalesce(4),
+            _train.coalesce(fit_partitions(_train)),
             "label", n_features=1 << 14, max_iter=50,
         ),
     )
@@ -2640,14 +2648,20 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     # materialize the O(n*k) hash array once; winnowing then references a
-    # column, not an expression Catalyst would re-expand per window
+    # column, not an expression Catalyst would re-expand per window.
+    # r11: the winnowed array itself is ALSO bound once (__fps__) — the
+    # summary select references it 3x (size / element_at / aggregate),
+    # and each unbound reference re-ran the O(n) window-min transform.
     hashed = docs.select("doc_id", kgram_rolling_hashes(F.col("text"), k=5).alias("__hs__"))
-    fps = winnow_from_hashes(F.col("__hs__"), window=4)
-    base = hashed.select(
+    base = hashed.withColumn(
+        "__fps__", winnow_from_hashes(F.col("__hs__"), window=4)
+    ).select(
         F.col("doc_id"),
-        F.size(fps).alias("n_fp"),
-        F.element_at(fps, 1).alias("fp_min"),
-        F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("fp_sum"),
+        F.size("__fps__").alias("n_fp"),
+        F.element_at(F.col("__fps__"), 1).alias("fp_min"),
+        F.aggregate(
+            F.col("__fps__"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("fp_sum"),
     )
     # NOT pooled — measured decision (r9): caching a token_frame and
     # feeding the three token-level legs via the toks= hooks was A/B
@@ -2663,8 +2677,11 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leg: line-level boilerplate removal over a DERIVED multi-line view
     # (docs are single-line token streams, so "lines" = aligned 10-token
     # chunks — deterministic in both engines; planted near-dup docs share
-    # aligned chunks, so the gate really fires on this corpus)
-    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+|[^\w\s]"), 0)
+    # aligned chunks, so the gate really fires on this corpus).
+    # r11: the token array is bound as a COLUMN first — inline in the
+    # chunk lambda it re-ran the tokenize regex once per 10-token chunk
+    # (HOF bodies re-evaluate non-lambda subtrees per element).
+    t = F.col("__blt__")
     nl = F.greatest(F.ceil(F.size(t) / F.lit(10.0)).cast("int"), F.lit(1))
     text2 = F.array_join(
         F.transform(
@@ -2673,9 +2690,11 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "\n",
     )
-    bl = strip_boilerplate_lines(
-        docs.select("doc_id", text2.alias("text")), max_docs=1
-    ).select(
+    bl_src = docs.withColumn(
+        "__blt__",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+|[^\w\s]"), 0),
+    ).select("doc_id", text2.alias("text"))
+    bl = strip_boilerplate_lines(bl_src, max_docs=1).select(
         "doc_id",
         F.md5("clean_text").alias("bl_md5"),
         F.col("n_lines").alias("bl_lines"),
@@ -3137,6 +3156,33 @@ def _fit_drained(spark: SparkSession, sf_dir: str, kind: str, fit):
             return fit()
 
     return _fit_cached(spark, sf_dir, kind, wrapped)
+
+
+# _FIT_CACHE kinds that memoise a HEADLINE operator's own composition or
+# result (not a model/index fit, fixture write, or streaming-drain
+# receipt). release_plan_memos drops these so a repeat bench iteration
+# re-runs the operator's own compute; everything else in _FIT_CACHE is a
+# one-time fit the bench deliberately prices once per session (LBFGS
+# classifier, IVF/PQ codebooks, BPE merges, bloom build, the ext/shard
+# lifecycles, and every availableNow drain receipt).
+_PLAN_MEMO_KINDS = frozenset({"prep_plan"})
+
+
+def release_plan_memos(spark: SparkSession) -> None:
+    """Reset cross-action warm state that would let a repeat bench
+    iteration skip a headline operator's own compute (r10 verdict: the
+    bench's min-of-2 must price the PLAN, not a warm cache): drop every
+    pooled ``cache_scoped`` frame and the _FIT_CACHE plan memos
+    (_PLAN_MEMO_KINDS). Within-plan pooling is untouched in effect — a
+    frame consumed several times inside ONE execution is re-cached by
+    that execution itself — only reuse ACROSS driver actions is
+    forfeited. Correctness-unaffected: released frames recompute from
+    lineage."""
+    from mysql_to_s3_spark.functions import cachepool
+
+    cachepool.release_all()
+    for key in [k for k in _FIT_CACHE if k[0] in _PLAN_MEMO_KINDS]:
+        _FIT_CACHE.pop(key, None)
 
 
 def _write_stream_chunks(pdf, pusher, prefix: str, n_chunks: int = 3) -> str:

@@ -194,3 +194,28 @@ def test_fit_determinism_contract(spark, labeled):
     assert [(d, l) for d, l, _ in s1] == [(d, l) for d, l, _ in s3]
     for (_, _, a), (_, _, b) in zip(s1, s3):
         assert abs(a - b) <= 1e-9
+
+
+def test_fit_partitions_conf_pin_and_floor(spark):
+    """r11: the training-frame narrowing is conf/size-derived, not a
+    local-scale literal. Conf pins it exactly; unpinned, a small frame
+    floors at 4 and the derivation scales with the size estimate."""
+    from mysql_to_s3_spark.operators.classifier import fit_partitions
+
+    df = spark.range(100).selectExpr(
+        "cast(id as string) as text", "'a' as label"
+    )
+    key = "mysql_to_s3_spark.classifier.fitPartitions"
+    spark.conf.set(key, "7")
+    try:
+        assert fit_partitions(df) == 7
+    finally:
+        spark.conf.unset(key)
+    # tiny frame: floors at 4 (the estimate is far below one
+    # bytes_per_partition chunk)
+    assert fit_partitions(df) == 4
+    # derivation caps at defaultParallelism: even with a 1-byte chunk
+    # size (so the raw derivation far exceeds the core count), LBFGS
+    # never gets more partitions than the cluster has slots
+    par = spark.sparkContext.defaultParallelism
+    assert fit_partitions(df, floor=1, bytes_per_partition=1) <= par

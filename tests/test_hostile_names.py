@@ -32,12 +32,14 @@ _HOSTILE_CHARS = st.sampled_from(
 _name = (
     st.lists(_HOSTILE_CHARS, min_size=1, max_size=8)
     .map("".join)
-    # drop names that strip to empty, and ALL-DOT names: '.' / '..' are
+    # drop names that strip to empty, and EXACTLY '.' / '..' — the two
     # JX path KEYWORDS (self / parent — a select value '.' means "the
     # whole document"), so a column literally named '.' is unreachable
     # by a JX variable BY DESIGN, not a quoting bug (found by this
-    # suite generating '.' as a window-column name)
-    .filter(lambda s: s.strip() != "" and s.strip(".") != "")
+    # suite generating '.' as a window-column name). Longer all-dot
+    # names ('...', '....') are NOT keywords and must keep working
+    # (r10 advice: the old s.strip('.') != '' excluded them too).
+    .filter(lambda s: s.strip() != "" and s not in (".", ".."))
 )
 _two_names = st.tuples(_name, _name).filter(lambda t: t[0] != t[1])
 
