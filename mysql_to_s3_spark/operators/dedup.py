@@ -45,9 +45,27 @@ MINHASH_BANDS = 16  # bands of r = N/BANDS rows each
 
 
 def shingles(col: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct character k-shingles of a document (order-free set)."""
+    """Distinct character k-shingles of a document (order-free set).
+
+    r11: shingle bytes come from a LET-BOUND per-codepoint split array
+    (the single-element-array transform binding idiom) instead of
+    ``col.substr(i, k)`` — UTF8String substr seeks from the string
+    START per call (codepoint indexing), so the old form cost O(len)
+    per window and O(len^2) per doc on every shingle consumer
+    (ngram/minhash pair scans, the pipeline near-dup stage).
+    ``array_join(slice(chars, i, k), '')`` rebuilds exactly substr's
+    output, including the short tail shingle of sub-k docs."""
     n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k))))
+
+    def sh(cs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(cs, i, k), ""),
+        )
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(F.split(col, "")), sh), 1)
+    )
 
 
 def exact_dedup(
@@ -615,6 +633,63 @@ def _require_toks(toks: DataFrame, op: str) -> None:
         )
 
 
+def span_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """The REDUCED (id, start, key) k-token window-key frame shared by
+    the span-operator family (r11, the r10 verdict's item 3): one row
+    per k-token window with its 1-based token start position and the
+    md5-of-joined-LOWERCASED-window key — exactly the key both
+    ``duplicated_span_fraction`` and ``strip_duplicated_spans`` compile
+    (\\w token boundaries are case-insensitive, so tokenize(lower(text))
+    aligns position-for-position with lower() applied to the raw token
+    stream, and lower() distributes over the SPAN_SEP join). ONE
+    tokenize pass; the token array is bound as a column so the window
+    transform slices an attribute, never re-runs the regex. Docs with
+    fewer than k tokens contribute no rows.
+
+    Pool with ``cache_scoped`` when several span operators consume one
+    corpus and pass it via their ``wins=`` parameter — the r9 pooling
+    reversal (SCALE.md) showed caching the raw array<string> token
+    frame LOSES to recompute, but this frame is three fixed-width-ish
+    columns (bigint, int, 32-char key), the reduced projection that
+    the legs actually shuffle."""
+    lted = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"\w+|[^\w\s]"), 0
+        ).alias("lt"),
+    )
+    n = F.size(F.col("lt")) - F.lit(k - 1)
+    return lted.select(
+        "id",
+        F.explode(
+            F.when(n >= 1, F.sequence(F.lit(1), F.greatest(n, F.lit(1)))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("start"),
+        F.col("lt"),
+    ).select(
+        "id",
+        "start",
+        F.md5(F.array_join(F.slice(F.col("lt"), F.col("start"), k), SPAN_SEP)).alias(
+            "key"
+        ),
+    )
+
+
+def _require_wins(wins: DataFrame, op: str) -> None:
+    missing = {"id", "start", "key"} - set(wins.columns)
+    if missing:
+        raise ValueError(
+            f"{op}: wins= must be a span_windows(...) output with columns "
+            f"(id, start, key); missing {sorted(missing)}"
+        )
+
+
 def token_span_keys(col: Column, k: int = 5) -> Column:
     """array<string> of md5 keys, one per k-token window (stride 1) of the
     lowercased BPE-ish token stream of ``col``.
@@ -649,6 +724,7 @@ def duplicated_span_fraction(
     k: int = 5,
     min_docs: int = 2,
     toks: DataFrame | None = None,
+    wins: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc cross-corpus span-duplication signal — the Spark form of the
     exact-substring dedup measure of Lee et al. 2022 ("Deduplicating
@@ -673,37 +749,50 @@ def duplicated_span_fraction(
     scan+tokenize across the span-operator family; the span keys are
     then derived from its ``lt`` stream — the same md5-of-joined-window
     construction ``token_span_keys`` compiles, so output is identical.
+
+    ``wins=`` (r11): pass a pooled ``span_windows(...)`` frame to skip
+    the tokenize+window+md5 derivation entirely — the span stream is
+    then exactly its (id, key) projection (identical keys by
+    construction), and one cached reduced frame feeds both this measure
+    and ``strip_duplicated_spans``. Takes precedence over ``toks=``.
     """
     if toks is not None:
         _require_toks(toks, "duplicated_span_fraction")
         ids = toks.select("id")
-        lted = toks.select("id", "lt")
     else:
         ids = df.select(F.col(id_col).alias("id"))
-        # materialize the lowercased token array as a COLUMN before the
-        # window transform (r11): token_span_keys' lambda slices the
-        # token array once per window position, and an INLINE
-        # regexp_extract_all subtree re-runs the whole tokenize regex at
-        # every lambda evaluation (HOF bodies re-evaluate their non-
-        # lambda subtrees per element — invisible to plan-text counting,
-        # it is ONE occurrence evaluated O(windows) times). A bound
-        # column turns that into an O(k) array slice per window: same
-        # md5 keys, same output, O(len^2) -> O(len*k) per doc.
-        lted = df.select(
-            F.col(id_col).alias("id"),
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(r"\w+|[^\w\s]"), 0
-            ).alias("lt"),
-        )
-    n = F.size(F.col("lt")) - F.lit(k - 1)
-    keys = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.md5(F.array_join(F.slice(F.col("lt"), i, k), SPAN_SEP)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = lted.select("id", F.explode(keys).alias("s"))
+    if wins is not None:
+        _require_wins(wins, "duplicated_span_fraction")
+        spans = wins.select("id", F.col("key").alias("s"))
+    else:
+        if toks is not None:
+            lted = toks.select("id", "lt")
+        else:
+            # materialize the lowercased token array as a COLUMN before
+            # the window transform (r11): token_span_keys' lambda slices
+            # the token array once per window position, and an INLINE
+            # regexp_extract_all subtree re-runs the whole tokenize regex
+            # at every lambda evaluation (HOF bodies re-evaluate their
+            # non-lambda subtrees per element — invisible to plan-text
+            # counting, it is ONE occurrence evaluated O(windows) times).
+            # A bound column turns that into an O(k) array slice per
+            # window: same md5 keys, same output, O(len^2) -> O(len*k)
+            # per doc.
+            lted = df.select(
+                F.col(id_col).alias("id"),
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"\w+|[^\w\s]"), 0
+                ).alias("lt"),
+            )
+        n = F.size(F.col("lt")) - F.lit(k - 1)
+        keys = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.md5(F.array_join(F.slice(F.col("lt"), i, k), SPAN_SEP)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        spans = lted.select("id", F.explode(keys).alias("s"))
     per_span_doc = spans.groupBy("s", "id").agg(F.count(F.lit(1)).alias("w"))
     nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
     flagged = per_span_doc.withColumn("__nd__", nd)
@@ -795,6 +884,7 @@ def strip_duplicated_spans(
     min_docs: int = 2,
     out_col: str = "clean_text",
     toks: DataFrame | None = None,
+    wins: DataFrame | None = None,
 ) -> DataFrame:
     """The REWRITE half of Lee et al. 2022 exact-substring dedup (the
     published deduplicate-text-datasets tool removes every duplicated
@@ -824,46 +914,57 @@ def strip_duplicated_spans(
          re-assembly exchange (collect bounded by a single doc's token
          count — the snowflake child-collect bound) — but ONLY for docs
          with at least one covered position: unaffected docs never
-         explode their token stream — their canonicalized text is one
-         array_join over the token array (identical output). The
-         explode/anti-join/collect cost therefore scales with the
-         AFFECTED fraction, not the corpus (the synthetic driver corpus
-         is 23% affected — planted near-dup families — so the win there
-         is modest; a lightly-duplicated real corpus skips the heavy
-         path almost entirely).
+         explode their token stream (with ``wins=``+no ``toks=`` they
+         are never even re-tokenized for the rebuild — the position
+         stream semi-joins the RAW doc ids first, so the posexplode
+         tokenize touches the affected fraction only); every doc's
+         canonicalized text and token count come from ONE tokenize pass
+         (r11 — the r9 shape evaluated the token projection four
+         times), left-joined with the rebuilt texts.
     Nothing is all-pairs; duplicated-span text never shuffles at all.
 
     ``toks=`` (r9): pass a pooled ``token_frame(...)`` to reuse one
     scan+tokenize across the span-operator family (its ``rt`` stream is
     exactly the frame built here).
+
+    ``wins=`` (r11): pass a pooled ``span_windows(...)`` frame to skip
+    the window-key derivation — its md5-of-joined-LOWERCASED-window
+    keys are identical to the ones built here (lower() distributes
+    over the SPAN_SEP join; \\w token boundaries are case-insensitive,
+    so the streams align position-for-position), and one cached
+    reduced frame feeds both this rewrite and
+    ``duplicated_span_fraction``.
     """
     if toks is not None:
         _require_toks(toks, "strip_duplicated_spans")
-        toks = toks.select("id", "rt")
+        rt_src = toks.select("id", "rt")
     else:
-        toks = df.select(
+        rt_src = df.select(
             F.col(id_col).alias("id"),
             F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0).alias("rt"),
         )
-    # \w token boundaries are case-insensitive, so the lowercased key
-    # stream aligns position-for-position with the raw token stream
-    n_wins = F.size(F.col("rt")) - F.lit(k - 1)
-    wins = toks.select(
-        "id",
-        F.explode(
-            F.when(
-                n_wins >= 1,
-                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("start"),
-        F.col("rt"),
-    ).select(
-        "id",
-        "start",
-        F.md5(
-            F.lower(F.array_join(F.slice(F.col("rt"), F.col("start"), k), SPAN_SEP))
-        ).alias("key"),
-    )
+    if wins is not None:
+        _require_wins(wins, "strip_duplicated_spans")
+    else:
+        # \w token boundaries are case-insensitive, so the lowercased
+        # key stream aligns position-for-position with the raw tokens
+        n_wins = F.size(F.col("rt")) - F.lit(k - 1)
+        wins = rt_src.select(
+            "id",
+            F.explode(
+                F.when(
+                    n_wins >= 1,
+                    F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("start"),
+            F.col("rt"),
+        ).select(
+            "id",
+            "start",
+            F.md5(
+                F.lower(F.array_join(F.slice(F.col("rt"), F.col("start"), k), SPAN_SEP))
+            ).alias("key"),
+        )
     # per-key stats as WINDOW functions over ONE key exchange instead of
     # a groupBy + join back: the join form evaluates the whole `wins`
     # subtree (tokenize + window explode + md5) twice per action, and
@@ -888,8 +989,20 @@ def strip_duplicated_spans(
     # token stream it would otherwise re-derive per consumer
     covered = cache_scoped(covered, "dedup.span.covered")
     affected = covered.select("id").distinct()
-    toks_hit = toks.join(affected, "id", "left_semi")
-    stream = toks_hit.select(
+    # rebuild stream: tokenize AFFECTED docs only. With raw input the
+    # semi-join runs on (id, text) BEFORE the tokenize projection, so
+    # unaffected docs never pay the rebuild tokenize; with toks= the
+    # arrays are already materialized and the semi-join just prunes.
+    if toks is not None:
+        hit = rt_src.join(affected, "id", "left_semi")
+    else:
+        hit = df.select(F.col(id_col).alias("id"), F.col(text_col)).join(
+            affected, "id", "left_semi"
+        ).select(
+            "id",
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0).alias("rt"),
+        )
+    stream = hit.select(
         "id", F.posexplode(F.col("rt")).alias("pos0", "tok")
     ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
     kept = stream.join(covered, ["id", "pos"], "left_anti")
@@ -903,19 +1016,33 @@ def strip_duplicated_spans(
         ).alias(out_col),
         F.count(F.lit(1)).alias("__nk__"),
     )
-    untouched = toks.join(affected, "id", "left_anti").select(
+    # ONE tokenize pass yields every doc's token count AND its
+    # canonicalized join (the unaffected docs' output text); affected
+    # docs take the rebuilt text instead (empty when every token was
+    # removed — rebuilt has no row for a fully-covered non-keeper).
+    base = rt_src.select(
         "id",
-        F.array_join(F.col("rt"), " ").alias(out_col),
-        F.size("rt").cast("long").alias("__nk__"),
+        F.size("rt").alias("n_tokens"),
+        F.array_join(F.col("rt"), " ").alias("__joined__"),
     )
     return (
-        toks.select("id", F.size("rt").alias("n_tokens"))
-        .join(rebuilt.unionByName(untouched), "id", "left")
+        base.join(affected.withColumn("__aff__", F.lit(True)), "id", "left")
+        .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(
+                F.when(
+                    F.col("__aff__"), F.coalesce(F.col(out_col), F.lit(""))
+                ).otherwise(F.col("__joined__")),
+                F.lit(""),
+            ).alias(out_col),
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce(F.col("__nk__"), F.lit(0)))
+            (
+                F.col("n_tokens")
+                - F.when(
+                    F.col("__aff__"), F.coalesce(F.col("__nk__"), F.lit(0))
+                ).otherwise(F.col("n_tokens"))
+            )
             .cast("long")
             .alias("n_removed"),
         )

@@ -310,44 +310,82 @@ def kgram_rolling_hashes(col: Column, k: int = 5, base: int = 257) -> Column:
     O(n) rolling update maintains. Expressed as Column algebra (O(n·k)
     multiply-adds, JVM whole-stage codegen, shuffle-free); values fit
     bigint exactly for k<=6 at base 257, so an engine-portable oracle can
-    replicate them bit-for-bit (no engine-specific murmur/xxhash)."""
+    replicate them bit-for-bit (no engine-specific murmur/xxhash).
+
+    r11: character access goes through a LET-BOUND codepoint array (the
+    single-element-array transform binding trick, the
+    trimmed_stats_of_list idiom) instead of ``substring(col, i, 1)`` —
+    UTF8String substring seeks from the string START on every call
+    (codepoint indexing), so the old form cost O(len) per accessed
+    position and O(len^2·k) per doc (measured ~12 executor-CPU-s for
+    the winnow base leg at sf0.1; ~2 s after). ``split(col, '')``
+    yields exactly one element per codepoint and ``ascii`` returns its
+    codepoint, so the hash values are bit-identical."""
     n = F.length(col)
     npos = F.greatest(n - F.lit(k - 1), F.lit(0))
 
-    def h(i: Column) -> Column:
-        acc = F.lit(0).cast("bigint")
-        for j in range(k):
-            acc = acc + F.ascii(F.substring(col, (i + F.lit(j)).cast("int"), F.lit(1))).cast(
-                "bigint"
-            ) * F.lit(base ** (k - 1 - j))
-        return acc
+    def windows(cps: Column) -> Column:
+        def h(i: Column) -> Column:
+            acc = F.lit(0).cast("bigint")
+            for j in range(k):
+                acc = acc + F.element_at(cps, (i + F.lit(j)).cast("int")).cast(
+                    "bigint"
+                ) * F.lit(base ** (k - 1 - j))
+            return acc
 
-    return F.when(npos >= 1, F.transform(F.sequence(F.lit(1), npos), h)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+        return F.transform(F.sequence(F.lit(1), npos), h)
+
+    cps_once = F.array(F.transform(F.split(col, ""), F.ascii))
+    return F.when(
+        npos >= 1, F.element_at(F.transform(cps_once, windows), 1)
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprint(col: Column, k: int = 5, window: int = 4) -> Column:
     """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, MOSS):
     the sorted distinct set of per-window minima over the k-gram rolling
     hashes. Guarantees any shared substring of length >= k+window-1
-    contributes a shared fingerprint — the standard local-dedup sketch."""
-    return winnow_from_hashes(kgram_rolling_hashes(col, k), window)
+    contributes a shared fingerprint — the standard local-dedup sketch.
+
+    r11: the hash array is LET-BOUND (single-element-array transform)
+    before winnowing — winnow_from_hashes now reads its input ``window``
+    times per position (cheap on a bound array), which would re-expand a
+    raw k-gram expression ``window`` times per element here."""
+    return F.element_at(
+        F.transform(
+            F.array(kgram_rolling_hashes(col, k)),
+            lambda hs: winnow_from_hashes(hs, window),
+        ),
+        1,
+    )
 
 
 def winnow_from_hashes(hs: Column, window: int = 4) -> Column:
-    """Winnow a (preferably MATERIALIZED) hash-array column.
+    """Winnow a MATERIALIZED (column or lambda-bound) hash-array column.
 
-    ``hs`` is referenced once per window position — if it is a raw k-gram
-    expression rather than a materialized column, Catalyst's projection
-    collapse re-expands the whole O(n*k) hash computation at every
-    reference (measured: catalog query went 25s -> timeout when a w-way
-    least() referenced the expression w times). Pass `F.col(...)` after a
-    withColumn when composing."""
+    ``hs`` is referenced ``window`` times per window position — if it is
+    a raw k-gram expression rather than a materialized column, Catalyst's
+    projection collapse re-expands the whole O(n*k) hash computation at
+    every reference (measured: catalog query went 25s -> timeout when a
+    w-way least() referenced the expression w times). Pass `F.col(...)`
+    after a withColumn (or a lambda-bound variable, the
+    winnow_fingerprint idiom) when composing.
+
+    r11: the per-window minimum is a w-way ``least`` of ``element_at``
+    reads instead of ``array_min(slice(...))`` — slice ALLOCATES a
+    w-element array per position in the interpreted HOF path (measured
+    ~6 executor-CPU-s of the winnow base leg at sf0.1; ~1.5 s after).
+    Identical output: the hash values are never null, and both forms
+    take the minimum of the same w elements."""
     nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(0))
+
+    def wmin(p: Column) -> Column:
+        reads = [F.element_at(hs, (p + F.lit(j)).cast("int")) for j in range(window)]
+        return reads[0] if len(reads) == 1 else F.least(*reads)
+
     mins = F.when(
         nw >= 1,
-        F.transform(F.sequence(F.lit(1), nw), lambda p: F.array_min(F.slice(hs, p, window))),
+        F.transform(F.sequence(F.lit(1), nw), wmin),
     ).otherwise(F.array().cast("array<bigint>"))
     return F.array_sort(F.array_distinct(mins))
 

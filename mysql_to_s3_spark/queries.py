@@ -2663,17 +2663,23 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__fps__"), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("fp_sum"),
     )
-    # NOT pooled — measured decision (r9): caching a token_frame and
-    # feeding the three token-level legs via the toks= hooks was A/B
-    # timed at sf0.1 and LOST to independent re-tokenization, 6.5-15.9 s
-    # vs 4.8-5.5 s — columnar (de)serialization of two array<string>
-    # columns costs more than re-running the codegen'd regexp over the
-    # parquet text per leg. The hooks stay for cross-JOB reuse (where
-    # the alternative is a re-SCAN, not a re-expression); within one
-    # plan, recompute. See SCALE.md "Winnow row pooling reversal".
+    # r11 (verdict item 3): the REDUCED (id, start, key) window frame is
+    # pooled ONCE and feeds BOTH token-level legs (spanf + sp) — one
+    # tokenize+window+md5 pass instead of two, and ~20 bytes + one
+    # 32-char key per window in the cache. This is NOT the r9 reversal's
+    # loser: that A/B cached the raw array<string> token frame (columnar
+    # (de)serialization of two token arrays exceeded the regex
+    # recompute, SCALE.md "Winnow row pooling reversal"); span_windows
+    # is the reduced projection the legs actually shuffle. The bench
+    # releases the pool before every timed action, so each action pays
+    # the build exactly once.
+    from mysql_to_s3_spark.functions.cachepool import cache_scoped as _cs
+    from mysql_to_s3_spark.operators.dedup import span_windows
+
+    wins = _cs(span_windows(docs, k=5), "winnow.wins")
     # leg: cross-doc duplicated-span fraction (Lee et al. exact-substring
     # signal, k=5 token windows, md5 span keys)
-    spanf = duplicated_span_fraction(docs, k=5, min_docs=2)
+    spanf = duplicated_span_fraction(docs, k=5, min_docs=2, wins=wins)
     # leg: line-level boilerplate removal over a DERIVED multi-line view
     # (docs are single-line token streams, so "lines" = aligned 10-token
     # chunks — deterministic in both engines; planted near-dup docs share
@@ -2706,7 +2712,7 @@ def _text_winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union, and the original-case reconstruction to the oracle
     from mysql_to_s3_spark.operators.dedup import strip_duplicated_spans
 
-    sp = strip_duplicated_spans(docs, k=5).select(
+    sp = strip_duplicated_spans(docs, k=5, wins=wins).select(
         "doc_id",
         F.md5("clean_text").alias("sp_md5"),
         F.col("n_removed").alias("sp_removed"),

@@ -79,6 +79,7 @@ def test_shape_and_size_errors(spark):
         bloom_union(bm, b"\x00" * 10)
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_index_sidecar_roundtrip_and_screen(spark, tmp_path):
     from mysql_to_s3_spark.operators.dedup_index import write_dedup_index
 
@@ -340,6 +341,7 @@ def test_bloom_might_contain_streaming_safe(spark, tmp_path):
     assert bgot == got
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_stale_sidecar_falls_back_to_plain_anti_join(spark, tmp_path):
     """An index append WITHOUT a sidecar update must not let exact
     re-ingests of the appended docs through the bloom fast path."""

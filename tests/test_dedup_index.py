@@ -137,6 +137,7 @@ _base = st.text(alphabet="abcdef ", min_size=30, max_size=60)
     st.lists(_base, min_size=2, max_size=6, unique=True),
     st.data(),
 )
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_index_screen_property_matches_batch(spark, tmp_path_factory, bases, data):
     """Random corpora with planted single-char-mutation near-dups: the
@@ -173,6 +174,7 @@ def test_index_screen_property_matches_batch(spark, tmp_path_factory, bases, dat
     assert got == want | fp_cross
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_half_done_append_recovery(spark, corpus, split_point, tmp_path):
     """The documented crash window: bands appended, docs append never
     ran. Orphan band keys must be harmless (candidates with no doc row

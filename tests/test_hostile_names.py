@@ -176,3 +176,33 @@ def test_fixed_worst_cases(spark):
             containers={"t": _container(spark)},
         ).first()
         assert row[bad] == 4, bad
+
+
+@given(_two_names)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_having_hostile_result_names(spark, names):
+    """r11 (verdict item 10): `having` compiles its predicate against
+    the RESULT schema, so a hostile AGG output name must resolve as a
+    having variable (the compiler's exact-column-name-first rule), and
+    a hostile KEY name must survive the post-aggregate filter."""
+    from mysql_to_s3_spark.operators.executor import ALLOW_HAVING_CONF
+
+    kname, aname = names
+    spark.conf.set(ALLOW_HAVING_CONF, "true")
+    try:
+        rows = {
+            r[kname]: r[aname]
+            for r in run(
+                {
+                    "from": "t",
+                    "groupby": [{"name": kname, "value": "k"}],
+                    "select": [{"name": aname, "value": "v", "aggregate": "sum"}],
+                    "having": {"gte": [aname, 4]},
+                },
+                containers={"t": _container(spark)},
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(ALLOW_HAVING_CONF)
+    # sums: a->3, b->3, None->4; only the null-key group passes >= 4
+    assert rows == {None: 4}

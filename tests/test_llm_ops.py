@@ -186,6 +186,7 @@ def test_winnow_pairs_finds_shared_passage(spark):
     assert winnow_pairs(docs, min_shared=5, max_df=1).count() == 0
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_embedding_dup_lsh_matches_all_pairs(spark, sf_dir):
     from mysql_to_s3_spark.operators.dedup import embedding_dup_pairs
     from mysql_to_s3_spark.operators.similarity import embedding_dup_pairs_lsh

@@ -353,6 +353,7 @@ def test_pipeline_gopher_repetition_gate_batch_and_stream(spark, tmp_path):
     assert skept == kept
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_gopher_repetition_hypothesis_docs_match_python(spark):
     """Property form of the python-replica check: arbitrary unicode word
     soup with random line/paragraph structure, batched into ONE Spark

@@ -327,6 +327,7 @@ def test_index_dedup_stage(spark, docs, tmp_path):
     assert hits  # the corpus has cross-parity near-dups
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_audit_names_the_dropping_stage(spark, docs):
     """audit() partitions the dropped docs exactly: every input doc is
     either in the final corpus or audited with the stage that dropped
@@ -940,6 +941,7 @@ def test_split_leakage_audit(spark, docs):
         split_leakage(base)
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_prepare_corpus_stream_matches_batch_with_model_gates(spark, tmp_path):
     """r7: the stream==batch equivalence extended to the MODEL gates —
     the probability-mode classifier (GPT-3 quality-gate idiom) and the

@@ -45,6 +45,7 @@ def test_matches_builtin_on_lineitem(spark, sf_dir):
     n=st.integers(1, 400),
     dup=st.booleans(),
 )
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_matches_builtin_property(spark, seed, n, dup):
     rng = np.random.default_rng(seed)
     vals = rng.normal(0, 1000, n)
@@ -157,6 +158,7 @@ def test_grouped_fallback_path_still_exact(spark):
 
 @settings(max_examples=8, deadline=None)
 @given(seed=st.integers(0, 2**31), nk=st.integers(1, 5))
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_grouped_property(spark, seed, nk):
     from mysql_to_s3_spark.operators.quantiles import exact_percentile_grouped
 

@@ -322,3 +322,49 @@ def test_token_frame_pooling_matches_unpooled(spark):
         duplicated_span_fraction(docs, k=5, toks=bad)
     with pytest.raises(ValueError, match="token_frame"):
         strip_duplicated_spans(docs, k=5, toks=bad)
+
+
+def test_span_windows_pooling_matches_unpooled(spark):
+    """r11: the wins= hook — duplicated_span_fraction and
+    strip_duplicated_spans fed one shared span_windows frame produce
+    EXACTLY the no-pool outputs (mixed case, punctuation, sub-k docs,
+    a 3-holder span family, a fully-covered non-keeper), and a
+    malformed wins frame is refused with a clear error."""
+    from mysql_to_s3_spark.operators.dedup import (
+        duplicated_span_fraction,
+        span_windows,
+        strip_duplicated_spans,
+    )
+
+    shared = "Alpha beta GAMMA delta, epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared.lower()} four"),
+            (3, f"pre {shared.upper()} post!"),
+            (4, "unrelated words only here now truly"),
+            (5, "tiny"),
+            (6, shared),          # keeper candidate of the bare span
+            (7, shared.lower()),  # fully covered non-keeper -> ''
+        ],
+        "doc_id bigint, text string",
+    )
+    wins = span_windows(docs, k=5)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(duplicated_span_fraction(docs, k=5, wins=wins)) == rows(
+        duplicated_span_fraction(docs, k=5)
+    )
+    assert rows(strip_duplicated_spans(docs, k=5, wins=wins)) == rows(
+        strip_duplicated_spans(docs, k=5)
+    )
+    # the fully-covered non-keeper really exercises the empty-rebuild path
+    sp = {r["doc_id"]: r for r in strip_duplicated_spans(docs, k=5, wins=wins).collect()}
+    assert sp[7]["clean_text"] == "" and sp[7]["n_removed"] == sp[7]["n_tokens"] > 0
+    bad = docs.select(F.col("doc_id").alias("id"))
+    with pytest.raises(ValueError, match="span_windows"):
+        duplicated_span_fraction(docs, k=5, wins=bad)
+    with pytest.raises(ValueError, match="span_windows"):
+        strip_duplicated_spans(docs, k=5, wins=bad)

@@ -29,6 +29,12 @@ import itertools
 import os
 import random
 
+import pytest
+
+# r11: deselected from the default pass (hypothesis streaming property
+# harness, minutes per test); run the full suite with -m ""
+pytestmark = pytest.mark.slow
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

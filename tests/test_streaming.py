@@ -111,6 +111,7 @@ def test_stateful_subbatch_continues_across_microbatches(spark, events_stream_di
                 assert cnt == size, (b0, b1, cnt)
 
 
+@pytest.mark.slow  # r11: >19 s in the full-suite run; default pass deselects
 def test_stream_extract_writes_batch_json(spark, events_stream_dir, tmp_path):
     dest = str(tmp_path / "out")
     n_events = spark.read.parquet(events_stream_dir).count()
